@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.dedup.{MinHash, SimHash}
+
+/** Ad-hoc stage-level profiler for the heavier operators (dev tool, not part
+  * of the driver contract).
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.cache().count()
+
+    time("minhash signatures")(
+      MinHash.signatures(docs, "doc_id", "text").count())
+    time("minhash nearDupPairs")(
+      MinHash.nearDupPairs(docs, "doc_id", "text").count())
+    time("simhash fingerprints")(
+      SimHash.fingerprints(docs, "doc_id", "text").count())
+    time("simhash nearDupPairs")(
+      SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 10).count())
+
+    spark.stop()
+  }
+}

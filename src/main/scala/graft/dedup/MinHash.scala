@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** MinHash + LSH near-duplicate detection over text, DataFrame-only.
+  *
+  * Pipeline (all distributed, no driver-side loops):
+  *   1. shingle: word n-grams per doc, exploded to (doc, shingle) rows
+  *   2. base hash: ONE string hash per shingle (`xxhash64`, codegen'd)
+  *   3. signature: k minhashes as k `min(xxhash64(seed_i, base))` aggregate
+  *      columns — a plain groupBy, so Catalyst partial-aggregates map-side
+  *      and the whole stage is codegen'd
+  *   4. banding: split the k mins into b bands of r; band key = hash of the
+  *      band's mins; docs sharing any band key become candidates (standard
+  *      LSH S-curve: P[candidate] = 1-(1-J^r)^b)
+  *   5. candidate pairs: self-join on (band, key) with id < id — the only
+  *      shuffle-join, on the tiny banded projection, never on the texts
+  *   6. exact verify: re-join shingle sets, compute true Jaccard
+  *
+  * Design note for scale: an earlier formulation computed the signature with
+  * nested higher-order-function lambdas (`transform`/`aggregate`). Spark
+  * evaluates HOF lambdas interpreted — outside whole-stage codegen — and
+  * re-evaluates multiply-referenced sub-expressions, which made signatures
+  * ~60× slower than this explode+groupBy shape. Everything here stays inside
+  * WholeStageCodegen with map-side combine; cost is O(shingles · k) long ops.
+  *
+  * Skew: a hot band bucket (shared boilerplate) is capped by `maxBucket`
+  * before the self-join; AQE skew-join splitting covers the rest.
+  */
+object MinHash {
+
+  /** (id, shingle-base-hash) rows: one codegen'd string hash per shingle. */
+  private def baseHashes(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+
+  /** k minhash columns m0..m(k-1) per doc id. Docs with no shingles (fewer
+    * than n tokens) drop out — they cannot near-dup match by definition.
+    */
+  def signatureCols(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, k: Int): DataFrame = {
+    val hashed = baseHashes(docs, idCol, textCol, shingleN)
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** k-minhash signature as a single array<long> column (id, sig). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 64): DataFrame =
+    signatureCols(docs, idCol, textCol, shingleN, k)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** Candidate near-dup pairs (id1 < id2) with exact Jaccard attached. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+    val r = numHashes / numBands
+
+    val mins = signatureCols(docs, idCol, textCol, shingleN, numHashes)
+    val banded = mins.select(col("id"),
+      explode(array((0 until numBands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_key"))
+
+    // Cap pathological buckets before the self-join (skew guard).
+    val bucketed = banded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+
+    val a = bucketed.select(col("band"), col("band_key"), col("id").as("id1"))
+    val b2 = bucketed.select(col("band"), col("band_key"), col("id").as("id2"))
+    val candidates = a.join(b2, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .select("id1", "id2", "jaccard")
+  }
+}

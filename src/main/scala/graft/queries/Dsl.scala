@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine query: the Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL the driver hash-compares
+  * against at sf0.01. Queries without oracle SQL get the weaker rows-only
+  * check and carry their own ScalaTest property coverage instead.
+  */
+final case class DeclaredQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers enforcing the oracle-determinism rules:
+  *
+  *  - money doubles in the test tables are exactly 2-decimal, so casting the
+  *    RAW column to DECIMAL(12,2) is unambiguous in both engines; all
+  *    arithmetic then stays in exact decimal, and only the final aggregate is
+  *    cast back to double (exact int128 → correctly-rounded double in both).
+  *    Never cast a COMPUTED double to decimal — that rounding is
+  *    engine-dependent at the ulp level.
+  *  - integer-valued doubles (quantities) sum exactly in double: order-free.
+  *  - ratios are exact-integer counts divided in double: IEEE-identical.
+  *  - every query ends in a full ORDER BY; every Spark integer output is cast
+  *    to long to match DuckDB's BIGINT defaults.
+  */
+object Dsl {
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    * reads as a long (spark.sql.legacy.parquet.nanosAsLong — set in every
+    * session built by this library). Convert to a µs TimestampType here; all
+    * oracle-compared outputs derived from `ts` are at ≥second granularity so
+    * the ns→µs truncation is invisible to the comparison.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = tbl(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Exact decimal view of a raw 2-decimal money column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Aggregate a decimal expression exactly, emit as double. */
+  def dsum(c: Column): Column = sum(c).cast("double")
+
+  /** lineitem revenue in exact decimal: price * (1 - discount). */
+  def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1) - dec2(discount))
+
+  def ts(literal: String): Column = lit(java.sql.Timestamp.valueOf(literal))
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.routing._
+import graft.relational.AsOfJoin
+import Dsl._
+
+/** Event-stream surface: the reference's schema-routing semantics exercised
+  * over the `events` table (routing key = `event_type`, payload = `props`
+  * JSON), plus event-time operators (hourly windows, sessionization, as-of
+  * enrichment).
+  */
+object EventQueries {
+
+  /** Registry used by the routing queries: three registered event types,
+    * payload constraint `k required ∧ k ≤ 90` (k ranges 0..99 in the data, so
+    * ~9% of otherwise-routable events are quarantined — exercising the
+    * bad-message path with real rows).
+    */
+  private val registeredTypes = Seq("click", "purchase", "signup")
+  private def registry: Map[String, Router.Registration] =
+    registeredTypes.map { t =>
+      t -> Router.Registration(
+        RegisteredSchema(t, Seq(Required("k"), NumRange("k", None, Some(90.0)))),
+        identity[org.apache.spark.sql.DataFrame])
+    }.toMap
+
+  private val envelopeId = "com.graft/stream/1-0-0"
+
+  /** CASE-expression oracle for the routing verdict, mirroring the reference
+    * short-circuit order: skip-unknown-schema BEFORE payload validation
+    * (reference lib/kinesisHandler.js:114-123 — registry membership is
+    * checked before the payload is validated).
+    */
+  private val routeOracleCase =
+    """CASE WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+           WHEN k IS NULL OR k > 90 THEN 'badmsg'
+           ELSE 'branch:' || event_type END"""
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- P1-P6: route by schema with quarantine, direct struct path ------
+    DeclaredQuery("events_route_counts",
+      (s, dir) => {
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")).as("data")))
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), registry)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("sum_value"))
+          .orderBy(col("route"))
+      },
+      Some(s"""SELECT $routeOracleCase AS route, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- S3/S4: full wire-format round trip through the codec ------------
+    // Encodes each event as a base64 JSON Kinesis-style payload, then runs
+    // the real decode path (unbase64 → from_json → validate → route). The
+    // oracle computes the expected routing directly — the codec must be the
+    // identity on valid payloads.
+    DeclaredQuery("kinesis_roundtrip_route",
+      (s, dir) => {
+        val payloadType = Envelope.payloadSchema(Seq(
+          StructField("k", LongType), StructField("value", DoubleType)))
+        val wire = events(s, dir)
+          .withColumn("kinesis", struct(
+            EventCodec.encodeEvent(struct(
+              lit(envelopeId).as("schema"),
+              struct(
+                col("event_type").as("schema"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"),
+                col("value").as("value")).as("data"),
+              lit("graft-test").as("origin"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"))).as("data"),
+            col("user_id").cast("string").as("partitionKey"),
+            col("event_id").cast("string").as("sequenceNumber"),
+            unix_timestamp(col("ts")).cast("double").as("approximateArrivalTimestamp"),
+            lit("1.0").as("kinesisSchemaVersion")))
+        val decoded = EventCodec.withDecodedEvent(wire, payloadType)
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), registry)
+        Router.tag(decoded, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some(s"""SELECT $routeOracleCase AS route, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F6/F9: event-time bucketing + JSON extraction --------------------
+    DeclaredQuery("events_hourly",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(dec2(col("value"))).as("sum_value"),
+            sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- T3-adjacent: sessionization via ordered windows ------------------
+    // Sessions = per-user event runs split at >30 min inactivity gaps.
+    // Window order key is event_id (ts is monotone in event_id), so the
+    // ns-vs-µs timestamp precision difference between engines cannot affect
+    // ordering — only the gap comparison uses ts, far from the boundary.
+    DeclaredQuery("events_sessions",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val frame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flagged = events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(frame))
+        flagged.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_session"),
+            sum(col("n")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_id, ts,
+            LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+          FROM events),
+        g AS (
+          SELECT user_id, event_id,
+            CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM l),
+        sx AS (
+          SELECT user_id,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g),
+        c AS (SELECT user_id, sess_id, COUNT(*) AS n FROM sx GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_sessions, CAST(MAX(n) AS BIGINT) AS max_session,
+          CAST(SUM(n) AS BIGINT) AS n_events
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J5 as-of join: each purchase enriched with the nearest earlier
+    // click of the same user (backward-inclusive). Union+window plan — no
+    // pair blowup, one shuffle. Oracle: DuckDB native ASOF JOIN.
+    DeclaredQuery("asof_click_before_purchase",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+        AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"), col("asof_value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")))
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+import graft.dedup.{MinHash, SimHash}
+import graft.vector.{Similarity, VectorFunctions}
+import graft.multimodal.Multimodal
+import Dsl._
+
+/** LLM-training-data pipeline surface (SURVEY.md §2.9): text analysis,
+  * deduplication (exact / bag / MinHash / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH), multimodal
+  * column plumbing.
+  *
+  * Oracle-checked where the computation is engine-portable (md5, integer
+  * ratios, sequential double folds); the seeded-hash operators (MinHash,
+  * SimHash, LSH) are rows-only here and get recall/property coverage in
+  * ScalaTest instead.
+  */
+object PipelineQueries {
+
+  private val stops = Seq("the", "a")
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- F10 per-document token statistics --------------------------------
+    DeclaredQuery("text_stats",
+      (s, dir) => {
+        tbl(s, dir, "documents").select(
+          col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+          meanTokenLen(col("text")).as("mean_len"),
+          stopwordRatio(col("text"), stops).as("stop_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_len,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- F10 corpus term frequency ----------------------------------------
+    DeclaredQuery("text_term_freq",
+      (s, dir) => {
+        tbl(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(25)
+      },
+      Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 25""")),
+
+    // ---- quality scoring --------------------------------------------------
+    DeclaredQuery("text_quality",
+      (s, dir) => {
+        tbl(s, dir, "documents").select(
+          col("doc_id"),
+          qualityScore(col("text"), stops).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+          CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) AS nstop
+        FROM documents)
+        SELECT doc_id,
+          0.3::DOUBLE * (nd / nt) + 0.4::DOUBLE * least(1.0::DOUBLE, nt / 100.0::DOUBLE)
+            + 0.3::DOUBLE * (1.0::DOUBLE - nstop / nt) AS quality
+        FROM c ORDER BY doc_id""")),
+
+    // ---- language-ID heuristic --------------------------------------------
+    DeclaredQuery("text_lang_id",
+      (s, dir) => {
+        tbl(s, dir, "documents").select(
+          col("doc_id"), col("lang"), langId(col("text")).as("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+          len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'es'))) AS s_es,
+          len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'de', 'et', 'est'))) AS s_fr,
+          len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+          len(list_filter(string_split(text, ' '), t -> t IN ('的', '是', '在', '了', '和'))) AS s_zh
+        FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+               WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+               WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+               ELSE 'zh' END AS pred
+        FROM h ORDER BY doc_id""")),
+
+    // ---- O1 exact dedup via content fingerprint ---------------------------
+    DeclaredQuery("dedup_exact",
+      (s, dir) => {
+        tbl(s, dir, "documents")
+          .groupBy(fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O2-lite: order-insensitive bag fingerprint dedup -----------------
+    // (the corpus really contains bag-duplicate groups — n > 1 rows appear)
+    DeclaredQuery("dedup_bag_fingerprint",
+      (s, dir) => {
+        tbl(s, dir, "documents")
+          .groupBy(bagFingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n") > 1)
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        COUNT(*) AS n, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""")),
+
+    // ---- O2 exact n-gram Jaccard pairs (blocked by source+lang) -----------
+    DeclaredQuery("ngram_jaccard_pairs",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .filter(tokenCount(col("text")) >= 3)
+          .select(col("doc_id"), col("source"), col("lang"),
+            array_distinct(shingles(col("text"), 3)).as("sh"))
+        val a = docs.select(col("source"), col("lang"), col("doc_id").as("id1"), col("sh").as("sh1"))
+        val b = docs.select(col("source"), col("lang"), col("doc_id").as("id2"), col("sh").as("sh2"))
+        a.join(b, Seq("source", "lang"))
+          .filter(col("id1") < col("id2"))
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+          .withColumn("jaccard", col("inter") /
+            (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.1)
+          .select(col("id1"), col("id2"), col("jaccard"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id, source, lang,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT id1, id2, inter / (na + nb - inter) AS jaccard
+        FROM p WHERE inter / (na + nb - inter) >= 0.1 ORDER BY id1, id2""")),
+
+    // ---- O3 exact cosine top-k (sequential double fold — bit-identical) ---
+    DeclaredQuery("cosine_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 3)
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        sc AS (SELECT qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        r AS (SELECT qid, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM sc)
+        SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // ---- O5 multimodal plumbing: binary payloads + stub decode ------------
+    DeclaredQuery("multimodal_meta",
+      (s, dir) => {
+        val withMedia = Multimodal.decodeStub(
+          Multimodal.attachBinary(tbl(s, dir, "documents"), "text"))
+        withMedia
+          .groupBy(col("meta.format").as("format"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("meta.bytes")).as("total_bytes"),
+            max(col("meta.width")).cast("long").as("max_width"),
+            sum(col("meta.n_frames").cast("long")).as("total_frames"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
+        d AS (SELECT doc_id, bytes,
+            CASE WHEN bytes % 3 = 0 THEN 'png' WHEN bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+            bytes % 640 + 1 AS width, bytes % 30 + 1 AS n_frames
+          FROM m)
+        SELECT format, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+          CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // ---- rows-only operators (seeded hashes — covered by ScalaTest) -------
+    DeclaredQuery("minhash_neardup_pairs",
+      (s, dir) => MinHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5).orderBy(col("id1"), col("id2")),
+      None),
+
+    DeclaredQuery("simhash_neardup_pairs",
+      (s, dir) => SimHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3).orderBy(col("id1"), col("id2")),
+      None),
+
+    DeclaredQuery("ann_lsh_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
+          "embedding", k = 3, numPlanes = 8, dim = 64)
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    DeclaredQuery("embedding_neardup_pairs",
+      (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.95, numPlanes = 6, dim = 64)
+        .orderBy(col("id1"), col("id2")),
+      None),
+
+    DeclaredQuery("embedding_centroids",
+      (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label", "embedding", 64)
+        .select(col("label"), col("n"), VectorFunctions.norm(col("centroid")).as("centroid_norm"))
+        .orderBy(col("label")),
+      None),
+
+    DeclaredQuery("approx_distinct_users",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")),
+      None),
+
+    DeclaredQuery("multimodal_features",
+      (s, dir) => Multimodal.extractFeaturesStub(
+        Multimodal.attachBinary(tbl(s, dir, "documents").select("doc_id", "text"), "text"))
+        .select(col("doc_id"), col("features"))
+        .orderBy(col("doc_id")),
+      None))
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Dsl._
+
+/** Relational surface over the TPC-H-ish star schema (SURVEY.md §2.3–§2.7):
+  * joins (inner/outer/semi/anti/range/cross-ish), grouped and multi-level
+  * aggregation, window functions, sort/limit, set ops, distinct aggregates.
+  *
+  * Scale notes baked into the plans: dimension sides of star joins are
+  * explicitly `broadcast()` (region/nation/supplier/bands are tiny at any
+  * SF); fact-fact joins stay on their natural shuffle keys; every aggregate
+  * is partial-aggregated map-side by Catalyst; sorts appear only at the final
+  * ORDER BY, which `TakeOrderedAndProject` handles for limited queries.
+  */
+object RelationalQueries {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- A1 grouped aggregation (TPC-H Q1 shape) -------------------------
+    DeclaredQuery("q1_pricing_summary",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            dsum(dec2(col("l_extendedprice"))).as("sum_base"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount")) *
+              (lit(1) + dec2(col("l_tax")))).as("sum_charge"),
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(dec2(col("l_extendedprice"))) / count(lit(1))).as("avg_price"),
+            (dsum(dec2(col("l_discount"))) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        SUM(l_quantity) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- J1 multi-way star join + top-n (TPC-H Q3 shape) -----------------
+    DeclaredQuery("q3_shipping_priority",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = tbl(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2 ORDER BY rev DESC, l_orderkey LIMIT 10""")),
+
+    // ---- J1 6-way join, broadcast dims (TPC-H Q5 shape) ------------------
+    DeclaredQuery("q5_region_revenue",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val ord = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        val cust = tbl(s, dir, "customer")
+        val supp = broadcast(tbl(s, dir, "supplier"))
+        val nat = broadcast(tbl(s, dir, "nation"))
+        val reg = broadcast(tbl(s, dir, "region").filter(col("r_name") === "ASIA"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1 ORDER BY rev DESC, n_name""")),
+
+    // ---- J2 left outer join with null accounting -------------------------
+    DeclaredQuery("join_outer_orders",
+      (s, dir) => {
+        tbl(s, dir, "orders")
+          .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_orderkey")).as("n_items"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_empty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_items,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J3 left semi (EXISTS) -------------------------------------------
+    DeclaredQuery("join_semi_bigspenders",
+      (s, dir) => {
+        val bigOrders = tbl(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        tbl(s, dir, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J3 left anti (NOT EXISTS) ---------------------------------------
+    DeclaredQuery("join_anti_empty_orders",
+      (s, dir) => {
+        tbl(s, dir, "orders")
+          .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), dsum(dec2(col("o_totalprice"))).as("total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J4 range (non-equi) join against a tiny broadcast band dim ------
+    DeclaredQuery("join_range_price_bands",
+      (s, dir) => {
+        val bands = broadcast(s.createDataFrame(Seq(
+          ("budget", 0.0, 930.0), ("mid", 930.0, 960.0), ("premium", 960.0, 10000.0)))
+          .toDF("band", "lo", "hi"))
+        tbl(s, dir, "part")
+          .join(bands, col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_parts"), dsum(dec2(col("p_retailprice"))).as("sum_price"))
+          .orderBy(col("band"))
+      },
+      Some("""SELECT band, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM part JOIN (VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 960.0), ('premium', 960.0, 10000.0)) b(band, lo, hi)
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- A3 rollup --------------------------------------------------------
+    DeclaredQuery("agg_rollup_lineitem",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"),
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+          .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, flag, status""")),
+
+    // ---- A3 cube ----------------------------------------------------------
+    DeclaredQuery("agg_cube_orders",
+      (s, dir) => {
+        tbl(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            count(lit(1)).as("n"),
+            dsum(dec2(col("o_totalprice"))).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("g_status"), col("g_prio"), col("n"), col("total"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio, status, priority""")),
+
+    // ---- A3 grouping sets (SQL surface) -----------------------------------
+    DeclaredQuery("agg_grouping_sets",
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+          COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+          FROM gs_lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY flag, status""")
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status""")),
+
+    // ---- A4 top-k per group via window ------------------------------------
+    DeclaredQuery("topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        tbl(s, dir, "part")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rk"))
+      },
+      Some("""SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part) t WHERE rk <= 3 ORDER BY p_brand, rk""")),
+
+    // ---- W running / lag / lead -------------------------------------------
+    DeclaredQuery("window_running_orders",
+      (s, dir) => {
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice"))).over(frame).cast("double").as("running"),
+            lag(col("o_totalprice"), 1).over(order).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(order).as("next_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- W rank / dense_rank / percent_rank -------------------------------
+    DeclaredQuery("window_rank_suppliers",
+      (s, dir) => {
+        val w = Window.partitionBy(col("n_name")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        tbl(s, dir, "supplier")
+          .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("s_suppkey"), col("s_acctbal"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy(col("n_name"), col("rnk"), col("s_suppkey"))
+      },
+      Some("""SELECT n_name, s_suppkey, s_acctbal,
+        RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY n_name, rnk, s_suppkey""")),
+
+    // ---- sort + limit (TakeOrderedAndProject) -----------------------------
+    DeclaredQuery("sort_limit_orders",
+      (s, dir) => {
+        tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ---- set operations ---------------------------------------------------
+    DeclaredQuery("set_ops_nations",
+      (s, dir) => {
+        val custN = tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val suppN = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        val both = custN.intersect(suppN).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+        val custOnly = custN.except(suppN).agg(count(lit(1)).as("n")).withColumn("tag", lit("cust_only"))
+        val all = custN.union(suppN).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("all_nations"))
+        both.unionByName(custOnly).unionByName(all).select(col("tag"), col("n")).orderBy(col("tag"))
+      },
+      Some("""SELECT tag, n FROM (
+        SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+        UNION ALL SELECT 'cust_only', COUNT(*) FROM (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2
+        UNION ALL SELECT 'all_nations', COUNT(*) FROM (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier) t3
+        ) u ORDER BY tag""")),
+
+    // ---- A2 distinct aggregates ------------------------------------------
+    DeclaredQuery("distinct_agg_lineitem",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY 1""")))
+}

@@ -1,0 +1,69 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (nearest earlier right-row per key) — an operator Spark lacks
+  * natively, composed from built-ins per the preference order (compose >
+  * custom plan).
+  *
+  * Implementation: union-then-window, NOT a range join. Both sides are
+  * aligned to a common schema, unioned with a side marker, and a window
+  * `last(right_col, ignoreNulls) over (partition by key order by time, side
+  * rows unbounded preceding..current)` carries the latest right values
+  * forward onto each left row.
+  *
+  * Scale rationale: a range/theta join of L against R explodes to O(|L|·|R|)
+  * pairs per key before the "latest" filter; the union-window form is one
+  * hash-partition shuffle + one sort — O((|L|+|R|) log) per key, no
+  * intermediate blowup, AQE/skew-handling applies. This is the plan you want
+  * at 100 TB.
+  *
+  * Tie rule: a right row with time == left time IS visible (backward-
+  * inclusive), matching DuckDB/pandas `ASOF JOIN ... ON l.t >= r.t` — the
+  * right marker sorts before the left marker on equal timestamps.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (each row gets enriched)
+    * @param right      reference side (values carried forward)
+    * @param keyCols    equi-key column names present on both sides
+    * @param leftTime   time column name on `left`
+    * @param rightTime  time column name on `right`
+    * @param rightVals  right columns to carry onto left rows (renamed as-is)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String,
+               rightVals: Seq[String]): DataFrame = {
+    val t = "__asof_t"
+    val side = "__asof_side" // 0 = right (visible first on tie), 1 = left
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .select((keyCols ++ Seq(t, side)).map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+
+    val r = right
+      .withColumn(t, col(rightTime))
+      .withColumn(side, lit(0))
+      .select((keyCols ++ Seq(t, side)).map(col) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(t), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried.filter(col(side) === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.vector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using only built-in
+  * higher-order functions — fully codegen'd, no UDFs, no MLlib.
+  *
+  * Determinism note (oracle parity): every fold here is a *sequential left
+  * fold in double precision* (`aggregate` with a 0.0 start). IEEE-754 double
+  * ops are exactly reproducible, so the same fold in any other engine (e.g.
+  * DuckDB `list_reduce` over a `DOUBLE[]`) yields bitwise-identical results —
+  * which is what lets cosine scores be hash-compared against the oracle.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential double left-fold of an array. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  /** Euclidean norm in double precision. */
+  def norm(a: Column): Column = {
+    val d = asDouble(a)
+    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
+  }
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)))
+
+  /** Sign-bit LSH bucket id: for each hyperplane, 1 bit = sign of dot(v, p).
+    * `planes` must be a literal `array<array<double>>` column (see
+    * [[Similarity.hyperplanes]]); bucket = Σ 2^i · [dot(v, pᵢ) > 0].
+    * Random-hyperplane LSH: P[bit equal] = 1 − θ/π (Charikar, STOC'02).
+    */
+  def lshBucket(v: Column, planes: Column): Column =
+    aggregate(
+      zip_with(planes, sequence(lit(0), size(planes) - 1),
+        (p, i) => when(dot(v, p) > 0d,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+}

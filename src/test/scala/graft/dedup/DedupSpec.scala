@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),   // exact dup of 1
+    (5L, "another unrelated document mentioning parquet columnar storage formats and codecs")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the near-dup pair and not the unrelated ones") {
+    val pairs = MinHash.nearDupPairs(corpus, "doc_id", "text", shingleN = 3,
+      numHashes = 64, numBands = 16)
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair 1-2 must be found")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)), "exact dup found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc 3 excluded")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc 5 excluded")
+  }
+
+  test("minhash candidates recall exact high-jaccard pairs on real corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // exact pairs with jaccard >= 0.5 (blocked by nothing — full n² at 500 docs)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    val exact = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("j", col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+    val found = MinHash.nearDupPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+    assert(exact.nonEmpty, "corpus should contain at least one 0.5-jaccard pair")
+    val recall = exact.intersect(found).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (${exact.size} true pairs)")
+    // verified jaccard means no false positives above threshold
+    assert(found.subsetOf(found.union(exact)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val fp = SimHash.fingerprints(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(SimHashDist(fp(1L), fp(4L)) === 0)
+    assert(SimHashDist(fp(1L), fp(2L)) <= 16, "near-dup should be close")
+    assert(SimHashDist(fp(1L), fp(3L)) > 16, "unrelated should be far")
+  }
+
+  private def SimHashDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,103 @@
+package graft.routing
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Table-driven coverage of the six routing verdicts of the reference's
+  * `processEvent` (lib/kinesisHandler.js:107-124), plus the partition
+  * property: every input row lands in exactly one of branches ∪ badmsg ∪
+  * skipped.
+  */
+class RouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val envelopeId = "com.acme/stream/1-0-0"
+  private val payloadSchema = StructType(Seq(
+    StructField("schema", StringType),
+    StructField("data", StructType(Seq(
+      StructField("schema", StringType),
+      StructField("qty", LongType))))))
+
+  private def registry = Map(
+    "com.acme/order/1-0-0" -> Router.Registration(
+      RegisteredSchema("com.acme/order/1-0-0",
+        Seq(Required("qty"), NumRange("qty", Some(0), Some(100)))),
+      identity[org.apache.spark.sql.DataFrame]),
+    "com.acme/user/1-0-0" -> Router.Registration(
+      RegisteredSchema("com.acme/user/1-0-0", Nil),
+      identity[org.apache.spark.sql.DataFrame]))
+
+  private def config = Router.Config(envelopeId,
+    RegisteredSchema(envelopeId, Nil), registry)
+
+  /** (name, json payload or null, expected tag) — mirrors the reference's
+    * branch order. */
+  private val cases = Seq(
+    ("undecodable", null, Router.BadMessage),
+    ("missing schema", """{"data":{"schema":"com.acme/order/1-0-0","qty":1}}""", Router.BadMessage),
+    ("wrong envelope schema", """{"schema":"com.other/stream/1-0-0","data":{"schema":"com.acme/order/1-0-0","qty":1}}""", Router.BadMessage),
+    ("unregistered data schema ⇒ skip", """{"schema":"com.acme/stream/1-0-0","data":{"schema":"com.acme/unknown/1-0-0","qty":1}}""", Router.Skipped),
+    ("payload fails validation", """{"schema":"com.acme/stream/1-0-0","data":{"schema":"com.acme/order/1-0-0","qty":999}}""", Router.BadMessage),
+    ("payload missing required", """{"schema":"com.acme/stream/1-0-0","data":{"schema":"com.acme/order/1-0-0"}}""", Router.BadMessage),
+    ("happy path order", """{"schema":"com.acme/stream/1-0-0","data":{"schema":"com.acme/order/1-0-0","qty":5}}""", "branch:com.acme/order/1-0-0"),
+    ("happy path user", """{"schema":"com.acme/stream/1-0-0","data":{"schema":"com.acme/user/1-0-0"}}""", "branch:com.acme/user/1-0-0"))
+
+  private def decoded = {
+    val df = cases.map { case (n, j, _) => (n, j) }.toDF("name", "json")
+    df.withColumn("event", from_json(col("json"), payloadSchema))
+  }
+
+  test("each reference branch gets the right verdict") {
+    val tagged = Router.tag(decoded, config)
+      .select("name", Router.TagCol).as[(String, String)].collect().toMap
+    cases.foreach { case (name, _, want) =>
+      assert(tagged(name) === want, s"case: $name")
+    }
+  }
+
+  test("routing is a partition: branches + badmsg + skipped == input") {
+    val routed = Router.route(decoded, config)
+    val total = routed.branches.values.map(_.count()).sum +
+      routed.badMessages.count() + routed.skipped.count()
+    assert(total === cases.size)
+  }
+
+  test("bad messages carry a reason") {
+    val routed = Router.route(decoded, config)
+    val reasons = routed.badMessages.select(Router.ReasonCol).as[String].collect()
+    assert(reasons.forall(_ != null))
+    assert(reasons.toSet === Set("undecodable", "missing schema",
+      "wrong event schema", "invalid payload"))
+  }
+
+  test("base64 wire round trip preserves routing") {
+    val wire = decoded.filter(col("event").isNotNull)
+      .withColumn("kinesis", struct(EventCodec.encodeEvent(col("event")).as("data")))
+      .drop("event")
+    val redecoded = EventCodec.withDecodedEvent(wire, payloadSchema)
+    val tagged = Router.tag(redecoded, config)
+      .select("name", Router.TagCol).as[(String, String)].collect().toMap
+    cases.filter(_._2 != null).foreach { case (name, _, want) =>
+      assert(tagged(name) === want, s"case: $name")
+    }
+  }
+
+  test("corrupt base64 / JSON quarantines, does not throw") {
+    val wire = Seq("not-base64!!!", "aGVsbG8=", null) // garbage, "hello", null
+      .toDF("payload")
+      .withColumn("kinesis", struct(col("payload").as("data")))
+    val redecoded = EventCodec.withDecodedEvent(wire, payloadSchema)
+    val tagged = Router.tag(redecoded, config)
+    assert(tagged.filter(col(Router.TagCol) === Router.BadMessage).count() === 3)
+  }
+
+  test("SchemaId renders and parses vendor/name/version") {
+    assert(SchemaId("com.nordstrom", "retail-stream", "1-0-0").render ===
+      "com.nordstrom/retail-stream/1-0-0")
+    assert(SchemaId.parse("com.nordstrom/product/create/1-0-0") ===
+      Some(SchemaId("com.nordstrom", "product/create", "1-0-0")))
+    assert(SchemaId.parse("garbage") === None)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.routing._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class StreamingRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payloadSchema = StructType(Seq(
+    StructField("schema", StringType),
+    StructField("data", StructType(Seq(
+      StructField("schema", StringType),
+      StructField("v", LongType))))))
+
+  test("micro-batch routing through foreachBatch matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val config = Router.Config("env/1", RegisteredSchema("env/1", Nil),
+      Map("t/1" -> Router.Registration(RegisteredSchema("t/1", Nil),
+        identity[org.apache.spark.sql.DataFrame])))
+
+    val decoded = input.toDF()
+      .withColumn("event", from_json(col("value"), payloadSchema))
+
+    var routedCounts = Map.empty[String, Long]
+    val q = StreamingRouter.foreachRoutedBatch(decoded, config) { (routed, _) =>
+      routedCounts = Map(
+        "branch" -> routed.branches("t/1").count(),
+        "bad" -> routed.badMessages.count(),
+        "skip" -> routed.skipped.count())
+    }.start()
+
+    input.addData(
+      """{"schema":"env/1","data":{"schema":"t/1","v":1}}""",
+      """{"schema":"env/1","data":{"schema":"unknown","v":2}}""",
+      """not json at all""")
+    q.processAllAvailable()
+    q.stop()
+
+    assert(routedCounts === Map("branch" -> 1L, "bad" -> 1L, "skip" -> 1L))
+  }
+
+  test("windowed counts with watermark drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingRouter.windowedCounts(
+      input.toDF().toDF("ts", "kind"), "ts", "10 minutes", "5 minutes", "5 minutes", "kind")
+
+    val q = StreamingRouter.startMemorySink(counts, "win_counts", OutputMode.Complete())
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:07:00"), "b"))
+    q.processAllAvailable()
+    val got = spark.table("win_counts")
+      .select(col("window.start").cast("string"), col("kind"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:05:00", "b", 1L)))
+  }
+
+  test("session windows split on inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamingRouter.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "1 hour", "30 minutes", "user")
+    val q = StreamingRouter.startMemorySink(sessions, "sess_counts", OutputMode.Complete())
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "u1"),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "u1"),   // same session
+      (Timestamp.valueOf("2024-01-01 02:00:00"), "u1"))   // new session
+    q.processAllAvailable()
+    val got = spark.table("sess_counts").select("user", "n")
+      .as[(String, Long)].collect().sorted
+    q.stop()
+    assert(got === Array(("u1", 1L), ("u1", 2L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "el perro la casa de que es"),
+    (3L, "xyz qqq zzz")).toDF("id", "text")
+
+  test("token stats") {
+    val got = df.select(col("id"),
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.distinctTokenCount(col("text")),
+      TextFunctions.stopwordCount(col("text"), Seq("the", "a")))
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+    assert(got(1L) === ((6, 5, 2)))
+    assert(got(3L) === ((3, 3, 0)))
+  }
+
+  test("language-ID heuristic picks marker-dominant language") {
+    val got = df.select(col("id"), TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "und")
+  }
+
+  test("shingles produce n-grams; short docs produce none") {
+    val sh = df.select(col("id"), TextFunctions.shingles(col("text"), 3))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).head === "the cat sat")
+    assert(sh(1L).size === 4)
+    assert(sh(3L).size === 1)
+    val short = Seq((9L, "one two")).toDF("id", "text")
+      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("bag fingerprint is order-insensitive, content-sensitive") {
+    val fps = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("id", "text")
+      .select(col("id"), TextFunctions.bagFingerprint(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("quality score is in [0,1] and penalizes degenerate docs") {
+    val q = Seq((1L, ("word " * 200).trim), (2L, "the the the the the"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.qualityScore(col("text"), Seq("the", "a")))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(2L) < q(1L), "stopword-only doc must score lower")
+  }
+}

