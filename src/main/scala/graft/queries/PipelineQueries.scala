@@ -219,13 +219,21 @@ object PipelineQueries {
 
     DeclaredQuery("embedding_neardup_pairs",
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.95, numPlanes = 6, dim = 64)
+        "embedding", threshold = 0.45, numPlanes = 4, dim = 64)
         .orderBy(col("id1"), col("id2")),
       None),
 
     DeclaredQuery("embedding_centroids",
       (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label", "embedding", 64)
         .select(col("label"), col("n"), VectorFunctions.norm(col("centroid")).as("centroid_norm"))
+        .orderBy(col("label")),
+      None),
+
+    DeclaredQuery("embedding_centroids_typed",
+      (s, dir) => tbl(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.vector.VectorAvg.vectorAvg(64, col("embedding")).as("centroid"))
+        .select(col("label"), VectorFunctions.norm(col("centroid")).as("centroid_norm"))
         .orderBy(col("label")),
       None),
 

@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[DeclaredQuery] =
-    RelationalQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ ScalarQueries.queries ++
+      EventQueries.queries ++ PipelineQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

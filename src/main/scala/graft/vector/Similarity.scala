@@ -86,7 +86,12 @@ object Similarity {
                          seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val b = withBucket(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes)
+    // multi-probe one side with 1-bit flips so pairs differing in a single
+    // hyperplane sign still meet in a bucket (recall ≈ P[≤1 bit differs])
     val l = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+      .withColumn("bucket", explode(concat(array(col("bucket")),
+        transform(sequence(lit(0), lit(numPlanes - 1)),
+          i => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")))))))
     val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
     l.join(r, "bucket")
       .filter(col("id1") < col("id2"))

@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     assert(norms.forall(n => n > 0 && n < 1))
   }
 
+  test("typed VectorAvg aggregator agrees with the DataFrame centroid path") {
+    val typed = emb.groupBy(col("label"))
+      .agg(VectorAvg.vectorAvg(64, col("embedding")).as("c"))
+      .select(col("label"), col("c")).as[(Int, Array[Double])].collect().toMap
+    val framed = Similarity.centroids(emb, "label", "embedding", 64)
+      .select(col("label"), col("centroid")).as[(Int, Array[Double])].collect().toMap
+    assert(typed.keySet === framed.keySet)
+    typed.foreach { case (label, c) =>
+      c.zip(framed(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $label centroid mismatch")
+      }
+    }
+  }
+
   test("lshBucket produces stable buckets in [0, 2^planes)") {
     val planes = Similarity.hyperplanes(6, 64, seed = 42L)
     val buckets = emb.select(VectorFunctions.lshBucket(col("embedding"), planes))
