@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Exact and n-gram-Jaccard deduplication operators.
+  *
+  * All shapes are chosen for the 100 TB case: exact dedup is a hash
+  * aggregate on a fingerprint (one shuffle, map-side combined); Jaccard
+  * pairs use an inverted shingle index — explode + equi-join on
+  * (block, shingle-hash) + pair-count aggregation — instead of comparing
+  * shingle arrays per candidate pair. Array intersection is O(|a|+|b|)
+  * interpreted work per pair and needs both arrays co-resident; the inverted
+  * index is pure codegen'd join/agg traffic proportional to the number of
+  * actually-shared shingles, and AQE handles skewed (hot-shingle) keys.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (fp, n, keep_id) — keep_id is
+    * the canonical survivor (min id).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** One-row-per-duplicate-set dedup: keeps the min-id row per distinct
+    * content fingerprint. The distributed form of `DISTINCT ON`.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact word-n-gram Jaccard similarity for all pairs within blocks,
+    * via an inverted shingle index (no array ops, no cross products).
+    *
+    * Shingles are compared by 64-bit hash — for set-overlap counting the
+    * collision probability within one pair's union is ~|union|²/2⁶⁴,
+    * negligible at any realistic document size.
+    *
+    * @param blockCols blocking columns (pairs only form within equal blocks)
+    * @param minJaccard result threshold (also prunes the pair-count output)
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, blockCols: Seq[String],
+                        minJaccard: Double): DataFrame = {
+    // Inverted index rows (id, key): key fuses block columns + shingle into
+    // one 64-bit join key, so the self-join shuffles a single long column
+    // instead of strings — and block equality rides along for free.
+    val index = docs
+      .filter(TextFunctions.tokenCount(col(textCol)) >= shingleN)
+      .select(col(idCol).as("id") +: blockCols.map(col) :+
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("s"): _*)
+      .select(col("id"), xxhash64(blockCols.map(col) :+ col("s"): _*).as("key"))
+
+    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+
+    val inter = index.select(col("id").as("id1"), col("key"))
+      .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+
+    inter
+      .join(sizes.select(col("id").as("id1"), col("nsh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("nsh").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+}

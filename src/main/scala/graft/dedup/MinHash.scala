@@ -40,6 +40,10 @@ object MinHash {
 
   /** k minhash columns m0..m(k-1) per doc id. Docs with no shingles (fewer
     * than n tokens) drop out — they cannot near-dup match by definition.
+    *
+    * Seed mixing uses `xxhash64(seed_i, base)` — one string hash per shingle
+    * plus k fixed-width hashes. (An affine a·x+b family would be cheaper but
+    * needs wrapping long arithmetic, which ANSI mode forbids.)
     */
   def signatureCols(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, k: Int): DataFrame = {

@@ -28,8 +28,10 @@ final case class DeclaredQuery(
   *    to long to match DuckDB's BIGINT defaults.
   */
 object Dsl {
-  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
     * reads as a long (spark.sql.legacy.parquet.nanosAsLong — set in every

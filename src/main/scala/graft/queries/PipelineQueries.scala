@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions._
-import graft.dedup.{MinHash, SimHash}
+import graft.dedup.{Dedup, MinHash, SimHash}
 import graft.vector.{Similarity, VectorFunctions}
 import graft.multimodal.Multimodal
 import Dsl._
@@ -125,22 +125,9 @@ object PipelineQueries {
 
     // ---- O2 exact n-gram Jaccard pairs (blocked by source+lang) -----------
     DeclaredQuery("ngram_jaccard_pairs",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .filter(tokenCount(col("text")) >= 3)
-          .select(col("doc_id"), col("source"), col("lang"),
-            array_distinct(shingles(col("text"), 3)).as("sh"))
-        val a = docs.select(col("source"), col("lang"), col("doc_id").as("id1"), col("sh").as("sh1"))
-        val b = docs.select(col("source"), col("lang"), col("doc_id").as("id2"), col("sh").as("sh2"))
-        a.join(b, Seq("source", "lang"))
-          .filter(col("id1") < col("id2"))
-          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-          .withColumn("jaccard", col("inter") /
-            (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
-          .filter(col("jaccard") >= 0.1)
-          .select(col("id1"), col("id2"), col("jaccard"))
-          .orderBy(col("id1"), col("id2"))
-      },
+      (s, dir) => Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, blockCols = Seq("source", "lang"), minJaccard = 0.1)
+        .orderBy(col("id1"), col("id2")),
       Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
         sh AS (SELECT doc_id, source, lang,
             list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh

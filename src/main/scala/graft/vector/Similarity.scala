@@ -34,6 +34,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, qidCol: String,
                      candidates: DataFrame, cidCol: String,
                      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
     val c = candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec"))
     val scored = c.crossJoin(broadcast(q))
@@ -61,6 +62,7 @@ object Similarity {
               candidates: DataFrame, cidCol: String,
               vecCol: String, k: Int, numPlanes: Int, dim: Int,
               seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     val q = withBucket(queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec")), "qvec", planes)
       .withColumn("bucket", explode(concat(array(col("bucket")),
@@ -84,6 +86,7 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int, dim: Int,
                          seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     val b = withBucket(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes)
     // multi-probe one side with 1-bit flips so pairs differing in a single

@@ -20,8 +20,16 @@ object VectorFunctions {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product in double precision — codegen'd native expression
+    * (requires [[graft.functions.GraftFunctions.register]] on the session;
+    * every library entry point does this).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** HOF-fold dot product: same bitwise result as [[dot]], kept as the
+    * composable reference implementation and for parity tests.
+    */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
 
   /** Euclidean norm in double precision. */
@@ -30,8 +38,12 @@ object VectorFunctions {
     sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
   }
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double precision — fused codegen'd expression. */
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** HOF-fold cosine: same bitwise result as [[cosine]] (reference/tests). */
+  def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column =

@@ -50,6 +50,33 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(found.union(exact)))
   }
 
+  test("inverted-index jaccard equals the direct array-intersect computation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val direct = {
+      val sh = docs.select(col("doc_id"), col("source"), col("lang"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      val a = sh.select(col("source"), col("lang"), col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = sh.select(col("source"), col("lang"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, Seq("source", "lang")).filter(col("id1") < col("id2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        .withColumn("j", col("inter") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+        .filter(col("j") >= 0.05)
+        .select(col("id1"), col("id2"), col("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val inverted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      Seq("source", "lang"), 0.05)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inverted === direct)
+  }
+
+  test("dropExactDuplicates keeps exactly one row per content group") {
+    val out = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 3L, 5L)) // doc 4 is the exact dup of 1
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val fp = SimHash.fingerprints(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -46,6 +46,19 @@ class SimilaritySpec extends SparkSpec {
     assert(norms.forall(n => n > 0 && n < 1))
   }
 
+  test("codegen vec_dot/vec_cosine are bitwise-equal to the HOF fold forms") {
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") < 5).select(col("embedding").as("b")))
+    val diffs = pairs.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d1"),
+      VectorFunctions.dotFold(col("a"), col("b")).as("d2"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c1"),
+      VectorFunctions.cosineFold(col("a"), col("b")).as("c2"))
+      .filter(col("d1") =!= col("d2") || col("c1") =!= col("c2"))
+      .count()
+    assert(diffs === 0L, "native expressions must be bitwise-identical to folds")
+  }
+
   test("typed VectorAvg aggregator agrees with the DataFrame centroid path") {
     val typed = emb.groupBy(col("label"))
       .agg(VectorAvg.vectorAvg(64, col("embedding")).as("c"))
