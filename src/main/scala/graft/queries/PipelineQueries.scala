@@ -204,6 +204,15 @@ object PipelineQueries {
       },
       None),
 
+    DeclaredQuery("ivf_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4)
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
     DeclaredQuery("embedding_neardup_pairs",
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45, numPlanes = 4, dim = 64)

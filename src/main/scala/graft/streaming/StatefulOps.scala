@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom per-key streaming state via `KeyValueGroupedDataset` state APIs —
+  * the scalable analogue of the reference's ordered single-consumer handler
+  * (one logical consumer per key, state colocated with the key's partition;
+  * reference lib/kinesisHandler.js:203-334).
+  *
+  * State lives in the state store (checkpointed, partitioned by key), so
+  * memory is bounded per key and recovery replays from the checkpoint —
+  * the at-least-once contract (T4) carries over.
+  */
+object StatefulOps {
+
+  private implicit val booleanEnc: Encoder[Boolean] = Encoders.scalaBoolean
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Streaming first-occurrence filter (exact dedup across micro-batches):
+    * emits each key's first row only, ever — later occurrences in the same
+    * or any later batch are dropped. State per key is one boolean.
+    *
+    * For unbounded key spaces use the TTL variant below so state ages out
+    * with the dedup horizon.
+    */
+  def firstOccurrences[T: Encoder](ds: Dataset[T])(key: T => String): Dataset[T] =
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+
+  /** TTL'd first-occurrence filter: seen-markers expire after `ttlMs` of
+    * processing time, bounding state for unbounded key domains (the standard
+    * corpus-dedup horizon trade-off).
+    */
+  def firstOccurrencesWithTtl[T: Encoder](ds: Dataset[T], ttlMs: Long)(
+      key: T => String): Dataset[T] =
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            rows.take(1)
+          }
+      }
+
+  /** Per-key running counters across micro-batches (`mapGroupsWithState`):
+    * emits (key, totalSoFar) once per batch per active key.
+    */
+  def runningCounts[T: Encoder](ds: Dataset[T])(key: T => String): Dataset[(String, Long)] = {
+    implicit val enc: Encoder[(String, Long)] = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    ds.groupByKey(key)(Encoders.STRING)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[T], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (k, total)
+      }
+  }
+}

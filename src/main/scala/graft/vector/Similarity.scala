@@ -103,6 +103,51 @@ object Similarity {
       .select("id1", "id2", "score").distinct()
   }
 
+  /** IVF-style approximate top-k: coarse-quantize candidates into `nlist`
+    * cells (nearest of `nlist` deterministic seed vectors — the lowest-id
+    * candidates), then search only each query's `nprobe` nearest cells with
+    * exact cosine re-ranking.
+    *
+    * Scale shape: cell assignment is a broadcast join against `nlist` seed
+    * vectors (one pass over the candidates, results cacheable as the
+    * "index"); the search joins queries to cells equi-on cell id — candidate
+    * work drops to ~nprobe/nlist of brute force. Seeds are data rows, so no
+    * RNG and the index is reproducible.
+    */
+  def ivfTopK(queries: DataFrame, qidCol: String,
+              candidates: DataFrame, cidCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val seeds = broadcast(candidates
+      .select(col(cidCol).as("cell_seed_id"), col(vecCol).as("seed_vec"))
+      .orderBy(col("cell_seed_id")).limit(nlist))
+
+    def assign(df: DataFrame, idC: String, vecC: String, nCells: Int,
+               outCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idC)).orderBy(
+        VectorFunctions.cosine(col(vecC), col("seed_vec")).desc, col("cell_seed_id"))
+      df.join(seeds)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nCells)
+        .withColumn(outCol, col("cell_seed_id"))
+        .drop("cell_seed_id", "seed_vec", "__r")
+    }
+
+    val cells = assign(candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec")),
+      "cid", "cvec", 1, "cell")
+    val probed = assign(queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec")),
+      "qid", "qvec", nprobe, "cell")
+
+    val scored = cells.join(probed, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.select("qid", "cid", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "score")
+  }
+
   /** Per-label centroids (typed aggregation over array<float>): mean vector
     * per group via element-wise decimal-free double sums — used for IVF-style
     * coarse quantization (assign → nearest centroid bucket).

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming first-occurrence dedup suppresses duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val deduped = StatefulOps.firstOccurrences(input.toDS())(_._1)
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(("a", 1), ("b", 2), ("a", 3)) // a duplicated within batch
+    q.processAllAvailable()
+    input.addData(("a", 4), ("c", 5))           // a duplicated across batches
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").as[(String, Int)].collect().toSet
+    q.stop()
+
+    assert(got.map(_._1) === Set("a", "b", "c"))
+    assert(got.count(_._1 == "a") === 1, "only first occurrence of 'a' survives")
+  }
+
+  test("running counts accumulate state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counts = StatefulOps.runningCounts(input.toDS())(_._1)
+
+    val q = counts.writeStream.format("memory").queryName("counts_out")
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData(("u1", 1), ("u1", 2), ("u2", 3))
+    q.processAllAvailable()
+    input.addData(("u1", 4))
+    q.processAllAvailable()
+    // Update mode: latest row per key wins
+    val got = spark.table("counts_out").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+
+    assert(got === Map("u1" -> 3L, "u2" -> 1L))
+  }
+}

@@ -46,6 +46,17 @@ class SimilaritySpec extends SparkSpec {
     assert(norms.forall(n => n > 0 && n < 1))
   }
 
+  test("IVF top-k recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall unreasonably low (nprobe=4/16)")
+  }
+
   test("codegen vec_dot/vec_cosine are bitwise-equal to the HOF fold forms") {
     val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
       .crossJoin(emb.filter(col("vec_id") < 5).select(col("embedding").as("b")))
