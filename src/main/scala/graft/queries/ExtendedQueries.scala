@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.vector.VectorFunctions
+import Dsl._
+
+/** Second-wave relational coverage: classic TPC-H shapes (cross-nation
+  * volume, returned-item revenue), the min-per-group join-back idiom, SQL
+  * subquery surfaces (correlated EXISTS, scalar subquery — Catalyst rewrites
+  * both to joins), pivot, advanced window frames (time-range frames,
+  * first/last/ntile), array element statistics, and corpus language stats.
+  */
+object ExtendedQueries {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- min-per-group + join-back idiom ---------------------------------
+    DeclaredQuery("first_order_per_customer",
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+        val firstDates = orders.groupBy(col("o_custkey").as("fd_custkey"))
+          .agg(min(col("o_orderdate")).as("first_date"), count(lit(1)).as("n_orders"))
+        orders.join(firstDates,
+          col("o_custkey") === col("fd_custkey") &&
+            col("o_orderdate") === col("first_date"))
+          .groupBy(col("o_custkey").as("custkey"), col("first_date"), col("n_orders"))
+          .agg(min(col("o_orderkey")).as("first_key"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH mn AS (
+          SELECT o_custkey, MIN(o_orderdate) AS first_date, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT o.o_custkey AS custkey, mn.first_date, mn.n_orders,
+          MIN(o.o_orderkey) AS first_key
+        FROM orders o JOIN mn ON o.o_custkey = mn.o_custkey AND o.o_orderdate = mn.first_date
+        GROUP BY 1, 2, 3 ORDER BY 1""")),
+
+    // ---- TPC-H Q7 shape: cross-nation trade volume (nation joined twice) --
+    DeclaredQuery("q7_nation_volume",
+      (s, dir) => {
+        val n1 = broadcast(tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+        val n2 = broadcast(tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+        tbl(s, dir, "lineitem")
+          .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(n1, col("c_nationkey") === col("ck"))
+          .join(n2, col("s_nationkey") === col("sk"))
+          .filter(col("cust_nation") < col("supp_nation"))
+          .groupBy(col("cust_nation"), col("supp_nation"))
+          .agg(count(lit(1)).as("n"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+          .orderBy(col("cust_nation"), col("supp_nation"))
+      },
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, top 20 ------
+    DeclaredQuery("q10_returned_revenue",
+      (s, dir) => {
+        tbl(s, dir, "customer")
+          .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2 ORDER BY rev DESC, c_custkey LIMIT 20""")),
+
+    // ---- TPC-H Q17 shape: self-aggregation join (per-part average) --------
+    DeclaredQuery("q17_small_quantity",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val avgQty = li.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        li.join(avgQty, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(count(lit(1)).as("n"),
+            dsum(dec2(col("l_extendedprice"))).as("total"))
+      },
+      Some("""WITH pa AS (
+          SELECT l_partkey AS pk, SUM(l_quantity) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY 1)
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM lineitem JOIN pa ON l_partkey = pk
+        WHERE l_quantity < 0.5 * avg_qty""")),
+
+    // ---- SQL surface: correlated EXISTS (Catalyst ⇒ semi join) ------------
+    DeclaredQuery("sql_exists_subquery",
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("sq_orders")
+        tbl(s, dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM sq_orders o
+          WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- SQL surface: scalar subquery -------------------------------------
+    DeclaredQuery("sql_scalar_subquery",
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("sc_orders")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n FROM sc_orders
+          WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM sc_orders)
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          FROM orders)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- pivot (explicit value list ⇒ stable schema) ----------------------
+    DeclaredQuery("pivot_event_counts",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = events(s, dir)
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        pivoted.select(col("cohort") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("cohort"))
+      },
+      Some("""SELECT user_id % 10 AS cohort,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- advanced window frames: time-range frame, first/last/ntile -------
+    DeclaredQuery("window_frames_orders",
+      (s, dir) => {
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val rangeW = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-604800L, 0L) // trailing 7 days, inclusive
+        tbl(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(byDate).as("first_price"),
+            last(col("o_totalprice")).over(
+              byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              .as("last_price"),
+            ntile(4).over(byDate).cast("long").as("quartile"),
+            sum(dec2(col("o_totalprice"))).over(rangeW).cast("double").as("sum_7d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        LAST_VALUE(o_totalprice) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        NTILE(4) OVER w AS quartile,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+          (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- F8 array element statistics over embeddings ----------------------
+    DeclaredQuery("vector_stats",
+      (s, dir) => {
+        val v = col("embedding").cast("array<double>")
+        tbl(s, dir, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          array_min(v).as("vmin"),
+          array_max(v).as("vmax"),
+          (VectorFunctions.foldSum(v) / size(col("embedding"))).as("vmean"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, len(embedding) AS dim,
+        list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS vmin,
+        list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS vmax,
+        list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b) / len(embedding) AS vmean
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- O6 corpus language statistics ------------------------------------
+    DeclaredQuery("lang_stats",
+      (s, dir) => {
+        tbl(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY 1 ORDER BY 1""")))
+}

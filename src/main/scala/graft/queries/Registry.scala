@@ -6,7 +6,7 @@ package graft.queries
   */
 object Registry {
   val all: Seq[DeclaredQuery] =
-    RelationalQueries.queries ++ ScalarQueries.queries ++
+    RelationalQueries.queries ++ ExtendedQueries.queries ++ ScalarQueries.queries ++
       EventQueries.queries ++ PipelineQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
