@@ -151,6 +151,38 @@ object EventQueries {
           CAST(SUM(n) AS BIGINT) AS n_events
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // ---- T3 ordered mode through the verify gate: a sequential per-key
+    // handler (value-decrease counter) whose result is provably equal to the
+    // declarative LAG window formulation — the oracle states the windowed
+    // form, the engine runs the imperative per-key iterator.
+    DeclaredQuery("ordered_decreases_per_user",
+      (s, dir) => {
+        import s.implicits._
+        val ds = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+        val flags = OrderedRouter.processOrderedTyped(ds)(
+          _._1.toString, t => f"${t._2}%012d") { it =>
+          var prev = Double.NaN
+          it.map { case (u, _, v) =>
+            val dec = if (!prev.isNaN && v < prev) 1L else 0L
+            prev = v
+            (u, dec)
+          }
+        }.toDF("user_id", "dec")
+        flags.groupBy(col("user_id"))
+          .agg(sum(col("dec")).as("n_decreases"), count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, value,
+            LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+          FROM events)
+        SELECT user_id,
+          CAST(SUM(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) AS BIGINT) AS n_decreases,
+          COUNT(*) AS n
+        FROM l GROUP BY 1 ORDER BY 1""")),
+
     // ---- J5 as-of join: each purchase enriched with the nearest earlier
     // click of the same user (backward-inclusive). Union+window plan — no
     // pair blowup, one shuffle. Oracle: DuckDB native ASOF JOIN.

@@ -93,6 +93,37 @@ class RouterSpec extends SparkSpec {
     assert(tagged.filter(col(Router.TagCol) === Router.BadMessage).count() === 3)
   }
 
+  test("EnumIn / Pattern / StrLength constraints validate like draft-04") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val schema = StructType(Seq(
+      StructField("schema", StringType),
+      StructField("data", StructType(Seq(
+        StructField("schema", StringType),
+        StructField("status", StringType),
+        StructField("code", StringType),
+        StructField("note", StringType))))))
+    val reg = Map("t/1" -> Router.Registration(
+      RegisteredSchema("t/1", Seq(
+        EnumIn("status", Seq("ok", "warn")),
+        Pattern("code", "^[A-Z]{3}-\\d+"),
+        StrLength("note", Some(2), Some(8)))),
+      identity[org.apache.spark.sql.DataFrame]))
+    val cfg = Router.Config("env/1", RegisteredSchema("env/1", Nil), reg)
+
+    val cases = Seq(
+      ("valid", """{"schema":"env/1","data":{"schema":"t/1","status":"ok","code":"ABC-12","note":"hi"}}""", "branch:t/1"),
+      ("bad enum", """{"schema":"env/1","data":{"schema":"t/1","status":"nope","code":"ABC-12","note":"hi"}}""", Router.BadMessage),
+      ("bad pattern", """{"schema":"env/1","data":{"schema":"t/1","status":"ok","code":"abc12","note":"hi"}}""", Router.BadMessage),
+      ("too long", """{"schema":"env/1","data":{"schema":"t/1","status":"ok","code":"ABC-12","note":"waaaaaay too long"}}""", Router.BadMessage),
+      ("nulls pass optional constraints", """{"schema":"env/1","data":{"schema":"t/1"}}""", "branch:t/1"))
+
+    val df = cases.map { case (n, j, _) => (n, j) }.toDF("name", "json")
+      .withColumn("event", from_json(col("json"), schema))
+    val got = Router.tag(df, cfg).select("name", Router.TagCol)
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (name, _, want) => assert(got(name) === want, s"case: $name") }
+  }
+
   test("SchemaId renders and parses vendor/name/version") {
     assert(SchemaId("com.nordstrom", "retail-stream", "1-0-0").render ===
       "com.nordstrom/retail-stream/1-0-0")

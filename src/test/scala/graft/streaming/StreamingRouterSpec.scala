@@ -45,6 +45,23 @@ class StreamingRouterSpec extends SparkSpec {
     assert(routedCounts === Map("branch" -> 1L, "bad" -> 1L, "skip" -> 1L))
   }
 
+  test("metrics listener captures per-batch aggregates, not payloads") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = MetricsListener.attach(spark)
+    val input = MemoryStream[Int]
+    val q = input.toDF().writeStream.format("memory").queryName("metrics_probe")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(1 to 100: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(listener)
+    // listener events are async — wait briefly for delivery
+    val deadline = System.currentTimeMillis() + 10000
+    while (listener.batches.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(listener.batches.exists(b => b.inputRows === 100L),
+      s"expected a 100-row batch in ${listener.batches}")
+  }
+
   test("windowed counts with watermark drop late rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
