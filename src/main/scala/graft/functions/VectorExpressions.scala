@@ -165,6 +165,10 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    if (!spark.experimental.extraOptimizations.contains(FuseVectorFolds)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseVectorFolds
+    }
   }
 }
 
@@ -182,5 +186,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => FuseVectorFolds)
   }
 }

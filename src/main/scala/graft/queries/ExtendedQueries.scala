@@ -203,6 +203,23 @@ object ExtendedQueries {
         list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b) / len(embedding) AS vmean
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- skew-safe salted aggregation (oracle = the plain GROUP BY) -------
+    // event_type has 5 hot keys carrying all rows; the salted two-phase
+    // plan splits each into 8 sub-keys before the final combine. Exactness:
+    // decimal partials re-aggregate losslessly.
+    DeclaredQuery("salted_agg_events",
+      (s, dir) => {
+        graft.relational.Skew.saltedSumCount(
+          events(s, dir), Seq("event_type"), "event_id", 8,
+          Seq(dec2(col("value")) -> "sum_dec"))
+          .select(col("event_type"), col("n"),
+            col("sum_dec").cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- O6 corpus language statistics ------------------------------------
     DeclaredQuery("lang_stats",
       (s, dir) => {
