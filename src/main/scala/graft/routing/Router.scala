@@ -98,6 +98,21 @@ object Router {
     }
   }
 
+  /** Single-pass routed sink: tag once and write every branch plus the
+    * dead-letter and skipped outputs in ONE scan via a partitioned write —
+    * `basePath/<TagCol>=branch:<id>/...`, `.../badmsg/`, `.../skipped/`.
+    * This is the at-scale shape for "fan out a stream to per-schema
+    * datasets": no per-branch re-scan, and downstream readers get partition
+    * pruning on the route tag for free.
+    */
+  def writeRouted(df: DataFrame, config: Config, basePath: String,
+                  format: String = "parquet"): Unit =
+    tag(df, config)
+      .write.mode("overwrite")
+      .partitionBy(TagCol)
+      .format(format)
+      .save(basePath)
+
   /** Route a decoded batch: tag once, then expose branch/dead-letter/skipped
     * views and apply each registered handler to its branch.
     */
