@@ -48,6 +48,27 @@ object Multimodal {
       (n % 30 + 1).cast("int").as("n_frames")))
   }
 
+  /** Resize plumbing: rewrites the metadata to the target box preserving
+    * aspect ratio (integer math — deterministic). A codec-backed version
+    * would also transform the payload bytes; the schema contract is
+    * identical, which is the point of the stub.
+    */
+  def resizeStub(df: DataFrame, maxW: Int, maxH: Int,
+                 metaCol: String = "meta"): DataFrame = {
+    val m = col(metaCol)
+    val scaleNum = least(lit(maxW) * m.getField("height"), lit(maxH) * m.getField("width"))
+    val w2 = (m.getField("width") * scaleNum /
+      (m.getField("width") * m.getField("height"))).cast("int")
+    val h2 = (m.getField("height") * scaleNum /
+      (m.getField("width") * m.getField("height"))).cast("int")
+    df.withColumn(metaCol, struct(
+      m.getField("bytes").as("bytes"),
+      m.getField("format").as("format"),
+      greatest(w2, lit(1)).as("width"),
+      greatest(h2, lit(1)).as("height"),
+      m.getField("n_frames").as("n_frames")))
+  }
+
   /** Frame sampling plumbing: every `stride`-th frame index up to n_frames.
     * Real decoder would emit frame bytes; the stub emits indices with the
     * correct explode/batch shape.

@@ -98,6 +98,72 @@ object PipelineQueries {
                ELSE 'zh' END AS pred
         FROM h ORDER BY doc_id""")),
 
+    // ---- document fingerprinting: winnowing (rolling-hash selection) ------
+    // MOSS-style: per-position trigram hashes, min per sliding window of 8,
+    // distinct survivors = the document's fingerprint set. Hashes are md5
+    // hex strings (engine-portable) with lexicographic min; the window-min
+    // formulation is codegen'd and scales (no per-doc arrays held).
+    DeclaredQuery("winnow_fingerprints",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, 7)
+        tbl(s, dir, "documents")
+          .filter(tokenCount(col("text")) >= 3)
+          .select(col("doc_id"),
+            posexplode(shingles(col("text"), 3)).as(Seq("pos", "s")))
+          .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+          .withColumn("fp", min(col("h")).over(w))
+          .select(col("doc_id"), col("fp")).distinct()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, ts, generate_subscripts(ts, 1) AS pos0 FROM (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+          WHERE len(ts) >= 3),
+        h AS (
+          SELECT doc_id, pos0 - 1 AS pos,
+            md5(array_to_string(list_slice(ts, pos0, pos0 + 2), ' ')) AS h
+          FROM sh WHERE pos0 <= len(ts) - 2),
+        fp AS (
+          SELECT DISTINCT doc_id,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+          FROM h)
+        SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp
+        FROM fp GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F9 JSON/map functions --------------------------------------------
+    DeclaredQuery("json_map_stats",
+      (s, dir) => {
+        events(s, dir)
+          .select(explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))).as(Seq("key", "val")))
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("val")).as("total"),
+            min(col("val")).as("vmin"), max(col("val")).as("vmax"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT key, COUNT(*) AS n,
+        CAST(SUM(CAST(props -> key AS BIGINT)) AS BIGINT) AS total,
+        MIN(CAST(props -> key AS BIGINT)) AS vmin,
+        MAX(CAST(props -> key AS BIGINT)) AS vmax
+        FROM (SELECT CAST(props AS JSON) AS props, unnest(json_keys(props)) AS key
+              FROM events) t
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F10 BPE-ish subword tokenization (regex lookarounds — not
+    // expressible in the oracle's RE2; rows-only + unit-tested) -------------
+    DeclaredQuery("bpeish_token_stats",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(bpeishTokens(col("text"))).cast("long").as("n_subtokens"))
+        .orderBy(col("doc_id")),
+      None),
+
     // ---- O1 exact dedup via content fingerprint ---------------------------
     DeclaredQuery("dedup_exact",
       (s, dir) => {
