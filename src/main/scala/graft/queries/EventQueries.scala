@@ -99,7 +99,10 @@ object EventQueries {
     DeclaredQuery("events_hourly",
       (s, dir) => {
         events(s, dir)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          // timestamp_ntz so the parquet schema matches the oracle's naive
+          // TIMESTAMP (session is UTC; values are identical)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
           .agg(
             count(lit(1)).as("n"),
             dsum(dec2(col("value"))).as("sum_value"),

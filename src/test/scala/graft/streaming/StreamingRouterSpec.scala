@@ -83,6 +83,47 @@ class StreamingRouterSpec extends SparkSpec {
       ("2024-01-01 00:05:00", "b", 1L)))
   }
 
+  test("file-source stream over real fixture parquet routes like batch") {
+    import graft.routing.{RegisteredSchema, Required, NumRange}
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/events.parquet")
+    val registry = Seq("click", "purchase").map { t =>
+      t -> Router.Registration(
+        RegisteredSchema(t, Seq(Required("k"), NumRange("k", None, Some(90.0)))),
+        identity[org.apache.spark.sql.DataFrame])
+    }.toMap
+    val config = Router.Config("env/1", RegisteredSchema("env/1", Nil), registry)
+    def decorate(df: org.apache.spark.sql.DataFrame) = df.withColumn("event", struct(
+      lit("env/1").as("schema"),
+      struct(col("event_type").as("schema"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")).as("data")))
+
+    val batchCounts = Router.tag(decorate(batchDf), config)
+      .groupBy(Router.TagCol).count().as[(String, Long)].collect().toMap
+
+    // the file source needs a directory — stage the fixture file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    var streamCounts = Map.empty[String, Long]
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(streamDir.toString)
+    val q = StreamingRouter.foreachRoutedBatch(decorate(stream), config) { (routed, _) =>
+      val got = routed.tagged.groupBy(Router.TagCol).count()
+        .as[(String, Long)].collect().toMap
+      streamCounts = streamCounts ++ got.map { case (k, v) =>
+        k -> (streamCounts.getOrElse(k, 0L) + v)
+      }
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(streamCounts === batchCounts,
+      "streaming micro-batch routing must equal the batch result")
+  }
+
   test("session windows split on inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

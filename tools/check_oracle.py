@@ -49,6 +49,13 @@ def main(sfdir, outdir):
             a, b = got[c], want[c]
             try:
                 if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                    # tz-awareness must MATCH — the driver's comparator may
+                    # not normalize aware-vs-naive like we do
+                    a_tz = getattr(a.dtype, "tz", None)
+                    b_tz = getattr(b.dtype, "tz", None)
+                    if (a_tz is None) != (b_tz is None):
+                        bad.append((c, f"tz-awareness mismatch: spark={a.dtype} oracle={b.dtype}"))
+                        continue
                     eq = pd.to_datetime(a).astype("int64") // 1000 == pd.to_datetime(b).astype("int64") // 1000
                 else:
                     eq = (a == b) | (a.isna() & b.isna())
