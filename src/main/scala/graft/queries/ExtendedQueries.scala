@@ -203,6 +203,56 @@ object ExtendedQueries {
         list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b) / len(embedding) AS vmean
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- bounded-heap top-k (oracle = the window formulation) -------------
+    // TopK.perGroup shuffles only ≤ k·partitions candidates per key instead
+    // of every row; the oracle states the equivalent ROW_NUMBER form.
+    DeclaredQuery("topk_heap_parts",
+      (s, dir) => graft.relational.TopK.perGroup(
+        tbl(s, dir, "part"), Seq("p_brand"),
+        Seq("p_retailprice" -> false, "p_partkey" -> true), k = 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey")),
+      Some("""SELECT p_brand, p_partkey, p_retailprice FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part) t WHERE rk <= 3
+        ORDER BY p_brand, p_retailprice DESC, p_partkey""")),
+
+    // ---- ordered string aggregation + HAVING ------------------------------
+    DeclaredQuery("string_agg_nations",
+      (s, dir) => {
+        tbl(s, dir, "nation")
+          .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n"),
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .filter(col("n") >= 3)
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, COUNT(*) AS n,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""")),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-clause predicates -------------
+    DeclaredQuery("q19_disjunctive",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_size") <= 10 && col("l_quantity") >= 20 && col("l_quantity") <= 40) ||
+            (col("p_type") === "small" && col("l_discount") >= 0.05) ||
+            (col("p_retailprice") > 980.0 && col("l_returnflag") === "R"))
+          .agg(count(lit(1)).as("n"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_size <= 10 AND l_quantity >= 20 AND l_quantity <= 40)
+           OR (p_type = 'small' AND l_discount >= 0.05)
+           OR (p_retailprice > 980.0 AND l_returnflag = 'R')""")),
+
     // ---- skew-safe salted aggregation (oracle = the plain GROUP BY) -------
     // event_type has 5 hot keys carrying all rows; the salted two-phase
     // plan splits each into 8 sub-keys before the final combine. Exactness:
