@@ -250,6 +250,70 @@ object PipelineQueries {
           CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- end-to-end corpus curation: quality gate + lang gate + dedup -----
+    // The operators composing: quality score ≥ 0.7, predicted language 'en',
+    // one survivor per bag-fingerprint group (min doc_id) — then per-source
+    // acceptance stats. The shape of a real training-data cleaning pass.
+    DeclaredQuery("corpus_curation",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val gated = docs
+          .filter(qualityScore(col("text"), stops) >= 0.7)
+          .filter(langId(col("text")) === "en")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(bagFingerprint(col("text"))).orderBy(col("doc_id"))
+        val surviving = gated
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        surviving.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(tokenCount(col("text")).cast("long")).as("tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, source, text,
+            len(string_split(text, ' ')) AS nt,
+            len(list_distinct(string_split(text, ' '))) AS nd,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS nstop,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'es'))) AS s_es,
+            len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'de', 'et', 'est'))) AS s_fr,
+            len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+            len(list_filter(string_split(text, ' '), t -> t IN ('的', '是', '在', '了', '和'))) AS s_zh,
+            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag
+          FROM documents),
+        gated AS (
+          SELECT * FROM scored
+          WHERE 0.3::DOUBLE * (CAST(nd AS DOUBLE) / nt)
+              + 0.4::DOUBLE * least(1.0::DOUBLE, CAST(nt AS DOUBLE) / 100.0::DOUBLE)
+              + 0.3::DOUBLE * (1.0::DOUBLE - CAST(nstop AS DOUBLE) / nt) >= 0.7
+            AND greatest(s_en, s_es, s_fr, s_de, s_zh) > 0
+            AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh)),
+        surviving AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY bag ORDER BY doc_id) AS rn
+            FROM gated) t WHERE rn = 1)
+        SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(nt) AS BIGINT) AS tokens_kept
+        FROM surviving GROUP BY 1 ORDER BY 1""")),
+
+    // ---- exact interpolated percentiles -----------------------------------
+    DeclaredQuery("value_quantiles",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- rows-only operators (seeded hashes — covered by ScalaTest) -------
     DeclaredQuery("minhash_neardup_pairs",
       (s, dir) => MinHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
