@@ -334,14 +334,48 @@ object PipelineQueries {
       },
       None),
 
+    // IVF is deterministic end to end (seed cells = lowest-id vectors,
+    // cosine = portable double fold), so the full coarse-quantize + probe +
+    // re-rank pipeline is oracle-checked, not just row-counted.
     DeclaredQuery("ivf_topk",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity.ivfTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
           "embedding", k = 3, nlist = 16, nprobe = 4)
-          .orderBy(col("qid"), col("rank"))
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("rk"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s WHERE e.vec_id < 10) t WHERE rn <= 4),
+        scored AS (
+          SELECT DISTINCT q.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
+        r AS (SELECT qid, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM scored)
+        SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
 
     DeclaredQuery("embedding_neardup_pairs",
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
