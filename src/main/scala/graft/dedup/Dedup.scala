@@ -51,11 +51,23 @@ object Dedup {
     // Inverted index rows (id, key): key fuses block columns + shingle into
     // one 64-bit join key, so the self-join shuffles a single long column
     // instead of strings — and block equality rides along for free.
+    // Shingles come from window leads over exploded tokens (codegen'd; HOF
+    // shingle lambdas are interpreted and dominate otherwise), deduplicated
+    // at the (id, key) level since Jaccard counts distinct shingles.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (0 until shingleN).map {
+      case 0 => col("t")
+      case i => lead(col("t"), i).over(w)
+    }
     val index = docs
-      .filter(TextFunctions.tokenCount(col(textCol)) >= shingleN)
       .select(col(idCol).as("id") +: blockCols.map(col) :+
-        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("s"): _*)
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")): _*)
+      .select(col("id") +: blockCols.map(col) :+
+        concat_ws(" ", leads: _*).as("s") :+ leads.last.isNotNull.as("full"): _*)
+      .filter(col("full"))
       .select(col("id"), xxhash64(blockCols.map(col) :+ col("s"): _*).as("key"))
+      .dropDuplicates("id", "key")
 
     val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
 

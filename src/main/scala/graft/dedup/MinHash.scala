@@ -31,12 +31,30 @@ import graft.text.TextFunctions
   */
 object MinHash {
 
-  /** (id, shingle-base-hash) rows: one codegen'd string hash per shingle. */
+  /** (id, shingle-base-hash) rows: one codegen'd string hash per shingle.
+    *
+    * Shingles are assembled with window `lead`s over exploded tokens rather
+    * than array lambdas (HOF shingle construction is interpreted and was the
+    * dominant cost). Duplicate shingles are NOT removed — `min` is
+    * duplicate-insensitive, so signatures are unchanged and we skip a
+    * per-doc distinct. The window's hash-partitioning by id is reused by the
+    * downstream groupBy: one exchange total.
+    */
   private def baseHashes(docs: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int): DataFrame =
+                         shingleN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (0 until shingleN).map {
+      case 0 => col("t")
+      case i => lead(col("t"), i).over(w)
+    }
     docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("s"))
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .select(col("id"), concat_ws(" ", leads: _*).as("s"),
+        leads.last.isNotNull.as("full"))
+      .filter(col("full"))
       .select(col("id"), xxhash64(col("s")).as("h"))
+  }
 
   /** k minhash columns m0..m(k-1) per doc id. Docs with no shingles (fewer
     * than n tokens) drop out — they cannot near-dup match by definition.
