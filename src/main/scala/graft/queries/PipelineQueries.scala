@@ -250,6 +250,38 @@ object PipelineQueries {
           CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- deterministic hash sampling (reproducible splits) ----------------
+    DeclaredQuery("sample_split_stats",
+      (s, dir) => {
+        tbl(s, dir, "documents")
+          .withColumn("split", graft.text.Sampling.splitTag(col("doc_id"), 0.25))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < ${(0.25 * (1L << 32)).toLong} THEN 'eval' ELSE 'train' END AS split,
+        lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    DeclaredQuery("stratified_sample_docs",
+      (s, dir) => {
+        graft.text.Sampling.stratifiedSample(
+          tbl(s, dir, "documents"), Seq("lang"), col("doc_id"), perStratum = 20)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH ranked AS (
+          SELECT lang, doc_id, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+          FROM documents)
+        SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+          MIN(doc_id) AS min_id
+        FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""")),
+
     // ---- end-to-end corpus curation: quality gate + lang gate + dedup -----
     // The operators composing: quality score ≥ 0.7, predicted language 'en',
     // one survivor per bag-fingerprint group (min doc_id) — then per-source
