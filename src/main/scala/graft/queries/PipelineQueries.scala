@@ -250,6 +250,44 @@ object PipelineQueries {
           CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- TF-IDF top terms per document ------------------------------------
+    // idf as the exact ratio N/df (log-free: same ranking, and integer-exact
+    // inputs divided in double are bitwise-portable where log's libm is not).
+    DeclaredQuery("tfidf_top_terms",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val n = docs.count() // corpus size: small driver-side scalar, not data
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df_, "term")
+          .withColumn("score",
+            col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+          GROUP BY 1, 2),
+        idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+            CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+          FROM tf JOIN idf USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, rk, term, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
     // ---- deterministic hash sampling (reproducible splits) ----------------
     DeclaredQuery("sample_split_stats",
       (s, dir) => {
