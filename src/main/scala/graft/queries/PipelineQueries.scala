@@ -250,6 +250,26 @@ object PipelineQueries {
           CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- incremental dedup: new batch vs existing corpus ------------------
+    // The production shape of corpus growth: fingerprint the incoming batch,
+    // anti-join against the existing fingerprint set, admit only novel docs.
+    DeclaredQuery("dedup_incremental",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val existing = docs.filter(col("doc_id") < 250)
+          .select(fingerprint(col("text")).as("fp"))
+        val incoming = docs.filter(col("doc_id") >= 250)
+        incoming
+          .join(existing, fingerprint(col("text")) === col("fp"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_new"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_new, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents d WHERE doc_id >= 250 AND NOT EXISTS (
+          SELECT 1 FROM documents e WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- TF-IDF top terms per document ------------------------------------
     // idf as the exact ratio N/df (log-free: same ranking, and integer-exact
     // inputs divided in double are bitwise-portable where log's libm is not).

@@ -81,6 +81,25 @@ object ScalarQueries {
         MIN(sqrt(l_quantity)) AS min_sqrt_qty
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- boolean aggregates (count_if / bool_and / bool_or) ---------------
+    DeclaredQuery("bool_aggs_orders",
+      (s, dir) => {
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count_if(col("o_totalprice") > 200000.0).as("n_big"),
+            bool_or(col("o_totalprice") > 450000.0).as("any_huge"),
+            bool_and(col("o_totalprice") > 2000.0).as("all_nontrivial"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        bool_or(o_totalprice > 450000.0) AS any_huge,
+        bool_and(o_totalprice > 2000.0) AS all_nontrivial,
+        COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ---- conditional expressions (CASE / COALESCE / NULLIF / GREATEST) ----
     DeclaredQuery("scalar_conditional",
       (s, dir) => {
