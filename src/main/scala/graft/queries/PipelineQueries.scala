@@ -21,6 +21,47 @@ object PipelineQueries {
 
   private val stops = Seq("the", "a")
 
+  /** DuckDB oracle for the multi-probe LSH top-k, generated with the exact
+    * hyperplane double literals the Spark side uses (shortest-repr doubles
+    * round-trip, so both engines hold bit-identical planes; bucket bits and
+    * cosine re-ranking are then bitwise-portable folds).
+    */
+  private def sqlDot(vec: String, p: IndexedSeq[Double]): String =
+    s"list_reduce(list_transform(list_zip($vec, [${p.mkString(", ")}]), x -> x[1] * x[2]), (a, b) -> a + b)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)
+       | / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (a, b) -> a + b))
+       |  * sqrt(list_reduce(list_transform(list_zip($b, $b), x -> x[1] * x[2]), (a, b) -> a + b))))""".stripMargin
+
+  private def sqlBucket(numPlanes: Int, dim: Int): String =
+    graft.vector.Similarity.hyperplaneValues(numPlanes, dim).zipWithIndex.map {
+      case (p, i) => s"(CASE WHEN ${sqlDot("v", p)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def sqlProbes(numPlanes: Int): String =
+    ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+
+  private def lshOracleSql(numPlanes: Int, dim: Int, k: Int, maxQid: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, unnest([${sqlProbes(numPlanes)}]) AS bucket
+       |      FROM b WHERE vec_id < $maxQid),
+       |sc AS (SELECT DISTINCT q.qid, c.vec_id AS cid, ${sqlCos("q.qv", "c.v")} AS score
+       |       FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.qid),
+       |r AS (SELECT qid, cid, score,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+       |      FROM sc)
+       |SELECT qid, rk, cid, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+
+  private def lshPairsOracleSql(numPlanes: Int, dim: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
+       |l AS (SELECT vec_id AS id1, v AS v1, unnest([${sqlProbes(numPlanes)}]) AS bucket FROM b),
+       |p AS (SELECT DISTINCT l.id1, c.vec_id AS id2, ${sqlCos("l.v1", "c.v")} AS score
+       |      FROM l JOIN b c USING (bucket) WHERE l.id1 < c.vec_id)
+       |SELECT id1, id2, score FROM p WHERE score >= $threshold ORDER BY id1, id2""".stripMargin
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     // ---- F10 per-document token statistics --------------------------------
@@ -415,14 +456,20 @@ object PipelineQueries {
         maxHamming = 3).orderBy(col("id1"), col("id2")),
       None),
 
+    // LSH is deterministic too (seeded literal hyperplanes, portable double
+    // folds), so the oracle SQL is GENERATED with the identical plane
+    // literals embedded — bucket assignment, multi-probe, and re-ranking all
+    // hash-match.
     DeclaredQuery("ann_lsh_topk",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity.lshTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
           "embedding", k = 3, numPlanes = 8, dim = 64)
-          .orderBy(col("qid"), col("rank"))
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("rk"))
       },
-      None),
+      Some(lshOracleSql(numPlanes = 8, dim = 64, k = 3, maxQid = 10))),
 
     // IVF is deterministic end to end (seed cells = lowest-id vectors,
     // cosine = portable double fold), so the full coarse-quantize + probe +
@@ -471,7 +518,7 @@ object PipelineQueries {
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45, numPlanes = 4, dim = 64)
         .orderBy(col("id1"), col("id2")),
-      None),
+      Some(lshPairsOracleSql(numPlanes = 4, dim = 64, threshold = 0.45))),
 
     DeclaredQuery("embedding_centroids",
       (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label", "embedding", 64)

@@ -15,16 +15,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes as a literal column, seeded — no RNG at
-    * execution time, so plans are reproducible and the same planes can be
-    * re-created on any cluster.
+  /** Deterministic random hyperplane values, seeded — no RNG at execution
+    * time, so plans are reproducible, the same planes can be re-created on
+    * any cluster, and an external oracle can embed the identical literals.
     */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+  def hyperplaneValues(numPlanes: Int, dim: Int,
+                       seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    array((0 until numPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }: _*)
+    IndexedSeq.fill(numPlanes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** The hyperplanes as a literal `array<array<double>>` column. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    array(hyperplaneValues(numPlanes, dim, seed).map { p =>
+      array(p.map(lit): _*)
+    }: _*)
 
   /** Exact cosine top-k neighbors for each query vector.
     *
