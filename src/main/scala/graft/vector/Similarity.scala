@@ -25,11 +25,7 @@ object Similarity {
     IndexedSeq.fill(numPlanes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** The hyperplanes as a literal `array<array<double>>` column. */
-  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    array(hyperplaneValues(numPlanes, dim, seed).map { p =>
-      array(p.map(lit): _*)
-    }: _*)
+
 
   /** Exact cosine top-k neighbors for each query vector.
     *
@@ -52,7 +48,7 @@ object Similarity {
   }
 
   /** Attach an LSH bucket id column. */
-  def withBucket(df: DataFrame, vecCol: String, planes: Column,
+  def withBucket(df: DataFrame, vecCol: String, planes: Seq[Seq[Double]],
                  bucketCol: String = "bucket"): DataFrame =
     df.withColumn(bucketCol, VectorFunctions.lshBucket(col(vecCol), planes))
 
@@ -68,7 +64,7 @@ object Similarity {
               vecCol: String, k: Int, numPlanes: Int, dim: Int,
               seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val planes = hyperplaneValues(numPlanes, dim, seed)
     val q = withBucket(queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec")), "qvec", planes)
       .withColumn("bucket", explode(concat(array(col("bucket")),
         transform(sequence(lit(0), lit(numPlanes - 1)),
@@ -92,7 +88,7 @@ object Similarity {
                          threshold: Double, numPlanes: Int, dim: Int,
                          seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val planes = hyperplanes(numPlanes, dim, seed)
+    val planes = hyperplaneValues(numPlanes, dim, seed)
     val b = withBucket(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes)
     // multi-probe one side with 1-bit flips so pairs differing in a single
     // hyperplane sign still meet in a bucket (recall ≈ P[≤1 bit differs])

@@ -49,15 +49,16 @@ object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
     foldSum(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)))
 
-  /** Sign-bit LSH bucket id: for each hyperplane, 1 bit = sign of dot(v, p).
-    * `planes` must be a literal `array<array<double>>` column (see
-    * [[Similarity.hyperplanes]]); bucket = Σ 2^i · [dot(v, pᵢ) > 0].
-    * Random-hyperplane LSH: P[bit equal] = 1 − θ/π (Charikar, STOC'02).
+  /** Sign-bit LSH bucket id: for each hyperplane, 1 bit = sign of dot(v, p);
+    * bucket = Σ 2^i · [dot(v, pᵢ) > 0]. Random-hyperplane LSH: P[bit equal]
+    * = 1 − θ/π (Charikar, STOC'02).
+    *
+    * Plane values are known statically, so the bucket is built as a flat sum
+    * of native `vec_dot` sign tests — fully codegen'd, no per-row lambda
+    * iteration over the plane array.
     */
-  def lshBucket(v: Column, planes: Column): Column =
-    aggregate(
-      zip_with(planes, sequence(lit(0), size(planes) - 1),
-        (p, i) => when(dot(v, p) > 0d,
-          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, array(p.map(lit): _*)) > 0d, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
 }

@@ -85,7 +85,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshBucket produces stable buckets in [0, 2^planes)") {
-    val planes = Similarity.hyperplanes(6, 64, seed = 42L)
+    val planes = Similarity.hyperplaneValues(6, 64, seed = 42L)
     val buckets = emb.select(VectorFunctions.lshBucket(col("embedding"), planes))
       .as[Long].collect()
     assert(buckets.forall(b => b >= 0 && b < 64))
