@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.routing._
+import org.apache.spark.sql.types._
+object RouteBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    val envelopeId = "com.graft/stream/1-0-0"
+    val registry = Seq("click", "purchase", "signup").map { t =>
+      t -> Router.Registration(RegisteredSchema(t,
+        Seq(Required("k"), NumRange("k", None, Some(90.0)))),
+        identity[org.apache.spark.sql.DataFrame])
+    }.toMap
+    val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), registry)
+    val payloadType = Envelope.payloadSchema(Seq(
+      StructField("k", LongType), StructField("value", DoubleType)))
+    // pre-materialize the WIRE format (base64 payloads) so we time ONLY
+    // decode+validate+route, like the reference's handler does
+    val wire = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("kinesis", struct(
+        base64(to_json(struct(
+          lit(envelopeId).as("schema"),
+          struct(col("event_type").as("schema"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("value").as("value")).as("data"))).cast("binary")).as("data"),
+        col("user_id").cast("string").as("partitionKey"),
+        col("event_id").cast("string").as("sequenceNumber")))
+      .select("kinesis")
+    wire.cache()
+    val n = wire.count()
+    // warm
+    Router.tag(EventCodec.withDecodedEvent(wire, payloadType), config)
+      .groupBy(Router.TagCol).count().count()
+    val t0 = System.nanoTime()
+    val routed = Router.tag(EventCodec.withDecodedEvent(wire, payloadType), config)
+      .groupBy(Router.TagCol).count().collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[route-bench] $n records in $sec%.3f s = ${n / sec}%.0f records/s (4 threads)")
+    routed.foreach(r => println(s"[route-bench]   ${r.get(0)}: ${r.get(1)}"))
+    spark.stop()
+  }
+}
