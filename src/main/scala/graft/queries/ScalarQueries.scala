@@ -81,6 +81,38 @@ object ScalarQueries {
         MIN(sqrt(l_quantity)) AS min_sqrt_qty
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- distribution window functions (percent_rank / cume_dist) ---------
+    // Both reduce to exact integer ratios divided in double — portable.
+    DeclaredQuery("window_dist_customers",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        tbl(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+        PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_custkey""")),
+
+    // ---- regex extraction --------------------------------------------------
+    DeclaredQuery("regexp_extract_parts",
+      (s, dir) => {
+        tbl(s, dir, "part")
+          .select(regexp_extract(col("p_name"), "(\\d+)", 1).as("num"))
+          .groupBy(length(col("num")).cast("long").as("num_len"))
+          .agg(count(lit(1)).as("n"), min(col("num")).as("min_num"))
+          .orderBy(col("num_len"))
+      },
+      Some("""SELECT length(num) AS num_len, COUNT(*) AS n, MIN(num) AS min_num
+        FROM (SELECT COALESCE(regexp_extract(p_name, '(\d+)', 1), '') AS num FROM part) t
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- boolean aggregates (count_if / bool_and / bool_or) ---------------
     DeclaredQuery("bool_aggs_orders",
       (s, dir) => {
