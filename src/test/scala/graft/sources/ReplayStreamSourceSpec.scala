@@ -29,6 +29,29 @@ class ReplayStreamSourceSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 250L), s"batchSize respected: $batchSizes")
   }
 
+  test("restart from checkpoint resumes at committed offsets (no replays)") {
+    val checkpoint = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+    def run(): Long = {
+      var n = 0L
+      val q = spark.readStream
+        .format(classOf[ReplayStreamSource].getName)
+        .option("path", s"$sf0001/events.parquet")
+        .option("batchSize", "300")
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          n += batch.count()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      n
+    }
+    assert(run() === 1000L, "first run drains the snapshot")
+    assert(run() === 0L, "second run resumes at the committed end: nothing to replay")
+  }
+
   test("routing over the replay stream equals batch routing") {
     val registry = Seq("click", "purchase").map { t =>
       t -> Router.Registration(RegisteredSchema(t, Nil),
