@@ -16,11 +16,13 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** BPE-ish subword-boundary tokenization for general text: splits on
-    * transitions between letters/digits/punctuation as a cheap proxy for a
-    * byte-pair vocabulary. Deterministic and purely regex-based.
+    * transitions between letters, digits, and punctuation as a cheap proxy
+    * for a byte-pair vocabulary. Deterministic and purely regex-based.
     */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"""), t => t =!= "")
+    filter(split(text,
+      """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"""),
+      t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

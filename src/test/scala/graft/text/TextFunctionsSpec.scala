@@ -50,6 +50,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("BPE-ish tokenizer splits on letter/digit/punct boundaries") {
+    val got = Seq((1L, "foo-bar123 baz! x")).toDF("id", "text")
+      .select(TextFunctions.bpeishTokens(col("text"))).as[Seq[String]].head()
+    assert(got === Seq("foo", "-", "bar", "123", " ", "baz", "!", " ", "x"))
+  }
+
+  test("approximate distinct is within 5% of exact on the fixture") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val (approx, exact) = ev.agg(
+      approx_count_distinct(col("user_id")),
+      countDistinct(col("user_id"))).as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("quality score is in [0,1] and penalizes degenerate docs") {
     val q = Seq((1L, ("word " * 200).trim), (2L, "the the the the the"))
       .toDF("id", "text")
