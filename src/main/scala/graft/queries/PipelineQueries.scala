@@ -534,6 +534,16 @@ object PipelineQueries {
         .orderBy(col("label")),
       None),
 
+    DeclaredQuery("approx_quantiles_values",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      None),
+
     DeclaredQuery("approx_distinct_users",
       (s, dir) => events(s, dir)
         .groupBy(col("event_type"))

@@ -45,6 +45,17 @@ class StreamingRouterSpec extends SparkSpec {
     assert(routedCounts === Map("branch" -> 1L, "bad" -> 1L, "skip" -> 1L))
   }
 
+  test("batch Observation metrics ride the query without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("route_obs")
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("value")).as("total_value"))
+    val n = df.filter(col("event_type") === "click").count()
+    val metrics = obs.get
+    assert(metrics("rows") === 1000L, "observation sees all scanned rows")
+    assert(n < 1000L)
+    assert(metrics("total_value").asInstanceOf[Double] > 0.0)
+  }
+
   test("metrics listener captures per-batch aggregates, not payloads") {
     implicit val sqlCtx = spark.sqlContext
     val listener = MetricsListener.attach(spark)
