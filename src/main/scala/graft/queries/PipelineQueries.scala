@@ -552,10 +552,27 @@ object PipelineQueries {
         .orderBy(col("event_type")),
       None),
 
+    // Feature vectors exploded to scalar (doc_id, feat_idx, feat_val) rows:
+    // the stub histogram is deterministic integer math over UTF-8 bytes
+    // (ASCII corpus ⇒ byte == code point), so DuckDB reproduces it exactly —
+    // and the driver comparator needs sortable scalars, not nested arrays.
     DeclaredQuery("multimodal_features",
       (s, dir) => Multimodal.extractFeaturesStub(
         Multimodal.attachBinary(tbl(s, dir, "documents").select("doc_id", "text"), "text"))
-        .select(col("doc_id"), col("features"))
-        .orderBy(col("doc_id")),
-      None))
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("long").as("feat_idx"),
+          col("col").cast("long").as("feat_val"))
+        .orderBy(col("doc_id"), col("feat_idx")),
+      Some("""WITH pos AS (
+          SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
+        ),
+        h AS (
+          SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bucket,
+                 count(*) AS cnt
+          FROM pos GROUP BY 1, 2
+        ),
+        grid AS (SELECT doc_id, unnest(range(16)) AS idx FROM documents)
+        SELECT g.doc_id, g.idx AS feat_idx, COALESCE(h.cnt, 0) AS feat_val
+        FROM grid g LEFT JOIN h ON h.doc_id = g.doc_id AND h.bucket = g.idx
+        ORDER BY g.doc_id, g.idx""")))
 }

@@ -119,25 +119,35 @@ object Similarity {
               candidates: DataFrame, cidCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val seeds = broadcast(candidates
-      .select(col(cidCol).as("cell_seed_id"), col(vecCol).as("seed_vec"))
-      .orderBy(col("cell_seed_id")).limit(nlist))
+    // Index build: the nlist seed vectors come to the driver once (an IVF
+    // centroid table is nlist rows — tiny at any data scale) and become
+    // per-row literals. Cell assignment is then a shuffle-free map over the
+    // candidates: nlist codegen'd cosines + a bounded array_sort per row,
+    // instead of the previous join(seeds) × window-argmax, whose N×nlist
+    // intermediate shuffle was the plan's scale-killer.
+    val seedRows = candidates
+      .select(col(cidCol).cast("long").as("sid"),
+        col(vecCol).cast("array<double>").as("svec"))
+      .orderBy(col("sid")).limit(nlist).collect()
+    val seeds: Seq[(Long, Seq[Double])] =
+      seedRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-    def assign(df: DataFrame, idC: String, vecC: String, nCells: Int,
-               outCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idC)).orderBy(
-        VectorFunctions.cosine(col(vecC), col("seed_vec")).desc, col("cell_seed_id"))
-      df.join(seeds)
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= nCells)
-        .withColumn(outCol, col("cell_seed_id"))
-        .drop("cell_seed_id", "seed_vec", "__r")
+    // Nearest-nCells cell ids for each row: sort struct(-cosine, sid) asc ==
+    // cosine desc with sid tiebreak — identical ordering to the old window.
+    def assign(df: DataFrame, vecC: String, nCells: Int, outCol: String): DataFrame = {
+      val perSeed = seeds.map { case (sid, svec) =>
+        struct((-VectorFunctions.cosine(col(vecC), array(svec.map(lit): _*))).as("nscore"),
+          lit(sid).as("sid"))
+      }
+      df.withColumn("__cell_s", explode(slice(array_sort(array(perSeed: _*)), 1, nCells)))
+        .withColumn(outCol, col("__cell_s").getField("sid"))
+        .drop("__cell_s")
     }
 
     val cells = assign(candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec")),
-      "cid", "cvec", 1, "cell")
+      "cvec", 1, "cell")
     val probed = assign(queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec")),
-      "qid", "qvec", nprobe, "cell")
+      "qvec", nprobe, "cell")
 
     val scored = cells.join(probed, "cell")
       .filter(col("qid") =!= col("cid"))
