@@ -18,7 +18,17 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, dir)
+          // Execute first: AQE only inserts WholeStageCodegen spans (and its
+          // runtime join/partition re-plans) while stages materialize, so the
+          // pre-execution plan string under-reports codegen (r1 audit showed
+          // 0 spans everywhere) and misses AQE's SMJ->BHJ conversions.
+          // (collect, not count: count() wraps df in a NEW aggregate plan and
+          // executes that, leaving df's own AQE plan unfinalized)
+          df.collect()
+          // Finalized AQE toString prints "== Final Plan ==" followed by
+          // "== Initial Plan ==" — audit only the final section.
           val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==")(0)
           val exchanges = "Exchange".r.findAllIn(plan).length -
             "BroadcastExchange".r.findAllIn(plan).length
           val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
@@ -26,7 +36,9 @@ object PlanAudit {
           val bnl = "BroadcastNestedLoop".r.findAllIn(plan).length
           val cart = "CartesianProduct".r.findAllIn(plan).length
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
-          val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+          // In the simple plan string a codegen span is the `*(n)` node
+          // prefix, not the word "WholeStageCodegen" — count distinct ids.
+          val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
           println(f"[plan] $name%-32s shuf=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d " +
             f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d")
           if (only.isDefined) println(df.queryExecution.explainString(

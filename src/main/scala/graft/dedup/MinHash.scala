@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.text.TextFunctions
 
 /** MinHash + LSH near-duplicate detection over text, DataFrame-only.
   *
@@ -17,7 +16,8 @@ import graft.text.TextFunctions
   *      LSH S-curve: P[candidate] = 1-(1-J^r)^b)
   *   5. candidate pairs: self-join on (band, key) with id < id — the only
   *      shuffle-join, on the tiny banded projection, never on the texts
-  *   6. exact verify: re-join shingle sets, compute true Jaccard
+  *   6. exact verify: inverted-index join on distinct shingle hashes —
+  *      true Jaccard from |A∩B| counts, all equi-joins on longs
   *
   * Design note for scale: an earlier formulation computed the signature with
   * nested higher-order-function lambdas (`transform`/`aggregate`). Spark
@@ -44,16 +44,19 @@ object MinHash {
                          shingleN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
+    // Hash each token ONCE, then fuse the n consecutive token hashes into the
+    // shingle base with one fixed-width xxhash64 — no per-shingle string
+    // allocation/concat (each input byte is hashed once instead of n times).
     val leads = (0 until shingleN).map {
-      case 0 => col("t")
-      case i => lead(col("t"), i).over(w)
+      case 0 => col("th")
+      case i => lead(col("th"), i).over(w)
     }
     docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .select(col("id"), concat_ws(" ", leads: _*).as("s"),
-        leads.last.isNotNull.as("full"))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("th"))
+      .select(col("id"), xxhash64(leads: _*).as("h"), leads.last.isNotNull.as("full"))
       .filter(col("full"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id"), col("h"))
   }
 
   /** k minhash columns m0..m(k-1) per doc id. Docs with no shingles (fewer
@@ -103,14 +106,21 @@ object MinHash {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
 
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleN)).as("sh"))
+    // Exact verify on distinct shingle-HASH sets via the inverted index:
+    // |A∩B| = count of equi-joined (id, h) rows per candidate pair, so the
+    // verify is hash joins over longs — no per-doc string shingle arrays and
+    // no array_intersect/array_union row work. (xxhash64 collisions are the
+    // only divergence from string-set jaccard — negligible at 2^-64.)
+    val hs = baseHashes(docs, idCol, textCol, shingleN).distinct()
+    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
     candidates
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
-      .select("id1", "id2", "jaccard")
+      .join(hs.select(col("id").as("id1"), col("h")), "id1")
+      .join(hs.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
   }
 }
