@@ -11,9 +11,16 @@ import graft.text.TextFunctions
   * near-duplicates when the Hamming distance of their simhashes is small.
   *
   * Shape chosen for scale (same reasoning as [[MinHash]]): explode to
-  * (doc, token) rows, one codegen'd hash per token, then 64 `sum(±1)`
-  * aggregate columns in a single groupBy — fully inside WholeStageCodegen
-  * with map-side partial aggregation. No interpreted HOF lambdas.
+  * (doc, token) rows, one codegen'd hash per token, then SWAR-packed bit
+  * counts — 16 `sum` aggregate columns, each packing four 16-bit lanes, so
+  * the aggregation buffer is 16 longs (not 64) and per-row update work is
+  * 16 shift-and-mask adds — fully inside WholeStageCodegen with map-side
+  * partial aggregation. No interpreted HOF lambdas.
+  *
+  * Lane capacity: each 16-bit lane counts one bit position, and keeping the
+  * packed long's top lane carry-free bounds a doc at 32 767 *distinct*
+  * tokens — far above real documents; beyond that, shard tokens by
+  * `pmod(h, s)` into a pre-aggregation level (lane sums add across shards).
   */
 object SimHash {
 
@@ -22,13 +29,22 @@ object SimHash {
     val hashed = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    // w_j packs the counts of bit positions {j, 16+j, 32+j, 48+j}: masking
+    // (h >> j) with 0x0001000100010001 leaves those four bits at lane bases
+    // {0,16,32,48}, and summing accumulates each lane independently (no
+    // inter-lane carry while every lane stays < 2^16).
+    val lane = lit(0x0001000100010001L)
+    val laneSums = (0 until 16).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lane)).as(s"w$j")
     }
-    hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    hashed.groupBy(col("id")).agg(laneSums.head, laneSums.tail :+ count(lit(1)).as("n"): _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("fp"))
+        // bit i of fp = sign of Σ±1 = [2*ones_i > n], ones_i unpacked from
+        // lane i/16 of word w_(i%16)
+        (0 until 64).map { i =>
+          val ones = shiftright(col(s"w${i % 16}"), 16 * (i / 16)).bitwiseAND(0xFFFFL)
+          when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+        }.reduce(_ bitwiseOR _).as("fp"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -157,22 +157,33 @@ object EventQueries {
     // ---- T3 ordered mode through the verify gate: a sequential per-key
     // handler (value-decrease counter) whose result is provably equal to the
     // declarative LAG window formulation — the oracle states the windowed
-    // form, the engine runs the imperative per-key iterator.
+    // form, the engine runs the imperative per-key iterator. Uses the
+    // STREAMING processOrdered path (repartition + sortWithinPartitions +
+    // mapPartitions): key groups are contiguous but never materialized, so
+    // one hot user with 10⁸ events runs in constant memory — the shape that
+    // survives 100 TB. The typed group-materializing variant stays
+    // unit-tested in OrderedRouterSpec.
     DeclaredQuery("ordered_decreases_per_user",
       (s, dir) => {
-        import s.implicits._
-        val ds = events(s, dir)
+        import org.apache.spark.sql.Row
+        val in = events(s, dir)
           .select(col("user_id"), col("event_id"), col("value"))
-          .as[(Long, Long, Double)]
-        val flags = OrderedRouter.processOrderedTyped(ds)(
-          _._1.toString, t => f"${t._2}%012d") { it =>
-          var prev = Double.NaN
-          it.map { case (u, _, v) =>
+        val outSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("dec", LongType)))
+        val flags = OrderedRouter.processOrdered(
+          in, "user_id", "event_id", outSchema) { it =>
+          var curUser = 0L
+          var hasPrev = false
+          var prev = 0.0
+          it.map { r =>
+            val u = r.getLong(0)
+            val v = r.getDouble(2)
+            if (!hasPrev || u != curUser) { curUser = u; hasPrev = true; prev = Double.NaN }
             val dec = if (!prev.isNaN && v < prev) 1L else 0L
             prev = v
-            (u, dec)
+            Row(u, dec)
           }
-        }.toDF("user_id", "dec")
+        }
         flags.groupBy(col("user_id"))
           .agg(sum(col("dec")).as("n_decreases"), count(lit(1)).as("n"))
           .orderBy(col("user_id"))

@@ -38,32 +38,40 @@ object AsOfJoin {
                rightVals: Seq[String]): DataFrame = {
     val t = "__asof_t"
     val side = "__asof_side" // 0 = right (visible first on tie), 1 = left
+    val rs = "__asof_r"      // all carried right values as ONE struct
     val leftCols = left.columns.toSeq
+
+    // Carry the right values as a single struct with a single
+    // last(ignoreNulls) — per-column last() would skip a NULL *inside* the
+    // matched right row and leak an older row's value for that column; the
+    // struct is non-null iff the row is a right row, so every carried value
+    // comes from the same (latest) matched right row, NULLs included.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
 
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(side, lit(1))
       .select((keyCols ++ Seq(t, side)).map(col) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rStructType).as(rs): _*)
 
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(side, lit(0))
       .select((keyCols ++ Seq(t, side)).map(col) ++
         leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as(rs): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(t), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried.filter(col(side) === 1)
-      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+    l.unionByName(r)
+      .withColumn(rs, last(col(rs), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(rs).getField(c).as(s"asof_$c")): _*)
   }
 }

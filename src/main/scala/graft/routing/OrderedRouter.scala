@@ -28,12 +28,20 @@ object OrderedRouter {
     df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(seqCol))
 
   /** Apply a sequential handler over each ordered partition. The handler sees
-    * rows of one partition in (key, seq) order; key-groups never split.
+    * rows of one partition in (key, seq) order; key-groups never split. The
+    * iterator STREAMS — no key group is ever materialized, so a single hot
+    * key with 10⁸ events flows through in constant memory (the handler must
+    * track key changes itself; [[arrange]] guarantees contiguity).
+    *
+    * @param outSchema schema of the handler's output rows; defaults to the
+    *                  input schema (handler preserves shape)
     */
-  def processOrdered(df: DataFrame, keyCol: String, seqCol: String)(
+  def processOrdered(df: DataFrame, keyCol: String, seqCol: String,
+                     outSchema: org.apache.spark.sql.types.StructType = null)(
       handler: Iterator[Row] => Iterator[Row]): DataFrame = {
     val arranged = arrange(df, keyCol, seqCol)
-    implicit val enc: Encoder[Row] = Encoders.row(arranged.schema)
+    implicit val enc: Encoder[Row] =
+      Encoders.row(if (outSchema == null) arranged.schema else outSchema)
     arranged.mapPartitions(handler)
   }
 
@@ -41,8 +49,13 @@ object OrderedRouter {
     * single-consumer-per-key guarantee, with the group materialized and
     * sorted locally (fine for bounded per-key batches; the untyped
     * `processOrdered` streams and is preferred for very large key groups).
+    *
+    * The sequence key is ordered by its own `Ordering[K]` — numeric ids
+    * order numerically (a lexicographic String contract would silently
+    * mis-sort unpadded ids).
     */
-  def processOrderedTyped[T, U: Encoder](ds: Dataset[T])(key: T => String, seq: T => String)(
+  def processOrderedTyped[T, K: Ordering, U: Encoder](ds: Dataset[T])(
+      key: T => String, seq: T => K)(
       handler: Iterator[T] => Iterator[U]): Dataset[U] =
     ds.groupByKey(key)(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[T]) =>

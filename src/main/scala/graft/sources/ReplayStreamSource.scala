@@ -1,20 +1,29 @@
 package graft.sources
 
 import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 
-/** DataSource V2 micro-batch source that REPLAYS a bounded dataset (e.g. the
-  * events fixture) as a stream of fixed-size micro-batches — the test/backfill
-  * stand-in for the production Kinesis source (SURVEY.md §2.1 S1: one Lambda
-  * invoke = one batch ⇒ one trigger = one batch here).
+/** DataSource V2 micro-batch source that REPLAYS a bounded parquet dataset
+  * (e.g. the events fixture) as a stream of fixed-size micro-batches — the
+  * test/backfill stand-in for the production Kinesis source (SURVEY.md §2.1
+  * S1: one Lambda invoke = one batch ⇒ one trigger = one batch here).
   *
   * Usage:
   * {{{
@@ -25,13 +34,19 @@ import scala.jdk.CollectionConverters._
   *     .load()
   * }}}
   *
-  * Semantics: offsets are row indices into a deterministic snapshot taken at
-  * stream start; each trigger advances by `batchSize` rows, so a bounded
-  * input produces ⌈n/batchSize⌉ micro-batches and then idles. Offsets are
-  * replayable (restart from checkpoint re-serves the same rows) — the
-  * at-least-once contract of the reference. Like Spark's own MemoryStream,
-  * the snapshot lives in driver memory: this source is for tests and
-  * harnesses, not production volumes.
+  * Semantics: offsets are row indices into a deterministic snapshot — the
+  * parquet files under `path` sorted by name, rows in file order. Each
+  * trigger advances by `batchSize` rows, so a bounded input produces
+  * ⌈n/batchSize⌉ micro-batches and then idles. Offsets are replayable
+  * (restart from checkpoint re-serves the same rows) — the at-least-once
+  * contract of the reference.
+  *
+  * Scale shape: the driver reads ONLY parquet footers (file list + per-file
+  * row counts — no data rows); `planInputPartitions` maps an offset range to
+  * per-file row ranges, and each partition reader opens its file ON THE
+  * EXECUTOR, skipping whole row groups that precede its range. Driver memory
+  * is O(#files), not O(rows), so the source survives inputs that never fit
+  * on the driver.
   */
 class ReplayStreamSource extends TableProvider {
 
@@ -65,15 +80,35 @@ final case class ReplayOffset(rows: Long) extends Offset {
   override def json(): String = rows.toString
 }
 
+/** One file of the snapshot: global row offset of its first row + row count. */
+private[sources] final case class ReplayFile(path: String, start: Long, rows: Long)
+
 final class ReplayMicroBatchStream(path: String, batchSize: Int, schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  // deterministic snapshot at stream start (driver-held, MemoryStream-style)
-  private lazy val snapshot: Array[InternalRow] = {
-    val df = SparkSession.active.read.schema(schema).parquet(path)
-    df.queryExecution.toRdd.map(_.copy()).collect()
+  // Deterministic snapshot at stream start: parquet files sorted by name,
+  // row counts from footers only — no data reaches the driver.
+  private lazy val files: Array[ReplayFile] = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.toString)
+      else Array(fs.getFileStatus(root))
+    var off = 0L
+    statuses.map { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      val n = try reader.getRecordCount finally reader.close()
+      val f = ReplayFile(st.getPath.toString, off, n)
+      off += n
+      f
+    }
   }
+  private lazy val totalRows: Long = files.map(_.rows).sum
 
   override def initialOffset(): Offset = ReplayOffset(0L)
 
@@ -87,10 +122,10 @@ final class ReplayMicroBatchStream(path: String, batchSize: Int, schema: StructT
       case r: ReadMaxRows => r.maxRows()
       case _ => batchSize.toLong
     }
-    ReplayOffset(math.min(s + max, snapshot.length.toLong))
+    ReplayOffset(math.min(s + max, totalRows))
   }
 
-  override def reportLatestOffset(): Offset = ReplayOffset(snapshot.length.toLong)
+  override def reportLatestOffset(): Offset = ReplayOffset(totalRows)
 
   override def prepareForTriggerAvailableNow(): Unit = ()
 
@@ -101,26 +136,114 @@ final class ReplayMicroBatchStream(path: String, batchSize: Int, schema: StructT
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[ReplayOffset].rows.toInt
-    val hi = end.asInstanceOf[ReplayOffset].rows.toInt
-    val slice = snapshot.slice(lo, hi)
-    // split the batch across tasks like a real partitioned source would
-    val nSplits = math.max(1, math.min(4, slice.length))
-    slice.grouped(math.max(1, math.ceil(slice.length.toDouble / nSplits).toInt))
-      .map(rows => ReplayInputPartition(rows): InputPartition).toArray
+    val lo = start.asInstanceOf[ReplayOffset].rows
+    val hi = end.asInstanceOf[ReplayOffset].rows
+    files.iterator.flatMap { f =>
+      val s = math.max(lo, f.start)
+      val e = math.min(hi, f.start + f.rows)
+      if (s >= e) Iterator.empty
+      else {
+        // split a file range across tasks like a real partitioned source
+        val take = e - s
+        val nSplits = math.max(1L, math.min(4L, take))
+        val chunk = math.max(1L, (take + nSplits - 1) / nSplits)
+        (s until e by chunk).iterator.map { cs =>
+          ReplayInputPartition(f.path, cs - f.start,
+            math.min(chunk, e - cs), schema): InputPartition
+        }
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => new PartitionReader[InternalRow] {
-      private val rows = partition.asInstanceOf[ReplayInputPartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
-    }
+    (partition: InputPartition) =>
+      new ReplayPartitionReader(partition.asInstanceOf[ReplayInputPartition])
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-final case class ReplayInputPartition(rows: Array[InternalRow]) extends InputPartition
+/** `skip`/`take` are row positions WITHIN the file. */
+final case class ReplayInputPartition(path: String, skip: Long, take: Long,
+                                      schema: StructType) extends InputPartition
+
+/** Executor-side parquet reader: opens the file locally, skips whole row
+  * groups preceding `skip` (footer metadata — no decode), then decodes
+  * records via the parquet-hadoop example Group API and converts to
+  * InternalRow by the Spark schema. Supports the flat primitive schemas this
+  * source replays (long/int/double/float/boolean/string/binary/date,
+  * timestamps surfaced as their physical int64).
+  */
+final class ReplayPartitionReader(p: ReplayInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.path), new Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+  // parquet field index for each Spark field (by name — file order may differ)
+  private val fieldIdx = p.schema.fields.map(f => fileSchema.getFieldIndex(f.name))
+
+  private var remainingToSkip = p.skip
+  private var remainingToTake = p.take
+  private var groupReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var groupRowsLeft = 0L
+  private var current: InternalRow = _
+
+  private def advanceRowGroup(): Boolean = {
+    // skip whole row groups that end before our range starts — metadata only
+    var pages = reader.readNextRowGroup()
+    while (pages != null && remainingToSkip >= pages.getRowCount) {
+      remainingToSkip -= pages.getRowCount
+      pages = reader.readNextRowGroup()
+    }
+    if (pages == null) false
+    else {
+      groupReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      groupRowsLeft = pages.getRowCount
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    if (remainingToTake <= 0) return false
+    while (groupRowsLeft == 0) if (!advanceRowGroup()) return false
+    // decode-skip leading rows inside the first row group of the range
+    while (remainingToSkip > 0 && groupRowsLeft > 0) {
+      groupReader.read(); groupRowsLeft -= 1; remainingToSkip -= 1
+      while (groupRowsLeft == 0) if (!advanceRowGroup()) return false
+    }
+    val g = groupReader.read()
+    groupRowsLeft -= 1
+    remainingToTake -= 1
+    current = convert(g)
+    true
+  }
+
+  private def convert(g: Group): InternalRow = {
+    val row = new GenericInternalRow(p.schema.length)
+    var i = 0
+    while (i < p.schema.length) {
+      val idx = fieldIdx(i)
+      if (g.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
+      else p.schema.fields(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          row.setLong(i, g.getLong(idx, 0))
+        case IntegerType | DateType => row.setInt(i, g.getInteger(idx, 0))
+        case DoubleType => row.setDouble(i, g.getDouble(idx, 0))
+        case FloatType => row.setFloat(i, g.getFloat(idx, 0))
+        case BooleanType => row.setBoolean(i, g.getBoolean(idx, 0))
+        case StringType =>
+          row.update(i, UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
+        case BinaryType => row.update(i, g.getBinary(idx, 0).getBytes)
+        case dt => throw new UnsupportedOperationException(
+          s"replay source: unsupported column type $dt for field ${p.schema.fields(i).name}")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

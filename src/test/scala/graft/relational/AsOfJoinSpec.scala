@@ -23,6 +23,21 @@ class AsOfJoinSpec extends SparkSpec {
       ("k2", 10L, "M10", null)))  // key with no right rows at all
   }
 
+  test("NULL in a carried column of the matched row stays NULL (no leak from older rows)") {
+    // right@t=8 has rv="R8"; right@t=10 has rv=NULL. A left row at t=12 must
+    // carry the matched row's NULL, not leak R8 from the older row. Second
+    // carried column proves all values come from the same matched row.
+    val left = Seq(("k", 12L, "L")).toDF("key", "t", "lv")
+    val right = Seq(("k", 8L, Option("R8"), 80L), ("k", 10L, None: Option[String], 100L))
+      .toDF("key", "t", "rv", "rn")
+
+    val got = AsOfJoin.backward(left, right, Seq("key"), "t", "t", Seq("rv", "rn"))
+      .select("key", "t", "asof_rv", "asof_rn").as[(String, Long, Option[String], Long)]
+      .collect().toSeq
+
+    assert(got === Seq(("k", 12L, None, 100L)))
+  }
+
   test("plan is union+window: no nested-loop join node") {
     val left = Seq(("k", 1L, "a")).toDF("key", "t", "lv")
     val right = Seq(("k", 1L, "b")).toDF("key", "t", "rv")
