@@ -95,6 +95,53 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- P7: a NON-IDENTITY branch handler through the verify gate. The
+    // reference passes the parsed payload AND the full record to the
+    // registered transformer (`transfomer(parsed, record)`,
+    // lib/kinesisHandler.js:176-178); here the purchase-branch handler reads
+    // payload fields (k, value) and envelope fields (origin, timestamp) and
+    // reshapes them — day bucket from the envelope timestamp, k decade from
+    // the payload, exact cents from the money column. The oracle recomputes
+    // the transform from the raw table over the rows the router admits.
+    DeclaredQuery("routed_handler_purchase",
+      (s, dir) => {
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")).as("data"),
+            lit("graft-test").as("origin"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("timestamp")))
+        val purchaseHandler: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.select(
+            col("event").getField("origin").as("origin"),
+            substring(col("event").getField("timestamp"), 1, 10).as("day"),
+            (col("event").getField("data").getField("k") -
+              pmod(col("event").getField("data").getField("k"), lit(10)))
+              .as("k_decade"),
+            (dec2(col("value")) * 100).cast("long").as("cents"),
+            col("user_id"))
+        val registry = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(Required("k"), NumRange("k", None, Some(90.0)))),
+            if (t == "purchase") purchaseHandler else identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), registry)
+        Router.route(evs, config).branches("purchase")
+          .groupBy(col("origin"), col("day"), col("k_decade"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("origin"), col("day"), col("k_decade"))
+      },
+      Some("""SELECT 'graft-test' AS origin, strftime(ts, '%Y-%m-%d') AS day,
+          k - (k % 10) AS k_decade, COUNT(*) AS n,
+          CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        WHERE event_type = 'purchase' AND k IS NOT NULL AND k <= 90
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // ---- F6/F9: event-time bucketing + JSON extraction --------------------
     DeclaredQuery("events_hourly",
       (s, dir) => {

@@ -1,0 +1,99 @@
+package graft.routing
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Table-driven checks that the widened constraint surface (anyOf, array
+  * items bounds, per-element array constraints) matches AJV draft-04
+  * outcomes for the same schemas: each case states the JSON document and the
+  * verdict AJV would give.
+  */
+class SchemaValidatorSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  private val docType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("qty", LongType),
+    StructField("tags", ArrayType(StringType)),
+    StructField("lines", ArrayType(StructType(Seq(
+      StructField("sku", StringType),
+      StructField("n", LongType)))))))
+
+  private def verdicts(schema: RegisteredSchema,
+                       cases: Seq[(String, String, Boolean)]): Unit = {
+    val df = cases.toDF("name", "json", "expected")
+      .withColumn("doc", from_json(col("json"), docType))
+      .withColumn("got", schema.valid(col("doc")))
+    val wrong = df.filter(col("got") =!= col("expected"))
+      .select("name", "got", "expected").collect()
+    assert(wrong.isEmpty, s"AJV-divergent verdicts: ${wrong.mkString(", ")}")
+  }
+
+  test("anyOf: one alternative constraint set must fully hold") {
+    // anyOf: [{kind=bulk AND qty>=100}, {kind=single AND qty<=1}]
+    val schema = RegisteredSchema("t/1", Seq(AnyOf(Seq(
+      Seq(EnumIn("kind", Seq("bulk")), Required("qty"), NumRange("qty", Some(100), None)),
+      Seq(EnumIn("kind", Seq("single")), Required("qty"), NumRange("qty", None, Some(1)))))))
+    verdicts(schema, Seq(
+      ("bulk big", """{"kind":"bulk","qty":500}""", true),
+      ("single one", """{"kind":"single","qty":1}""", true),
+      ("bulk small fails both", """{"kind":"bulk","qty":5}""", false),
+      // kind=null: EnumIn is vacuous on null (AJV: enum only sees present
+      // values), so the 2nd alternative (qty<=1) holds
+      ("no kind small qty", """{"qty":1}""", true),
+      ("no kind mid qty", """{"qty":50}""", false)))
+  }
+
+  test("empty anyOf is vacuously invalid (AJV anyOf:[])") {
+    val schema = RegisteredSchema("t/1", Seq(AnyOf(Nil)))
+    verdicts(schema, Seq(("anything", """{"kind":"x"}""", false)))
+  }
+
+  test("minItems/maxItems bound array length; absent array is valid") {
+    val schema = RegisteredSchema("t/1", Seq(ArrayItems("tags", Some(1), Some(3))))
+    verdicts(schema, Seq(
+      ("one tag", """{"tags":["a"]}""", true),
+      ("three tags", """{"tags":["a","b","c"]}""", true),
+      ("empty under min", """{"tags":[]}""", false),
+      ("four over max", """{"tags":["a","b","c","d"]}""", false),
+      ("absent array valid", """{"kind":"x"}""", true)))
+  }
+
+  test("items: every string element validates against the element schema") {
+    val schema = RegisteredSchema("t/1",
+      Seq(ArrayAll("tags", Pattern("", "^[a-z]+$"))))
+    verdicts(schema, Seq(
+      ("all lowercase", """{"tags":["abc","def"]}""", true),
+      ("one uppercase fails", """{"tags":["abc","DEF"]}""", false),
+      ("empty array valid", """{"tags":[]}""", true),
+      ("absent valid", """{"qty":1}""", true)))
+  }
+
+  test("items over object arrays: nested field constraints per element") {
+    // lines[*].n in [1,10] and lines[*].sku required
+    val schema = RegisteredSchema("t/1", Seq(
+      ArrayAll("lines", Required("sku")),
+      ArrayAll("lines", NumRange("n", Some(1), Some(10)))))
+    verdicts(schema, Seq(
+      ("all valid", """{"lines":[{"sku":"a","n":1},{"sku":"b","n":10}]}""", true),
+      ("n out of range", """{"lines":[{"sku":"a","n":11}]}""", false),
+      ("missing sku", """{"lines":[{"n":3}]}""", false),
+      // n absent on an element: NumRange is vacuous on null, sku present
+      ("n absent vacuous", """{"lines":[{"sku":"a"}]}""", true),
+      ("no lines valid", """{"kind":"x"}""", true)))
+  }
+
+  test("anyOf composes with array constraints") {
+    // either a tagged doc (1..2 lowercase tags) or an order doc (>=1 line)
+    val schema = RegisteredSchema("t/1", Seq(AnyOf(Seq(
+      Seq(Required("tags"), ArrayItems("tags", Some(1), Some(2)),
+        ArrayAll("tags", Pattern("", "^[a-z]+$"))),
+      Seq(Required("lines"), ArrayItems("lines", Some(1), None))))))
+    verdicts(schema, Seq(
+      ("tagged", """{"tags":["a","b"]}""", true),
+      ("order", """{"lines":[{"sku":"s","n":1}]}""", true),
+      ("tagged bad pattern, no lines", """{"tags":["A"]}""", false),
+      ("neither", """{"qty":1}""", false)))
+  }
+}
