@@ -62,6 +62,19 @@ object PipelineQueries {
        |      FROM l JOIN b c USING (bucket) WHERE l.id1 < c.vec_id)
        |SELECT id1, id2, score FROM p WHERE score >= $threshold ORDER BY id1, id2""".stripMargin
 
+  /** Shared oracle for both centroid formulations: same quantization, same
+    * exact integer sums, same single division (unnest + generate_subscripts
+    * expand in lockstep at the same nesting level in DuckDB).
+    */
+  private val centroidOracle =
+    """WITH e AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        FROM embeddings),
+      s AS (SELECT label, dim, SUM(qv) AS qs, COUNT(*) AS n FROM e GROUP BY 1, 2)
+      SELECT label, CAST(dim AS BIGINT) AS dim, n, CAST(qs AS DOUBLE) / n AS qavg
+      FROM s ORDER BY label, dim"""
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     // ---- F10 per-document token statistics --------------------------------
@@ -520,19 +533,39 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2")),
       Some(lshPairsOracleSql(numPlanes = 4, dim = 64, threshold = 0.45))),
 
+    // Centroids under the oracle: inputs are quantized to INTEGER-VALUED
+    // doubles (floor(x·10⁶) — exact in float and double, |x|·10⁶ ≪ 2⁵³), so
+    // the per-dimension sums inside both centroid implementations are exact
+    // integers — order-independent across partitions — and the single final
+    // division is one deterministic IEEE op. Output is per-(label, dim)
+    // scalar rows, which DuckDB reproduces bit-for-bit. The unquantized
+    // double path keeps its typed-vs-untyped parity unit test.
     DeclaredQuery("embedding_centroids",
-      (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label", "embedding", 64)
-        .select(col("label"), col("n"), VectorFunctions.norm(col("centroid")).as("centroid_norm"))
-        .orderBy(col("label")),
-      None),
+      (s, dir) => {
+        val quant = tbl(s, dir, "embeddings").withColumn("qemb",
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0)).cast("double")))
+        Similarity.centroids(quant, "label", "qemb", 64)
+          .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("dim", "qavg")))
+          .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
+            col("n"), col("qavg"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some(centroidOracle)),
 
     DeclaredQuery("embedding_centroids_typed",
       (s, dir) => tbl(s, dir, "embeddings")
+        .withColumn("qemb",
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0)).cast("float")))
         .groupBy(col("label"))
-        .agg(graft.vector.VectorAvg.vectorAvg(64, col("embedding")).as("centroid"))
-        .select(col("label"), VectorFunctions.norm(col("centroid")).as("centroid_norm"))
-        .orderBy(col("label")),
-      None),
+        .agg(count(lit(1)).as("n"),
+          graft.vector.VectorAvg.vectorAvg(64, col("qemb")).as("centroid"))
+        .select(col("label"), col("n"), posexplode(col("centroid")).as(Seq("dim", "qavg")))
+        .select(col("label"), (col("dim") + 1).cast("long").as("dim"),
+          col("n"), col("qavg"))
+        .orderBy(col("label"), col("dim")),
+      Some(centroidOracle)),
 
     DeclaredQuery("approx_quantiles_values",
       (s, dir) => events(s, dir)
