@@ -209,14 +209,24 @@ object PipelineQueries {
               FROM events) t
         GROUP BY 1 ORDER BY 1""")),
 
-    // ---- F10 BPE-ish subword tokenization (regex lookarounds — not
-    // expressible in the oracle's RE2; rows-only + unit-tested) -------------
+    // ---- F10 BPE-ish subword tokenization. The engine splits with
+    // lookarounds; RE2 (the oracle's regex engine) has none, so the oracle
+    // restates the same boundaries as capture-group replaces — wrap every
+    // non-alnum in \x01 separators, then break letter↔digit transitions —
+    // and counts the non-empty pieces. Same segmentation, no lookarounds.
     DeclaredQuery("bpeish_token_stats",
       (s, dir) => tbl(s, dir, "documents")
         .select(col("doc_id"),
           size(bpeishTokens(col("text"))).cast("long").as("n_subtokens"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id, CAST(len(list_filter(string_split(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '([^a-zA-Z0-9])', chr(1) || '\1' || chr(1), 'g'),
+              '([a-zA-Z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+            '([0-9])([a-zA-Z])', '\1' || chr(1) || '\2', 'g'),
+          chr(1)), x -> x != '')) AS BIGINT) AS n_subtokens
+        FROM documents ORDER BY doc_id""")),
 
     // ---- O1 exact dedup via content fingerprint ---------------------------
     DeclaredQuery("dedup_exact",
@@ -330,7 +340,10 @@ object PipelineQueries {
     DeclaredQuery("tfidf_top_terms",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val n = docs.count() // corpus size: small driver-side scalar, not data
+        // corpus size folded into the plan as a broadcast single-row cross
+        // join — one job for the whole query, not a separate driver-side
+        // count() job per construction
+        val nDf = docs.agg(count(lit(1)).as("__n"))
         val tf = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -340,8 +353,10 @@ object PipelineQueries {
           .partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
         tf.join(df_, "term")
+          .crossJoin(broadcast(nDf))
           .withColumn("score",
-            col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+            col("tf").cast("double") * (col("__n").cast("double") / col("df").cast("double")))
+          .drop("__n")
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("term"), col("score"))
@@ -567,23 +582,41 @@ object PipelineQueries {
         .orderBy(col("label"), col("dim")),
       Some(centroidOracle)),
 
+    // Sketch queries under the oracle: the sketch estimate itself is
+    // engine-specific, so the hash-checked columns are the EXACT value plus
+    // a boolean asserting the sketch landed within its error bound — a
+    // strictly stronger check than rows-only. Quantiles run over exact cents
+    // (money × 100 as BIGINT): interpolated midpoints are k or k+0.5, exact
+    // in double, so Spark percentile ≡ DuckDB quantile_cont bit-for-bit.
     DeclaredQuery("approx_quantiles_values",
       (s, dir) => events(s, dir)
+        .withColumn("cents", (dec2(col("value")) * 100).cast("long"))
         .groupBy(col("event_type"))
         .agg(
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(cents, 0.5)").as("exact_p50_cents"),
+          percentile_approx(col("cents"), lit(0.5), lit(10000)).as("approx"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_p50_cents"), col("n"),
+          (abs(col("approx") - col("exact_p50_cents")) <=
+            col("exact_p50_cents") * 0.05).as("approx_within_5pct"))
         .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type,
+          quantile_cont(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT), 0.5) AS exact_p50_cents,
+          COUNT(*) AS n, TRUE AS approx_within_5pct
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     DeclaredQuery("approx_distinct_users",
       (s, dir) => events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(1.0))).as("approx_within_5pct"))
         .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+          TRUE AS approx_within_5pct
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     // Feature vectors exploded to scalar (doc_id, feat_idx, feat_val) rows:
     // the stub histogram is deterministic integer math over UTF-8 bytes
