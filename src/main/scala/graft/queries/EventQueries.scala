@@ -264,5 +264,43 @@ object EventQueries {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
-        ORDER BY p.event_id""")))
+        ORDER BY p.event_id""")),
+
+    // ---- Funnel / attribution: purchases converted by a click within the
+    // preceding hour, per user. Built on the as-of join (nearest earlier
+    // click), so the attribution window is a filter on ONE carried row — no
+    // range-join pair blowup; the whole funnel is one shuffle + one window.
+    DeclaredQuery("funnel_click_purchase",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+        AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_ts"))
+          .withColumn("converted",
+            col("asof_click_ts").isNotNull &&
+              col("ts").cast("long") - col("asof_click_ts").cast("long") <= 3600L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+          .select(col("user_id"), col("n_purchases"), col("n_converted"),
+            (col("n_converted").cast("double") /
+              col("n_purchases").cast("double")).as("conversion_rate"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH j AS (
+          SELECT p.user_id, p.event_id, p.ts, c.ts AS click_ts
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts),
+        f AS (
+          SELECT user_id,
+            CASE WHEN click_ts IS NOT NULL
+                  AND date_diff('second', click_ts, ts) <= 3600 THEN 1 ELSE 0 END AS conv
+          FROM j)
+        SELECT user_id, COUNT(*) AS n_purchases,
+          CAST(SUM(conv) AS BIGINT) AS n_converted,
+          CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conversion_rate
+        FROM f GROUP BY 1 ORDER BY 1""")))
 }

@@ -334,6 +334,89 @@ object PipelineQueries {
           SELECT 1 FROM documents e WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Gopher-style repetition quality filter ---------------------------
+    // Per-doc top-unigram / top-bigram mass fractions (the "fraction of
+    // characters in the most common n-gram" family of curation filters) and
+    // the keep verdict. Shape: explode once, bigrams from a lead window,
+    // counts via partial-aggregated groupBys — all integer until the final
+    // single division.
+    DeclaredQuery("doc_repetition_filter",
+      (s, dir) => {
+        val toks = tbl(s, dir, "documents")
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val uni = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_uc"), sum(col("c")).as("n_tok"))
+        val big = toks
+          .withColumn("t2", lead(col("t"), 1).over(w))
+          .filter(col("t2").isNotNull)
+          .groupBy(col("doc_id"), col("t"), col("t2")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_bc"), sum(col("c")).as("n_big"))
+        uni.join(big, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("max_uc").cast("double") / col("n_tok").cast("double")).as("top_unigram_frac"),
+            (col("max_bc").cast("double") / col("n_big").cast("double")).as("top_bigram_frac"))
+          .withColumn("keep",
+            col("top_unigram_frac") <= 0.12 && col("top_bigram_frac") <= 0.05)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        uc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        u AS (SELECT doc_id, MAX(c) AS max_uc, SUM(c) AS n_tok FROM uc GROUP BY 1),
+        bg AS (SELECT doc_id, t || ' ' || LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+               FROM tok),
+        bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+        bb AS (SELECT doc_id, MAX(c) AS max_bc, SUM(c) AS n_big FROM bc GROUP BY 1)
+        SELECT doc_id,
+          CAST(max_uc AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_unigram_frac,
+          CAST(max_bc AS DOUBLE) / CAST(n_big AS DOUBLE) AS top_bigram_frac,
+          CAST(max_uc AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 0.12
+            AND CAST(max_bc AS DOUBLE) / CAST(n_big AS DOUBLE) <= 0.05 AS keep
+        FROM u JOIN bb USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- Cross-document n-gram contamination ------------------------------
+    // Per-doc fraction of DISTINCT bigrams that also occur in some other
+    // document — the benchmark-contamination / cross-corpus-overlap check.
+    // Inverted-index shape: distinct (doc, bigram) rows joined to bigram
+    // document-frequencies — equi-joins only, no pairwise doc comparison.
+    DeclaredQuery("crossdoc_ngram_contamination",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bigrams = tbl(s, dir, "documents")
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+          .withColumn("t2", lead(col("t"), 1).over(w))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("b"))
+          .distinct()
+        val dfreq = bigrams.groupBy(col("b")).agg(count(lit(1)).as("nd"))
+        bigrams.join(dfreq, "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_bigrams"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_distinct_bigrams"),
+            (col("n_shared").cast("double") /
+              col("n_distinct_bigrams").cast("double")).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (SELECT DISTINCT doc_id,
+                 t || ' ' || LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+               FROM tok),
+        b2 AS (SELECT doc_id, b FROM bg WHERE b IS NOT NULL),
+        df AS (SELECT b, COUNT(*) AS nd FROM b2 GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_distinct_bigrams,
+          CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+        FROM b2 JOIN df USING (b)
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- TF-IDF top terms per document ------------------------------------
     // idf as the exact ratio N/df (log-free: same ranking, and integer-exact
     // inputs divided in double are bitwise-portable where log's libm is not).

@@ -285,6 +285,38 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ---- set operations ---------------------------------------------------
+    // ---- unpivot / melt (wide → long) -------------------------------------
+    // The one relational reshape not covered elsewhere: lineitem money
+    // measures unpivoted to (measure, value) rows, then profiled. Unpivot is
+    // a zero-shuffle projection (each input row yields k output rows in
+    // place); the only exchange is the final aggregation's.
+    DeclaredQuery("unpivot_lineitem_measures",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            dec2(col("l_extendedprice")).as("extendedprice"),
+            dec2(col("l_discount")).as("discount"),
+            dec2(col("l_tax")).as("tax"))
+          .unpivot(Array(col("l_orderkey")),
+            Array(col("extendedprice"), col("discount"), col("tax")),
+            "measure", "value")
+          .groupBy(col("measure"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("value")).cast("double").as("min_value"),
+            max(col("value")).cast("double").as("max_value"))
+          .orderBy(col("measure"))
+      },
+      Some("""WITH p AS (
+          SELECT l_orderkey,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS extendedprice,
+            CAST(l_discount AS DECIMAL(12,2)) AS discount,
+            CAST(l_tax AS DECIMAL(12,2)) AS tax
+          FROM lineitem),
+        u AS (UNPIVOT p ON extendedprice, discount, tax INTO NAME measure VALUE value)
+        SELECT measure, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS sum_value,
+          CAST(MIN(value) AS DOUBLE) AS min_value, CAST(MAX(value) AS DOUBLE) AS max_value
+        FROM u GROUP BY 1 ORDER BY 1""")),
+
     DeclaredQuery("set_ops_nations",
       (s, dir) => {
         val custN = tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
