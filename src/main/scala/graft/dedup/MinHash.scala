@@ -59,19 +59,36 @@ object MinHash {
       .select(col("id"), col("h"))
   }
 
+  /** Distinct (id, shingle-hash) rows — the one frame both the signature and
+    * the exact-verify paths consume. The dedup aggregate and the downstream
+    * per-id groupBys all ride the window's hash-partitioning by id (id is a
+    * subset of every grouping), so none of them re-shuffle, and the shared
+    * exchange is computed once (ReuseExchange) when a query derives both
+    * signatures and verification from the same call.
+    */
+  def distinctHashes(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int): DataFrame =
+    baseHashes(docs, idCol, textCol, shingleN).distinct()
+
+  /** k minhash columns m0..m(k-1) per doc id from distinct shingle hashes. */
+  def signatureColsFromHashes(hs: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    hs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** k minhash columns m0..m(k-1) per doc id. Docs with no shingles (fewer
     * than n tokens) drop out — they cannot near-dup match by definition.
     *
     * Seed mixing uses `xxhash64(seed_i, base)` — one string hash per shingle
-    * plus k fixed-width hashes. (An affine a·x+b family would be cheaper but
-    * needs wrapping long arithmetic, which ANSI mode forbids.)
+    * plus k fixed-width hashes, and the k mixes run over DISTINCT shingles
+    * only (min is duplicate-insensitive, so signatures are unchanged and
+    * repeated shingles aren't re-mixed k times). (An affine a·x+b family
+    * would be cheaper but needs wrapping long arithmetic, which ANSI mode
+    * forbids.)
     */
   def signatureCols(docs: DataFrame, idCol: String, textCol: String,
-                    shingleN: Int, k: Int): DataFrame = {
-    val hashed = baseHashes(docs, idCol, textCol, shingleN)
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+                    shingleN: Int, k: Int): DataFrame =
+    signatureColsFromHashes(distinctHashes(docs, idCol, textCol, shingleN), k)
 
   /** k-minhash signature as a single array<long> column (id, sig). */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
@@ -86,7 +103,8 @@ object MinHash {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val r = numHashes / numBands
 
-    val mins = signatureCols(docs, idCol, textCol, shingleN, numHashes)
+    val hs = distinctHashes(docs, idCol, textCol, shingleN)
+    val mins = signatureColsFromHashes(hs, numHashes)
     val banded = mins.select(col("id"),
       explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
@@ -111,7 +129,7 @@ object MinHash {
     // verify is hash joins over longs — no per-doc string shingle arrays and
     // no array_intersect/array_union row work. (xxhash64 collisions are the
     // only divergence from string-set jaccard — negligible at 2^-64.)
-    val hs = baseHashes(docs, idCol, textCol, shingleN).distinct()
+    // `hs` is the same frame the signatures consumed: one shared exchange.
     val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
     candidates
       .join(hs.select(col("id").as("id1"), col("h")), "id1")
