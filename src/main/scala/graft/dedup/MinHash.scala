@@ -96,21 +96,29 @@ object MinHash {
     signatureCols(docs, idCol, textCol, shingleN, k)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
 
-  /** Candidate near-dup pairs (id1 < id2) with exact Jaccard attached. */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, numHashes: Int = 64, numBands: Int = 16,
-                   maxBucket: Int = 1000): DataFrame = {
+  /** (id, band, band_key) LSH banding rows for each doc: the unit of
+    * near-dup candidacy (two docs sharing any (band, band_key) are
+    * candidates). Public building block — the batch pair-finder and the
+    * streaming ingest filter both consume it.
+    */
+  def bandKeys(mins: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val r = numHashes / numBands
-
-    val hs = distinctHashes(docs, idCol, textCol, shingleN)
-    val mins = signatureColsFromHashes(hs, numHashes)
-    val banded = mins.select(col("id"),
+    mins.select(col("id"),
       explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
           xxhash64((j * r until (j + 1) * r).map(i => col(s"m$i")): _*).as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** Candidate near-dup pairs (id1 < id2) with exact Jaccard attached. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+                   maxBucket: Int = 1000): DataFrame = {
+    val hs = distinctHashes(docs, idCol, textCol, shingleN)
+    val mins = signatureColsFromHashes(hs, numHashes)
+    val banded = bandKeys(mins, numHashes, numBands)
 
     // Cap pathological buckets before the self-join (skew guard).
     val bucketed = banded
