@@ -302,5 +302,30 @@ object EventQueries {
         SELECT user_id, COUNT(*) AS n_purchases,
           CAST(SUM(conv) AS BIGINT) AS n_converted,
           CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS conversion_rate
-        FROM f GROUP BY 1 ORDER BY 1""")))
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Cohort retention: users grouped by first-activity day, active
+    // user counts per (cohort, day offset). Two hash aggregations and one
+    // equi-join on user_id — the standard retention-matrix plan, no windows
+    // over the full event stream.
+    DeclaredQuery("cohort_retention",
+      (s, dir) => {
+        val days = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        days.join(cohorts, "user_id")
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .select(col("cohort").cast("string").as("cohort"),
+            col("day_offset").cast("long").as("day_offset"), col("n_active"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+        SELECT CAST(cohort AS VARCHAR) AS cohort,
+          CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+          COUNT(*) AS n_active
+        FROM d JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

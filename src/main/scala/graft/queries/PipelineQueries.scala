@@ -291,6 +291,53 @@ object PipelineQueries {
           FROM sc)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // ---- int8 scalar-quantized similarity (the vector-DB SQ8 path) --------
+    // Embeddings quantized per-vector to integer levels in [-127, 127]
+    // (symmetric scalar quantization); approximate score = integer dot
+    // product rescaled by both scales. At 100 TB this is the storage/compute
+    // shape that matters: 4× smaller vectors, integer dot products, and the
+    // quantization runs ONCE at ingest (here inline for the oracle). All
+    // arithmetic is exact-integer or single IEEE ops, so DuckDB reproduces
+    // scores bit-for-bit.
+    DeclaredQuery("sq8_cosine_topk",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val z = tbl(s, dir, "embeddings")
+          .withColumn("ma", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+          .filter(col("ma") > 0)
+          .withColumn("q", transform(col("embedding"),
+            x => floor(x.cast("double") / col("ma") * 127.0).cast("double")))
+          .withColumn("s", col("ma") / 127.0)
+          .select(col("vec_id"), col("q"), col("s"))
+        val qs = z.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qv"), col("s").as("qs"))
+        val scored = z.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("qscore",
+            graft.vector.VectorFunctions.dot(col("qv"), col("q")) * col("qs") * col("s"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("qscore").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id").as("cid"), col("qscore"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        z AS (SELECT vec_id,
+                list_transform(v, x -> CAST(floor(x / ma * 127) AS DOUBLE)) AS q,
+                ma / 127 AS s
+              FROM m WHERE ma > 0),
+        qq AS (SELECT vec_id AS qid, q AS qv, s AS qs FROM z WHERE vec_id < 10),
+        sc AS (SELECT qid, z.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qv, q), x -> x[1] * x[2]), (a, b) -> a + b)
+              * qs * s AS qscore
+          FROM z CROSS JOIN qq WHERE z.vec_id <> qid),
+        r AS (SELECT qid, cid, qscore,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qscore DESC, cid) AS rk
+          FROM sc)
+        SELECT qid, rk, cid, qscore FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
+
     // ---- O5 multimodal plumbing: binary payloads + stub decode ------------
     DeclaredQuery("multimodal_meta",
       (s, dir) => {

@@ -107,15 +107,58 @@ final case class ArrayAll(path: String, elem: Constraint) extends Constraint {
   }
 }
 
+/** draft-04 `format` for string fields — the commonly used formats, modeled
+  * as unanchored-free full-match regexes (AJV semantics: format applies only
+  * to present string values, absent ⇒ valid).
+  */
+final case class Format(path: String, format: String) extends Constraint {
+  def predicate(root: Column): Column = {
+    val f = at(root, path)
+    f.isNull || f.rlike(Format.patterns.getOrElse(format,
+      throw new IllegalArgumentException(s"unknown format: $format")))
+  }
+}
+
+object Format {
+  /** Anchored patterns per draft-04 format name. Pragmatic AJV-compatible
+    * forms (AJV itself uses regex approximations for most formats).
+    */
+  val patterns: Map[String, String] = Map(
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "date-time" -> ("^\\d{4}-\\d{2}-\\d{2}[Tt]\\d{2}:\\d{2}:\\d{2}" +
+      "(\\.\\d+)?([Zz]|[+-]\\d{2}:\\d{2})?$"),
+    "date" -> "^\\d{4}-\\d{2}-\\d{2}$",
+    "ipv4" -> "^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$",
+    "uri" -> "^[A-Za-z][A-Za-z0-9+.-]*://[^\\s]+$",
+    "hostname" -> "^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
+}
+
 /** A registered schema: id + value constraints (structure enforced by the
   * `from_json` StructType in [[EventCodec]]).
   *
-  * Not modeled from draft-04: `additionalProperties` — `from_json` parses
-  * into a closed StructType, so unknown fields are dropped before
-  * constraints run; rejecting them would need raw-JSON key introspection.
+  * draft-04 `additionalProperties: false` cannot be checked on the parsed
+  * struct — `from_json` drops unknown fields before constraints run — so it
+  * is exposed as [[SchemaValidator.noAdditionalProps]] over the RAW JSON
+  * column, to be conjoined with the parsed-level `valid` predicate.
   */
 final case class RegisteredSchema(id: String, constraints: Seq[Constraint]) {
   /** Conjunction of all constraints; vacuously true when none. */
   def valid(root: Column): Column =
     constraints.foldLeft(lit(true))((acc, c) => acc && c.predicate(root))
+}
+
+/** Raw-JSON-level checks that the parsed-struct constraints cannot express. */
+object SchemaValidator {
+
+  /** draft-04 `additionalProperties: false`: the object at `jsonPath` (a
+    * `$.a.b` JSONPath into the raw JSON string column; `$` = root) has no
+    * keys outside `allowed`. Absent/corrupt objects are valid here — their
+    * rejection belongs to `required`/parse checks, matching AJV's
+    * per-keyword independence.
+    */
+  def noAdditionalProps(raw: Column, jsonPath: String, allowed: Seq[String]): Column = {
+    val obj = if (jsonPath == "$") raw else get_json_object(raw, jsonPath)
+    val keys = json_object_keys(obj)
+    keys.isNull || forall(keys, k => k.isin(allowed.map(_.asInstanceOf[Any]): _*))
+  }
 }

@@ -84,6 +84,54 @@ class SchemaValidatorSpec extends SparkSpec {
       ("no lines valid", """{"kind":"x"}""", true)))
   }
 
+  test("format validates like AJV for present values; absent is valid") {
+    val schema = RegisteredSchema("t/1", Seq(Format("kind", "email")))
+    verdicts(schema, Seq(
+      ("valid email", """{"kind":"a.user+tag@example.co"}""", true),
+      ("no at-sign", """{"kind":"not-an-email"}""", false),
+      ("no tld", """{"kind":"a@b"}""", false),
+      ("absent valid", """{"qty":1}""", true)))
+    val dt = RegisteredSchema("t/2", Seq(Format("kind", "date-time")))
+    verdicts(dt, Seq(
+      ("zulu", """{"kind":"2026-08-12T10:00:00Z"}""", true),
+      ("offset+frac", """{"kind":"2026-08-12T10:00:00.250+02:00"}""", true),
+      ("date only fails", """{"kind":"2026-08-12"}""", false)))
+    val ip = RegisteredSchema("t/3", Seq(Format("kind", "ipv4")))
+    verdicts(ip, Seq(
+      ("valid", """{"kind":"192.168.0.255"}""", true),
+      ("octet 256", """{"kind":"192.168.0.256"}""", false),
+      ("three octets", """{"kind":"10.0.0"}""", false)))
+  }
+
+  test("unknown format name fails fast at schema construction") {
+    intercept[IllegalArgumentException] {
+      Format("kind", "no-such-format").predicate(col("doc"))
+    }
+  }
+
+  test("additionalProperties:false over the raw JSON rejects unknown keys") {
+    val cases = Seq(
+      ("only known keys", """{"kind":"a","qty":1}""", true),
+      ("unknown key", """{"kind":"a","extra":1}""", false),
+      ("empty object", """{}""", true),
+      ("corrupt json is this check's don't-care", """not json""", true))
+    val df = cases.toDF("name", "json", "expected")
+      .withColumn("got",
+        SchemaValidator.noAdditionalProps(col("json"), "$", Seq("kind", "qty")))
+    val wrong = df.filter(col("got") =!= col("expected"))
+      .select("name", "got", "expected").collect()
+    assert(wrong.isEmpty, s"divergent: ${wrong.mkString(", ")}")
+
+    // nested object path
+    val nested = Seq(
+      ("nested ok", """{"d":{"x":1}}""", true),
+      ("nested extra", """{"d":{"x":1,"y":2}}""", false))
+      .toDF("name", "json", "expected")
+      .withColumn("got",
+        SchemaValidator.noAdditionalProps(col("json"), "$.d", Seq("x")))
+    assert(nested.filter(col("got") =!= col("expected")).count() === 0)
+  }
+
   test("anyOf composes with array constraints") {
     // either a tagged doc (1..2 lowercase tags) or an order doc (>=1 line)
     val schema = RegisteredSchema("t/1", Seq(AnyOf(Seq(
