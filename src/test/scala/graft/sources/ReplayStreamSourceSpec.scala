@@ -29,6 +29,42 @@ class ReplayStreamSourceSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 250L), s"batchSize respected: $batchSizes")
   }
 
+  test("multi-file directory input: offsets span files in name order, batches split mid-file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("replay_multi").toString
+    // three files of 7, 5, 9 rows; name order fixes the global row order
+    Seq((0 until 7, "a"), (7 until 12, "b"), (12 until 21, "c")).foreach {
+      case (range, name) =>
+        val tmp = s"$dir/tmp_$name"
+        range.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+          .coalesce(1).orderBy("id").write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/part_$name.parquet"))
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        new java.io.File(tmp).delete()
+    }
+
+    var batches = Vector.empty[Seq[Long]]
+    val q = spark.readStream
+      .format(classOf[ReplayStreamSource].getName)
+      .option("path", dir)
+      .option("batchSize", "6") // crosses the 7-row and 12-row file seams
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches :+= batch.select("id").as[Long].collect().toSeq.sorted
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(batches.map(_.size).sum === 21L, s"all rows replayed once: $batches")
+    assert(batches.flatten.sorted === (0L until 21L), s"no dupes or gaps: $batches")
+    assert(batches.forall(_.size <= 6), s"batchSize respected across file seams: $batches")
+  }
+
   test("restart from checkpoint resumes at committed offsets (no replays)") {
     val checkpoint = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
     def run(): Long = {
