@@ -327,5 +327,27 @@ object EventQueries {
           CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
           COUNT(*) AS n_active
         FROM d JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- User-journey transitions: event-type bigram counts in per-user
+    // sequence order (the Markov-chain / funnel-discovery building block).
+    // One window pass over the per-user ordering the sessionization queries
+    // already use, then a hash aggregation.
+    DeclaredQuery("journey_transitions",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH t AS (
+          SELECT event_type AS from_type,
+            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS to_type
+          FROM events)
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM t WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

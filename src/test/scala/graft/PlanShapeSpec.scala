@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Locks in the plan-shape wins the per-round plan audit found, as tests:
+  * a regression that re-introduces a scale-killer (cartesian product, an
+  * unbounded nested-loop join, the old IVF assignment shuffle) fails the
+  * suite instead of waiting for the next audit read-through.
+  *
+  * Shapes are asserted on the FINAL AQE plan after execution at sf0.001 —
+  * pre-execution plans under-report codegen and miss AQE's runtime re-plans
+  * (the round-1 audit bug).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def run(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sf0001))
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).length
+
+  test("no declared query plans a cartesian product") {
+    // spot-check the join-heavy and pair-generating queries
+    Seq("q5_region_revenue", "q7_nation_volume", "minhash_neardup_pairs",
+      "simhash_neardup_pairs", "ngram_jaccard_pairs", "ivf_topk",
+      "crossdoc_ngram_contamination").foreach { q =>
+      assert(count(run(q), "CartesianProduct") === 0, s"$q plans a cartesian product")
+    }
+  }
+
+  test("ivf_topk assignment stays shuffle-free: no nested-loop join, bounded exchanges") {
+    val plan = run("ivf_topk")
+    assert(count(plan, "BroadcastNestedLoop") === 0, s"ivf regressed to join-assignment:\n$plan")
+    val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+    assert(shuffles <= 3, s"ivf assignment shuffle regression ($shuffles exchanges):\n$plan")
+  }
+
+  test("star joins broadcast their dimension sides") {
+    val plan = run("q5_region_revenue")
+    assert(count(plan, "BroadcastHashJoin") >= 4, s"q5 dims must broadcast:\n$plan")
+    assert(count(plan, "SortMergeJoin") === 0, s"q5 must not sort-merge tiny dims:\n$plan")
+  }
+
+  test("order-by-limit lowers to TakeOrderedAndProject (no global sort)") {
+    val plan = run("sort_limit_orders")
+    assert(plan.contains("TakeOrderedAndProject"), s"sort+limit regression:\n$plan")
+  }
+
+  test("every spot-checked query keeps non-zero whole-stage codegen") {
+    Seq("q1_pricing_summary", "minhash_neardup_pairs", "cosine_topk").foreach { q =>
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(run(q)).map(_.group(1)).toSet.size
+      assert(spans > 0, s"$q fell out of whole-stage codegen")
+    }
+  }
+}
