@@ -5,7 +5,8 @@ import org.apache.spark.sql.types._
 object RouteBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.create()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.create(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val envelopeId = "com.graft/stream/1-0-0"
     val registry = Seq("click", "purchase", "signup").map { t =>
@@ -17,8 +18,12 @@ object RouteBench {
     val payloadType = Envelope.payloadSchema(Seq(
       StructField("k", LongType), StructField("value", DoubleType)))
     // pre-materialize the WIRE format (base64 payloads) so we time ONLY
-    // decode+validate+route, like the reference's handler does
+    // decode+validate+route, like the reference's handler does; REPLICATE
+    // the fixture so the measurement amortizes fixed job overhead and
+    // reflects steady-state throughput, not scheduler latency
+    val repl = sys.env.getOrElse("SPARK_GRAFT_ROUTE_REPL", "10").toInt
     val wire = spark.read.parquet(s"$dir/events.parquet")
+      .crossJoin(spark.range(repl))
       .withColumn("kinesis", struct(
         base64(to_json(struct(
           lit(envelopeId).as("schema"),
@@ -28,6 +33,7 @@ object RouteBench {
         col("user_id").cast("string").as("partitionKey"),
         col("event_id").cast("string").as("sequenceNumber")))
       .select("kinesis")
+      .repartition(cpus * 2)
     wire.cache()
     val n = wire.count()
     // warm
@@ -37,7 +43,7 @@ object RouteBench {
     val routed = Router.tag(EventCodec.withDecodedEvent(wire, payloadType), config)
       .groupBy(Router.TagCol).count().collect()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"[route-bench] $n records in $sec%.3f s = ${n / sec}%.0f records/s (4 threads)")
+    println(f"[route-bench] $n records in $sec%.3f s = ${n / sec}%.0f records/s ($cpus threads)")
     routed.foreach(r => println(s"[route-bench]   ${r.get(0)}: ${r.get(1)}"))
     spark.stop()
   }
