@@ -285,6 +285,38 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ---- set operations ---------------------------------------------------
+    // ---- one-pass column profiling (ANALYZE-style data quality) -----------
+    DeclaredQuery("table_profile_orders",
+      (s, dir) => graft.relational.Profile.profile(
+          tbl(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"))
+        .orderBy(col("column")),
+      Some("""SELECT * FROM (
+          SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            COUNT(DISTINCT o_custkey) AS n_distinct,
+            CAST(MIN(o_custkey) AS VARCHAR) AS min_s, CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', COUNT(*),
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT o_orderdate),
+            CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderkey', COUNT(*),
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT o_orderkey),
+            CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', COUNT(*),
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            COUNT(DISTINCT o_orderstatus),
+            CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+          FROM orders) t
+        ORDER BY "column"""")),
+
     // ---- unpivot / melt (wide → long) -------------------------------------
     // The one relational reshape not covered elsewhere: lineitem money
     // measures unpivoted to (measure, value) rows, then profiled. Unpivot is
