@@ -42,6 +42,41 @@ object PipelineQueries {
   private def sqlProbes(numPlanes: Int): String =
     ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
 
+  /** DuckDB oracle for PQ/ADC top-k: derives the same deterministic
+    * codebooks in SQL (subvectors of the ncode lowest-id vectors, codeword
+    * index = rank by vec_id), encodes every vector with the same
+    * argmin(dist², codeword-index tie-break), and scores with the same
+    * left-assoc sum of per-subspace dots — every term a portable fold.
+    */
+  private def pqOracleSql(m: Int, ncode: Int, dim: Int, k: Int, maxQid: Int): String = {
+    val ds = dim / m
+    def sl(v: String, j: Int) = s"list_slice($v, ${j * ds + 1}, ${(j + 1) * ds})"
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
+    val encCtes = (0 until m).map { j =>
+      s"""enc_$j AS (SELECT vec_id, c AS code_$j FROM (
+         |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |    (${dotE(sl("e.v", j), sl("e.v", j))}
+         |     - 2 * ${dotE(sl("e.v", j), sl("cb.cv", j))}
+         |     + ${dotE(sl("cb.cv", j), sl("cb.cv", j))}) ASC, cb.c) AS rn
+         |  FROM e CROSS JOIN cb) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encJoin = (1 until m).foldLeft("enc_0")((acc, j) => s"$acc JOIN enc_$j USING (vec_id)")
+    val cbJoins = (0 until m).map(j => s"JOIN cb cb$j ON cb$j.c = x.code_$j").mkString(" ")
+    val scoreExpr = (0 until m).map(j => dotE(sl("q.qv", j), sl(s"cb$j.cv", j))).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT $ncode),
+       |$encCtes,
+       |x AS (SELECT * FROM $encJoin),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $maxQid),
+       |sc AS (SELECT q.qid, x.vec_id AS cid, $scoreExpr AS score
+       |       FROM x CROSS JOIN q $cbJoins WHERE x.vec_id <> q.qid),
+       |r AS (SELECT qid, cid, score,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
   private def lshOracleSql(numPlanes: Int, dim: Int, k: Int, maxQid: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
@@ -628,6 +663,21 @@ object PipelineQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some(lshOracleSql(numPlanes = 8, dim = 64, k = 3, maxQid = 10))),
+
+    // PQ/ADC: candidates carry only m codes after a shuffle-free encode;
+    // scoring is m LUT lookups per pair against broadcast query tables. The
+    // whole pipeline (codebook build, encode argmin, ADC sum) is
+    // deterministic, so it hash-matches the generated oracle.
+    DeclaredQuery("pq_adc_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
+          "embedding", k = 3, m = 8, ncode = 16, dim = 64)
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(pqOracleSql(m = 8, ncode = 16, dim = 64, k = 3, maxQid = 10))),
 
     // IVF is deterministic end to end (seed cells = lowest-id vectors,
     // cosine = portable double fold), so the full coarse-quantize + probe +

@@ -159,6 +159,94 @@ object Similarity {
       .select("qid", "rank", "cid", "score")
   }
 
+  /** Product-quantization ANN with asymmetric-distance scoring (ADC) — the
+    * third leg of the quantization toolbox (IVF = coarse, SQ8 = scalar,
+    * PQ = product): vectors are encoded as `m` small codes (one per
+    * `dim/m`-dim subspace, nearest of `ncode` codewords), and a query scores
+    * a candidate by summing per-subspace lookup-table entries — the
+    * candidate side never touches its floats again.
+    *
+    * Scale shape: encoding is a shuffle-free row-wise argmin over LITERAL
+    * codebooks (like the IVF assignment); at serving time the big side
+    * carries only `m` bytes of codes per vector, and scoring is `m` array
+    * lookups per pair against the broadcast query LUTs. At 10⁹ vectors that
+    * is the difference between scanning 256 GB of floats and 8 GB of codes.
+    *
+    * Codebooks here are the subvectors of the `ncode` lowest-id candidates —
+    * deterministic "training" (production would k-means per subspace; the
+    * pipeline is identical). Everything is sequential double folds and
+    * argmin with index tie-break, so the whole pipeline is oracle-exact.
+    */
+  def pqTopK(queries: DataFrame, qidCol: String,
+             candidates: DataFrame, cidCol: String,
+             vecCol: String, k: Int, m: Int, ncode: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    require(dim % m == 0, "dim must be divisible by m")
+    val ds = dim / m
+
+    // Codebooks: ncode rows to the driver ONCE (a PQ codebook is tiny at any
+    // data scale), as per-subspace literal arrays.
+    val cbRows = candidates
+      .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("c")).limit(ncode).collect()
+    // codebook(j)(c) = codeword c of subspace j
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map { j =>
+        cbRows.toIndexedSeq.map(r => r.getSeq[Double](1).slice(j * ds, (j + 1) * ds))
+      }
+    // |codeword|² as sequential left folds — same order as the oracle's fold
+    val cw2: IndexedSeq[IndexedSeq[Double]] =
+      codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+
+    def sub(vec: Column, j: Int): Column = slice(vec, j * ds + 1, ds)
+
+    // Shuffle-free encode: per subspace, argmin_c ||x_j - c||² with codeword
+    // index tie-break, via a bounded array_sort of (dist², c) structs.
+    // dist² = <x_j,x_j> - 2<x_j,c> + |c|² keeps every term a portable fold.
+    def encode(df: DataFrame, vecC: String): DataFrame =
+      (0 until m).foldLeft(df) { (d, j) =>
+        val scored = (0 until ncode).map { c =>
+          struct(
+            (VectorFunctions.dot(sub(col(vecC), j), sub(col(vecC), j)) -
+              lit(2.0) * VectorFunctions.dot(sub(col(vecC), j),
+                array(codebook(j)(c).map(lit): _*)) +
+              lit(cw2(j)(c))).as("d2"),
+            lit(c).as("c"))
+        }
+        d.withColumn(s"code_$j",
+          element_at(array_sort(array(scored: _*)), 1).getField("c"))
+      }
+
+    // Query-side LUTs: lut_j[c] = <q_j, codeword_c> — ncode dots per
+    // subspace on the tiny query side only.
+    def withLuts(df: DataFrame, vecC: String): DataFrame =
+      (0 until m).foldLeft(df) { (d, j) =>
+        d.withColumn(s"lut_$j", array((0 until ncode).map { c =>
+          VectorFunctions.dot(sub(col(vecC), j), array(codebook(j)(c).map(lit): _*))
+        }: _*))
+      }
+
+    val coded = encode(
+      candidates.select(col(cidCol).as("cid"), col(vecCol).cast("array<double>").as("cvec")),
+      "cvec").drop("cvec")
+    val q = withLuts(
+      queries.select(col(qidCol).as("qid"), col(vecCol).cast("array<double>").as("qvec")),
+      "qvec").drop("qvec")
+
+    // ADC: m lookups per pair, summed left-to-right (oracle adds in the same
+    // order).
+    val score = (0 until m)
+      .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "score")
+  }
+
   /** Per-label centroids (typed aggregation over array<float>): mean vector
     * per group via element-wise decimal-free double sums — used for IVF-style
     * coarse quantization (assign → nearest centroid bucket).
