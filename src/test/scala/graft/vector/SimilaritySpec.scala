@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (qid, cid) => qid != cid })
   }
 
+  test("PQ/ADC top-k recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, m = 8, ncode = 16, dim = 64)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // codebook is untrained (first-16 subvectors), so the bar is modest:
+    // the quantized ranking must still agree with the exact one well above
+    // chance (random top-5 of ~500 candidates ⇒ recall ≈ 0.01)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ/ADC recall $recall unreasonably low")
+    assert(approx.forall { case (qid, cid) => qid != cid })
+    // every query returns exactly k rows (quantized scores still totally
+    // ordered by (score, cid))
+    val counts = Similarity.pqTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, m = 8, ncode = 16, dim = 64)
+      .groupBy("qid").count().select("count").as[Long].collect()
+    assert(counts.forall(_ === 5L))
+  }
+
   test("centroids: n sums to row count and centroid norm is positive") {
     val c = Similarity.centroids(emb, "label", "embedding", 64)
     assert(c.agg(sum("n")).as[Long].head() === emb.count())
