@@ -86,4 +86,25 @@ class DedupSpec extends SparkSpec {
   }
 
   private def SimHashDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("SWAR-packed simhash equals the per-bit 64-column formulation") {
+    import org.apache.spark.sql.functions._
+    // reference formulation: one sum(±1) column per bit, sign → bit
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val hashed = docs.select(col("doc_id").as("id"),
+      explode(array_distinct(graft.text.TextFunctions.tokens(col("text")))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val reference = hashed.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("fp"))
+      .as[(Long, Long)].collect().toMap
+
+    val swar = SimHash.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(swar === reference)
+  }
 }
