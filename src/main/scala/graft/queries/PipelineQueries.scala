@@ -499,6 +499,23 @@ object PipelineQueries {
         FROM b2 JOIN df USING (b)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Hashing-trick featurization (count-vectorizer into fixed dims) ---
+    // The text→vector bridge of a training pipeline: token counts folded
+    // into a fixed dim space by a portable hash (md5 prefix, not xxhash, so
+    // the oracle reproduces indices exactly). Sparse (doc, dim, weight)
+    // rows — the shape you'd feed a sparse trainer or assemble to arrays.
+    DeclaredQuery("hashed_tf_vectors",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), hashedTfIndex(col("t"), 64).as("dim"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""SELECT doc_id,
+          CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 64 AS dim,
+          COUNT(*) AS weight
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- TF-IDF top terms per document ------------------------------------
     // idf as the exact ratio N/df (log-free: same ranking, and integer-exact
     // inputs divided in double are bitwise-portable where log's libm is not).

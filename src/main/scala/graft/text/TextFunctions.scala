@@ -102,4 +102,11 @@ object TextFunctions {
     */
   def fingerprint60(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Hashing-trick feature index for a token: 32 uniform bits from the md5
+    * hex prefix, folded into [0, dim). Engine-portable (md5 everywhere), so
+    * hashed-TF featurization is oracle-exact — unlike xxhash-based indices.
+    */
+  def hashedTfIndex(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 }
