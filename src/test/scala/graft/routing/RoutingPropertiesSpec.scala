@@ -95,6 +95,15 @@ class RoutingPropertiesSpec extends SparkSpec {
     assert(counts === Map(
       "branch:a/x/1" -> 1L, "branch:b/y/1" -> 1L,
       Router.Skipped -> 1L, Router.BadMessage -> 1L))
+
+    // the route tag is a physical partition column: a branch filter prunes
+    // to that branch's directory instead of scanning every route
+    val branchScan = back.filter(col(Router.TagCol) === "branch:a/x/1")
+    val plan = branchScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"tag filter must prune partitions:\n$plan")
+    assert(branchScan.count() === 1L)
   }
 
   test("fatal errors in handlers propagate as task failures (retry semantics)") {
