@@ -56,9 +56,8 @@ object PipelineQueries {
     val encCtes = (0 until m).map { j =>
       s"""enc_$j AS (SELECT vec_id, c AS code_$j FROM (
          |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |    (${dotE(sl("e.v", j), sl("e.v", j))}
-         |     - 2 * ${dotE(sl("e.v", j), sl("cb.cv", j))}
-         |     + ${dotE(sl("cb.cv", j), sl("cb.cv", j))}) ASC, cb.c) AS rn
+         |    (${dotE(sl("cb.cv", j), sl("cb.cv", j))}
+         |     - 2 * ${dotE(sl("e.v", j), sl("cb.cv", j))}) ASC, cb.c) AS rn
          |  FROM e CROSS JOIN cb) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val encJoin = (1 until m).foldLeft("enc_0")((acc, j) => s"$acc JOIN enc_$j USING (vec_id)")

@@ -201,16 +201,18 @@ object Similarity {
     def sub(vec: Column, j: Int): Column = slice(vec, j * ds + 1, ds)
 
     // Shuffle-free encode: per subspace, argmin_c ||x_j - c||² with codeword
-    // index tie-break, via a bounded array_sort of (dist², c) structs.
-    // dist² = <x_j,x_j> - 2<x_j,c> + |c|² keeps every term a portable fold.
+    // index tie-break, via a bounded array_sort of (score, c) structs. The
+    // <x_j,x_j> term is constant across codewords, so the ranking key is
+    // the reduced |c|² - 2<x_j,c> — one dot per codeword instead of two,
+    // and the oracle computes the identical reduced expression, so the
+    // (IEEE-rounded) ordering matches bit-for-bit.
     def encode(df: DataFrame, vecC: String): DataFrame =
       (0 until m).foldLeft(df) { (d, j) =>
         val scored = (0 until ncode).map { c =>
           struct(
-            (VectorFunctions.dot(sub(col(vecC), j), sub(col(vecC), j)) -
+            (lit(cw2(j)(c)) -
               lit(2.0) * VectorFunctions.dot(sub(col(vecC), j),
-                array(codebook(j)(c).map(lit): _*)) +
-              lit(cw2(j)(c))).as("d2"),
+                array(codebook(j)(c).map(lit): _*))).as("d2"),
             lit(c).as("c"))
         }
         d.withColumn(s"code_$j",
