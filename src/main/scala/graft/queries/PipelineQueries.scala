@@ -42,6 +42,37 @@ object PipelineQueries {
   private def sqlProbes(numPlanes: Int): String =
     ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
 
+  /** DuckDB oracle replaying one deterministic Lloyd iteration: same init
+    * (k lowest-id vectors), same reduced argmin key, exact integer cell
+    * sums, single division per mean, final assignment profiled per cell.
+    */
+  private def kmeansOracleSql(k: Int): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
+    def argmin(src: String, cents: String) =
+      s"""SELECT vec_id, v, c AS cell FROM (
+         |  SELECT $src.vec_id, $src.v, $cents.c, ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+         |    ORDER BY (${dotE(s"$cents.cv", s"$cents.cv")}
+         |              - 2 * ${dotE(s"$src.v", s"$cents.cv")}) ASC, $cents.c) AS rn
+         |  FROM $src CROSS JOIN $cents) t WHERE rn = 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(floor(x * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+       |        FROM e ORDER BY vec_id LIMIT $k),
+       |a1 AS (${argmin("e", "cb0")}),
+       |u1 AS (SELECT cell, dim, SUM(x) AS s, COUNT(*) AS n FROM (
+       |    SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1) t
+       |  GROUP BY 1, 2),
+       |c1 AS (SELECT cell AS c, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+       |       FROM u1 GROUP BY 1),
+       |a2 AS (${argmin("e", "c1")})
+       |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+       |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for PQ/ADC top-k: derives the same deterministic
     * codebooks in SQL (subvectors of the ncode lowest-id vectors, codeword
     * index = rank by vec_id), encodes every vector with the same
@@ -679,6 +710,24 @@ object PipelineQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some(lshOracleSql(numPlanes = 8, dim = 64, k = 3, maxQid = 10))),
+
+    // Trained clustering: one deterministic Lloyd iteration over quantized
+    // embeddings (integer-exact cell means), final assignment profiled per
+    // cell. The oracle replays the identical training — same init, same
+    // reduced argmin key, same exact sums — in SQL.
+    DeclaredQuery("kmeans_cluster_profile",
+      (s, dir) => {
+        val quant = tbl(s, dir, "embeddings")
+          .withColumn("qv", transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0)).cast("double")))
+        val result = graft.vector.Clustering.kmeans(
+          quant, "vec_id", "qv", k = 8, dim = 64, iters = 1)
+        result.assignments
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_checksum"))
+          .orderBy(col("cell"))
+      },
+      Some(kmeansOracleSql(k = 8))),
 
     // PQ/ADC: candidates carry only m codes after a shuffle-free encode;
     // scoring is m LUT lookups per pair against broadcast query tables. The

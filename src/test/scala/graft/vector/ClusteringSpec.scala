@@ -1,0 +1,47 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val quant = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .withColumn("qv", transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("double")))
+
+  test("k-means is deterministic: identical centroids and assignments across runs") {
+    val r1 = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 3)
+    val r2 = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 3)
+    assert(r1.centroids === r2.centroids)
+    assert(r1.assignments.orderBy("id").collect().toSeq ===
+      r2.assignments.orderBy("id").collect().toSeq)
+  }
+
+  test("Lloyd iterations never increase inertia") {
+    val inertias = (1 to 4).map { it =>
+      val r = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = it)
+      Clustering.inertia(quant, "vec_id", "qv", r.centroids)
+    }
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"inertia increased: $inertias")
+    }
+  }
+
+  test("every row is assigned to its true nearest centroid") {
+    val r = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 2)
+    val cents = r.centroids
+    val rows = Clustering.assign(
+      quant.select(col("vec_id").as("id"), col("qv").cast("array<double>").as("v")),
+      "v", cents)
+      .select("id", "v", "cell").collect()
+    rows.take(50).foreach { row =>
+      val v = row.getSeq[Double](1)
+      val best = cents.minBy { case (c, cv) =>
+        (cv.foldLeft(0.0)((a, x) => a + x * x) -
+          2.0 * v.zip(cv).foldLeft(0.0)((a, p) => a + p._1 * p._2), c)
+      }._1
+      assert(row.getInt(2) === best, s"row ${row.getLong(0)} mis-assigned")
+    }
+  }
+}
