@@ -117,7 +117,8 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, qidCol: String,
               candidates: DataFrame, cidCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              trainedSeeds: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     // Index build: the nlist seed vectors come to the driver once (an IVF
     // centroid table is nlist rows — tiny at any data scale) and become
@@ -125,12 +126,17 @@ object Similarity {
     // candidates: nlist codegen'd cosines + a bounded array_sort per row,
     // instead of the previous join(seeds) × window-argmax, whose N×nlist
     // intermediate shuffle was the plan's scale-killer.
-    val seedRows = candidates
-      .select(col(cidCol).cast("long").as("sid"),
-        col(vecCol).cast("array<double>").as("svec"))
-      .orderBy(col("sid")).limit(nlist).collect()
-    val seeds: Seq[(Long, Seq[Double])] =
-      seedRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    //
+    // `trainedSeeds` plugs in Clustering.kmeans centroids ((cellId, vec))
+    // as the coarse quantizer; the default falls back to the nlist
+    // lowest-id vectors (deterministic, untrained).
+    val seeds: Seq[(Long, Seq[Double])] = trainedSeeds.getOrElse {
+      candidates
+        .select(col(cidCol).cast("long").as("sid"),
+          col(vecCol).cast("array<double>").as("svec"))
+        .orderBy(col("sid")).limit(nlist).collect()
+        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    }
 
     // Nearest-nCells cell ids for each row: sort struct(-cosine, sid) asc ==
     // cosine desc with sid tiebreak — identical ordering to the old window.

@@ -28,6 +28,21 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("k-means centroids drive IVF as trained seeds") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val trained = Clustering.kmeans(quant, "vec_id", "qv", k = 16, dim = 64, iters = 2)
+      .centroids.map { case (c, v) => (c.toLong, v.map(_ / 1000000.0)) }
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, trainedSeeds = Some(trained))
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained-IVF recall $recall unreasonably low")
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("every row is assigned to its true nearest centroid") {
     val r = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 2)
     val cents = r.centroids
