@@ -24,6 +24,13 @@ final case class DeclaredQuery(
   *    engine-dependent at the ulp level.
   *  - integer-valued doubles (quantities) sum exactly in double: order-free.
   *  - ratios are exact-integer counts divided in double: IEEE-identical.
+  *  - QUANTIZATION pattern (centroids, SQ8, PQ, k-means): map each float to
+  *    an integer-valued double — floor(x·10⁶) or floor(x/maxabs·127) — so
+  *    every downstream sum is exact (partition-order-independent) and each
+  *    remaining division/multiply is a single IEEE op written with IDENTICAL
+  *    parenthesization in the oracle SQL. This is how otherwise
+  *    order-dependent float pipelines (means, trained clustering, quantized
+  *    dot products) become hash-exact across engines.
   *  - every query ends in a full ORDER BY; every Spark integer output is cast
   *    to long to match DuckDB's BIGINT defaults.
   */
