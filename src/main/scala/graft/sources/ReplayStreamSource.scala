@@ -183,6 +183,26 @@ final class ReplayPartitionReader(p: ReplayInputPartition)
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
   // parquet field index for each Spark field (by name — file order may differ)
   private val fieldIdx = p.schema.fields.map(f => fileSchema.getFieldIndex(f.name))
+  // Spark timestamps are internally MICROSECONDS; the file's int64 may be
+  // annotated millis/micros/nanos — precompute the per-field scale
+  // (positive = multiply, negative = divide).
+  private val tsScale: Array[Long] = p.schema.fields.map { f =>
+    f.dataType match {
+      case TimestampType | TimestampNTZType =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        fileSchema.getType(fileSchema.getFieldIndex(f.name)).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+              case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+            }
+          case _ => 1L
+        }
+      case _ => 1L
+    }
+  }
 
   private var remainingToSkip = p.skip
   private var remainingToTake = p.take
@@ -227,8 +247,10 @@ final class ReplayPartitionReader(p: ReplayInputPartition)
       val idx = fieldIdx(i)
       if (g.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
       else p.schema.fields(i).dataType match {
-        case LongType | TimestampType | TimestampNTZType =>
-          row.setLong(i, g.getLong(idx, 0))
+        case LongType => row.setLong(i, g.getLong(idx, 0))
+        case TimestampType | TimestampNTZType =>
+          val raw = g.getLong(idx, 0)
+          row.setLong(i, if (tsScale(i) > 0) raw * tsScale(i) else raw / -tsScale(i))
         case IntegerType | DateType => row.setInt(i, g.getInteger(idx, 0))
         case DoubleType => row.setDouble(i, g.getDouble(idx, 0))
         case FloatType => row.setFloat(i, g.getFloat(idx, 0))

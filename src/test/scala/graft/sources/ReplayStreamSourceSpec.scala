@@ -65,6 +65,38 @@ class ReplayStreamSourceSpec extends SparkSpec {
     assert(batches.forall(_.size <= 6), s"batchSize respected across file seams: $batches")
   }
 
+  test("executor-side reader preserves typed columns (timestamp, double, string)") {
+    import spark.implicits._
+    val path = s"$sf0001/orders.parquet"
+    // money sum through exact decimal: a raw double sum is partition-order
+    // dependent and the stream splits partitions differently than the scan
+    val batch = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+        max(col("o_orderdate")), min(col("o_orderpriority")))
+      .as[(Long, Double, java.sql.Timestamp, String)].head()
+
+    var streamed = Vector.empty[(Long, Double, java.sql.Timestamp, String)]
+    val q = spark.readStream
+      .format(classOf[ReplayStreamSource].getName)
+      .option("path", path)
+      .option("batchSize", "100000") // one batch: aggregate over the whole table
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed :+= b.agg(count(lit(1)),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+          max(col("o_orderdate")), min(col("o_orderpriority")))
+          .as[(Long, Double, java.sql.Timestamp, String)].head()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(streamed.size === 1)
+    assert(streamed.head === batch,
+      "replayed aggregates must equal the batch read (types decoded identically)")
+  }
+
   test("restart from checkpoint resumes at committed offsets (no replays)") {
     val checkpoint = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
     def run(): Long = {
