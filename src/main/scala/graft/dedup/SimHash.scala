@@ -37,14 +37,24 @@ object SimHash {
     val laneSums = (0 until 16).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lane)).as(s"w$j")
     }
+    val fpExpr =
+      // bit i of fp = sign of Σ±1 = [2*ones_i > n], ones_i unpacked from
+      // lane i/16 of word w_(i%16)
+      (0 until 64).map { i =>
+        val ones = shiftright(col(s"w${i % 16}"), 16 * (i / 16)).bitwiseAND(0xFFFFL)
+        when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
     hashed.groupBy(col("id")).agg(laneSums.head, laneSums.tail :+ count(lit(1)).as("n"): _*)
       .select(col("id"),
-        // bit i of fp = sign of Σ±1 = [2*ones_i > n], ones_i unpacked from
-        // lane i/16 of word w_(i%16)
-        (0 until 64).map { i =>
-          val ones = shiftright(col(s"w${i % 16}"), 16 * (i / 16)).bitwiseAND(0xFFFFL)
-          when(ones * 2 > col("n"), lit(1L << i)).otherwise(0L)
-        }.reduce(_ bitwiseOR _).as("fp"))
+        // lane-capacity contract enforced IN the selected expression (a
+        // side column would be pruned): an oversized doc raises an
+        // actionable error instead of an ANSI overflow mid-sum (or, with
+        // ANSI off, a silently corrupted fingerprint)
+        when(col("n") > 32767L,
+          raise_error(concat(lit("SimHash: doc "), col("id").cast("string"),
+            lit(" has > 32767 distinct tokens; shard tokens by pmod(h, s) first")))
+            .cast("long"))
+          .otherwise(fpExpr).as("fp"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

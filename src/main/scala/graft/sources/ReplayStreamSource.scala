@@ -179,30 +179,37 @@ final class ReplayPartitionReader(p: ReplayInputPartition)
 
   private val reader =
     ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.path), new Configuration()))
-  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-  // parquet field index for each Spark field (by name — file order may differ)
-  private val fieldIdx = p.schema.fields.map(f => fileSchema.getFieldIndex(f.name))
-  // Spark timestamps are internally MICROSECONDS; the file's int64 may be
-  // annotated millis/micros/nanos — precompute the per-field scale
-  // (positive = multiply, negative = divide).
-  private val tsScale: Array[Long] = p.schema.fields.map { f =>
-    f.dataType match {
-      case TimestampType | TimestampNTZType =>
-        import org.apache.parquet.schema.LogicalTypeAnnotation
-        fileSchema.getType(fileSchema.getFieldIndex(f.name)).asPrimitiveType()
-          .getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
-              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
-              case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+  // post-open initialization closes the file handle on failure (e.g. a
+  // mixed-schema directory where this file lacks a query column) — task
+  // retries must not leak open streams
+  private val (fileSchema, columnIO, fieldIdx, tsScale) =
+    try {
+      val fs = reader.getFooter.getFileMetaData.getSchema
+      val io = new ColumnIOFactory().getColumnIO(fs)
+      // parquet field index for each Spark field (by name — file order may differ)
+      val idx = p.schema.fields.map(f => fs.getFieldIndex(f.name))
+      // Spark timestamps are internally MICROSECONDS; the file's int64 may be
+      // annotated millis/micros/nanos — precompute the per-field scale
+      // (positive = multiply, negative = divide).
+      val scale: Array[Long] = p.schema.fields.map { f =>
+        f.dataType match {
+          case TimestampType | TimestampNTZType =>
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            fs.getType(fs.getFieldIndex(f.name)).asPrimitiveType()
+              .getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+                }
+              case _ => 1L
             }
           case _ => 1L
         }
-      case _ => 1L
-    }
-  }
+      }
+      (fs, io, idx, scale)
+    } catch { case e: Throwable => reader.close(); throw e }
 
   private var remainingToSkip = p.skip
   private var remainingToTake = p.take

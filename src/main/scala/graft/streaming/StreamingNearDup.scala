@@ -57,8 +57,13 @@ object StreamingNearDup {
       val bands = batchBandKeys(batch, idCol, textCol, shingleN, numHashes, numBands)
         .persist()
       try {
+        // distinguish "no index yet" (first batch) from a genuine read
+        // failure: swallowing the latter would silently skip the vs-index
+        // check and pollute the index with near-dups of ingested docs
+        val indexHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = indexHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val seen: Option[DataFrame] =
-          try Some(spark.read.parquet(indexPath)) catch { case _: Exception => None }
+          if (fs.exists(indexHadoopPath)) Some(spark.read.parquet(indexPath)) else None
 
         // dropped if any band key collides with the index or with an
         // earlier (lower-id) doc of this same batch
