@@ -71,6 +71,25 @@ object Clustering {
     KMeansResult(centroids, assign(data, "v", centroids).select(col("id"), col("cell")))
   }
 
+  /** Per-subspace PQ codebooks trained by k-means: subspace j's codebook is
+    * the centroids of a k-means over the j-th `dim/m`-dim vector slice.
+    * Returns `codebook(j)(c)` for [[Similarity.pqTopK]]'s `trainedCodebooks`
+    * (codeword index = position; cells that emptied are dropped, which PQ
+    * handles — codes index the surviving list).
+    */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, m: Int, ncode: Int,
+                       dim: Int, iters: Int,
+                       idCol: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    require(dim % m == 0, "dim must be divisible by m")
+    val ds = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol).as("__pq_id"),
+        slice(col(vecCol).cast("array<double>"), j * ds + 1, ds).as("__pq_sub"))
+      kmeans(sub, "__pq_id", "__pq_sub", ncode, ds, iters)
+        .centroids.map(_._2).toIndexedSeq
+    }
+  }
+
   /** Total within-cluster reduced-form inertia Σ(|x−c|²) for diagnostics. */
   def inertia(df: DataFrame, idCol: String, vecCol: String,
               centroids: Seq[(Int, Seq[Double])]): Double = {

@@ -185,21 +185,24 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, qidCol: String,
              candidates: DataFrame, cidCol: String,
-             vecCol: String, k: Int, m: Int, ncode: Int, dim: Int): DataFrame = {
+             vecCol: String, k: Int, m: Int, ncode: Int, dim: Int,
+             trainedCodebooks: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     require(dim % m == 0, "dim must be divisible by m")
     val ds = dim / m
 
-    // Codebooks: ncode rows to the driver ONCE (a PQ codebook is tiny at any
-    // data scale), as per-subspace literal arrays.
-    val cbRows = candidates
-      .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("c")).limit(ncode).collect()
-    // codebook(j)(c) = codeword c of subspace j
-    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+    // Codebooks: per-subspace literal arrays — either k-means-trained
+    // (Clustering.trainPqCodebooks) or, by default, the subvectors of the
+    // ncode lowest-id candidates brought to the driver ONCE (a PQ codebook
+    // is tiny at any data scale). codebook(j)(c) = codeword c of subspace j.
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] = trainedCodebooks.getOrElse {
+      val cbRows = candidates
+        .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
+        .orderBy(col("c")).limit(ncode).collect()
       (0 until m).map { j =>
         cbRows.toIndexedSeq.map(r => r.getSeq[Double](1).slice(j * ds, (j + 1) * ds))
       }
+    }
     // |codeword|² as sequential left folds — same order as the oracle's fold
     val cw2: IndexedSeq[IndexedSeq[Double]] =
       codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
@@ -214,7 +217,7 @@ object Similarity {
     // (IEEE-rounded) ordering matches bit-for-bit.
     def encode(df: DataFrame, vecC: String): DataFrame =
       (0 until m).foldLeft(df) { (d, j) =>
-        val scored = (0 until ncode).map { c =>
+        val scored = codebook(j).indices.map { c =>
           struct(
             (lit(cw2(j)(c)) -
               lit(2.0) * VectorFunctions.dot(sub(col(vecC), j),
@@ -229,7 +232,7 @@ object Similarity {
     // subspace on the tiny query side only.
     def withLuts(df: DataFrame, vecC: String): DataFrame =
       (0 until m).foldLeft(df) { (d, j) =>
-        d.withColumn(s"lut_$j", array((0 until ncode).map { c =>
+        d.withColumn(s"lut_$j", array(codebook(j).indices.map { c =>
           VectorFunctions.dot(sub(col(vecC), j), array(codebook(j)(c).map(lit): _*))
         }: _*))
       }

@@ -43,6 +43,24 @@ class ClusteringSpec extends SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("per-subspace trained codebooks drive PQ/ADC") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // train on quantized slices (deterministic), scale codewords back to the
+    // raw embedding domain for serving
+    val trained = Clustering.trainPqCodebooks(
+      quant, "qv", m = 8, ncode = 16, dim = 64, iters = 2, idCol = "vec_id")
+      .map(_.map(_.map(_ / 1000000.0)))
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, m = 8, ncode = 16, dim = 64, trainedCodebooks = Some(trained))
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"trained-PQ recall $recall unreasonably low")
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("every row is assigned to its true nearest centroid") {
     val r = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 2)
     val cents = r.centroids
