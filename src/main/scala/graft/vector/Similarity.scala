@@ -258,6 +258,88 @@ object Similarity {
       .select("qid", "rank", "cid", "score")
   }
 
+  /** IVF+PQ combined serving path — the full vector-database architecture:
+    * candidates are coarse-quantized into IVF cells AND PQ-encoded; a query
+    * probes its `nprobe` nearest cells and ADC-scores ONLY the codes in
+    * those cells. At 10⁹ vectors this touches `nprobe/nlist` of the corpus
+    * and reads m bytes per touched vector — the two reductions compose.
+    *
+    * The cell equi-join replaces pqTopK's broadcast cross join, so the
+    * query side may be large; both index stages are shuffle-free row-wise
+    * argmins against driver-literal centroids/codebooks (pass k-means
+    * results via `trainedSeeds`/`trainedCodebooks` for trained indexes).
+    */
+  def ivfPqTopK(queries: DataFrame, qidCol: String,
+                candidates: DataFrame, cidCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ncode: Int, dim: Int,
+                trainedSeeds: Option[Seq[(Long, Seq[Double])]] = None,
+                trainedCodebooks: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    require(dim % m == 0, "dim must be divisible by m")
+    val ds = dim / m
+
+    val seeds: Seq[(Long, Seq[Double])] = trainedSeeds.getOrElse {
+      candidates
+        .select(col(cidCol).cast("long").as("sid"),
+          col(vecCol).cast("array<double>").as("svec"))
+        .orderBy(col("sid")).limit(nlist).collect()
+        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    }
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] = trainedCodebooks.getOrElse {
+      val cbRows = candidates
+        .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
+        .orderBy(col("c")).limit(ncode).collect()
+      (0 until m).map { j =>
+        cbRows.toIndexedSeq.map(r => r.getSeq[Double](1).slice(j * ds, (j + 1) * ds))
+      }
+    }
+
+    def sub(vec: Column, j: Int): Column = slice(vec, j * ds + 1, ds)
+
+    def cells(df: DataFrame, vecC: String, nCells: Int): DataFrame = {
+      val perSeed = seeds.map { case (sid, svec) =>
+        struct((-VectorFunctions.cosine(col(vecC), array(svec.map(lit): _*))).as("nscore"),
+          lit(sid).as("sid"))
+      }
+      df.withColumn("__c", explode(slice(array_sort(array(perSeed: _*)), 1, nCells)))
+        .withColumn("cell", col("__c").getField("sid")).drop("__c")
+    }
+
+    // index side: cell + m codes per candidate, vectors dropped after encode
+    val cw2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    val coded = (0 until m).foldLeft(
+      cells(candidates.select(col(cidCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cvec")), "cvec", 1)) { (d, j) =>
+      val scored = codebook(j).indices.map { c =>
+        struct((lit(cw2(j)(c)) - lit(2.0) * VectorFunctions.dot(sub(col("cvec"), j),
+          array(codebook(j)(c).map(lit): _*))).as("d2"), lit(c).as("c"))
+      }
+      d.withColumn(s"code_$j", element_at(array_sort(array(scored: _*)), 1).getField("c"))
+    }.drop("cvec")
+
+    // query side: nprobe cells + per-subspace LUTs
+    val q = (0 until m).foldLeft(
+      cells(queries.select(col(qidCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", nprobe)) { (d, j) =>
+      d.withColumn(s"lut_$j", array(codebook(j).indices.map { c =>
+        VectorFunctions.dot(sub(col("qvec"), j), array(codebook(j)(c).map(lit): _*))
+      }: _*))
+    }.drop("qvec")
+
+    val score = (0 until m)
+      .map(j => element_at(col(s"lut_$j"), col(s"code_$j") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.join(q, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.select("qid", "cid", "score")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "score")
+  }
+
   /** Per-label centroids (typed aggregation over array<float>): mean vector
     * per group via element-wise decimal-free double sums — used for IVF-style
     * coarse quantization (assign → nearest centroid bucket).

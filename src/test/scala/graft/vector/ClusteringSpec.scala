@@ -61,6 +61,25 @@ class ClusteringSpec extends SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("IVF+PQ combined serving path: trained indexes, cell-bounded ADC scoring") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seeds = Clustering.kmeans(quant, "vec_id", "qv", k = 16, dim = 64, iters = 2)
+      .centroids.map { case (c, v) => (c.toLong, v.map(_ / 1000000.0)) }
+    val books = Clustering.trainPqCodebooks(
+      quant, "qv", m = 8, ncode = 16, dim = 64, iters = 2, idCol = "vec_id")
+      .map(_.map(_.map(_ / 1000000.0)))
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6, m = 8, ncode = 16, dim = 64,
+      trainedSeeds = Some(seeds), trainedCodebooks = Some(books))
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"IVF+PQ recall $recall unreasonably low (two approximations compose)")
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("every row is assigned to its true nearest centroid") {
     val r = Clustering.kmeans(quant, "vec_id", "qv", k = 8, dim = 64, iters = 2)
     val cents = r.centroids
