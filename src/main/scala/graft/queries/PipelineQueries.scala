@@ -73,6 +73,48 @@ object PipelineQueries {
        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB oracle for the combined IVF+PQ serving path: IVF cells by
+    * cosine argmax (tie by seed id), PQ codes by the reduced argmin key,
+    * probe `nprobe` cells per query, ADC-score only in-cell pairs. Every
+    * stage reuses the already-proven ivf/pq oracle fragments.
+    */
+  private def ivfPqOracleSql(nlist: Int, nprobe: Int, m: Int, ncode: Int,
+                             dim: Int, k: Int, maxQid: Int): String = {
+    val ds = dim / m
+    def sl(v: String, j: Int) = s"list_slice($v, ${j * ds + 1}, ${(j + 1) * ds})"
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
+    val encCtes = (0 until m).map { j =>
+      s"""enc_$j AS (SELECT vec_id, c AS code_$j FROM (
+         |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |    (${dotE(sl("cb.cv", j), sl("cb.cv", j))}
+         |     - 2 * ${dotE(sl("e.v", j), sl("cb.cv", j))}) ASC, cb.c) AS rn
+         |  FROM e CROSS JOIN cb) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encJoin = (1 until m).foldLeft("enc_0")((acc, j) => s"$acc JOIN enc_$j USING (vec_id)")
+    val cbJoins = (0 until m).map(j => s"JOIN cb cb$j ON cb$j.c = x.code_$j").mkString(" ")
+    val scoreExpr = (0 until m).map(j => dotE(sl("q.qv", j), sl(s"cb$j.cv", j))).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT $nlist),
+       |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT $ncode),
+       |cass AS (SELECT vec_id, sid AS cell FROM (
+       |    SELECT e.vec_id, s.sid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${sqlCos("e.v", "s.sv")} DESC, s.sid) AS rn
+       |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+       |$encCtes,
+       |x AS (SELECT * FROM cass JOIN ($encJoin) USING (vec_id)),
+       |qass AS (SELECT qid, qv, sid AS cell FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qv, s.sid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCos("e.v", "s.sv")} DESC, s.sid) AS rn
+       |    FROM e CROSS JOIN seeds s WHERE e.vec_id < $maxQid) t WHERE rn <= $nprobe),
+       |sc AS (SELECT q.qid, x.vec_id AS cid, $scoreExpr AS score
+       |       FROM qass q JOIN x USING (cell) $cbJoins WHERE x.vec_id <> q.qid),
+       |r AS (SELECT qid, cid, score,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM sc)
+       |SELECT qid, rk, cid, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
   /** DuckDB oracle for PQ/ADC top-k: derives the same deterministic
     * codebooks in SQL (subvectors of the ncode lowest-id vectors, codeword
     * index = rank by vec_id), encodes every vector with the same
@@ -743,6 +785,23 @@ object PipelineQueries {
           .orderBy(col("qid"), col("rk"))
       },
       Some(pqOracleSql(m = 8, ncode = 16, dim = 64, k = 3, maxQid = 10))),
+
+    // The COMBINED vector-DB serving path: IVF cells bound which vectors a
+    // query touches; PQ codes bound how many bytes each touched vector
+    // costs. Both index stages and the in-cell ADC scoring are
+    // deterministic, so the full composition hash-matches its generated
+    // oracle.
+    DeclaredQuery("ivf_pq_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4, m = 8, ncode = 16, dim = 64)
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(ivfPqOracleSql(nlist = 16, nprobe = 4, m = 8, ncode = 16,
+        dim = 64, k = 3, maxQid = 10))),
 
     // IVF is deterministic end to end (seed cells = lowest-id vectors,
     // cosine = portable double fold), so the full coarse-quantize + probe +
