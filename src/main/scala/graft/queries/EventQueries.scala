@@ -329,6 +329,45 @@ object EventQueries {
         FROM d JOIN c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- Variance / outlier detection over exact sums. Built-in stddev
+    // accumulates doubles in partition order (engine-dependent), so the
+    // moments come from EXACT integer sums of cents (Σc, Σc² both
+    // overflow-safe longs) and the variance is a fixed sequence of IEEE ops
+    // written identically in the oracle — 2σ outlier verdicts then match
+    // bit-for-bit.
+    DeclaredQuery("value_outliers",
+      (s, dir) => {
+        val cents = events(s, dir)
+          .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("c"))
+        val stats = cents.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("s2"))
+          .withColumn("mean", col("s").cast("double") / col("n"))
+          .withColumn("variance",
+            (col("s2").cast("double") -
+              col("s").cast("double") * col("s").cast("double") / col("n")) /
+              (col("n") - 1))
+        cents.join(broadcast(stats), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c") > col("mean") + lit(2.0) * sqrt(col("variance")) ||
+                     col("c") < col("mean") - lit(2.0) * sqrt(col("variance")),
+              1L).otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM events),
+        st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS s2
+               FROM c GROUP BY 1),
+        b AS (SELECT event_type, n,
+            CAST(s AS DOUBLE) / n AS mean,
+            (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS variance
+          FROM st)
+        SELECT c.event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN c.c > mean + 2 * sqrt(variance)
+                         OR c.c < mean - 2 * sqrt(variance) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM c JOIN b USING (event_type) GROUP BY 1 ORDER BY 1""")),
+
     // ---- User-journey transitions: event-type bigram counts in per-user
     // sequence order (the Markov-chain / funnel-discovery building block).
     // One window pass over the per-user ordering the sessionization queries

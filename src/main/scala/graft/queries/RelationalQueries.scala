@@ -285,6 +285,29 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
 
     // ---- set operations ---------------------------------------------------
+    // ---- edit-distance fuzzy matching (entity-resolution primitive) -------
+    // All name pairs within Levenshtein distance 4 — broadcast the tiny
+    // side; both engines implement unit-cost edit distance identically.
+    DeclaredQuery("fuzzy_match_nations",
+      (s, dir) => {
+        val a = tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("id1"), col("n_name").as("name1"))
+        val b = tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("id2"), col("n_name").as("name2"))
+        a.join(broadcast(b), col("id1") < col("id2"))
+          .withColumn("dist", levenshtein(col("name1"), col("name2")))
+          .filter(col("dist") <= 4)
+          .select(col("id1"), col("id2"), col("name1"), col("name2"),
+            col("dist").cast("long").as("dist"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""SELECT a.n_nationkey AS id1, b.n_nationkey AS id2,
+          a.n_name AS name1, b.n_name AS name2,
+          CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE levenshtein(a.n_name, b.n_name) <= 4
+        ORDER BY 1, 2""")),
+
     // ---- one-pass column profiling (ANALYZE-style data quality) -----------
     DeclaredQuery("table_profile_orders",
       (s, dir) => graft.relational.Profile.profile(
