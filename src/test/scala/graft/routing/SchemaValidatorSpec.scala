@@ -103,6 +103,22 @@ class SchemaValidatorSpec extends SparkSpec {
       ("three octets", """{"kind":"10.0.0"}""", false)))
   }
 
+  test("date / uri / hostname formats validate like AJV") {
+    verdicts(RegisteredSchema("t/4", Seq(Format("kind", "date"))), Seq(
+      ("date", """{"kind":"2026-08-12"}""", true),
+      ("datetime not date", """{"kind":"2026-08-12T00:00:00Z"}""", false),
+      ("not a date", """{"kind":"august"}""", false)))
+    verdicts(RegisteredSchema("t/5", Seq(Format("kind", "uri"))), Seq(
+      ("https", """{"kind":"https://example.com/a?b=1"}""", true),
+      ("custom scheme", """{"kind":"s3://bucket/key"}""", true),
+      ("no scheme", """{"kind":"example.com/a"}""", false),
+      ("space", """{"kind":"https://exa mple.com"}""", false)))
+    verdicts(RegisteredSchema("t/6", Seq(Format("kind", "hostname"))), Seq(
+      ("fqdn", """{"kind":"a-1.example.com"}""", true),
+      ("single label", """{"kind":"localhost"}""", true),
+      ("leading dash label", """{"kind":"-bad.example.com"}""", false)))
+  }
+
   test("unknown format name fails fast at schema construction") {
     intercept[IllegalArgumentException] {
       Format("kind", "no-such-format").predicate(col("doc"))
