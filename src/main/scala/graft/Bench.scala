@@ -29,15 +29,19 @@ object Bench {
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Two rounds of parse failures taught us the stdout contract the hard way:
+    // r1 — one long line, head-truncated by the driver's ~3 KB tail capture;
+    // r2 — sbt's LoggedOutput prefixed every line with "[info] " so nothing
+    // parsed as JSON. Now: raw stdout (build.sbt StdoutOutput), per-query
+    // times rounded to 3 decimals (~25 B/entry keeps the whole line inside
+    // the tail window), and exactly ONE JSON line as the last program output.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver's stdout-tail capture truncated the single long JSON line in
-    // round 1 (BENCH_r01.json parsed:null). Persist the full JSON to a file
-    // and keep stdout to two lines: the full JSON first (for drivers that
-    // parse stdout head) and a short total-only line last (for tail capture).
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
@@ -45,7 +49,6 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
