@@ -35,6 +35,50 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact sparse-cosine document similarity over term-frequency vectors,
+    * via an inverted postings index — the bag-of-words sibling of
+    * [[ngramJaccardPairs]].
+    *
+    * dot(d1,d2) = Σ_term tf₁·tf₂ accumulates through an equi-join on term +
+    * one aggregation: traffic is proportional to actually-shared terms, no
+    * dense vectors or per-pair array work ever materialize. All sums are
+    * exact integers; the only floating-point ops are the final sqrt/divide,
+    * written identically in the oracle, so scores hash-match.
+    *
+    * Scale shape: the join fan-out per term is df² — Zipf-headed corpora
+    * need `maxDf` to cap hot-term postings (a recall knob, like LSH bucket
+    * width). A pruned term is excluded from pair generation and from the
+    * dot, but kept in the norms, so a pruned run loses pairs sharing ONLY
+    * ultra-common terms and reports a lower bound of true cosine for the
+    * rest — conservative in the near-dup-gate direction. With
+    * `maxDf = None` results are exact cosine.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val postings = maxDf match {
+      case Some(cap) =>
+        val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df_.filter(col("df") <= cap)), "t").drop("df")
+      case None => tf
+    }
+    val dots = postings.select(col("id").as("id1"), col("t"), col("tf").as("tf1"))
+      .join(postings.select(col("id").as("id2"), col("t"), col("tf").as("tf2")), Seq("t"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("tf1") * col("tf2")).as("dot"))
+    val norms = tf.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("s2"))
+    dots
+      .join(norms.select(col("id").as("id1"), col("s2").as("s1")), "id1")
+      .join(norms.select(col("id").as("id2"), col("s2").as("n2")), "id2")
+      .withColumn("score", col("dot").cast("double") /
+        (sqrt(col("s1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+
   /** Exact word-n-gram Jaccard similarity for all pairs within blocks,
     * via an inverted shingle index (no array ops, no cross products).
     *

@@ -161,6 +161,31 @@ object PipelineQueries {
        |      FROM sc)
        |SELECT qid, rk, cid, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
 
+  /** DuckDB oracle for the binary-quantization two-stage path: identical
+    * sign-bit packing (the same `1L << i` literals, bit 63 = Long.MinValue,
+    * emitted as CAST(... AS BIGINT) so DuckDB keeps the sum in BIGINT),
+    * hamming shortlist with (ham, cid) tie-break, exact-cosine rerank.
+    */
+  private def bqOracleSql(dim: Int, k: Int, rerank: Int, maxQid: Int): String = {
+    val bits = (0 until dim).map { i =>
+      s"(CASE WHEN v[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, $bits AS code FROM e),
+       |q AS (SELECT c.vec_id AS qid, c.code AS qcode, e.v AS qv
+       |      FROM c JOIN e USING (vec_id) WHERE c.vec_id < $maxQid),
+       |h AS (SELECT q.qid, c.vec_id AS cid, q.qv,
+       |        CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS ham,
+       |        ROW_NUMBER() OVER (PARTITION BY q.qid
+       |          ORDER BY bit_count(xor(c.code, q.qcode)), c.vec_id) AS hrk
+       |      FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       |rr AS (SELECT h.qid, h.cid, h.ham, ${sqlCos("h.qv", "e.v")} AS score
+       |       FROM h JOIN e ON e.vec_id = h.cid WHERE h.hrk <= $rerank),
+       |r AS (SELECT qid, cid, ham, score,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM rr)
+       |SELECT qid, rk, cid, ham, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
   private def lshPairsOracleSql(numPlanes: Int, dim: Int, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
@@ -802,6 +827,46 @@ object PipelineQueries {
       },
       Some(ivfPqOracleSql(nlist = 16, nprobe = 4, m = 8, ncode = 16,
         dim = 64, k = 3, maxQid = 10))),
+
+    // Sparse-cosine similarity join: inverted postings index, integer dot /
+    // norm sums, one IEEE sqrt-divide at the end — the exact bag-of-words
+    // dual of the dense cosine path, with no dense vectors materialized.
+    DeclaredQuery("sparse_cosine_pairs",
+      (s, dir) => Dedup.sparseCosinePairs(tbl(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9)
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        dots AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1)
+        SELECT id1, id2,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) AS score
+        FROM dots
+        JOIN norms n1 ON n1.doc_id = id1
+        JOIN norms n2 ON n2.doc_id = id2
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9
+        ORDER BY id1, id2""")),
+
+    // Binary quantization: the candidate scan reads ONE BIGINT per vector
+    // (8 bytes vs 256 for the floats — the 32× I/O cut that makes a 10⁹-row
+    // hamming pre-filter feasible), and only the Q·rerank shortlist ever
+    // rejoins its floats for exact cosine. Sign bits, bit_count(xor), and
+    // the rerank fold are all engine-portable, so both stages hash-match.
+    DeclaredQuery("bq_hamming_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bqTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
+          "embedding", k = 3, rerank = 20, dim = 64)
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"), col("ham"), col("score"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(bqOracleSql(dim = 64, k = 3, rerank = 20, maxQid = 10))),
 
     // IVF is deterministic end to end (seed cells = lowest-id vectors,
     // cosine = portable double fold), so the full coarse-quantize + probe +

@@ -308,6 +308,37 @@ object RelationalQueries {
         WHERE levenshtein(a.n_name, b.n_name) <= 4
         ORDER BY 1, 2""")),
 
+    // ---- bivariate statistics from exact power sums -----------------------
+    // covar/corr/OLS per group, hash-exact across engines: native corr merges
+    // partition moments in partition order (low bits vary); this computes the
+    // five integer power sums exactly and each statistic as one closed-form
+    // IEEE expression, written with identical shape in the oracle.
+    DeclaredQuery("stats_regression",
+      (s, dir) => graft.relational.Profile.groupedRegression(
+          events(s, dir), "event_type",
+          col("user_id"), floor(col("value") * lit(100.0)))
+        .orderBy(col("event_type")),
+      Some("""WITH q AS (SELECT event_type, user_id AS x,
+            CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        s AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM q GROUP BY 1),
+        d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+            CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+            CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+            CAST(sxy AS DOUBLE) AS sxy
+          FROM s)
+        SELECT event_type, n,
+          (nd * sxy - sx * sy) / (nd * nd) AS covar_pop,
+          (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+          (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd AS intercept,
+          (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr,
+          ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+            * ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) AS r2
+        FROM d ORDER BY event_type""")),
+
     // ---- one-pass column profiling (ANALYZE-style data quality) -----------
     DeclaredQuery("table_profile_orders",
       (s, dir) => graft.relational.Profile.profile(

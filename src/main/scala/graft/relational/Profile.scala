@@ -17,6 +17,49 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  import org.apache.spark.sql.Column
+
+  /** Grouped bivariate statistics — covariance, Pearson correlation, OLS
+    * slope/intercept, r² — from EXACT integer power sums.
+    *
+    * Spark's native corr/covar_pop (like every distributed engine's) merge
+    * per-partition moments in partition order, so their low bits differ run
+    * to run and engine to engine. Here both inputs are integer-valued
+    * columns (quantize first — e.g. floor(y·100)), the five power sums
+    * Σx Σy Σx² Σy² Σxy aggregate exactly (order-free), and each statistic
+    * is ONE closed-form IEEE expression over the sums — bitwise-reproducible
+    * anywhere, at any partitioning, including in the DuckDB oracle.
+    *
+    * One shuffle (the groupBy), map-side combined; the closed forms cost
+    * nothing per row. The sums are computed as longs (exact up to ±2⁶³) and
+    * the formulas in double: products of sums can exceed 2⁵³, where double
+    * rounding is deterministic-but-inexact — fine for statistics, and
+    * identical across engines because the expression shape is identical.
+    */
+  def groupedRegression(df: DataFrame, groupCol: String,
+                        x: Column, y: Column): DataFrame = {
+    val d = df.select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+    val n = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val covN = n * dd("sxy") - dd("sx") * dd("sy")
+    val varXN = n * dd("sxx") - dd("sx") * dd("sx")
+    val varYN = n * dd("syy") - dd("sy") * dd("sy")
+    val slope = covN / varXN
+    val corr = covN / (sqrt(varXN) * sqrt(varYN))
+    d.select(col(groupCol), col("n"),
+      (covN / (n * n)).as("covar_pop"),
+      slope.as("slope"),
+      ((dd("sy") - slope * dd("sx")) / n).as("intercept"),
+      corr.as("corr"),
+      (corr * corr).as("r2"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -340,6 +340,43 @@ object Similarity {
       .select("qid", "rank", "cid", "score")
   }
 
+  /** Binary-quantization ANN: candidates are sign-bit-packed into one 64-bit
+    * code ([[VectorFunctions.signBits]]); a query shortlists the `rerank`
+    * hamming-nearest codes, then exact-cosine re-ranks only the shortlist.
+    *
+    * Scale shape: the hamming scan touches 8 bytes per candidate (codes
+    * precomputable as the "index"; the float vectors never leave the scan
+    * until the shortlist join), `bit_count(xor)` is one codegen'd ALU op per
+    * pair, and the rerank join brings back floats for only Q·rerank rows —
+    * broadcast on the shortlist side. Everything (sign bits, hamming, cosine
+    * fold) is deterministic and engine-portable, so the full two-stage path
+    * is oracle-checked end to end.
+    */
+  def bqTopK(queries: DataFrame, qidCol: String,
+             candidates: DataFrame, cidCol: String,
+             vecCol: String, k: Int, rerank: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qcode", VectorFunctions.signBits(col("qvec"), dim))
+    // candidate side carries ONLY (cid, code) past this projection
+    val codes = candidates.select(col(cidCol).as("cid"),
+      VectorFunctions.signBits(col(vecCol), dim).as("ccode"))
+    val wh = Window.partitionBy(col("qid")).orderBy(col("ham"), col("cid"))
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("ham", VectorFunctions.hamming(col("ccode"), col("qcode")))
+      .withColumn("hrk", row_number().over(wh))
+      .filter(col("hrk") <= rerank)
+      .select("qid", "cid", "ham", "qvec")
+    val rr = broadcast(short)
+      .join(candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec")), "cid")
+      .withColumn("score", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    rr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "ham", "score")
+  }
+
   /** Per-label centroids (typed aggregation over array<float>): mean vector
     * per group via element-wise decimal-free double sums — used for IVF-style
     * coarse quantization (assign → nearest centroid bucket).

@@ -71,6 +71,36 @@ class DedupSpec extends SparkSpec {
     assert(inverted === direct)
   }
 
+  test("sparse cosine pairs equals a local dense computation; maxDf only drops pairs") {
+    val got = Dedup.sparseCosinePairs(corpus, "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // local reference: dense TF vectors, exact integer sums
+    val tfs = corpus.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    for {
+      (i, ti) <- tfs; (j, tj) <- tfs if i < j
+    } {
+      val dot = ti.keySet.intersect(tj.keySet).toSeq.map(k => ti(k) * tj(k)).sum
+      val exp = dot.toDouble /
+        (math.sqrt(ti.values.map(x => x * x).sum.toDouble) *
+          math.sqrt(tj.values.map(x => x * x).sum.toDouble))
+      if (dot > 0) assert(got((i, j)) === exp, s"pair ($i,$j)")
+      else assert(!got.contains((i, j)))
+    }
+    // exact dups score 1.0; near-dups score high
+    assert(got((1L, 4L)) === 1.0)
+    assert(got((1L, 2L)) > 0.9)
+
+    // pruning hot terms ("the" has df=3) only removes pairs, and surviving
+    // scores are lower bounds of the exact ones
+    val pruned = Dedup.sparseCosinePairs(corpus, "doc_id", "text",
+      threshold = 0.0, maxDf = Some(2))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pruned.keySet.subsetOf(got.keySet))
+    pruned.foreach { case (p, s) => assert(s <= got(p) + 1e-12) }
+  }
+
   test("dropExactDuplicates keeps exactly one row per content group") {
     val out = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet

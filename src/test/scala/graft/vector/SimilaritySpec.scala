@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.forall { case (qid, cid) => qid != cid })
   }
 
+  test("BQ hamming top-k: recall vs brute force, codes match local sign bits") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.bqTopK(q, "vec_id", emb, "vec_id", "embedding",
+      k = 5, rerank = 50, dim = 64)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"BQ recall $recall unreasonably low for rerank=50")
+
+    // packed code equals a locally computed sign mask (incl. bit 63 path)
+    val row = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).as[Array[Float]].head()
+    val local = row.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+      if (x > 0f) acc + (1L << i) else acc
+    }
+    val got = emb.filter(col("vec_id") === 7)
+      .select(VectorFunctions.signBits(col("embedding"), 64)).as[Long].head()
+    assert(got === local)
+  }
+
   test("PQ/ADC top-k recall vs brute force") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id", "embedding", k = 5)
