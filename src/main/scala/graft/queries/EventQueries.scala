@@ -388,5 +388,38 @@ object EventQueries {
           FROM events)
         SELECT from_type, to_type, COUNT(*) AS n
         FROM t WHERE to_type IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 1, 2""")))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Count-Min sketch: constant-size (depth×width) frequency summary.
+    // md5 hash rows make the sketch CELLS engine-portable, so the oracle
+    // rebuilds the identical sketch and the whole estimate path hash-matches;
+    // width 64 < 150 distinct users forces real collisions, and the output
+    // carries the est ≥ exact one-sided-error guarantee per key.
+    DeclaredQuery("countmin_user_est",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val sk = graft.relational.Sketches.countMinSketch(ev, "user_id", depth = 4, width = 64)
+        val est = graft.relational.Sketches.countMinEstimate(
+          sk, ev.select(col("user_id")).distinct(), "user_id", depth = 4, width = 64)
+        val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+        est.join(exact, "user_id")
+          .select(col("user_id"), col("est"), col("exact"),
+            (col("est") >= col("exact")).as("ok"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH hj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        coords AS (
+          SELECT user_id, j,
+            CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+          FROM events CROSS JOIN hj),
+        sk AS (SELECT j, bucket, COUNT(*) AS cnt FROM coords GROUP BY 1, 2),
+        kc AS (
+          SELECT user_id, j,
+            CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+          FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN hj),
+        est AS (SELECT kc.user_id, MIN(sk.cnt) AS est
+                FROM kc JOIN sk USING (j, bucket) GROUP BY 1),
+        ex AS (SELECT user_id, COUNT(*) AS "exact" FROM events GROUP BY 1)
+        SELECT user_id, est, "exact", est >= "exact" AS ok
+        FROM est JOIN ex USING (user_id) ORDER BY user_id""")))
 }

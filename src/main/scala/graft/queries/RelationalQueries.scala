@@ -308,6 +308,29 @@ object RelationalQueries {
         WHERE levenshtein(a.n_name, b.n_name) <= 4
         ORDER BY 1, 2""")),
 
+    // ---- Bloom-filter runtime join pruning --------------------------------
+    // The filtered build side (high-value orders) collapses to a 2 KB literal
+    // bit array; the probe side (lineitem — the 100 TB table) is pruned by a
+    // pushed-down predicate BEFORE the join's shuffle, cutting its volume to
+    // build-selectivity + false positives. The exact join then makes the
+    // result identical to the unfiltered plan — which is exactly what the
+    // oracle runs. BloomSpec measures the pruning and the FP rate.
+    DeclaredQuery("bloom_prune_join",
+      (s, dir) => {
+        val hi = tbl(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        val li = tbl(s, dir, "lineitem")
+        val words = graft.relational.Sketches.bloomBuild(hi, "o_orderkey", k = 5, mBits = 16384)
+        li.filter(graft.relational.Sketches.bloomMightContain(words, col("l_orderkey"), k = 5))
+          .join(hi.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 450000
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- bivariate statistics from exact power sums -----------------------
     // covar/corr/OLS per group, hash-exact across engines: native corr merges
     // partition moments in partition order (low bits vary); this computes the
