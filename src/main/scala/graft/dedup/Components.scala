@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering step that turns
+  * pairwise near-duplicate EDGES (MinHash / SimHash / Jaccard / cosine
+  * pairs) into duplicate GROUPS, so a pipeline can keep one canonical
+  * document per cluster instead of per pair.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each node starts
+  * labeled with its own id; each round takes the min of its neighbors'
+  * labels (one equi-join + min aggregation over the symmetrized edge list),
+  * then compresses paths with label-of-label (comp := comp(comp) — one more
+  * equi-join). Propagation alone needs O(diameter) rounds; the jumping step
+  * halves label-tree depth each round, so convergence is O(log diameter) —
+  * the same round-complexity class as the large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce", SoCC'14), using
+  * only joins and aggregations Catalyst already optimizes.
+  *
+  * Scale shape: per round, one shuffle of the edge list by dst and one of
+  * the label table by comp — both map-side combinable; no per-component
+  * state ever gathers on one executor (a 10⁸-member component is fine; its
+  * label is just widely replicated). The fixpoint test is a one-scalar
+  * count per round (the standard driver-side convergence check of every
+  * iterative Spark algorithm), and `localCheckpoint` truncates the growing
+  * lineage each round (a reliable checkpoint dir at cluster scale).
+  *
+  * The result is deterministic regardless of round count or partitioning:
+  * at the fixpoint every node holds the MINIMUM id of its component.
+  */
+object Components {
+
+  /** @param nodes one row per node (`idCol`) — nodes without edges come out
+    *              as singleton components
+    * @param edges undirected pairs (`srcCol`, `dstCol`); symmetrized here
+    * @return (id, comp) with comp = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nbr"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jumping: every label is itself a node id, so one self-join
+      // rewrites comp(v) -> comp(comp(v)), halving label-tree depth
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"))
+        .select(col("id"), col("jcomp").as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Per-component rollup of [[connectedComponents]]: size and id checksum,
+    * multi-member components only (the actual duplicate sets).
+    */
+  def componentSummary(labels: DataFrame): DataFrame =
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
+      .filter(col("n_members") > 1)
+}

@@ -852,6 +852,45 @@ object PipelineQueries {
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9
         ORDER BY id1, id2""")),
 
+    // Near-dup CLUSTERING: pairwise edges (sparse-cosine >= 0.9) -> connected
+    // components via min-label propagation + pointer jumping, so dedup keeps
+    // one canonical doc per GROUP, not per pair. The oracle recomputes the
+    // same edges and closes them with a recursive CTE — component ids (min
+    // doc_id), sizes, and membership checksums all hash-match.
+    DeclaredQuery("dedup_components",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val labels = graft.dedup.Components.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
+        graft.dedup.Components.componentSummary(labels)
+          .orderBy(col("comp"))
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        dots AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
+          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
+        pairs AS (
+          SELECT id1, id2 FROM dots
+          JOIN norms n1 ON n1.doc_id = id1
+          JOIN norms n2 ON n2.doc_id = id2
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+        nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+        r AS (
+          WITH RECURSIVE rr(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+          SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
+        SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
+        FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""")),
+
     // Binary quantization: the candidate scan reads ONE BIGINT per vector
     // (8 bytes vs 256 for the floats — the 32× I/O cut that makes a 10⁹-row
     // hamming pre-filter feasible), and only the Q·rerank shortlist ever

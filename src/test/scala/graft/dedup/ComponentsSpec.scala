@@ -1,0 +1,48 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  maxIters: Int = 25): Map[Long, Long] =
+    Components.connectedComponents(
+      nodes.toDF("id"), "id",
+      edges.toDF("a", "b"), "a", "b", maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("triangle + chain + singleton resolve to min-id components") {
+    val got = run(
+      nodes = 1L to 8L,
+      edges = Seq((2L, 3L), (3L, 4L), (2L, 4L), // triangle {2,3,4}
+        (5L, 6L), (6L, 7L)))                    // chain {5,6,7}
+    assert(got(1L) === 1L && got(8L) === 8L)    // singletons
+    assert(Seq(2L, 3L, 4L).map(got) === Seq(2L, 2L, 2L))
+    assert(Seq(5L, 6L, 7L).map(got) === Seq(5L, 5L, 5L))
+  }
+
+  test("long path converges within O(log n) rounds via pointer jumping") {
+    val n = 64L
+    val path = (1L until n).map(i => (i, i + 1))
+    // plain min propagation would need ~63 rounds; jumping needs ~log2(63)+2.
+    // maxIters = 12 fails if the compression isn't actually working.
+    val got = run(1L to n, path, maxIters = 12)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("merge order does not matter: worst-case labels still reach the min") {
+    // high ids point at low ids through a hub; min sits at a leaf
+    val got = run(Seq(10L, 20L, 30L, 40L, 1L),
+      Seq((40L, 30L), (30L, 20L), (20L, 10L), (10L, 1L)))
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("componentSummary reports only multi-member groups with checksums") {
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 4L)).toDF("id", "comp")
+    val got = Components.componentSummary(labels)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2L, 5L)))
+  }
+}
