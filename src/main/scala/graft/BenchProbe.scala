@@ -19,17 +19,26 @@ object BenchProbe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    docs.cache().count()
+    // With query names as args: time those declared queries at $dir.
+    // Without args: the original minhash/simhash stage breakdown.
+    if (args.nonEmpty) {
+      val byName = queries.Registry.all.map(q => q.name -> q.fn).toMap
+      args.foreach { name =>
+        time(name)(byName(name)(spark, dir).count())
+      }
+    } else {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.cache().count()
 
-    time("minhash signatures")(
-      MinHash.signatures(docs, "doc_id", "text").count())
-    time("minhash nearDupPairs")(
-      MinHash.nearDupPairs(docs, "doc_id", "text").count())
-    time("simhash fingerprints")(
-      SimHash.fingerprints(docs, "doc_id", "text").count())
-    time("simhash nearDupPairs")(
-      SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 10).count())
+      time("minhash signatures")(
+        MinHash.signatures(docs, "doc_id", "text").count())
+      time("minhash nearDupPairs")(
+        MinHash.nearDupPairs(docs, "doc_id", "text").count())
+      time("simhash fingerprints")(
+        SimHash.fingerprints(docs, "doc_id", "text").count())
+      time("simhash nearDupPairs")(
+        SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 10).count())
+    }
 
     spark.stop()
   }

@@ -55,9 +55,7 @@ object Dedup {
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxDf: Option[Long] = None): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, idCol, textCol)
     val postings = maxDf match {
       case Some(cap) =>
         val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -77,6 +75,66 @@ object Dedup {
         (sqrt(col("s1").cast("double")) * sqrt(col("n2").cast("double"))))
       .filter(col("score") >= threshold)
       .select("id1", "id2", "score")
+  }
+
+  private def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+
+  /** Dense physical plan for the same exact-cosine-pairs result: per-doc
+    * dense TF arrays over the global dictionary, all-pairs scored with the
+    * codegen'd `vec_dot` under a broadcast nested-loop join.
+    *
+    * The postings self-join shuffles one row per NONZERO PRODUCT — Σ_t df²
+    * rows. On a small-vocabulary corpus every pair shares terms, so that is
+    * ~|pairs|·|vocab| exchanged rows for |pairs|·|vocab| multiplies: all
+    * shuffle, no savings. The dense plan does the identical multiplies
+    * inside one fused codegen loop per pair and exchanges nothing (one side
+    * broadcasts). Integer-valued doubles keep every dot exact, so scores
+    * are bit-identical to the sparse path and to the oracle.
+    *
+    * Requires vocabulary ≤ `dim` cap (arrays are materialized); use the
+    * postings plan for open vocabularies.
+    */
+  def denseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, vocabCap: Int = 4096): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dict = tf.select(col("t")).distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("t"))))
+    val v = dict.count()
+    require(v <= vocabCap, s"vocabulary $v exceeds dense cap $vocabCap — use the postings plan")
+    val vecs = tf.join(broadcast(dict), "t")
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("tf")))).as("m"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .select(col("id"),
+        transform(sequence(lit(1), lit(v.toInt)),
+          i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("vec"),
+        col("s2"))
+    val right = vecs.select(col("id").as("id2"), col("vec").as("v2"), col("s2").as("n2"))
+    vecs.select(col("id").as("id1"), col("vec").as("v1"), col("s2").as("s1"))
+      .join(broadcast(right), col("id1") < col("id2"))
+      .withColumn("score", graft.vector.VectorFunctions.dot(col("v1"), col("v2")) /
+        (sqrt(col("s1").cast("double")) * sqrt(col("n2").cast("double"))))
+      .filter(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+
+  /** Cost-based dispatch between the two exact-cosine-pairs plans: dense
+    * all-pairs when the dictionary fits the cap (tiny vocabulary ⇒ the
+    * postings join degenerates to all-pairs-×-vocab shuffle), inverted
+    * postings otherwise. One countDistinct job decides — the same
+    * statistics-driven physical choice AQE makes for join strategies.
+    * Results (and the oracle) are identical either way.
+    */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
+    val v = docs
+      .select(explode(split(col(textCol), " ")).as("t")).distinct().count()
+    if (v <= denseVocabCap) denseCosinePairs(docs, idCol, textCol, threshold, denseVocabCap)
+    else sparseCosinePairs(docs, idCol, textCol, threshold)
   }
 
   /** Exact word-n-gram Jaccard similarity for all pairs within blocks,

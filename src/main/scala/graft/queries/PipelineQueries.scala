@@ -832,7 +832,7 @@ object PipelineQueries {
     // norm sums, one IEEE sqrt-divide at the end — the exact bag-of-words
     // dual of the dense cosine path, with no dense vectors materialized.
     DeclaredQuery("sparse_cosine_pairs",
-      (s, dir) => Dedup.sparseCosinePairs(tbl(s, dir, "documents"), "doc_id", "text",
+      (s, dir) => Dedup.cosinePairs(tbl(s, dir, "documents"), "doc_id", "text",
           threshold = 0.9)
         .orderBy(col("id1"), col("id2")),
       Some("""WITH tf AS (
@@ -860,7 +860,7 @@ object PipelineQueries {
     DeclaredQuery("dedup_components",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val pairs = Dedup.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
         val labels = graft.dedup.Components.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
         graft.dedup.Components.componentSummary(labels)

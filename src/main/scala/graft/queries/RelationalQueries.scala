@@ -319,8 +319,11 @@ object RelationalQueries {
       (s, dir) => {
         val hi = tbl(s, dir, "orders").filter(col("o_totalprice") > 450000)
         val li = tbl(s, dir, "lineitem")
-        val words = graft.relational.Sketches.bloomBuild(hi, "o_orderkey", k = 5, mBits = 16384)
-        li.filter(graft.relational.Sketches.bloomMightContain(words, col("l_orderkey"), k = 5))
+        // sized for the LARGEST bench scale (sf0.1: ~15k build keys): 256 Kbit
+        // = 32 KB, k=3 -> ~0.05% FP there, vanishing at sf0.01. A fixed-size
+        // filter that stops pruning as n grows would be a silent scale bug.
+        val words = graft.relational.Sketches.bloomBuild(hi, "o_orderkey", k = 3, mBits = 262144)
+        li.filter(graft.relational.Sketches.bloomMightContain(words, col("l_orderkey"), k = 3))
           .join(hi.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
           .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))

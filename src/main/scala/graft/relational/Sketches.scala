@@ -80,7 +80,9 @@ object Sketches {
     */
   def bloomMightContain(words: IndexedSeq[Long], key: Column, k: Int): Column = {
     val mBits = words.size * 64
-    val arr = array(words.map(lit): _*)
+    // one ArrayType literal, not an `array(...)` of thousands of children —
+    // keeps the expression tree (and generated code) constant-size in mBits
+    val arr = typedLit(words)
     bloomPositions(key, k, mBits).map { pos =>
       (call_function("shiftrightunsigned",
         element_at(arr, (pos / 64).cast("int") + 1),

@@ -101,6 +101,16 @@ class DedupSpec extends SparkSpec {
     pruned.foreach { case (p, s) => assert(s <= got(p) + 1e-12) }
   }
 
+  test("dense cosine plan is bitwise-equal to the postings plan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sparse = Dedup.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val dense = Dedup.denseCosinePairs(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(dense === sparse) // exact: same integer dots, same IEEE finals
+    assert(sparse.nonEmpty)
+  }
+
   test("dropExactDuplicates keeps exactly one row per content group") {
     val out = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
