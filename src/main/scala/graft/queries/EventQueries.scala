@@ -390,6 +390,30 @@ object EventQueries {
         FROM t WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- Z-order layout key: Morton-interleave (user_id, value-bucket) so
+    // range-partitioning the write clusters BOTH filter dimensions at once —
+    // file-level min/max pruning then works for either predicate. The query
+    // checks the interleave bit math end to end; LayoutSpec measures the
+    // 2-D locality win over a 1-D sort.
+    DeclaredQuery("zorder_events_layout",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value")).cast("long").as("vbin"))
+          .withColumn("z", graft.relational.Layout.zValue(col("user_id"), col("vbin"), bits = 9))
+        ev.orderBy(col("z"), col("event_id")).limit(500)
+          .select(col("event_id"), col("user_id"), col("vbin"), col("z"))
+      },
+      Some(s"""WITH b AS (
+          SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbin FROM events),
+        z AS (SELECT event_id, user_id, vbin,
+          ${(0 until 9).map(i =>
+            s"(((user_id >> $i) & 1) << ${2 * i}) + (((vbin >> $i) & 1) << ${2 * i + 1})")
+            .mkString(" + ")} AS z
+          FROM b)
+        SELECT event_id, user_id, vbin, z FROM z
+        ORDER BY z, event_id LIMIT 500""")),
+
     // ---- Count-Min sketch: constant-size (depth×width) frequency summary.
     // md5 hash rows make the sketch CELLS engine-portable, so the oracle
     // rebuilds the identical sketch and the whole estimate path hash-matches;

@@ -688,6 +688,24 @@ object PipelineQueries {
           MIN(doc_id) AS min_id
         FROM ranked WHERE rn <= 20 GROUP BY 1 ORDER BY 1""")),
 
+    // Weight-proportional systematic sampling: grid crossings on the global
+    // cumulative-weight axis, pure integer div — deterministic under any
+    // partitioning (two-phase distributed prefix sum, no global-order
+    // window) and oracle-exact against DuckDB's // arithmetic.
+    DeclaredQuery("weighted_sample_docs",
+      (s, dir) => graft.text.Sampling.systematicWeightedSample(
+          tbl(s, dir, "documents"), "doc_id", col("n_chars"), k = 10)
+        .select(col("doc_id"), col("n_chars"), col("cw"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (
+          SELECT doc_id, n_chars,
+            CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+          FROM documents),
+        t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents)
+        SELECT doc_id, n_chars, cw FROM c, t
+        WHERE (cw * 10) // total > ((cw - n_chars) * 10) // total
+        ORDER BY doc_id""")),
+
     // ---- end-to-end corpus curation: quality gate + lang gate + dedup -----
     // The operators composing: quality score ≥ 0.7, predicted language 'en',
     // one survivor per bag-fingerprint group (min doc_id) — then per-source

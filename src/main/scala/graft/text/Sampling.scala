@@ -46,4 +46,45 @@ object Sampling {
     val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
     when(bucket < (evalFraction * (1L << 32)).toLong, "eval").otherwise("train")
   }
+
+  /** Weight-proportional systematic sample of ≈`k` rows: a row is kept when
+    * its weight interval [cw−w, cw) crosses a multiple of total/k on the
+    * cumulative-weight axis — the classic systematic (grid) sampler, in pure
+    * integer arithmetic (`(cw·k) div total` changes across the row's
+    * interval), so it is deterministic on any engine and oracle-exact.
+    * Heavier rows are proportionally more likely to straddle a grid line;
+    * rows heavier than the step are always kept.
+    *
+    * The global cumulative sum does NOT use a global-order window (a
+    * single-partition scan at 100 TB). It range-partitions by `idCol`, sums
+    * per partition, broadcasts the tiny per-partition offset table back, and
+    * windows only WITHIN partitions — the standard two-phase distributed
+    * prefix sum, so every stage parallelizes.
+    *
+    * @param weight strictly-positive integer weight column
+    */
+  def systematicWeightedSample(df: DataFrame, idCol: String, weight: Column,
+                               k: Int, numParts: Int = 32): DataFrame = {
+    val parts = df
+      .withColumn("__w", weight.cast("long"))
+      .repartitionByRange(numParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // phase 1: per-partition totals → driver (numParts scalars), turned into
+    // exclusive offsets; phase 2: in-partition running sums + the offset
+    val partTotals = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partTotals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((a, p) => a + partTotals(p)).dropRight(1)).toMap
+    val total = partTotals.values.sum
+    val offsetOf = pids.foldRight(lit(0L): Column) { (p, acc) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    parts
+      .withColumn("cw", offsetOf + sum(col("__w")).over(w))
+      // integer `div` (the operator form — Spark registers no div() function):
+      // the grid index floor(cw·k / total) changes within the row's interval
+      .filter(expr(s"(cw * $k) div $total > ((cw - __w) * $k) div $total"))
+      .drop("__w", "__pid")
+  }
 }

@@ -31,6 +31,25 @@ class SamplingSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("systematic weighted sample: ~k rows, weight-proportional, partition-invariant") {
+    val k = 12
+    val a = Sampling.systematicWeightedSample(docs, "doc_id", col("n_chars"), k)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // grid sampling yields k or k±1 rows (boundary alignment)
+    assert(math.abs(a.size - k) <= 1, s"got ${a.size} rows for k=$k")
+    // invariant under a different pre-partitioning and numParts
+    val b = Sampling.systematicWeightedSample(
+      docs.repartition(13), "doc_id", col("n_chars"), k, numParts = 5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(a === b)
+    // a row heavier than the whole step is always selected
+    val heavy = (Seq((0L, 1L)) ++ (1L to 50L).map(i => (i, 1000000L))).toDF("id", "w")
+    val got = Sampling.systematicWeightedSample(heavy, "id", col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(!got.contains(0L) || got.size >= 10) // the 1-weight row is ~never on the grid
+    assert((1L to 50L).count(got.contains) >= 9)
+  }
+
   test("stratified sample takes exactly perStratum per group") {
     val sample = Sampling.stratifiedSample(docs, Seq("lang"), col("doc_id"), 7)
     val perLang = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
