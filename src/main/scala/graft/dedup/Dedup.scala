@@ -147,22 +147,22 @@ object Dedup {
     * @param blockCols blocking columns (pairs only form within equal blocks)
     * @param minJaccard result threshold (also prunes the pair-count output)
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, blockCols: Seq[String],
-                        minJaccard: Double): DataFrame = {
-    // Inverted index rows (id, key): key fuses block columns + shingle into
-    // one 64-bit join key, so the self-join shuffles a single long column
-    // instead of strings — and block equality rides along for free.
-    // Shingles come from window leads over exploded tokens (codegen'd; HOF
-    // shingle lambdas are interpreted and dominate otherwise), deduplicated
-    // at the (id, key) level since Jaccard counts distinct shingles.
+  /** Inverted shingle-index rows (id, key): key fuses block columns + the
+    * word n-gram into one 64-bit join key, so self-joins shuffle a single
+    * long column instead of strings — and block equality rides along free.
+    * Shingles come from window leads over exploded tokens (codegen'd; HOF
+    * shingle lambdas are interpreted and dominate otherwise), deduplicated
+    * at the (id, key) level since Jaccard counts distinct shingles.
+    */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, blockCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val leads = (0 until shingleN).map {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    val index = docs
+    docs
       .select(col(idCol).as("id") +: blockCols.map(col) :+
         posexplode(split(col(textCol), " ")).as(Seq("pos", "t")): _*)
       .select(col("id") +: blockCols.map(col) :+
@@ -170,6 +170,12 @@ object Dedup {
       .filter(col("full"))
       .select(col("id"), xxhash64(blockCols.map(col) :+ col("s"): _*).as("key"))
       .dropDuplicates("id", "key")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, blockCols: Seq[String],
+                        minJaccard: Double): DataFrame = {
+    val index = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
 
     val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
 
@@ -182,6 +188,49 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id1"), col("nsh").as("n1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("nsh").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Prefix-filtered exact Jaccard pairs (the PPJoin/SSJoin candidate
+    * pruning): identical results to [[ngramJaccardPairs]] at the same
+    * threshold, with candidate generation restricted to each document's
+    * RAREST shingles.
+    *
+    * Why it's lossless: J ≥ t forces |∩| ≥ ⌈t·nᵢ⌉ for both docs, and if two
+    * sets sorted by one global canonical order (df asc, key asc) overlap in
+    * ≥ αᵢ elements, their (nᵢ−αᵢ+1)-prefixes must share an element
+    * (pigeonhole on the first common element). So only prefix tokens are
+    * indexed, and the self-join fan-out drops from Σ_allkeys df² to
+    * Σ_prefixkeys df² — and prefix tokens are by construction the rarest,
+    * so the quadratic term collapses on Zipf-headed corpora. Candidates are
+    * then verified exactly with one bounded array_intersect per candidate
+    * pair (|candidates| ≪ |pairs|), not per potential pair.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, minJaccard: Double): DataFrame = {
+    val index = shingleIndex(docs, idCol, textCol, shingleN, Nil)
+    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dfreq = index.groupBy(col("key")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("key"))
+    val pref = index.join(dfreq, "key")
+      .withColumn("rnk", row_number().over(wDoc))
+      .join(sizes, "id")
+      .filter(col("rnk") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select("id", "key")
+    val cands = pref.select(col("id").as("id1"), col("key"))
+      .join(pref.select(col("id").as("id2"), col("key")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val arrs = index.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("key"))).as("ks"), count(lit(1)).as("n"))
+    cands
+      .join(arrs.select(col("id").as("id1"), col("ks").as("k1"), col("n").as("n1")), "id1")
+      .join(arrs.select(col("id").as("id2"), col("ks").as("k2"), col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("k1"), col("k2"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

@@ -401,6 +401,25 @@ object PipelineQueries {
         SELECT id1, id2, inter / (na + nb - inter) AS jaccard
         FROM p WHERE inter / (na + nb - inter) >= 0.1 ORDER BY id1, id2""")),
 
+    // Prefix-filtered exact Jaccard (PPJoin-style): only each doc's rarest
+    // shingles generate candidates (lossless for J >= t by the prefix-filter
+    // lemma), then one bounded array_intersect verifies each candidate. Same
+    // results as the full postings join — the oracle IS the full join.
+    DeclaredQuery("prefix_jaccard_pairs",
+      (s, dir) => Dedup.prefixJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id1, id2, inter / (na + nb - inter) AS jaccard
+        FROM p WHERE inter / (na + nb - inter) >= 0.5 ORDER BY id1, id2""")),
+
     // ---- O3 exact cosine top-k (sequential double fold — bit-identical) ---
     DeclaredQuery("cosine_topk",
       (s, dir) => {

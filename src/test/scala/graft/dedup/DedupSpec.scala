@@ -101,6 +101,20 @@ class DedupSpec extends SparkSpec {
     pruned.foreach { case (p, s) => assert(s <= got(p) + 1e-12) }
   }
 
+  test("prefix-filtered jaccard equals the full postings join (lossless pruning)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, blockCols = Nil, minJaccard = t)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val pruned = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = t)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(pruned === full, s"threshold $t")
+      assert(full.nonEmpty, s"vacuous at $t")
+    }
+  }
+
   test("dense cosine plan is bitwise-equal to the postings plan") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val sparse = Dedup.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.8)
