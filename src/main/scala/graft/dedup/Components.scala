@@ -55,15 +55,17 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jumping: every label is itself a node id, so one self-join
-      // rewrites comp(v) -> comp(comp(v)), halving label-tree depth
+      // rewrites comp(v) -> comp(comp(v)), halving label-tree depth. The
+      // change flag rides along into the checkpoint so the fixpoint test is
+      // a filter-count over checkpointed rows, not a second join job.
       val next = prop
         .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"))
         .select(col("id"), col("jcomp").as("comp"))
+        .join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .select(col("id"), col("comp"), (col("comp") =!= col("__old")).as("__ch"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("__ch")).count()
+      labels = next.select("id", "comp")
       done = changed == 0
       it += 1
     }
