@@ -51,6 +51,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"sort+limit regression:\n$plan")
   }
 
+  test("bloom probe prunes with a literal predicate — no extra join for the filter") {
+    val plan = run("bloom_prune_join")
+    // exactly the one real join (lineitem x hi-orders); the bloom membership
+    // test must be a Filter over the scan, not a join against the bit array
+    assert(count(plan, "Join") <= 2, s"bloom filter regressed to a join:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("bq hamming topk: queries broadcast both stages, no cartesian blowup") {
+    val plan = run("bq_hamming_topk")
+    assert(count(plan, "CartesianProduct") === 0)
+    // stage 1: codes x broadcast(q); stage 2: shortlist must broadcast into
+    // the rerank equi-join (a sort-merge there means the shortlist shuffled
+    // the full candidate table)
+    assert(count(plan, "BroadcastNestedLoopJoin") === 1, s"hamming stage shape:\n$plan")
+    assert(count(plan, "BroadcastHashJoin") >= 1, s"rerank must broadcast the shortlist:\n$plan")
+  }
+
+  test("dense cosine pairs: broadcast NL pair scan, postings-join signature absent") {
+    val plan = run("sparse_cosine_pairs")
+    // the dense plan's signature: exactly one broadcast nested-loop doing
+    // the id1<id2 pair scan. The degenerate postings plan has none (it
+    // equi-joins on term and shuffles one row per nonzero product).
+    assert(count(plan, "BroadcastNestedLoop") === 1, s"dense plan regressed:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     Seq("q1_pricing_summary", "minhash_neardup_pairs", "cosine_topk").foreach { q =>
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(run(q)).map(_.group(1)).toSet.size
