@@ -112,6 +112,64 @@ object MinHash {
       .select(col("id"), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Engine-portable MinHash: the identical pipeline with every hash
+    * md5-derived (60-bit hex-prefix longs), so signatures, band keys,
+    * candidates, and verified Jaccards are all reproducible in any engine —
+    * this variant is DuckDB-oracle hash-checked end to end, closing the
+    * "seeded hashes aren't portable" gap the xxhash64 fast path carries.
+    *
+    * Cost: one md5 per distinct shingle + k short-input md5 mixes per
+    * distinct shingle hash (vs xxhash64's fused fixed-width hashing) —
+    * the fast path stays the default; this is the verifiable one. Same
+    * scale shape: explode → groupBy min aggregates → banded equi-join →
+    * inverted-index verify; no HOF lambdas, no array row work.
+    */
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           numBands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+    val r = numHashes / numBands
+    def fp60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (0 until shingleN).map {
+      case 0 => col("t")
+      case i => lead(col("t"), i).over(w)
+    }
+    val hs = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .select(col("id"), concat_ws(" ", leads: _*).as("s"), leads.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("id"), fp60(col("s")).as("h"))
+      .distinct()
+    val aggs = (0 until numHashes).map(i =>
+      min(fp60(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i"))
+    val mins = hs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val banded = mins.select(col("id"), explode(array((0 until numBands).map { j =>
+        struct(lit(j).as("band"),
+          fp60(concat_ws(":",
+            (j * r until (j + 1) * r).map(i => col(s"m$i").cast("string")): _*)).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id1"))
+    val b2 = banded.select(col("band"), col("band_key"), col("id").as("id2"))
+    val candidates = a.join(b2, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    candidates
+      .join(hs.select(col("id").as("id1"), col("h")), "id1")
+      .join(hs.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Candidate near-dup pairs (id1 < id2) with exact Jaccard attached. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, numBands: Int = 16,

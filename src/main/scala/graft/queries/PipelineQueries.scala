@@ -186,6 +186,43 @@ object PipelineQueries {
        |SELECT qid, rk, cid, ham, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** DuckDB oracle replaying the PORTABLE MinHash pipeline: identical md5
+    * hex-prefix base hashes, seed mixes, band keys, candidate join, and
+    * inverted-index Jaccard verify (word-3-gram shingles).
+    */
+  private def portableMinhashOracleSql(k: Int, b: Int, minJaccard: Double): String = {
+    val r = k / b
+    val minsSql = (0 until k).map(i =>
+      s"MIN(CAST(('0x' || substring(md5('$i:' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS m$i")
+      .mkString(",\n")
+    val bandSql = (0 until b).map { j =>
+      val cat = (j * r until (j + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+      s"CAST(('0x' || substring(md5($cat), 1, 15)) AS BIGINT) AS b$j"
+    }.mkString(",\n")
+    val bandUnion = (0 until b)
+      .map(j => s"SELECT id, $j AS band, b$j AS band_key FROM bands").mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+       |         i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS s
+       |       FROM tk WHERE len(ts) >= 3),
+       |hs AS (SELECT DISTINCT id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+       |mins AS (SELECT id, $minsSql FROM hs GROUP BY id),
+       |bands AS (SELECT id, $bandSql FROM mins),
+       |bk AS ($bandUnion),
+       |cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
+       |         FROM bk a JOIN bk c USING (band, band_key) WHERE a.id < c.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+       |inter AS (SELECT cand.id1, cand.id2, COUNT(*) AS i FROM cand
+       |  JOIN hs h1 ON h1.id = cand.id1
+       |  JOIN hs h2 ON h2.id = cand.id2 AND h2.h = h1.h
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+       |WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= $minJaccard
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   private def lshPairsOracleSql(numPlanes: Int, dim: Int, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
@@ -794,6 +831,16 @@ object PipelineQueries {
       (s, dir) => MinHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
         .filter(col("jaccard") >= 0.5).orderBy(col("id1"), col("id2")),
       None),
+
+    // The PORTABLE MinHash: every hash md5-derived, so the FULL LSH pipeline
+    // (signatures, banding, candidates, verified Jaccard) hash-matches its
+    // generated oracle — proving the minhash algorithm itself, while the
+    // xxhash64 variant above stays the fast path (rows-only + recall specs).
+    DeclaredQuery("minhash_portable_pairs",
+      (s, dir) => MinHash.nearDupPairsPortable(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2")),
+      Some(portableMinhashOracleSql(k = 16, b = 8, minJaccard = 0.5))),
 
     DeclaredQuery("simhash_neardup_pairs",
       (s, dir) => SimHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",

@@ -101,6 +101,20 @@ class DedupSpec extends SparkSpec {
     pruned.foreach { case (p, s) => assert(s <= got(p) + 1e-12) }
   }
 
+  test("portable md5 minhash finds the same high-jaccard pairs as the fast path") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = MinHash.nearDupPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val portable = MinHash.nearDupPairsPortable(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // different hash families → different candidate sets, but both verify
+    // exactly, so at J >= 0.5 the planted near-dups must agree (k=16/b=8
+    // banding at r=2 catches J >= 0.5 with prob ~1-(1-J^2)^8 > 0.9)
+    assert(fast === portable)
+    assert(portable.nonEmpty)
+  }
+
   test("prefix-filtered jaccard equals the full postings join (lossless pruning)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     for (t <- Seq(0.3, 0.5, 0.7)) {
