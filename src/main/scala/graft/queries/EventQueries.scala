@@ -266,6 +266,28 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // J5 forward direction: nearest click at-or-AFTER each purchase (the
+    // "next event" enrichment), same union+window shape mirrored over the
+    // FOLLOWING frame — checked against DuckDB's native forward ASOF.
+    DeclaredQuery("asof_next_click",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"), col("value"))
+        AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"), col("asof_value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id""")),
+
     // ---- Funnel / attribution: purchases converted by a click within the
     // preceding hour, per user. Built on the as-of join (nearest earlier
     // click), so the attribution window is a filter on ONE carried row — no

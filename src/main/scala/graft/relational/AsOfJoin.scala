@@ -35,9 +35,30 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String]): DataFrame =
+    joinDir(left, right, keyCols, leftTime, rightTime, rightVals, forward = false)
+
+  /** Forward as-of: nearest right row at-or-AFTER each left row's time (the
+    * "next event" enrichment — next click after a purchase, next restock
+    * after a stockout). Same union+window shape mirrored: the carried struct
+    * comes from a `first(ignoreNulls)` over the FOLLOWING frame, with the
+    * right marker sorting after the left marker on ties so an equal-time
+    * right row is visible (matching DuckDB `ASOF ... ON l.t <= r.t`).
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String,
+              rightVals: Seq[String]): DataFrame =
+    joinDir(left, right, keyCols, leftTime, rightTime, rightVals, forward = true)
+
+  private def joinDir(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightVals: Seq[String], forward: Boolean): DataFrame = {
     val t = "__asof_t"
-    val side = "__asof_side" // 0 = right (visible first on tie), 1 = left
+    // marker puts the right side on the VISIBLE end of a timestamp tie:
+    // backward scans the past (right first), forward scans the future
+    // (right last → still inside the currentRow..following frame)
+    val side = "__asof_side"
+    val (rightMark, leftMark) = if (forward) (1, 0) else (0, 1)
     val rs = "__asof_r"      // all carried right values as ONE struct
     val leftCols = left.columns.toSeq
 
@@ -51,26 +72,31 @@ object AsOfJoin {
 
     val l = left
       .withColumn(t, col(leftTime))
-      .withColumn(side, lit(1))
+      .withColumn(side, lit(leftMark))
       .select((keyCols ++ Seq(t, side)).map(col) ++
         leftCols.filterNot(keyCols.contains).map(col) :+
         lit(null).cast(rStructType).as(rs): _*)
 
     val r = right
       .withColumn(t, col(rightTime))
-      .withColumn(side, lit(0))
+      .withColumn(side, lit(rightMark))
       .select((keyCols ++ Seq(t, side)).map(col) ++
         leftCols.filterNot(keyCols.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightVals.map(col): _*).as(rs): _*)
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(t), col(side))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(keyCols.map(col): _*).orderBy(col(t), col(side))
+    val carried =
+      if (forward)
+        first(col(rs), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col(rs), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     l.unionByName(r)
-      .withColumn(rs, last(col(rs), ignoreNulls = true).over(w))
-      .filter(col(side) === 1)
+      .withColumn(rs, carried)
+      .filter(col(side) === lit(leftMark))
       .select(leftCols.map(col) ++
         rightVals.map(c => col(rs).getField(c).as(s"asof_$c")): _*)
   }

@@ -23,6 +23,23 @@ class AsOfJoinSpec extends SparkSpec {
       ("k2", 10L, "M10", null)))  // key with no right rows at all
   }
 
+  test("forward as-of picks nearest later right row, inclusive on ties") {
+    val left = Seq(("k1", 10L, "L10"), ("k1", 20L, "L20"), ("k1", 30L, "L30"),
+      ("k2", 10L, "M10")).toDF("key", "t", "lv")
+    val right = Seq(("k1", 10L, "R10"), ("k1", 25L, "R25"),
+      ("k3", 1L, "X")).toDF("key", "t", "rv")
+
+    val got = AsOfJoin.forward(left, right, Seq("key"), "t", "t", Seq("rv"))
+      .select("key", "t", "lv", "asof_rv").as[(String, Long, String, String)]
+      .collect().toSet
+
+    assert(got === Set(
+      ("k1", 10L, "L10", "R10"),  // tie: right at t=10 visible (inclusive)
+      ("k1", 20L, "L20", "R25"),
+      ("k1", 30L, "L30", null),   // nothing later → null (left-join shape)
+      ("k2", 10L, "M10", null)))  // key with no right rows at all
+  }
+
   test("NULL in a carried column of the matched row stays NULL (no leak from older rows)") {
     // right@t=8 has rv="R8"; right@t=10 has rv=NULL. A left row at t=12 must
     // carry the matched row's NULL, not leak R8 from the older row. Second
