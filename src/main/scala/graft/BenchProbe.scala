@@ -23,6 +23,9 @@ object BenchProbe {
     // Without args: the original minhash/simhash stage breakdown.
     if (args.nonEmpty) {
       val byName = queries.Registry.all.map(q => q.name -> q.fn).toMap
+      val unknown = args.filterNot(byName.contains)
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.mkString(", ")}; valid: ${byName.keys.toSeq.sorted.mkString(", ")}")
       args.foreach { name =>
         time(name)(byName(name)(spark, dir).count())
       }

@@ -98,19 +98,37 @@ object Dedup {
     */
   def denseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, vocabCap: Int = 4096): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tf = termFrequencies(docs, idCol, textCol)
-    val dict = tf.select(col("t")).distinct()
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("t"))))
-    val v = dict.count()
-    require(v <= vocabCap, s"vocabulary $v exceeds dense cap $vocabCap — use the postings plan")
-    val vecs = tf.join(broadcast(dict), "t")
+    val terms = probeDictionary(tf, vocabCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"vocabulary exceeds dense cap $vocabCap — use the postings plan"))
+    denseFromTf(tf, terms, threshold)
+  }
+
+  /** One bounded job: the distinct dictionary if it fits `cap`, else None.
+    * `limit(cap + 1)` keeps the driver read bounded no matter how large the
+    * real vocabulary is — this doubles as the dispatch statistic AND the
+    * dictionary, so the dense path costs no further scans before real work.
+    */
+  private def probeDictionary(tf: DataFrame, cap: Int): Option[Seq[String]] = {
+    val probe = tf.select(col("t")).distinct().limit(cap + 1)
+      .collect().map(_.getString(0))
+    if (probe.length > cap) None else Some(probe.toSeq.sorted)
+  }
+
+  private def denseFromTf(tf: DataFrame, terms: Seq[String], threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(tf.sparkSession)
+    val v = terms.size
+    // term -> 1-based dense index as ONE map literal: no dictionary join, no
+    // global-order window — the dictionary came back with the probe job
+    val idxMap = typedLit(terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+    val vecs = tf
+      .withColumn("idx", element_at(idxMap, col("t")))
       .groupBy(col("id"))
       .agg(map_from_entries(collect_list(struct(col("idx"), col("tf")))).as("m"),
         sum(col("tf") * col("tf")).as("s2"))
       .select(col("id"),
-        transform(sequence(lit(1), lit(v.toInt)),
+        transform(sequence(lit(1), lit(v)),
           i => coalesce(element_at(col("m"), i), lit(0L)).cast("double")).as("vec"),
         col("s2"))
     val right = vecs.select(col("id").as("id2"), col("vec").as("v2"), col("s2").as("n2"))
@@ -125,28 +143,19 @@ object Dedup {
   /** Cost-based dispatch between the two exact-cosine-pairs plans: dense
     * all-pairs when the dictionary fits the cap (tiny vocabulary ⇒ the
     * postings join degenerates to all-pairs-×-vocab shuffle), inverted
-    * postings otherwise. One countDistinct job decides — the same
-    * statistics-driven physical choice AQE makes for join strategies.
-    * Results (and the oracle) are identical either way.
+    * postings otherwise. One bounded probe job decides AND delivers the
+    * dictionary — the same statistics-driven physical choice AQE makes for
+    * join strategies. Results (and the oracle) are identical either way.
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
-    val v = docs
-      .select(explode(split(col(textCol), " ")).as("t")).distinct().count()
-    if (v <= denseVocabCap) denseCosinePairs(docs, idCol, textCol, threshold, denseVocabCap)
-    else sparseCosinePairs(docs, idCol, textCol, threshold)
+    val tf = termFrequencies(docs, idCol, textCol)
+    probeDictionary(tf, denseVocabCap) match {
+      case Some(terms) => denseFromTf(tf, terms, threshold)
+      case None => sparseCosinePairs(docs, idCol, textCol, threshold)
+    }
   }
 
-  /** Exact word-n-gram Jaccard similarity for all pairs within blocks,
-    * via an inverted shingle index (no array ops, no cross products).
-    *
-    * Shingles are compared by 64-bit hash — for set-overlap counting the
-    * collision probability within one pair's union is ~|union|²/2⁶⁴,
-    * negligible at any realistic document size.
-    *
-    * @param blockCols blocking columns (pairs only form within equal blocks)
-    * @param minJaccard result threshold (also prunes the pair-count output)
-    */
   /** Inverted shingle-index rows (id, key): key fuses block columns + the
     * word n-gram into one 64-bit join key, so self-joins shuffle a single
     * long column instead of strings — and block equality rides along free.
@@ -172,6 +181,14 @@ object Dedup {
       .dropDuplicates("id", "key")
   }
 
+  /** Exact word-n-gram Jaccard similarity for all pairs within blocks, via
+    * the inverted shingle index (no array ops, no cross products). Shingles
+    * are compared by 64-bit hash — collision probability within one pair's
+    * union is ~|union|²/2⁶⁴, negligible at any realistic document size.
+    *
+    * @param blockCols blocking columns (pairs only form within equal blocks)
+    * @param minJaccard result threshold (also prunes the pair-count output)
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, blockCols: Seq[String],
                         minJaccard: Double): DataFrame = {

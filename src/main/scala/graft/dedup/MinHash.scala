@@ -112,6 +112,40 @@ object MinHash {
       .select(col("id"), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Candidate pairs from banded rows: skew-cap pathological buckets, then
+    * the one shuffle-join on the banded projection. Shared by the xxhash64
+    * fast path and the md5-portable variant (one place for the bucket cap
+    * and the id1<id2 convention).
+    */
+  private def candidatePairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val bucketed = banded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    bucketed.select(col("band"), col("band_key"), col("id").as("id1"))
+      .join(bucketed.select(col("band"), col("band_key"), col("id").as("id2")),
+        Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs via the inverted index on distinct
+    * (id, h) rows: |A∩B| as equi-joined row counts — hash joins over longs,
+    * no per-pair array work. Shared by both hash families.
+    */
+  private def verifyJaccard(hs: DataFrame, candidates: DataFrame): DataFrame = {
+    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    candidates
+      .join(hs.select(col("id").as("id1"), col("h")), "id1")
+      .join(hs.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+  }
+
   /** Engine-portable MinHash: the identical pipeline with every hash
     * md5-derived (60-bit hex-prefix longs), so signatures, band keys,
     * candidates, and verified Jaccards are all reproducible in any engine —
@@ -126,7 +160,8 @@ object MinHash {
     */
   def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 3, numHashes: Int = 16,
-                           numBands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+                           numBands: Int = 8, minJaccard: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val r = numHashes / numBands
     def fp60(c: Column): Column =
@@ -152,21 +187,7 @@ object MinHash {
             (j * r until (j + 1) * r).map(i => col(s"m$i").cast("string")): _*)).as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id1"))
-    val b2 = banded.select(col("band"), col("band_key"), col("id").as("id2"))
-    val candidates = a.join(b2, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    candidates
-      .join(hs.select(col("id").as("id1"), col("h")), "id1")
-      .join(hs.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
-      .select(col("id1"), col("id2"),
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+    verifyJaccard(hs, candidatePairs(banded, maxBucket))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -177,34 +198,10 @@ object MinHash {
     val hs = distinctHashes(docs, idCol, textCol, shingleN)
     val mins = signatureColsFromHashes(hs, numHashes)
     val banded = bandKeys(mins, numHashes, numBands)
-
-    // Cap pathological buckets before the self-join (skew guard).
-    val bucketed = banded
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
-
-    val a = bucketed.select(col("band"), col("band_key"), col("id").as("id1"))
-    val b2 = bucketed.select(col("band"), col("band_key"), col("id").as("id2"))
-    val candidates = a.join(b2, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-
-    // Exact verify on distinct shingle-HASH sets via the inverted index:
-    // |A∩B| = count of equi-joined (id, h) rows per candidate pair, so the
-    // verify is hash joins over longs — no per-doc string shingle arrays and
-    // no array_intersect/array_union row work. (xxhash64 collisions are the
-    // only divergence from string-set jaccard — negligible at 2^-64.)
-    // `hs` is the same frame the signatures consumed: one shared exchange.
-    val sizes = hs.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    candidates
-      .join(hs.select(col("id").as("id1"), col("h")), "id1")
-      .join(hs.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
-      .select(col("id1"), col("id2"),
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+    // Exact verify runs on distinct shingle-HASH sets via the inverted
+    // index (xxhash64 collisions are the only divergence from string-set
+    // jaccard — negligible at 2^-64); `hs` is the same frame the signatures
+    // consumed, so the exchange is shared (ReuseExchange).
+    verifyJaccard(hs, candidatePairs(banded, maxBucket))
   }
 }

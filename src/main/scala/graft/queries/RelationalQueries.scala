@@ -358,11 +358,15 @@ object RelationalQueries {
           FROM s)
         SELECT event_type, n,
           (nd * sxy - sx * sy) / (nd * nd) AS covar_pop,
-          (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
-          (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd AS intercept,
-          (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) AS corr,
-          ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
-            * ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) AS r2
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0 THEN NULL ELSE
+            (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0 THEN NULL ELSE
+            (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd END AS intercept,
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0 THEN NULL ELSE
+            (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)) END AS corr,
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0 THEN NULL ELSE
+            ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)))
+            * ((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))) END AS r2
         FROM d ORDER BY event_type""")),
 
     // ---- one-pass column profiling (ANALYZE-style data quality) -----------

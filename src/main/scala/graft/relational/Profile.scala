@@ -50,14 +50,18 @@ object Profile {
     val covN = n * dd("sxy") - dd("sx") * dd("sy")
     val varXN = n * dd("sxx") - dd("sx") * dd("sx")
     val varYN = n * dd("syy") - dd("sy") * dd("sy")
+    // degenerate groups (zero variance in either variable) yield NULL, like
+    // native regr_slope/corr — not the IEEE NaN/Infinity the raw division
+    // produces (which would also hash-diverge across engines)
+    def def_(c: Column) = when(varXN === 0d || varYN === 0d, lit(null)).otherwise(c)
     val slope = covN / varXN
     val corr = covN / (sqrt(varXN) * sqrt(varYN))
     d.select(col(groupCol), col("n"),
       (covN / (n * n)).as("covar_pop"),
-      slope.as("slope"),
-      ((dd("sy") - slope * dd("sx")) / n).as("intercept"),
-      corr.as("corr"),
-      (corr * corr).as("r2"))
+      def_(slope).as("slope"),
+      def_((dd("sy") - slope * dd("sx")) / n).as("intercept"),
+      def_(corr).as("corr"),
+      def_(corr * corr).as("r2"))
   }
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {

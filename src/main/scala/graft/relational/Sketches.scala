@@ -43,6 +43,9 @@ object Sketches {
 
   /** Point-estimate frequencies for `keys` from a sketch: est(key) =
     * min over j of cell(j, h_j(key)) — ≥ true count always (CM guarantee).
+    * A cell the build never touched counts as 0 (left join + coalesce), so
+    * a key absent from the build data estimates 0 instead of vanishing or
+    * overshooting on its remaining non-empty cells.
     */
   def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                        depth: Int, width: Int): DataFrame =
@@ -50,9 +53,9 @@ object Sketches {
         explode(array((0 until depth).map(j =>
           struct(lit(j.toLong).as("j"), cmBucket(col(keyCol), j, width).as("bucket"))): _*)).as("c"))
       .select(col(keyCol), col("c.j").as("j"), col("c.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("j", "bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
   /** k bit positions in [0, mBits) for a key — 60 md5 bits per position. */
   private def bloomPositions(key: Column, k: Int, mBits: Int): Seq[Column] =

@@ -65,10 +65,15 @@ object Sampling {
     */
   def systematicWeightedSample(df: DataFrame, idCol: String, weight: Column,
                                k: Int, numParts: Int = 32): DataFrame = {
+    // Pin the range partitioning BEFORE the two consuming jobs:
+    // RangePartitioner draws sample-based cut points whose seed varies per
+    // action, so without materialization the offsets job and the final query
+    // could see DIFFERENT partition boundaries and misalign the offsets.
     val parts = df
       .withColumn("__w", weight.cast("long"))
       .repartitionByRange(numParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // phase 1: per-partition totals → driver (numParts scalars), turned into
     // exclusive offsets; phase 2: in-partition running sums + the offset
     val partTotals = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("t"))

@@ -23,6 +23,16 @@ class SketchesSpec extends SparkSpec {
     assert(est.values.sum >= 300)
   }
 
+  test("count-min estimates keys absent from the build as 0 via empty cells") {
+    val df = Seq(1L, 2L, 3L).toDF("k")
+    val sk = Sketches.countMinSketch(df, "k", depth = 4, width = 1024)
+    // wide sketch: an absent key almost surely hits at least one empty cell
+    val est = Sketches.countMinEstimate(sk, Seq(999L, 1L).toDF("k"), "k",
+      depth = 4, width = 1024).as[(Long, Long)].collect().toMap
+    assert(est(999L) === 0L, "absent key must estimate 0, not vanish or overshoot")
+    assert(est(1L) === 1L)
+  }
+
   test("count-min under forced collisions keeps one-sided error") {
     val df = Seq.tabulate(500)(i => i.toLong % 100L).toDF("k") // 100 keys, width 16
     val sk = Sketches.countMinSketch(df, "k", depth = 3, width = 16)
