@@ -60,6 +60,47 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash: 60-bit fingerprints over md5 hex-prefix token
+    * hashes with the same majority rule (bit b set iff 2·ones_b > n over
+    * DISTINCT tokens), so fingerprints — and the hamming pairs built from
+    * them — are reproducible in any engine and DuckDB-oracle-checkable.
+    *
+    * This is the verifiable variant: 60 plain sum columns, intended for
+    * bounded slices (the declared query caps the doc set). The SWAR-packed
+    * xxhash64 [[fingerprints]] stays the at-scale fast path; the two share
+    * the majority-rule semantics, proven equal in formulation by
+    * SimHashSpec's SWAR-vs-64-column test.
+    */
+  def fingerprintsPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fp60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val hashed = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .select(col("id"), fp60(col("t")).as("h"))
+    val sums = (0 until 60).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val fpExpr = (0 until 60).map { b =>
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    hashed.groupBy(col("id")).agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("id"), fpExpr.as("fp"))
+  }
+
+  /** Near-dup pairs from portable fingerprints: bounded all-pairs hamming
+    * (the declared query caps the doc slice; at scale, band the 60 bits
+    * into blocks exactly as [[nearDupPairs]] does).
+    */
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val fp = fingerprintsPortable(docs, idCol, textCol)
+    val l = fp.select(col("id").as("id1"), col("fp").as("f1"))
+    val r = fp.select(col("id").as("id2"), col("fp").as("f2"))
+    l.join(broadcast(r), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        hamming(col("f1"), col("f2")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup candidate pairs by banding the 64-bit fingerprint into 4
     * 16-bit blocks (Hamming ≤ 3 ⇒ at least one block equal — pigeonhole).
     */

@@ -186,6 +186,27 @@ object PipelineQueries {
        |SELECT qid, rk, cid, ham, score FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** DuckDB oracle replaying the PORTABLE SimHash: distinct-token md5
+    * hex-prefix hashes, 60 per-bit majority sums, all-pairs hamming.
+    */
+  private def portableSimhashOracleSql(maxHamming: Int, maxId: Int): String = {
+    val sumsSql = (0 until 60).map(b =>
+      s"CAST(SUM((h >> $b) & 1) AS BIGINT) AS s$b").mkString(",\n")
+    val fpSql = (0 until 60).map(b =>
+      s"(CASE WHEN s$b * 2 > n THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents WHERE doc_id < $maxId),
+       |h AS (SELECT id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+       |bits AS (SELECT id, COUNT(*) AS n, $sumsSql FROM h GROUP BY id),
+       |fp AS (SELECT id, $fpSql AS fp FROM bits)
+       |SELECT a.id AS id1, b.id AS id2,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.id < b.id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** DuckDB oracle replaying the PORTABLE MinHash pipeline: identical md5
     * hex-prefix base hashes, seed mixes, band keys, candidate join, and
     * inverted-index Jaccard verify (word-3-gram shingles).
@@ -831,6 +852,17 @@ object PipelineQueries {
       (s, dir) => MinHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
         .filter(col("jaccard") >= 0.5).orderBy(col("id1"), col("id2")),
       None),
+
+    // The PORTABLE SimHash: md5-derived 60-bit fingerprints, same majority
+    // rule — fingerprints AND hamming pairs hash-match the generated oracle,
+    // completing oracle coverage of every near-dup algorithm family. The
+    // doc slice is capped (the SWAR xxhash64 path is the at-scale variant).
+    DeclaredQuery("simhash_portable_pairs",
+      (s, dir) => SimHash.nearDupPairsPortable(
+        tbl(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy(col("id1"), col("id2")),
+      Some(portableSimhashOracleSql(maxHamming = 3, maxId = 500))),
 
     // The PORTABLE MinHash: every hash md5-derived, so the FULL LSH pipeline
     // (signatures, banding, candidates, verified Jaccard) hash-matches its

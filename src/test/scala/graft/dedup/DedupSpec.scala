@@ -155,6 +155,19 @@ class DedupSpec extends SparkSpec {
 
   private def SimHashDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  test("portable simhash: identical docs at distance 0, near-dups close, unrelated far") {
+    val fp = SimHash.fingerprintsPortable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(4L)) // exact dups → identical fingerprints
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 2L) <= 10, s"near-dup distance ${ham(1L, 2L)}")
+    assert(ham(1L, 3L) > 10, s"unrelated distance ${ham(1L, 3L)}")
+    val pairs = SimHash.nearDupPairsPortable(corpus, "doc_id", "text", maxHamming = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("SWAR-packed simhash equals the per-bit 64-column formulation") {
     import org.apache.spark.sql.functions._
     // reference formulation: one sum(±1) column per bit, sign → bit
