@@ -172,15 +172,24 @@ object MinHash {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
+    require(numHashes % 2 == 0, "numHashes must be even (two 60-bit mins per md5 digest)")
     val hs = docs
       .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
       .select(col("id"), concat_ws(" ", leads: _*).as("s"), leads.last.isNotNull.as("full"))
       .filter(col("full"))
       .select(col("id"), fp60(col("s")).as("h"))
       .distinct()
-    val aggs = (0 until numHashes).map(i =>
-      min(fp60(concat(lit(s"$i:"), col("h").cast("string")))).as(s"m$i"))
-    val mins = hs.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // one md5 digest is 128 bits = TWO independent 60-bit mixes (hex chars
+    // 1-15 and 16-30), so k mins cost k/2 digests per distinct shingle hash.
+    // Digests are projected per row ONCE; the min aggregates then slice them
+    // (no reliance on CSE inside aggregate update expressions).
+    val withDigests = hs.select(col("id") +: (0 until numHashes / 2).map(g =>
+      md5(concat(lit(s"$g:"), col("h").cast("string"))).as(s"d$g")): _*)
+    val aggs = (0 until numHashes).map { i =>
+      val (g, off) = (i / 2, 1 + 15 * (i % 2))
+      min(conv(substring(col(s"d$g"), off, 15), 16, 10).cast("long")).as(s"m$i")
+    }
+    val mins = withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val banded = mins.select(col("id"), explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
           fp60(concat_ws(":",

@@ -213,9 +213,12 @@ object PipelineQueries {
     */
   private def portableMinhashOracleSql(k: Int, b: Int, minJaccard: Double): String = {
     val r = k / b
-    val minsSql = (0 until k).map(i =>
-      s"MIN(CAST(('0x' || substring(md5('$i:' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS m$i")
-      .mkString(",\n")
+    // mirrors the Spark side: digest g = md5("g:" || h), mins 2g and 2g+1
+    // slice hex chars 1-15 and 16-30 of the same digest
+    val minsSql = (0 until k).map { i =>
+      val (g, off) = (i / 2, 1 + 15 * (i % 2))
+      s"MIN(CAST(('0x' || substring(md5('$g:' || CAST(h AS VARCHAR)), $off, 15)) AS BIGINT)) AS m$i"
+    }.mkString(",\n")
     val bandSql = (0 until b).map { j =>
       val cat = (j * r until (j + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
       s"CAST(('0x' || substring(md5($cat), 1, 15)) AS BIGINT) AS b$j"
