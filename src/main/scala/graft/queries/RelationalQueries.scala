@@ -308,6 +308,31 @@ object RelationalQueries {
         WHERE levenshtein(a.n_name, b.n_name) <= 4
         ORDER BY 1, 2""")),
 
+    // ---- date-spine gap filling (time-series completeness) ----------------
+    // Sparse order dates -> a dense daily grid per status with zero-filled
+    // counts: spine = keys x calendar (bounded by cardinality, not facts),
+    // facts aggregated BEFORE the join. The ETL step every downstream
+    // window metric and date join assumes has happened.
+    DeclaredQuery("gapfill_daily_orders",
+      (s, dir) => graft.relational.GapFill.dailyCounts(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1995-04-01"))
+            .select(col("o_orderstatus"), col("o_orderdate").cast("date").as("o_orderdate")),
+          Seq("o_orderstatus"), "o_orderdate")
+        .orderBy(col("o_orderstatus"), col("o_orderdate")),
+      Some("""WITH src AS (SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate
+                  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'),
+        days AS (SELECT unnest(range(0,
+            CAST((SELECT max(o_orderdate) - min(o_orderdate) FROM src) AS BIGINT) + 1)) AS d),
+        spine AS (SELECT DISTINCT s.o_orderstatus,
+            CAST((SELECT min(o_orderdate) FROM src) + to_days(CAST(t.d AS INTEGER)) AS DATE) AS o_orderdate
+          FROM src s CROSS JOIN days t),
+        actual AS (SELECT o_orderstatus, o_orderdate, COUNT(*) AS n
+                   FROM src GROUP BY 1, 2)
+        SELECT spine.o_orderstatus, spine.o_orderdate, COALESCE(actual.n, 0) AS n
+        FROM spine LEFT JOIN actual USING (o_orderstatus, o_orderdate)
+        ORDER BY 1, 2""")),
+
     // ---- Bloom-filter runtime join pruning --------------------------------
     // The filtered build side (high-value orders) collapses to a 2 KB literal
     // bit array; the probe side (lineitem — the 100 TB table) is pruned by a
