@@ -333,6 +333,39 @@ object RelationalQueries {
         FROM spine LEFT JOIN actual USING (o_orderstatus, o_orderdate)
         ORDER BY 1, 2""")),
 
+    // ---- gap fill + forward fill composed: dense daily series where gap
+    // days carry the last active day's count (the standard
+    // last-observation-carried-forward series repair).
+    DeclaredQuery("gapfill_ffill_orders",
+      (s, dir) => {
+        val grid = graft.relational.GapFill.dailyCounts(
+          tbl(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1995-04-01"))
+            .select(col("o_orderstatus"), col("o_orderdate").cast("date").as("o_orderdate")),
+          Seq("o_orderstatus"), "o_orderdate")
+          .withColumn("filled", when(col("n") > 0, col("n")))
+        graft.relational.GapFill.forwardFill(grid,
+          Seq("o_orderstatus"), "o_orderdate", Seq("filled"))
+          .orderBy(col("o_orderstatus"), col("o_orderdate"))
+      },
+      Some("""WITH src AS (SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate
+                  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01'),
+        days AS (SELECT unnest(range(0,
+            CAST((SELECT max(o_orderdate) - min(o_orderdate) FROM src) AS BIGINT) + 1)) AS d),
+        spine AS (SELECT DISTINCT s.o_orderstatus,
+            CAST((SELECT min(o_orderdate) FROM src) + to_days(CAST(t.d AS INTEGER)) AS DATE) AS o_orderdate
+          FROM src s CROSS JOIN days t),
+        actual AS (SELECT o_orderstatus, o_orderdate, COUNT(*) AS n
+                   FROM src GROUP BY 1, 2),
+        grid AS (SELECT spine.o_orderstatus, spine.o_orderdate,
+                   COALESCE(actual.n, 0) AS n,
+                   CASE WHEN COALESCE(actual.n, 0) > 0 THEN actual.n END AS v
+                 FROM spine LEFT JOIN actual USING (o_orderstatus, o_orderdate))
+        SELECT o_orderstatus, o_orderdate, n,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_orderdate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM grid ORDER BY 1, 2""")),
+
     // ---- Bloom-filter runtime join pruning --------------------------------
     // The filtered build side (high-value orders) collapses to a 2 KB literal
     // bit array; the probe side (lineitem — the 100 TB table) is pruned by a
