@@ -45,22 +45,27 @@ object Components {
       .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint()
+    // one propagate + pointer-jump step (comp(v) -> comp(comp(v)))
+    def step(cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val nbrMin = sym
+        .join(cur.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nbr"))
+      val prop = cur.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"))
+        .select(col("id"), col("jcomp").as("comp"))
+    }
     var it = 0
     var done = false
     while (!done && it < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nbr"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // pointer jumping: every label is itself a node id, so one self-join
-      // rewrites comp(v) -> comp(comp(v)), halving label-tree depth. The
-      // change flag rides along into the checkpoint so the fixpoint test is
-      // a filter-count over checkpointed rows, not a second join job.
-      val next = prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"))
-        .select(col("id"), col("jcomp").as("comp"))
+      // One step per materialized round: a deeper unmaterialized pipeline
+      // (two steps per round) was measured SLOWER at sf0.1 — planning/AQE
+      // cost of the 6-join round outweighed the halved round count. The
+      // change flag rides into the checkpoint, making the fixpoint test a
+      // filter-count over checkpointed rows rather than a second join job.
+      val next = step(labels)
         .join(labels.select(col("id"), col("comp").as("__old")), "id")
         .select(col("id"), col("comp"), (col("comp") =!= col("__old")).as("__ch"))
         .localCheckpoint()
