@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     assert(portable.nonEmpty)
   }
 
+  test("dense cosine rejects oversized vocabularies; dispatcher falls back to postings") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    intercept[IllegalArgumentException] {
+      Dedup.denseCosinePairs(docs, "doc_id", "text", threshold = 0.9, vocabCap = 2)
+    }
+    // the dispatcher takes the postings plan instead of throwing
+    val viaDispatch = Dedup.cosinePairs(docs, "doc_id", "text",
+      threshold = 0.9, denseVocabCap = 2)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val direct = Dedup.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(viaDispatch === direct)
+  }
+
   test("prefix-filtered jaccard equals the full postings join (lossless pruning)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     for (t <- Seq(0.3, 0.5, 0.7)) {
