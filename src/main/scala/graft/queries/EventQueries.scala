@@ -266,6 +266,29 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // J5 with a staleness bound: the nearest earlier click counts only
+    // within 30 minutes — nearest-THEN-check (pandas merge_asof tolerance
+    // semantics), stale matches null out, every purchase row survives.
+    DeclaredQuery("asof_recent_click",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        AsOfJoin.backwardWithin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), toleranceSeconds = 1800)
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id,
+          CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE THEN c.event_id END AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
     // J5 forward direction: nearest click at-or-AFTER each purchase (the
     // "next event" enrichment), same union+window shape mirrored over the
     // FOLLOWING frame — checked against DuckDB's native forward ASOF.

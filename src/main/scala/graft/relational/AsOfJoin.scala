@@ -50,6 +50,26 @@ object AsOfJoin {
               rightVals: Seq[String]): DataFrame =
     joinDir(left, right, keyCols, leftTime, rightTime, rightVals, forward = true)
 
+  /** Backward as-of with a staleness bound: the nearest earlier right row
+    * counts only if it is within `toleranceSeconds` of the left row's time;
+    * staler matches yield NULLs (the left row survives — left-join shape).
+    * Semantics are nearest-earlier-THEN-check, matching pandas
+    * `merge_asof(tolerance=...)`: a row just outside the window is not
+    * replaced by an older row inside it (there is none — it was the
+    * nearest).
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTime: String, rightTime: String,
+                     rightVals: Seq[String], toleranceSeconds: Long): DataFrame = {
+    val j = joinDir(left, right.withColumn("__asof_rt", col(rightTime)),
+      keyCols, leftTime, rightTime, rightVals :+ "__asof_rt", forward = false)
+    val fresh = col("asof___asof_rt").isNotNull &&
+      unix_micros(col(leftTime)) - unix_micros(col("asof___asof_rt")) <=
+        toleranceSeconds * 1000000L
+    j.select(left.columns.map(col) ++
+      rightVals.map(c => when(fresh, col(s"asof_$c")).as(s"asof_$c")): _*)
+  }
+
   private def joinDir(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                       leftTime: String, rightTime: String,
                       rightVals: Seq[String], forward: Boolean): DataFrame = {

@@ -40,6 +40,22 @@ class AsOfJoinSpec extends SparkSpec {
       ("k2", 10L, "M10", null)))  // key with no right rows at all
   }
 
+  test("backwardWithin nulls stale matches; nearest-then-check, not window-scan") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq(("k", t(1000), "L")).toDF("key", "ts", "lv")
+    // nearest earlier right is at t=990 (10s gap); an older one at t=900
+    // sits inside no window once the nearest is chosen
+    val right = Seq(("k", t(900), "OLD"), ("k", t(990), "NEAR")).toDF("key", "ts", "rv")
+    val within = AsOfJoin.backwardWithin(left, right, Seq("key"), "ts", "ts",
+      Seq("rv"), toleranceSeconds = 20)
+      .select("asof_rv").as[String].head()
+    assert(within === "NEAR")
+    val tooTight = AsOfJoin.backwardWithin(left, right, Seq("key"), "ts", "ts",
+      Seq("rv"), toleranceSeconds = 5)
+      .select("asof_rv").as[String].collect()
+    assert(tooTight === Array(null)) // left row survives, match nulled
+  }
+
   test("NULL in a carried column of the matched row stays NULL (no leak from older rows)") {
     // right@t=8 has rv="R8"; right@t=10 has rv=NULL. A left row at t=12 must
     // carry the matched row's NULL, not leak R8 from the older row. Second
