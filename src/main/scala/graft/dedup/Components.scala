@@ -59,6 +59,7 @@ object Components {
     }
     var it = 0
     var done = false
+    var lastChanged = 0L
     while (!done && it < maxIters) {
       // One step per materialized round: a deeper unmaterialized pipeline
       // (two steps per round) was measured SLOWER at sf0.1 — planning/AQE
@@ -72,9 +73,20 @@ object Components {
       val changed = next.filter(col("__ch")).count()
       labels = next.select("id", "comp")
       done = changed == 0
+      lastChanged = changed
       it += 1
     }
     sym.unpersist()
+    // The scaladoc promises the deterministic fixpoint (min id per
+    // component). If maxIters ran out first, the labels are a partial
+    // clustering — one component split across several comp ids — and a
+    // dedup consumer would silently keep extra "canonical" docs. Fail
+    // loudly instead: pointer jumping converges in O(log diameter) rounds,
+    // so hitting this means the graph is pathologically deep for the
+    // configured budget, not a normal slow run.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIters iterations " +
+        s"($lastChanged labels still changing); raise maxIters")
     labels
   }
 

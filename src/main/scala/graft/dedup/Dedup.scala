@@ -54,8 +54,16 @@ object Dedup {
     * `maxDf = None` results are exact cosine.
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, maxDf: Option[Long] = None): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+                        threshold: Double, maxDf: Option[Long] = None): DataFrame =
+    sparseFromTf(termFrequencies(docs, idCol, textCol), threshold, maxDf)
+
+  /** Postings plan over an already-built term-frequency frame — shared by
+    * [[sparseCosinePairs]] and the [[cosinePairs]] dispatcher, so the
+    * fallback path reuses the tf the probe was computed from instead of
+    * re-tokenizing and re-aggregating the corpus.
+    */
+  private def sparseFromTf(tf: DataFrame, threshold: Double,
+                           maxDf: Option[Long]): DataFrame = {
     val postings = maxDf match {
       case Some(cap) =>
         val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -152,7 +160,7 @@ object Dedup {
     val tf = termFrequencies(docs, idCol, textCol)
     probeDictionary(tf, denseVocabCap) match {
       case Some(terms) => denseFromTf(tf, terms, threshold)
-      case None => sparseCosinePairs(docs, idCol, textCol, threshold)
+      case None => sparseFromTf(tf, threshold, maxDf = None)
     }
   }
 

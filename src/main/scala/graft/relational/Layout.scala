@@ -19,12 +19,27 @@ object Layout {
   /** Morton (Z-order) key: bit i of `a` lands at position 2i, bit i of `b`
     * at 2i+1. Inputs must be non-negative and fit in `bits` bits (bucket or
     * scale first); the result fits 2·bits bits.
+    *
+    * Out-of-range or negative inputs raise at runtime rather than silently
+    * aliasing onto in-range z values — silent truncation would degrade the
+    * clustering (distant keys interleaved together) with no visible error.
     */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "2*bits must stay in long range")
+    def checked(c: Column, name: String): Column = {
+      // negatives have the sign bit set, so the same mask catches them
+      val highMask = ~((1L << bits) - 1)
+      val v = c.cast("long")
+      when(v.bitwiseAND(lit(highMask)) =!= 0L,
+        raise_error(concat(
+          lit(s"zValue: $name does not fit in $bits bits (non-negative): "),
+          v.cast("string"))))
+        .otherwise(v)
+    }
+    val (av, bv) = (checked(a, "a"), checked(b, "b"))
     (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      shiftleft(shiftrightunsigned(av, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(bv, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
 }
