@@ -97,4 +97,26 @@ object Components {
     labels.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
       .filter(col("n_members") > 1)
+
+  /** The dedup pipeline's final decision: ONE canonical member per
+    * multi-member component — highest `scoreCol` (quality, length, …), ties
+    * broken toward the smallest id. A single max-of-struct aggregation
+    * (map-side combinable, one shuffle), not a window: at scale the window
+    * variant sorts every component's membership, the struct-max streams it.
+    *
+    * @param scores (idCol, scoreCol) — one row per node
+    * @return (comp, n_members, canonical_id, canonical_score)
+    */
+  def canonicalPerComponent(labels: DataFrame, scores: DataFrame,
+                            idCol: String, scoreCol: String): DataFrame =
+    labels
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__score")), "id")
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__score").as("s"), (-col("id")).as("negid"))).as("__best"))
+      .filter(col("n_members") > 1)
+      .select(col("comp"), col("n_members"),
+        (-col("__best.negid")).as("canonical_id"),
+        col("__best.s").as("canonical_score"))
 }

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Dsl._
+import graft.dedup.{Components, Dedup}
+import graft.relational.{HeavyHitters, IntervalJoin, Skew}
+import graft.text.{LineDedup, Packing}
+
+/** Round-4 curation / assembly surface: segment-level corpus dedup,
+  * sequence packing + chunking, exact heavy hitters via sketch-then-verify,
+  * canonical-doc selection over duplicate clusters, skew-salted joins, and
+  * bucketized interval joins. Every query is DuckDB-oracle hash-checked.
+  */
+object CurationQueries {
+
+  /** Recursive-CTE connected components over sparse-cosine >= 0.9 edges —
+    * shared by the canonical-doc oracle (mirrors `dedup_components`).
+    */
+  private val componentsCte =
+    """WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1, 2),
+      dots AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
+      pairs AS (
+        SELECT id1, id2 FROM dots
+        JOIN norms n1 ON n1.doc_id = id1
+        JOIN norms n2 ON n2.doc_id = id2
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+      r AS (
+        WITH RECURSIVE rr(id, reach) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+        SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)"""
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // C4-style boilerplate removal: 3-word segments occurring in more than 2
+    // distinct documents are dropped corpus-wide; per-doc keep/drop ledger.
+    DeclaredQuery("line_dedup_stats",
+      (s, dir) => LineDedup.dedupStats(tbl(s, dir, "documents"),
+        "doc_id", "text", segWords = 3, maxDocs = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        seg AS (
+          SELECT doc_id, (pos - 1) // 3 AS seg,
+                 string_agg(word, ' ' ORDER BY pos) AS seg_text,
+                 COUNT(*) AS n_words
+          FROM w GROUP BY 1, 2),
+        freq AS (
+          SELECT md5(seg_text) AS fp, COUNT(DISTINCT doc_id) AS df
+          FROM seg GROUP BY 1)
+        SELECT s.doc_id,
+          COUNT(*) AS n_seg,
+          CAST(SUM(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept_seg,
+          CAST(SUM(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_seg,
+          CAST(SUM(CASE WHEN f.df <= 2 THEN s.n_words ELSE 0 END) AS BIGINT) AS kept_words
+        FROM seg s JOIN freq f ON f.fp = md5(s.seg_text)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Sequence packing: documents concatenated in doc_id order, the token
+    // stream cut every 256 tokens; each doc belongs to the chunk holding its
+    // first token. Distributed two-phase prefix sum — no global-order window.
+    DeclaredQuery("seq_pack_chunks",
+      (s, dir) => Packing.packSequences(tbl(s, dir, "documents"),
+        "doc_id", size(split(col("text"), " ")), budget = 256)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("chunk_id")),
+      Some("""WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+          FROM t)
+        SELECT CAST((cw - n) // 256 AS BIGINT) AS chunk_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS total_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // RAG/long-context chunking: 40-token windows every 20 tokens, last
+    // chunk short, all per-row integer math (shuffle-free).
+    DeclaredQuery("chunk_overlap_stats",
+      (s, dir) => Packing.chunkWithOverlap(tbl(s, dir, "documents"),
+        size(split(col("text"), " ")), size = 40, stride = 20)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("end_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 19) // 20 END AS nc
+          FROM t),
+        x AS (SELECT doc_id, n, unnest(range(nc)) AS chunk_idx FROM c)
+        SELECT doc_id, chunk_idx, chunk_idx * 20 AS start_tok,
+          least(chunk_idx * 20 + 40, n) AS end_tok
+        FROM x ORDER BY doc_id, chunk_idx""")),
+
+    // Exact heavy hitters over word bigrams: Misra-Gries candidate sketches
+    // per partition (k=900 counters), exact verify over candidates only;
+    // result = every bigram with frequency > n/900, identical to the full
+    // groupBy plan but shuffling only the answer-sized candidate set.
+    DeclaredQuery("heavy_hitters_bigrams",
+      (s, dir) => {
+        val bigrams = tbl(s, dir, "documents").select(explode(expr(
+          "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+            "(w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"))
+          .as("bigram"))
+        HeavyHitters.exactHeavyHitters(bigrams, "bigram", k = 900)
+          .orderBy(col("bigram"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (
+          SELECT a.word || ' ' || b.word AS bigram
+          FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        tot AS (SELECT COUNT(*) AS n FROM bg)
+        SELECT bigram, COUNT(*) AS cnt, (SELECT n FROM tot) AS n_total
+        FROM bg GROUP BY 1
+        HAVING COUNT(*) * 900 > (SELECT n FROM tot)
+        ORDER BY 1""")),
+
+    // The dedup pipeline's last mile: near-dup edges -> connected components
+    // -> ONE canonical doc per cluster (longest text, ties to smallest id)
+    // via a single max-of-struct aggregation, not a window sort.
+    DeclaredQuery("dedup_canonical_docs",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val labels = Components.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
+        Components.canonicalPerComponent(labels,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+          .withColumnRenamed("canonical_score", "canonical_chars")
+          .orderBy(col("comp"))
+      },
+      Some(componentsCte + """,
+        j AS (SELECT r.comp, r.id, d.n_chars
+              FROM r JOIN documents d ON d.doc_id = r.id),
+        rk AS (SELECT comp, id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY n_chars DESC, id) AS rn,
+                 COUNT(*) OVER (PARTITION BY comp) AS n_members
+               FROM j)
+        SELECT comp, CAST(n_members AS BIGINT) AS n_members,
+          id AS canonical_id, n_chars AS canonical_chars
+        FROM rk WHERE rn = 1 AND n_members > 1 ORDER BY comp""")),
+
+    // Skew-salted equi join: events (150 hot user keys) against the customer
+    // dim on a derived key, salted 8 ways so each hot key spreads over 8
+    // shuffle partitions; the result is identical to the plain join.
+    DeclaredQuery("salted_join_events",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("custkey", (col("user_id") + 1).cast("long"))
+        val dim = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        Skew.saltedJoin(ev, "custkey", dim, "c_custkey",
+          spreadCol = col("event_id"), saltBuckets = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(dec2(col("value"))).as("total_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c.c_mktsegment, COUNT(*) AS n_events,
+          CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Trailing-window interval join, bucketized to an equi join: for each
+    // purchase, clicks by the same user in the preceding 10 minutes.
+    DeclaredQuery("interval_click_counts",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+        IntervalJoin.recentCount(purchases, "event_id", "user_id", "ts",
+          clicks, "ts", windowMicros = 600000000L, outName = "n_clicks")
+          .select(col("event_id"), col("user_id"), col("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, COUNT(c.event_id) AS n_clicks
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Per-source token-budget quota (corpus mixing caps): walk each source's
+    // docs in id order, keep while the running token sum stays within 500.
+    DeclaredQuery("source_token_budget",
+      (s, dir) => Packing.groupTokenBudget(tbl(s, dir, "documents"),
+        "source", "doc_id", size(split(col("text"), " ")), budget = 500)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS n
+          FROM documents),
+        c AS (
+          SELECT source, n,
+                 SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cw
+          FROM t)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN cw <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN cw <= 500 THEN n ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM c GROUP BY 1 ORDER BY 1""")))
+}

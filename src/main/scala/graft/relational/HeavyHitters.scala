@@ -1,0 +1,72 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact frequent-item ("heavy hitter") mining via sketch-then-verify.
+  *
+  * The naive plan — groupBy(item).count over every occurrence — shuffles the
+  * full item stream; at 100 TB that is the job. Misra–Gries summaries make
+  * the shuffle proportional to the ANSWER instead: each partition keeps at
+  * most k bounded counters (one `mapPartitions` pass, no state beyond k
+  * entries), and only the surviving CANDIDATE items are exactly counted and
+  * thresholded.
+  *
+  * Correctness is the classic MG guarantee made distributed: with k counters
+  * a partition's summary retains every item whose local frequency exceeds
+  * n_p/(k+1) (each decrement step removes k+1 occurrences, so at most
+  * n_p/(k+1) decrements ever happen). Summing across partitions,
+  * Σ n_p/(k+1) = n/(k+1) < n/k — so by pigeonhole any item with GLOBAL
+  * frequency > n/k beats its budget in at least one partition and survives
+  * there. The exact verify pass then counts only candidate occurrences
+  * (semi-join prunes the rest before the shuffle) and applies the global
+  * `count·k > n` test, which discards MG's false positives. The output is
+  * therefore EXACTLY the frequency-> n/k item set — deterministic, identical
+  * to the naive plan, independent of partitioning.
+  */
+object HeavyHitters {
+
+  /** Misra–Gries candidate items: per-partition k-counter summaries, merged
+    * by distinct. Superset of every item with global frequency > n/(k+1).
+    */
+  def candidates(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val s = items.sparkSession
+    import s.implicits._
+    items.select(col(itemCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { x =>
+          counts.get(x) match {
+            case Some(c) => counts.update(x, c + 1)
+            case None if counts.size < k => counts.update(x, 1L)
+            case None =>
+              // decrement-all: one occurrence of each tracked item plus the
+              // arriving item are discarded together (k+1 occurrences)
+              counts.keys.toArray.foreach { key =>
+                val c = counts(key) - 1
+                if (c == 0L) counts.remove(key) else counts.update(key, c)
+              }
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF(itemCol)
+      .distinct()
+  }
+
+  /** Exact heavy hitters: items whose global frequency f satisfies f·k > n.
+    * Output: (itemCol, cnt, n_total) — identical to the full groupBy plan.
+    */
+  def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val cand = candidates(items, itemCol, k)
+    // fold the corpus total into the plan (no driver-side count job)
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items
+      .join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total"))
+  }
+}

@@ -23,6 +23,26 @@ object Skew {
   def salt(spreadCol: Column, saltBuckets: Int): Column =
     pmod(hash(spreadCol), lit(saltBuckets))
 
+  /** Skew-safe salted equi join: the big (skewed) side gets a deterministic
+    * salt in [0, saltBuckets); the small side is replicated once per salt
+    * value, so every big-side row still matches its dimension row exactly
+    * once and the hot key's rows spread over `saltBuckets` shuffle
+    * partitions instead of one. Output equals the plain equi join for ANY
+    * salt assignment — determinism doesn't depend on the hash. Use when the
+    * small side is too big to broadcast outright but `|small| · saltBuckets`
+    * still shuffles cheaply; for broadcastable dims, `broadcast(small)`
+    * already avoids the skew entirely.
+    */
+  def saltedJoin(big: DataFrame, bigKey: String, small: DataFrame,
+                 smallKey: String, spreadCol: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    val b = big.withColumn("__salt", salt(spreadCol, saltBuckets))
+    val sm = small.withColumn("__salt2",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    b.join(sm, b(bigKey) === sm(smallKey) && b("__salt") === sm("__salt2"))
+      .drop("__salt", "__salt2")
+  }
+
   /** Two-phase salted sum/count aggregation.
     *
     * @param df          input

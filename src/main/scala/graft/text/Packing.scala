@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing and chunking for training-data assembly.
+  *
+  * A tokenized corpus is consumed by trainers in fixed-size sequences; the
+  * two standard layouts are (a) PACKING — concatenate documents in a stable
+  * global order and cut the stream every `budget` tokens, so every training
+  * sequence is full — and (b) CHUNKING — split each long document into
+  * overlapping windows (the RAG / long-context layout).
+  */
+object Packing {
+
+  /** Assign each document to the pack chunk its FIRST token lands in, under
+    * a stable global order (`idCol`): chunk_id = floor(start_offset/budget).
+    *
+    * The global running token offset does NOT use a global-order window (a
+    * single-partition sort at 100 TB). Same two-phase distributed prefix sum
+    * as `Sampling.systematicWeightedSample`: range-partition by id, sum per
+    * partition, broadcast the tiny offset table back, window only WITHIN
+    * partitions — every stage parallelizes. The range partitioning is pinned
+    * with `localCheckpoint` before the two consuming jobs because
+    * RangePartitioner re-samples cut points per action.
+    *
+    * @param tokens strictly-positive integer token-count column
+    * @return input columns + (n_tokens, start_offset, chunk_id)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+                    budget: Long, numParts: Int = 32): DataFrame = {
+    require(budget > 0)
+    val parts = df
+      .withColumn("n_tokens", tokens.cast("long"))
+      .repartitionByRange(numParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partTotals = parts.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partTotals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((a, p) => a + partTotals(p)).dropRight(1)).toMap
+    val offsetOf = pids.foldRight(lit(0L): Column) { (p, acc) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    parts
+      .withColumn("start_offset",
+        offsetOf + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_offset div $budget"))
+      .drop("__pid")
+  }
+
+  /** Split each document into overlapping token windows of `size` tokens
+    * every `stride` tokens (the last chunk may be short; a doc of up to
+    * `size` tokens is one chunk). Pure per-row integer math + a bounded
+    * `sequence` explode — embarrassingly parallel, no shuffle at all.
+    *
+    * @return input columns + (n_tokens, chunk_idx, start_tok, end_tok)
+    */
+  def chunkWithOverlap(df: DataFrame, tokens: Column,
+                       size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size)
+    df
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__nc",
+        expr(s"case when n_tokens <= $size then 1L " +
+          s"else 1L + (n_tokens - $size + ${stride - 1}) div $stride end"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("end_tok", least(col("start_tok") + size, col("n_tokens")))
+      .drop("__nc")
+  }
+
+  /** Per-group token-budget quota: within each `groupCol`, walk rows in
+    * `idCol` order and keep rows while the running token sum stays within
+    * `budget` (per-source caps in corpus mixing). One window pass per group
+    * partition — parallel across groups, which is the cardinality that
+    * matters at scale.
+    *
+    * @return (groupCol, n_docs, n_kept, tokens_kept)
+    */
+  def groupTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                       tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df
+      .withColumn("__n", tokens.cast("long"))
+      .withColumn("__cw", sum(col("__n")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__cw") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__cw") <= budget, col("__n")).otherwise(0L)).as("tokens_kept"))
+  }
+}

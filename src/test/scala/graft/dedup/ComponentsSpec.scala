@@ -45,4 +45,18 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((2L, 2L, 5L)))
   }
+
+  test("canonicalPerComponent picks max score, ties toward the smaller id") {
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),  // comp 1: scores 5, 9, 9 -> id 2 wins tie
+      (4L, 4L), (5L, 4L),            // comp 4: scores 7, 3 -> id 4
+      (6L, 6L)                       // singleton: excluded
+    ).toDF("id", "comp")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L), (5L, 3L), (6L, 1L))
+      .toDF("id", "score")
+    val got = Components.canonicalPerComponent(labels, scores, "id", "score")
+      .orderBy("comp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 2L, 9L), (4L, 2L, 4L, 7L)))
+  }
 }

@@ -24,6 +24,29 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join equals the plain equi join exactly") {
+    val ev = graft.queries.Dsl.events(spark, sf0001)
+      .withColumn("custkey", (col("user_id") + 1).cast("long"))
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val plain = ev.join(dim, ev("custkey") === dim("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(ev, "custkey", dim, "c_custkey", col("event_id"), 8)
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("salted join matches each big row exactly once (no fanout)") {
+    val big = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val small = Seq((1L, "dim1"), (2L, "dim2")).toDF("dk", "dv")
+    val out = Skew.saltedJoin(big, "k", small, "dk", col("v"), 4)
+    assert(out.count() === 3L)
+    assert(out.columns.toSet === Set("k", "v", "dk", "dv"))
+  }
+
   test("salt spreads a hot key over the requested bucket range") {
     val buckets = spark.range(10000)
       .select(Skew.salt(col("id"), 8).as("b"))

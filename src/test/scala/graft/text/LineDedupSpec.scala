@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),        // segments (w=3): "a b c", "d e f"
+    (2L, "a b c x y z"),        // shares "a b c"
+    (3L, "a b c q"),            // shares "a b c"; short tail segment "q"
+    (4L, "u v w")               // unique
+  ).toDF("doc_id", "text")
+
+  test("segments rebuild word order and count the short tail") {
+    val segs = LineDedup.segments(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "seg")
+      .select("doc_id", "seg", "seg_text", "n_words")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(segs === Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "d e f", 3L),
+      (2L, 0L, "a b c", 3L), (2L, 1L, "x y z", 3L),
+      (3L, 0L, "a b c", 3L), (3L, 1L, "q", 1L),
+      (4L, 0L, "u v w", 3L)))
+  }
+
+  test("dedupStats drops exactly the segments over the doc-frequency cap") {
+    // "a b c" appears in 3 docs > maxDocs=2 -> dropped everywhere
+    val stats = LineDedup.dedupStats(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_seg", "kept_seg", "dropped_seg", "kept_words")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats === Seq(
+      (1L, 2L, 1L, 1L, 3L),
+      (2L, 2L, 1L, 1L, 3L),
+      (3L, 2L, 1L, 1L, 1L),
+      (4L, 1L, 1L, 0L, 3L)))
+  }
+
+  test("cleanDocs rejoins surviving segments in order") {
+    val cleaned = LineDedup.cleanDocs(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(cleaned === Seq(
+      (1L, "d e f"), (2L, "x y z"), (3L, "q"), (4L, "u v w")))
+  }
+
+  test("stats are invariant to input partitioning") {
+    val one = LineDedup.dedupStats(docs.repartition(1), "doc_id", "text", 3, 2)
+      .orderBy("doc_id").collect().toSeq
+    val many = LineDedup.dedupStats(docs.repartition(7), "doc_id", "text", 3, 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(one === many)
+  }
+}
