@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.queries.Dsl._
 import graft.dedup.{Components, Dedup}
 import graft.relational.{HeavyHitters, IntervalJoin, Skew}
-import graft.text.{LineDedup, Packing}
+import graft.text.{LineDedup, Packing, Sampling}
 
 /** Round-4 curation / assembly surface: segment-level corpus dedup,
   * sequence packing + chunking, exact heavy hitters via sketch-then-verify,
@@ -202,6 +202,45 @@ object CurationQueries {
           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Exact-quota source-mix rebalancing: target proportions from cyclic
+    // weights (10/20/30/40 by source number), quotas in pure integer math
+    // anchored at the binding (first-exhausted) source, membership = the
+    // quota smallest md5 ranks per source — count-exact and deterministic.
+    DeclaredQuery("source_mix_quota",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val wcol = lit(10L) * (lit(1L) +
+          substring(col("source"), 4, 10).cast("long") % 4)
+        val kept = Sampling.quotaMixSample(docs, "source", col("doc_id"), wcol)
+        val stats = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_checksum"))
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(stats, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        wn AS (SELECT source, n_docs,
+                 10 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS w
+               FROM n),
+        u AS (SELECT source, n_docs, w, (n_docs * 1000000) // w AS units FROM wn),
+        t AS (SELECT MIN(units) AS tmin FROM u),
+        q AS (SELECT source, n_docs,
+                ((SELECT tmin FROM t) * w) // 1000000 AS quota
+              FROM u),
+        r AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+              FROM documents),
+        k AS (SELECT r.source, COUNT(*) AS n_kept, SUM(doc_id) AS kept_checksum
+              FROM r JOIN q ON q.source = r.source
+              WHERE r.rn <= q.quota GROUP BY 1)
+        SELECT q.source, q.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+          CAST(COALESCE(k.kept_checksum, 0) AS BIGINT) AS kept_checksum
+        FROM q LEFT JOIN k ON k.source = q.source ORDER BY q.source""")),
 
     // Per-source token-budget quota (corpus mixing caps): walk each source's
     // docs in id order, keep while the running token sum stays within 500.

@@ -47,6 +47,40 @@ object Sampling {
     when(bucket < (evalFraction * (1L << 32)).toLong, "eval").otherwise("train")
   }
 
+  /** Exact-quota source-mix rebalancing: keep the LARGEST dataset whose
+    * per-group row counts follow the target `weight` proportions without
+    * upsampling any group. The binding group is the one whose rows run out
+    * first at its target share; every group's quota derives from it in
+    * integer arithmetic (units = n·scale div w, T = min units, quota =
+    * T·w div scale — so quota_g ≤ n_g always), and membership within a
+    * group is the `quota` smallest md5 ranks — deterministic on any engine,
+    * any partitioning.
+    *
+    * Scale note: the hash-rank needs a per-group total order (one window
+    * task per group). Fine for the usual 10s–1000s of sources; for a group
+    * too large to sort in one task, switch membership to threshold-rate
+    * sampling ([[deterministicSample]] with fraction = quota/n) and accept
+    * ±√n count jitter.
+    *
+    * @param weight integer target-share weight, an expression over `groupCol`
+    */
+  def quotaMixSample(df: DataFrame, groupCol: String, keyCol: Column,
+                     weight: Column, scale: Long = 1000000L): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__units", expr(s"(__n * $scale) div __w"))
+    val t = counts.agg(min(col("__units")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(t))
+      .withColumn("__quota", expr(s"(__t * __w) div $scale"))
+      .select(col(groupCol), col("__quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(keyCol.cast("string")), keyCol.cast("string"))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), groupCol)
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Weight-proportional systematic sample of ≈`k` rows: a row is kept when
     * its weight interval [cw−w, cw) crosses a multiple of total/k on the
     * cumulative-weight axis — the classic systematic (grid) sampler, in pure

@@ -78,6 +78,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "CartesianProduct") === 0)
   }
 
+  test("interval join stays an equi join — no nested-loop fallback") {
+    val plan = run("interval_click_counts")
+    assert(count(plan, "BroadcastNestedLoop") === 0,
+      s"interval join regressed to a nested loop:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("chunking is shuffle-free except its output ordering") {
+    val plan = run("chunk_overlap_stats")
+    val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+    assert(shuffles <= 1, s"chunking grew a shuffle ($shuffles exchanges):\n$plan")
+  }
+
+  test("heavy hitters: the only nested loop is the 1-row total broadcast") {
+    val plan = run("heavy_hitters_bigrams")
+    assert(count(plan, "BroadcastNestedLoop") <= 1, s"heavy hitters shape:\n$plan")
+    assert(count(plan, "CartesianProduct") === 0)
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     Seq("q1_pricing_summary", "minhash_neardup_pairs", "cosine_topk").foreach { q =>
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(run(q)).map(_.group(1)).toSet.size

@@ -55,4 +55,27 @@ class SamplingSpec extends SparkSpec {
     val perLang = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(perLang.values.forall(_ === 7L))
   }
+
+  test("quota mix sample hits exact proportional quotas without upsampling") {
+    // groups: a=100 rows w=1, b=50 rows w=1, c=90 rows w=3.
+    // binding group: c (90/3=30 units) vs a (100), b (50) -> T=30 units
+    // quotas: a=30, b=30, c=90 — proportions 1:1:3 exactly, c fully used.
+    val rows = (1L to 100L).map(i => ("a", i)) ++
+      (101L to 150L).map(i => ("b", i)) ++ (151L to 240L).map(i => ("c", i))
+    val df = rows.toDF("source", "id")
+    val wcol = when(col("source") === "c", 3L).otherwise(1L)
+    val kept = Sampling.quotaMixSample(df, "source", col("id"), wcol)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("a" -> 30L, "b" -> 30L, "c" -> 90L))
+  }
+
+  test("quota mix membership is deterministic under repartitioning") {
+    val rows = (1L to 100L).map(i => ("a", i)) ++ (101L to 140L).map(i => ("b", i))
+    val df = rows.toDF("source", "id")
+    val a = Sampling.quotaMixSample(df.repartition(1), "source", col("id"), lit(1L))
+      .select("id").as[Long].collect().toSeq.sorted
+    val b = Sampling.quotaMixSample(df.repartition(9), "source", col("id"), lit(1L))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(a === b)
+  }
 }
