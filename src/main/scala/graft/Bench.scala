@@ -53,7 +53,8 @@ object Bench {
     println(fullJson)
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
       "q10_returned_revenue", "dedup_exact", "minhash_neardup_pairs",
-      "cosine_topk", "ann_lsh_topk", "events_route_counts")
+      "cosine_topk", "ann_lsh_topk", "events_route_counts",
+      "line_dedup_stats", "heavy_hitters_bigrams", "seq_pack_chunks")
     val headlineTimes = results.filter { case (k, _) => headline.contains(k) }
     val shortJson =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(headlineTimes)},"sf":"$sfDir"}"""

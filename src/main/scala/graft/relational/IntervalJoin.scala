@@ -22,6 +22,8 @@ object IntervalJoin {
     * [lTime − windowMicros, lTime) for every left row. Left rows with no
     * matches get 0 (left join back on `leftIdCol`).
     *
+    * @param leftIdCol must uniquely identify left rows — counts for rows
+    *                  sharing an id would merge into one group
     * @return left columns + (outName: long)
     */
   def recentCount(left: DataFrame, leftIdCol: String, keyCol: String,

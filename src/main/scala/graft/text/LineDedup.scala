@@ -69,8 +69,10 @@ object LineDedup {
   }
 
   /** The cleaning operator itself: documents with over-frequent segments
-    * removed and the surviving segments rejoined in order. Documents whose
-    * every segment is boilerplate come out with empty text (callers filter).
+    * removed and the surviving segments rejoined in order. A document whose
+    * EVERY segment is boilerplate drops out of the result entirely (no rows
+    * survive the filter); left-join against the input id set if empty-text
+    * rows are needed instead.
     */
   def cleanDocs(docs: DataFrame, idCol: String, textCol: String,
                 segWords: Int, maxDocs: Int): DataFrame = {

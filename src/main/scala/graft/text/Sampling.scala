@@ -62,7 +62,10 @@ object Sampling {
     * sampling ([[deterministicSample]] with fraction = quota/n) and accept
     * ±√n count jitter.
     *
-    * @param weight integer target-share weight, an expression over `groupCol`
+    * @param weight integer target-share weight, an expression over
+    *               `groupCol`; must be strictly positive for every group
+    *               (ANSI `div` raises on zero — by design, a zero-share
+    *               group should be filtered out, not silently emptied)
     */
   def quotaMixSample(df: DataFrame, groupCol: String, keyCol: Column,
                      weight: Column, scale: Long = 1000000L): DataFrame = {

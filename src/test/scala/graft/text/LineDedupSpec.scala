@@ -45,6 +45,14 @@ class LineDedupSpec extends SparkSpec {
       (1L, "d e f"), (2L, "x y z"), (3L, "q"), (4L, "u v w")))
   }
 
+  test("cleanDocs drops documents whose every segment is boilerplate") {
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"), (4L, "k l m"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.cleanDocs(d, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((4L, "k l m")))
+  }
+
   test("stats are invariant to input partitioning") {
     val one = LineDedup.dedupStats(docs.repartition(1), "doc_id", "text", 3, 2)
       .orderBy("doc_id").collect().toSeq
