@@ -242,6 +242,74 @@ object CurationQueries {
           CAST(COALESCE(k.kept_checksum, 0) AS BIGINT) AS kept_checksum
         FROM q LEFT JOIN k ON k.source = q.source ORDER BY q.source""")),
 
+    // The operators composing end to end — the whole curation pass a
+    // training-data build runs, one declared query: segment-level
+    // boilerplate removal -> token recount + quality floor -> exact-quota
+    // source mixing -> 256-token sequence packing -> per-chunk manifest.
+    // Every stage is individually oracled above; this proves they compose
+    // (the oracle replays the full pipeline as one CTE chain).
+    DeclaredQuery("curation_pipeline_e2e",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cleaned = LineDedup.cleanDocs(docs, "doc_id", "text",
+          segWords = 3, maxDocs = 2)
+        val scored = cleaned
+          .withColumn("n", size(split(col("text"), " ")).cast("long"))
+          .filter(col("n") >= 5)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val wcol = lit(10L) * (lit(1L) +
+          substring(col("source"), 4, 10).cast("long") % 4)
+        val mixed = Sampling.quotaMixSample(scored, "source", col("doc_id"), wcol)
+        Packing.packSequences(mixed, "doc_id", col("n"), budget = 256)
+          .groupBy(col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("chunk_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        seg AS (
+          SELECT doc_id, (pos - 1) // 3 AS seg,
+                 string_agg(word, ' ' ORDER BY pos) AS seg_text,
+                 COUNT(*) AS n_words
+          FROM w GROUP BY 1, 2),
+        freq AS (
+          SELECT md5(seg_text) AS fp, COUNT(DISTINCT doc_id) AS df
+          FROM seg GROUP BY 1),
+        clean AS (
+          SELECT s.doc_id, CAST(SUM(s.n_words) AS BIGINT) AS n
+          FROM seg s JOIN freq f ON f.fp = md5(s.seg_text)
+          WHERE f.df <= 2 GROUP BY 1),
+        scored AS (
+          SELECT c.doc_id, c.n, d.source
+          FROM clean c JOIN documents d USING (doc_id)
+          WHERE c.n >= 5),
+        cnt AS (SELECT source, COUNT(*) AS nd FROM scored GROUP BY 1),
+        wn AS (SELECT source, nd,
+                 10 * (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS wt
+               FROM cnt),
+        u AS (SELECT source, nd, wt, (nd * 1000000) // wt AS units FROM wn),
+        t AS (SELECT MIN(units) AS tmin FROM u),
+        q AS (SELECT source,
+                ((SELECT tmin FROM t) * wt) // 1000000 AS quota
+              FROM u),
+        r AS (SELECT sc.doc_id, sc.n, sc.source,
+                ROW_NUMBER() OVER (PARTITION BY sc.source
+                  ORDER BY md5(CAST(sc.doc_id AS VARCHAR)), CAST(sc.doc_id AS VARCHAR)) AS rn
+              FROM scored sc),
+        kept AS (SELECT r.doc_id, r.n FROM r
+                 JOIN q ON q.source = r.source WHERE r.rn <= q.quota),
+        packed AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+          FROM kept)
+        SELECT CAST((cw - n) // 256 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS total_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY 1 ORDER BY 1""")),
+
     // Per-source token-budget quota (corpus mixing caps): walk each source's
     // docs in id order, keep while the running token sum stays within 500.
     DeclaredQuery("source_token_budget",
