@@ -216,7 +216,8 @@ object CurationQueries {
         val stats = kept.groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_checksum"))
         docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-          .join(stats, Seq("source"), "left")
+          // per-source aggregates are group-bounded — broadcast at any SF
+          .join(broadcast(stats), Seq("source"), "left")
           .select(col("source"), col("n_docs"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
