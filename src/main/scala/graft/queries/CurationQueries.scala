@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.queries.Dsl._
 import graft.dedup.{Components, Dedup}
 import graft.relational.{HeavyHitters, IntervalJoin, Skew}
-import graft.text.{LineDedup, Packing, Sampling}
+import graft.text.{LineDedup, Packing, Sampling, TextFunctions}
 
 /** Round-4 curation / assembly surface: segment-level corpus dedup,
   * sequence packing + chunking, exact heavy hitters via sketch-then-verify,
@@ -202,6 +202,36 @@ object CurationQueries {
           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Token-rarity quality scoring: the deterministic stand-in for
+    // LM-perplexity filtering — rank the vocabulary by corpus frequency
+    // (unique ranks, ties by token), score each doc by the exact integer
+    // sum of its tokens' ranks; the mean is one IEEE division, written
+    // identically in the oracle.
+    DeclaredQuery("doc_rarity_score",
+      (s, dir) => {
+        val ranks = TextFunctions.tokenRarityRanks(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        ranks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("rank")).as("sum_rank"),
+            sum(when(col("rank") > 20, 1L).otherwise(0L)).as("rare_tokens"))
+          .withColumn("mean_rank",
+            col("sum_rank").cast("double") / col("n_tokens").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        r AS (
+          SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rank
+          FROM w GROUP BY t)
+        SELECT w.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(r.rank) AS BIGINT) AS sum_rank,
+          CAST(SUM(CASE WHEN r.rank > 20 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens,
+          CAST(CAST(SUM(r.rank) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mean_rank
+        FROM w JOIN r USING (t)
+        GROUP BY w.doc_id ORDER BY w.doc_id""")),
 
     // Exact-quota source-mix rebalancing: target proportions from cyclic
     // weights (10/20/30/40 by source number), quotas in pure integer math

@@ -107,6 +107,29 @@ object TextFunctions {
     * hex prefix, folded into [0, dim). Engine-portable (md5 everywhere), so
     * hashed-TF featurization is oracle-exact — unlike xxhash-based indices.
     */
+  /** Corpus-frequency token rarity ranking: every distinct token gets a
+    * unique rank (1 = most frequent; ties broken by token text), and each
+    * document is scored by the exact integer sum of its tokens' ranks — the
+    * deterministic stand-in for LM-perplexity quality scoring (rare-token
+    * share correlates with low-quality/noisy text). Returns (doc id, rank)
+    * rows to aggregate.
+    *
+    * The rank window is a global order over the VOCABULARY (thousands to a
+    * few million rows), not the corpus — small enough for one sort task at
+    * any realistic vocabulary; for open-ended vocabularies swap the exact
+    * rank for a log-frequency bucket (`floor(log2(count))`), which needs no
+    * global order at all.
+    */
+  def tokenRarityRanks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val ranked = words.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc, col("__w"))))
+      .select(col("__w"), col("rank"))
+    words.join(broadcast(ranked), "__w").select(col(idCol), col("rank"))
+  }
+
   def hashedTfIndex(token: Column, dim: Int): Column =
     pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 }

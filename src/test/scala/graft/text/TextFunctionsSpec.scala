@@ -73,4 +73,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(2L) < q(1L), "stopword-only doc must score lower")
   }
+
+  test("token rarity ranks: frequency-desc unique ranks, text tie-break") {
+    // counts: c=3, b=2, a=1 -> ranks c=1, b=2, a=3
+    val d = Seq((1L, "b b a c c"), (2L, "c")).toDF("doc_id", "text")
+    val sums = TextFunctions.tokenRarityRanks(d, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("rank").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums === Map(1L -> 9L, 2L -> 1L)) // 2+2+3+1+1 and 1
+    // tie-break: equal counts rank by token text ascending
+    val tie = Seq((1L, "x y")).toDF("doc_id", "text")
+    val ranks = TextFunctions.tokenRarityRanks(tie, "doc_id", "text")
+      .select("rank").as[Int].collect().toSeq.sorted
+    assert(ranks === Seq(1, 2))
+  }
 }
