@@ -439,20 +439,23 @@ object EventQueries {
     // range-partitioning the write clusters BOTH filter dimensions at once —
     // file-level min/max pruning then works for either predicate. The query
     // checks the interleave bit math end to end; LayoutSpec measures the
-    // 2-D locality win over a 1-D sort.
+    // 2-D locality win over a 1-D sort. Bit width is sized for the LARGEST
+    // bench SF (sf0.1: user_id ≤ 1499, vbin ≤ 560 — both < 2^11); the
+    // zValue range guard raises rather than silently aliasing if data ever
+    // outgrows it (same sizing rule as the Bloom join filter).
     DeclaredQuery("zorder_events_layout",
       (s, dir) => {
         val ev = events(s, dir)
           .select(col("event_id"), col("user_id"),
             floor(col("value")).cast("long").as("vbin"))
-          .withColumn("z", graft.relational.Layout.zValue(col("user_id"), col("vbin"), bits = 9))
+          .withColumn("z", graft.relational.Layout.zValue(col("user_id"), col("vbin"), bits = 11))
         ev.orderBy(col("z"), col("event_id")).limit(500)
           .select(col("event_id"), col("user_id"), col("vbin"), col("z"))
       },
       Some(s"""WITH b AS (
           SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbin FROM events),
         z AS (SELECT event_id, user_id, vbin,
-          ${(0 until 9).map(i =>
+          ${(0 until 11).map(i =>
             s"(((user_id >> $i) & 1) << ${2 * i}) + (((vbin >> $i) & 1) << ${2 * i + 1})")
             .mkString(" + ")} AS z
           FROM b)
