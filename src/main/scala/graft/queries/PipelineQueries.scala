@@ -73,6 +73,37 @@ object PipelineQueries {
        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB oracle replaying SemDeDup end to end: same seed cells (lowest-id
+    * vectors), same argmax assignment (cosine DESC, sid tie-break), same
+    * within-cell pairs, recursive-CTE component closure, and the same
+    * keep-the-centroid-outlier rule (csim ASC, id tie-break).
+    */
+  private def semdedupOracleSql(nlist: Int, threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (SELECT id AS sid, v AS sv FROM e ORDER BY id LIMIT $nlist),
+       |cass AS (SELECT id, v, sid AS cell, csim FROM (
+       |    SELECT e.id, e.v, s.sid, ${sqlCos("e.v", "s.sv")} AS csim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlCos("e.v", "s.sv")} DESC, s.sid) AS rn
+       |    FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+       |pairs AS (SELECT a.id AS id1, b.id AS id2
+       |          FROM cass a JOIN cass b ON a.cell = b.cell AND a.id < b.id
+       |          WHERE ${sqlCos("a.v", "b.v")} >= $threshold),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |r AS (WITH RECURSIVE rr(id, reach) AS (
+       |        SELECT id, id FROM cass
+       |        UNION
+       |        SELECT rr.id, edges.dst FROM rr JOIN edges ON edges.src = rr.reach)
+       |      SELECT id, MIN(reach) AS comp FROM rr GROUP BY id),
+       |k AS (SELECT cass.id, cass.cell, r.comp, cass.csim,
+       |        ROW_NUMBER() OVER (PARTITION BY r.comp
+       |          ORDER BY cass.csim ASC, cass.id) AS krn
+       |      FROM cass JOIN r USING (id))
+       |SELECT id, cell, comp, csim,
+       |  CAST(CASE WHEN krn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM k ORDER BY id""".stripMargin
+
   /** DuckDB oracle for the combined IVF+PQ serving path: IVF cells by
     * cosine argmax (tie by seed id), PQ codes by the reduced argmin key,
     * probe `nprobe` cells per query, ADC-score only in-cell pairs. Every
@@ -1009,6 +1040,18 @@ object PipelineQueries {
           SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
         SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
         FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""")),
+
+    // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup over
+    // embeddings — the quadratic pair step confined to coarse cells, then
+    // the paper's diversity-keeping rule (retain the member least similar
+    // to its centroid). Assignment, pairs, closure, and keep rule are all
+    // deterministic, so the per-document verdict hash-matches its oracle.
+    DeclaredQuery("semdedup_keep",
+      (s, dir) => graft.dedup.SemDedup.semanticDedup(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 16, threshold = 0.4)
+        .orderBy(col("id")),
+      Some(semdedupOracleSql(nlist = 16, threshold = 0.4))),
 
     // Binary quantization: the candidate scan reads ONE BIGINT per vector
     // (8 bytes vs 256 for the floats — the 32× I/O cut that makes a 10⁹-row
