@@ -39,36 +39,45 @@ object Components {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
+    // Pre-partition the (cached) symmetric edge list by the per-round join
+    // key: every iteration's edges⋈labels then reuses the cached layout
+    // (outputPartitioning already satisfies the join requirement), so only
+    // the small label table shuffles per round.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint()
-    // one propagate + pointer-jump step (comp(v) -> comp(comp(v)))
-    def step(cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    var it = 0
+    var done = false
+    var lastChanged = 0L
+    while (!done && it < maxIters) {
+      // One materialized job per round, and each operator in it computed
+      // exactly ONCE: the old label rides through the propagation select as
+      // `__old` (change detection costs no extra join), and the pointer
+      // jump (comp(v) -> comp(comp(v))) resolves against the CHECKPOINTED
+      // previous labels — labels only decrease, so a one-round-stale jump
+      // target is still a valid (merely weaker) shortcut, and it avoids
+      // re-deriving the whole propagation subtree as the jump's build side,
+      // which is what a prop⋈prop self-join costs when prop is lazy.
+      val cur = labels
       val nbrMin = sym
         .join(cur.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nbr"))
       val prop = cur.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("jcomp")), Seq("comp"))
-        .select(col("id"), col("jcomp").as("comp"))
-    }
-    var it = 0
-    var done = false
-    var lastChanged = 0L
-    while (!done && it < maxIters) {
-      // One step per materialized round: a deeper unmaterialized pipeline
-      // (two steps per round) was measured SLOWER at sf0.1 — planning/AQE
-      // cost of the 6-join round outweighed the halved round count. The
-      // change flag rides into the checkpoint, making the fixpoint test a
-      // filter-count over checkpointed rows rather than a second join job.
-      val next = step(labels)
-        .join(labels.select(col("id"), col("comp").as("__old")), "id")
-        .select(col("id"), col("comp"), (col("comp") =!= col("__old")).as("__ch"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("__old"))
+      val next = prop
+        .join(cur.select(col("id").as("__jk"), col("comp").as("__jc")),
+          prop("comp") === col("__jk"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__jc"), col("comp"))).as("comp"),
+          col("__old"))
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("__old")).as("__ch"))
         .localCheckpoint()
       val changed = next.filter(col("__ch")).count()
       labels = next.select("id", "comp")
