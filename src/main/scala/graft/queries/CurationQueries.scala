@@ -116,10 +116,15 @@ object CurationQueries {
     // groupBy plan but shuffling only the answer-sized candidate set.
     DeclaredQuery("heavy_hitters_bigrams",
       (s, dir) => {
-        val bigrams = tbl(s, dir, "documents").select(explode(expr(
-          "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
-            "(w, i) -> concat(w, ' ', element_at(split(text, ' '), i + 2)))"))
-          .as("bigram"))
+        // split ONCE per row, then pair adjacent words with zip_with over two
+        // slices — a transform whose lambda re-splits the text is O(words²)
+        // per document and dominated this query's runtime
+        val bigrams = tbl(s, dir, "documents")
+          .select(split(col("text"), " ").as("ws"))
+          .select(explode(zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
         HeavyHitters.exactHeavyHitters(bigrams, "bigram", k = 900)
           .orderBy(col("bigram"))
       },

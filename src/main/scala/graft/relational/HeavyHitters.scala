@@ -57,16 +57,25 @@ object HeavyHitters {
 
   /** Exact heavy hitters: items whose global frequency f satisfies f·k > n.
     * Output: (itemCol, cnt, n_total) — identical to the full groupBy plan.
+    *
+    * Two passes over the item stream total: the MG candidate pass, then ONE
+    * verify pass that counts candidates and the corpus total together — each
+    * non-candidate collapses into a single null group before the shuffle
+    * (map-side combine), so the exchange stays answer-sized and no separate
+    * count job rescans the stream. The total is folded back over the grouped
+    * frame with an empty-partition window, which is safe precisely because
+    * that frame is at most |candidates|+1 rows.
     */
   def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val cand = candidates(items, itemCol, k)
-    // fold the corpus total into the plan (no driver-side count job)
-    val total = items.agg(count(lit(1)).as("n_total"))
-    items
-      .join(broadcast(cand), Seq(itemCol), "left_semi")
-      .groupBy(col(itemCol))
+    val grouped = items
+      .join(broadcast(cand.withColumn("__hit", lit(true))), Seq(itemCol), "left")
+      .groupBy(when(col("__hit"), col(itemCol)).as(itemCol))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * k > col("n_total"))
+    grouped
+      .withColumn("n_total",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .filter(col(itemCol).isNotNull && col("cnt") * k > col("n_total"))
   }
 }

@@ -29,18 +29,17 @@ object LineDedup {
                segWords: Int): DataFrame = {
     require(segWords > 0)
     docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .withColumn("seg", expr(s"pos div $segWords"))
-      .groupBy(col(idCol), col("seg"))
-      .agg(
-        // Rebuild the segment deterministically regardless of collect order:
-        // sort the (pos, word) structs, then project words. The lambda runs
-        // over at most segWords elements per row — bounded, not a hot path.
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos").as("p"), col("word").as("w")))),
-            x => x.getField("w")),
-          " ").as("seg_text"),
-        count(lit(1)).as("n_words"))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L),
+          expr(s"(size(__ws) + ${segWords - 1}) div $segWords") - 1,
+          lit(1L)),
+        i => {
+          val sl = slice(col("__ws"), (i * segWords + 1).cast("int"), lit(segWords))
+          struct(array_join(sl, " ").as("t"), size(sl).cast("long").as("n"))
+        })).as(Seq("seg", "__s")))
+      .select(col(idCol), col("seg").cast("long").as("seg"),
+        col("__s.t").as("seg_text"), col("__s.n").as("n_words"))
   }
 
   /** Distinct-document frequency per segment fingerprint: (fp, df). */
@@ -76,16 +75,35 @@ object LineDedup {
     */
   def cleanDocs(docs: DataFrame, idCol: String, textCol: String,
                 segWords: Int, maxDocs: Int): DataFrame = {
-    val segs = segments(docs, idCol, textCol, segWords)
-      .withColumn("fp", md5(col("seg_text")))
-    val freq = segmentDocFrequency(segs, idCol)
-    segs.join(freq, "fp")
-      .filter(col("df") <= maxDocs)
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("seg").as("s"), col("seg_text").as("t")))),
-            x => x.getField("t")),
-          " ").as(textCol))
+    require(segWords > 0)
+    // Per-doc segment array built row-locally; only FINGERPRINTS ever
+    // shuffle. The doc-frequency pass shuffles (fp, id); the per-doc
+    // drop-set gathers only BOILERPLATE hits (answer-sized — boilerplate is
+    // by definition the repeated minority); the rebuild is an order-
+    // preserving array filter, not a collect_list re-sort of all text.
+    val segd = docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), transform(
+        sequence(lit(0L),
+          expr(s"(size(__ws) + ${segWords - 1}) div $segWords") - 1,
+          lit(1L)),
+        i => array_join(
+          slice(col("__ws"), (i * segWords + 1).cast("int"), lit(segWords)),
+          " ")).as("__segs"))
+    val fps = segd
+      .select(col(idCol), explode(col("__segs")).as("__t"))
+      .select(col(idCol), md5(col("__t")).as("fp"))
+    val bad = fps.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDocs)
+    val badPerDoc = fps.join(bad.select("fp"), "fp")
+      .groupBy(col(idCol)).agg(collect_set(col("fp")).as("__bad"))
+    segd.join(badPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__bad").isNull, col("__segs"))
+          .otherwise(filter(col("__segs"),
+            s => !array_contains(col("__bad"), md5(s)))).as("__kept"))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol), array_join(col("__kept"), " ").as(textCol))
   }
 }
