@@ -167,27 +167,24 @@ object Dedup {
   /** Inverted shingle-index rows (id, key): key fuses block columns + the
     * word n-gram into one 64-bit join key, so self-joins shuffle a single
     * long column instead of strings — and block equality rides along free.
-    * Shingles come from window leads over exploded tokens (codegen'd; HOF
-    * shingle lambdas are interpreted and dominate otherwise), deduplicated
-    * at the (id, key) level since Jaccard counts distinct shingles.
+    * Shingles are built ROW-LOCALLY (split once, slice per ordinal): forming
+    * n-grams is pure per-document math and costs no exchange, where the
+    * previous lead()-window shape shuffled and sorted every word in the
+    * corpus first. Deduplicated at the (id, key) level since Jaccard counts
+    * distinct shingles.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int, blockCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (0 until shingleN).map {
-      case 0 => col("t")
-      case i => lead(col("t"), i).over(w)
-    }
+                           shingleN: Int, blockCols: Seq[String]): DataFrame =
     docs
       .select(col(idCol).as("id") +: blockCols.map(col) :+
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")): _*)
+        split(col(textCol), " ").as("__ws"): _*)
+      .filter(size(col("__ws")) >= shingleN)
       .select(col("id") +: blockCols.map(col) :+
-        concat_ws(" ", leads: _*).as("s") :+ leads.last.isNotNull.as("full"): _*)
-      .filter(col("full"))
+        explode(array_distinct(transform(
+          sequence(lit(1L), (size(col("__ws")) - lit(shingleN - 1)).cast("long"), lit(1L)),
+          i => array_join(slice(col("__ws"), i.cast("int"), lit(shingleN)), " "))))
+          .as("s"): _*)
       .select(col("id"), xxhash64(blockCols.map(col) :+ col("s"): _*).as("key"))
-      .dropDuplicates("id", "key")
-  }
 
   /** Exact word-n-gram Jaccard similarity for all pairs within blocks, via
     * the inverted shingle index (no array ops, no cross products). Shingles
@@ -237,21 +234,36 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int, minJaccard: Double): DataFrame = {
     val index = shingleIndex(docs, idCol, textCol, shingleN, Nil)
-    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // ONE grouped pass builds everything per-doc: the key-sorted array for
+    // exact verification, the size, and the (df, key)-canonical-order
+    // positions the prefix filter needs. localCheckpoint: it is doc-count
+    // rows (not index rows) and feeds three consumers.
     val dfreq = index.groupBy(col("key")).agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("key"))
-    val pref = index.join(dfreq, "key")
-      .withColumn("rnk", row_number().over(wDoc))
-      .join(sizes, "id")
-      .filter(col("rnk") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select("id", "key")
-    val cands = pref.select(col("id").as("id1"), col("key"))
-      .join(pref.select(col("id").as("id2"), col("key")), Seq("key"))
+    val arrs = index.join(dfreq, "key")
+      .groupBy(col("id"))
+      .agg(
+        sort_array(collect_list(col("key"))).as("ks"),
+        sort_array(collect_list(struct(col("df"), col("key")))).as("dk"),
+        count(lit(1)).as("n"))
+    // Prefix tokens WITH their canonical position and doc size: candidates
+    // must share a prefix token (pigeonhole), and PPJoin's two extra sound
+    // prunes apply before the pair ever materializes — the length filter
+    // (J ≥ t forces t·n1 ≤ n2 ≤ n1/t) and the positional filter (a shared
+    // token at positions p1, p2 caps the overlap at 1 + min(n1−p1, n2−p2),
+    // which must reach α = t/(1+t)·(n1+n2), the overlap J ≥ t requires).
+    val pref = arrs.select(col("id"), col("n"),
+        posexplode(slice(col("dk"), lit(1),
+          (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"), col("col.key").as("key"))
+    val eps = 1e-9
+    val cands = pref.select(col("id").as("id1"), col("n").as("n1"), col("p").as("p1"), col("key"))
+      .join(pref.select(col("id").as("id2"), col("n").as("n2"), col("p").as("p2"), col("key")), Seq("key"))
       .filter(col("id1") < col("id2"))
+      .filter(col("n2") >= lit(minJaccard) * col("n1") - eps &&
+        col("n1") >= lit(minJaccard) * col("n2") - eps)
+      .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))) * (1 + minJaccard)
+        >= lit(minJaccard) * (col("n1") + col("n2")) - eps)
       .select("id1", "id2").distinct()
-    val arrs = index.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("key"))).as("ks"), count(lit(1)).as("n"))
     cands
       .join(arrs.select(col("id").as("id1"), col("ks").as("k1"), col("n").as("n1")), "id1")
       .join(arrs.select(col("id").as("id2"), col("ks").as("k2"), col("n").as("n2")), "id2")
