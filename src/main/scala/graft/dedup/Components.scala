@@ -48,20 +48,33 @@ object Components {
       .distinct()
       .repartition(col("dst"))
       .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // Iterate ONLY over edge endpoints: a node with no edges is its own
+    // component by definition and never changes label, yet would ride every
+    // round's shuffles. In a real dedup corpus near-dup members are the
+    // small minority, so this shrinks the per-round label table by orders of
+    // magnitude; the untouched singletons are unioned back at the end.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var it = 0
     var done = false
     var lastChanged = 0L
+    // Per round: one materialized PROPAGATION (neighbor-min, with the old
+    // label carried as `__old` so change detection costs no extra join),
+    // then a double POINTER JUMP against the just-checkpointed propagation
+    // result — comp := comp(comp(comp(v))) over fresh labels. Jumping
+    // against the fresh table (not the previous round's) is what makes the
+    // label forest's depth actually halve per round (measured: the stale
+    // variant needed the same rounds as no jump at all); the checkpoint
+    // means the jump joins read materialized rows instead of re-deriving
+    // the propagation subtree per join.
+    def jump(d: DataFrame, tbl: DataFrame): DataFrame =
+      d.join(tbl.select(col("id").as("__jk"), col("comp").as("__jc")),
+          d("comp") === col("__jk"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__jc"), col("comp"))).as("comp"),
+          col("__old"))
     while (!done && it < maxIters) {
-      // One materialized job per round, and each operator in it computed
-      // exactly ONCE: the old label rides through the propagation select as
-      // `__old` (change detection costs no extra join), and the pointer
-      // jump (comp(v) -> comp(comp(v))) resolves against the CHECKPOINTED
-      // previous labels — labels only decrease, so a one-round-stale jump
-      // target is still a valid (merely weaker) shortcut, and it avoids
-      // re-deriving the whole propagation subtree as the jump's build side,
-      // which is what a prop⋈prop self-join costs when prop is lazy.
       val cur = labels
       val nbrMin = sym
         .join(cur.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
@@ -70,12 +83,8 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           col("comp").as("__old"))
-      val next = prop
-        .join(cur.select(col("id").as("__jk"), col("comp").as("__jc")),
-          prop("comp") === col("__jk"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__jc"), col("comp"))).as("comp"),
-          col("__old"))
+        .localCheckpoint()
+      val next = jump(jump(prop, prop), prop)
         .select(col("id"), col("comp"),
           (col("comp") =!= col("__old")).as("__ch"))
         .localCheckpoint()
@@ -96,7 +105,10 @@ object Components {
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge after $maxIters iterations " +
         s"($lastChanged labels still changing); raise maxIters")
-    labels
+    // singletons (nodes with no edges) re-enter as their own component
+    nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into

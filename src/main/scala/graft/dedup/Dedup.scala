@@ -62,16 +62,23 @@ object Dedup {
     * fallback path reuses the tf the probe was computed from instead of
     * re-tokenizing and re-aggregating the corpus.
     */
-  private def sparseFromTf(tf: DataFrame, threshold: Double,
+  private def sparseFromTf(tf0: DataFrame, threshold: Double,
                            maxDf: Option[Long]): DataFrame = {
+    // Three consumers (both postings sides + norms) and the dispatcher's
+    // probe — cache the tf frame once. The self-join key is the term's
+    // xxhash64, not the term string: the shuffle carries 8-byte longs, and a
+    // cross-term collision (≈vocab²/2⁶⁴) is the same accepted risk as the
+    // shingle index's fused keys.
+    val tf = tf0.cache()
+    val postings0 = tf.select(col("id"), xxhash64(col("t")).as("tk"), col("tf"))
     val postings = maxDf match {
       case Some(cap) =>
-        val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df_.filter(col("df") <= cap)), "t").drop("df")
-      case None => tf
+        val df_ = postings0.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        postings0.join(broadcast(df_.filter(col("df") <= cap)), "tk").drop("df")
+      case None => postings0
     }
-    val dots = postings.select(col("id").as("id1"), col("t"), col("tf").as("tf1"))
-      .join(postings.select(col("id").as("id2"), col("t"), col("tf").as("tf2")), Seq("t"))
+    val dots = postings.select(col("id").as("id1"), col("tk"), col("tf").as("tf1"))
+      .join(postings.select(col("id").as("id2"), col("tk"), col("tf").as("tf2")), Seq("tk"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(sum(col("tf1") * col("tf2")).as("dot"))
@@ -157,7 +164,10 @@ object Dedup {
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // cache before the probe: the probe job materializes it, and the chosen
+    // physical path (and sparseFromTf's identical .cache() — CacheManager
+    // dedups by plan equality) then reads the cached frame
+    val tf = termFrequencies(docs, idCol, textCol).cache()
     probeDictionary(tf, denseVocabCap) match {
       case Some(terms) => denseFromTf(tf, terms, threshold)
       case None => sparseFromTf(tf, threshold, maxDf = None)

@@ -93,6 +93,9 @@ object LineDedup {
     val fps = segd
       .select(col(idCol), explode(col("__segs")).as("__t"))
       .select(col(idCol), md5(col("__t")).as("fp"))
+      // two consumers (doc-frequency, bad-set join): cache the compact
+      // (id, fp) frame instead of re-segmenting + re-hashing the corpus
+      .cache()
     val bad = fps.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > maxDocs)
