@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Constant-size probabilistic summaries: Count-Min frequency sketch and a
   * Bloom-filter runtime join filter.
   *
-  * Both hash with md5 (the one hash every engine computes identically), so
-  * the sketch contents — not just their consumers — are oracle-checkable,
-  * unlike xxhash/murmur-based sketches.
+  * Count-Min hashes with md5 (the one hash every engine computes
+  * identically), so the sketch contents — not just their consumers — are
+  * oracle-checkable, unlike xxhash/murmur-based sketches. The bloom filter
+  * hashes with xxhash64 — its contents never reach a result, so it takes
+  * the codegen'd hash instead (see [[bloomPositions]]).
   *
   * Scale shapes:
   *  - Count-Min: the sketch is depth×width counters regardless of input
@@ -57,12 +59,15 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
-  /** k bit positions in [0, mBits) for a key — 60 md5 bits per position. */
+  /** k bit positions in [0, mBits) for a key — seeded xxhash64, not md5:
+    * unlike the Count-Min sketch, the bloom filter's CONTENTS never reach a
+    * result (false positives only admit rows the exact join then drops), so
+    * cross-engine hash portability buys nothing and the probe side would
+    * otherwise pay k string-concat+md5+hex-parse per row of the BIG table.
+    * xxhash64 stays inside whole-stage codegen.
+    */
   private def bloomPositions(key: Column, k: Int, mBits: Int): Seq[Column] =
-    (0 until k).map { j =>
-      pmod(conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(mBits.toLong))
-    }
+    (0 until k).map(j => pmod(xxhash64(lit(j), key), lit(mBits.toLong)))
 
   /** Aggregate the build side's keys into a packed bit array (mBits/64
     * longs), collected to the driver — kilobytes, like a broadcast dim.
