@@ -321,6 +321,50 @@ object PipelineQueries {
           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
         FROM documents ORDER BY doc_id""")),
 
+    // ---- Gopher-style duplicate-n-gram repetition signals ------------------
+    // Rae et al. 2021 (Gopher, arXiv:2112.11446) drop documents dominated by
+    // internal repetition. The DUPLICATE-n-gram fractions (the paper's other
+    // repetition family — `doc_repetition_filter` above covers the
+    // top-fraction rules): fraction of 2-/3-gram slots occupied by repeats.
+    // Pure row-local array math — zero shuffle at any corpus size; a
+    // quality gate this cheap belongs fused into the first scan of every
+    // curation pipeline. Flag thresholds are the paper's.
+    DeclaredQuery("repetition_stats",
+      (s, dir) => {
+        def dupFrac(n: Int): org.apache.spark.sql.Column = {
+          val grams = shingles(col("text"), n)
+          (lit(1.0) - size(array_distinct(grams)).cast("double")
+            / size(grams).cast("double")).as(s"dup_${n}gram_frac")
+        }
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), dupFrac(2), dupFrac(3))
+          .withColumn("flagged",
+            when(col("dup_2gram_frac") > 0.2
+              || col("dup_3gram_frac") > 0.18, 1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g2 AS (SELECT doc_id,
+            list_transform(range(1, len(w) - 0), i ->
+              array_to_string(list_slice(w, i, i + 1), ' ')) AS g
+          FROM ws WHERE len(w) >= 2),
+        g3 AS (SELECT doc_id,
+            list_transform(range(1, len(w) - 1), i ->
+              array_to_string(list_slice(w, i, i + 2), ' ')) AS g
+          FROM ws WHERE len(w) >= 3),
+        d2 AS (SELECT doc_id,
+            1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+              AS dup_2gram_frac FROM g2),
+        d3 AS (SELECT doc_id,
+            1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+              AS dup_3gram_frac FROM g3)
+        SELECT d2.doc_id, d2.dup_2gram_frac, d3.dup_3gram_frac,
+          CAST(CASE WHEN d2.dup_2gram_frac > 0.2
+            OR d3.dup_3gram_frac > 0.18 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM d2 JOIN d3 USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ---- F10 corpus term frequency ----------------------------------------
     DeclaredQuery("text_term_freq",
       (s, dir) => {
