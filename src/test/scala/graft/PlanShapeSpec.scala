@@ -91,10 +91,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 1, s"chunking grew a shuffle ($shuffles exchanges):\n$plan")
   }
 
-  test("heavy hitters: the only nested loop is the 1-row total broadcast") {
+  test("heavy hitters: single verify pass — no nested loop, no separate total scan") {
     val plan = run("heavy_hitters_bigrams")
-    assert(count(plan, "BroadcastNestedLoop") <= 1, s"heavy hitters shape:\n$plan")
+    // the corpus total folds into the candidate-count pass (null group +
+    // answer-sized window), so no crossJoin(total) nested loop survives
+    assert(count(plan, "BroadcastNestedLoop") === 0, s"heavy hitters shape:\n$plan")
     assert(count(plan, "CartesianProduct") === 0)
+  }
+
+  test("repetition signals are row-local: at most the output-ordering shuffle") {
+    val plan = run("repetition_stats")
+    val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+    assert(shuffles <= 1, s"repetition stats grew a shuffle ($shuffles exchanges):\n$plan")
+  }
+
+  test("segment construction is shuffle-free (split+slice, not explode+groupBy)") {
+    val segs = graft.text.LineDedup.segments(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3)
+    val plan = finalPlan(segs)
+    val shuffles = count(plan, "Exchange") - count(plan, "BroadcastExchange")
+    assert(shuffles === 0, s"segments() must not exchange:\n$plan")
   }
 
   test("every spot-checked query keeps non-zero whole-stage codegen") {
