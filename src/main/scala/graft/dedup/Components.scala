@@ -43,8 +43,15 @@ object Components {
     // key: every iteration's edges⋈labels then reuses the cached layout
     // (outputPartitioning already satisfies the join requirement), so only
     // the small label table shuffles per round.
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Symmetrize with ONE scan of the edge frame (explode of both
+    // orientations), not a self-union: the edge list is usually an
+    // expensive subtree (a pair-similarity join), and a union would compute
+    // it once per branch when this cache first materializes.
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .repartition(col("dst"))
       .cache()
