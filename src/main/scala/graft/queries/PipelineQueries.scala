@@ -328,7 +328,9 @@ object PipelineQueries {
     // top-fraction rules): fraction of 2-/3-gram slots occupied by repeats.
     // Pure row-local array math — zero shuffle at any corpus size; a
     // quality gate this cheap belongs fused into the first scan of every
-    // curation pipeline. Flag thresholds are the paper's.
+    // curation pipeline. Flag thresholds chosen in the magnitude range of
+    // the paper's repetition table (its exact rules are character-fraction
+    // variants over 2..10-grams).
     DeclaredQuery("repetition_stats",
       (s, dir) => {
         def dupFrac(n: Int): org.apache.spark.sql.Column = {
