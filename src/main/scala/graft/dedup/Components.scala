@@ -60,6 +60,21 @@ object Components {
     // round's shuffles. In a real dedup corpus near-dup members are the
     // small minority, so this shrinks the per-round label table by orders of
     // magnitude; the untouched singletons are unioned back at the end.
+    // Size the loop's shuffle partitioning from the MEASURED edge count
+    // (the count also forces the cache): ~2M edge rows (≈32 MB of long
+    // pairs) per partition, capped at the session setting. A 3k-edge dedup
+    // graph then iterates on 1 partition instead of paying the full session
+    // width per round, while a 10¹⁰-edge graph keeps the session's
+    // parallelism — the same statistics-driven sizing AQE applies to single
+    // queries, applied to the loop. Restored in the finally below; the
+    // returned frame plans under the restored setting.
+    val sess = nodes.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val edgeRows = sym.count()
+    val loopParts = math.max(1L,
+      math.min(prevParts.toLong, edgeRows / 2000000L + 1L))
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -116,6 +131,9 @@ object Components {
     nodes.select(col(idCol).as("id"))
       .join(labels.select(col("id"), col("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into
