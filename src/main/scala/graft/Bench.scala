@@ -28,7 +28,8 @@ object Bench {
     // whichever family member runs first alphabetically. Running the heavy
     // families once over sf0.001 (~100 docs) compiles the same generated
     // classes for cents.
-    val warmDir = new java.io.File("/root/testdata/sf0.001")
+    val warmDir = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory) {
       val qs = SparkEntry.queries
       Seq("dedup_canonical_docs", "dedup_components", "semdedup_keep",

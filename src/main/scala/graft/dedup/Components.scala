@@ -33,8 +33,19 @@ object Components {
 
   /** @param nodes one row per node (`idCol`) — nodes without edges come out
     *              as singleton components
-    * @param edges undirected pairs (`srcCol`, `dstCol`); symmetrized here
-    * @return (id, comp) with comp = min node id in the component
+    * @param edges undirected pairs (`srcCol`, `dstCol`); symmetrized here.
+    *              Edges may reference ids absent from `nodes`: connectivity
+    *              THROUGH such ids counts (they propagate labels), the
+    *              result is still restricted to `nodes`, and `comp` is the
+    *              min id over the whole edge-graph component (possibly an
+    *              edge-only id). Pass a closed edge set if group keys must
+    *              be member ids.
+    * @return (id, comp) with comp = min id in the component
+    *
+    * Not safe for CONCURRENT use on one SparkSession: the loop temporarily
+    * sizes `spark.sql.shuffle.partitions` from the measured edge count
+    * (restored on exit), which is session-global state. The loop itself is
+    * driver-synchronous; run concurrent instances on separate sessions.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,

@@ -166,7 +166,9 @@ object Dedup {
                   threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
     // cache before the probe: the probe job materializes it, and the chosen
     // physical path (and sparseFromTf's identical .cache() — CacheManager
-    // dedups by plan equality) then reads the cached frame
+    // dedups by plan equality) then reads the cached frame. Never explicitly
+    // unpersisted (the result is lazy); entries are MEMORY_AND_DISK and LRU-
+    // evicted — sessions running many pipelines can clearCache() between them
     val tf = termFrequencies(docs, idCol, textCol).cache()
     probeDictionary(tf, denseVocabCap) match {
       case Some(terms) => denseFromTf(tf, terms, threshold)
@@ -246,8 +248,10 @@ object Dedup {
     val index = shingleIndex(docs, idCol, textCol, shingleN, Nil)
     // ONE grouped pass builds everything per-doc: the key-sorted array for
     // exact verification, the size, and the (df, key)-canonical-order
-    // positions the prefix filter needs. localCheckpoint: it is doc-count
-    // rows (not index rows) and feeds three consumers.
+    // positions the prefix filter needs. Deliberately NOT materialized:
+    // measured at sf0.1, recomputing this (cheap, shuffle-light) subtree per
+    // consumer beat both localCheckpoint (stats loss → join regressions)
+    // and cache (eviction churn) — see SCALE.md round-4 notes.
     val dfreq = index.groupBy(col("key")).agg(count(lit(1)).as("df"))
     val arrs = index.join(dfreq, "key")
       .groupBy(col("id"))

@@ -187,7 +187,8 @@ object MinHash {
       // Three consumers (digest mins, both verify sides) — cache the compact
       // (id, 60-bit) frame rather than re-deriving the md5s per consumer.
       // cache(), not localCheckpoint(): caching keeps the logical plan and
-      // its statistics, so the verify joins still plan as broadcast.
+      // its statistics, so the verify joins still plan as broadcast. Never
+      // explicitly unpersisted (lazy result) — LRU eviction reclaims it.
       .cache()
     // one md5 digest is 128 bits = TWO independent 60-bit mixes (hex chars
     // 1-15 and 16-30), so k mins cost k/2 digests per distinct shingle hash.

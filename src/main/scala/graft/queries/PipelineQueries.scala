@@ -333,10 +333,15 @@ object PipelineQueries {
     // variants over 2..10-grams).
     DeclaredQuery("repetition_stats",
       (s, dir) => {
+        // total function: a doc too short to have any n-gram repeats nothing
+        // (frac 0), rather than emitting a 0/0 null — the oracle's CASE arm
+        // is written identically, so sub-n-word docs stay hash-exact too
         def dupFrac(n: Int): org.apache.spark.sql.Column = {
           val grams = shingles(col("text"), n)
-          (lit(1.0) - size(array_distinct(grams)).cast("double")
-            / size(grams).cast("double")).as(s"dup_${n}gram_frac")
+          when(size(grams) > 0,
+            lit(1.0) - size(array_distinct(grams)).cast("double")
+              / size(grams).cast("double"))
+            .otherwise(lit(0.0)).as(s"dup_${n}gram_frac")
         }
         tbl(s, dir, "documents")
           .select(col("doc_id"), dupFrac(2), dupFrac(3))
@@ -347,20 +352,18 @@ object PipelineQueries {
       },
       Some("""WITH ws AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        g2 AS (SELECT doc_id,
-            list_transform(range(1, len(w) - 0), i ->
-              array_to_string(list_slice(w, i, i + 1), ' ')) AS g
-          FROM ws WHERE len(w) >= 2),
-        g3 AS (SELECT doc_id,
-            list_transform(range(1, len(w) - 1), i ->
-              array_to_string(list_slice(w, i, i + 2), ' ')) AS g
-          FROM ws WHERE len(w) >= 3),
         d2 AS (SELECT doc_id,
-            1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
-              AS dup_2gram_frac FROM g2),
+            CASE WHEN len(w) >= 2 THEN
+              1.0::DOUBLE - CAST(len(list_distinct(list_transform(range(1, len(w) - 0), i ->
+                array_to_string(list_slice(w, i, i + 1), ' ')))) AS DOUBLE)
+                / CAST(len(w) - 1 AS DOUBLE)
+            ELSE 0.0::DOUBLE END AS dup_2gram_frac FROM ws),
         d3 AS (SELECT doc_id,
-            1.0::DOUBLE - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
-              AS dup_3gram_frac FROM g3)
+            CASE WHEN len(w) >= 3 THEN
+              1.0::DOUBLE - CAST(len(list_distinct(list_transform(range(1, len(w) - 1), i ->
+                array_to_string(list_slice(w, i, i + 2), ' ')))) AS DOUBLE)
+                / CAST(len(w) - 2 AS DOUBLE)
+            ELSE 0.0::DOUBLE END AS dup_3gram_frac FROM ws)
         SELECT d2.doc_id, d2.dup_2gram_frac, d3.dup_3gram_frac,
           CAST(CASE WHEN d2.dup_2gram_frac > 0.2
             OR d3.dup_3gram_frac > 0.18 THEN 1 ELSE 0 END AS BIGINT) AS flagged

@@ -94,7 +94,8 @@ object LineDedup {
       .select(col(idCol), explode(col("__segs")).as("__t"))
       .select(col(idCol), md5(col("__t")).as("fp"))
       // two consumers (doc-frequency, bad-set join): cache the compact
-      // (id, fp) frame instead of re-segmenting + re-hashing the corpus
+      // (id, fp) frame instead of re-segmenting + re-hashing the corpus.
+      // Never explicitly unpersisted (lazy result) — LRU eviction reclaims it
       .cache()
     val bad = fps.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("df"))
