@@ -104,6 +104,56 @@ object PipelineQueries {
        |  CAST(CASE WHEN krn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM k ORDER BY id""".stripMargin
 
+  /** DuckDB oracle for the TRAINED SemDeDup composition: one deterministic
+    * Lloyd iteration over quantized embeddings (exact integer cell sums,
+    * one IEEE division per mean — the kmeans oracle's CTEs verbatim), then
+    * the SemDeDup pipeline with the trained centroids as cells (cosine
+    * argmax assignment, within-cell pairs, recursive closure, keep the
+    * centroid outlier).
+    */
+  private def semdedupTrainedOracleSql(k: Int, threshold: Double): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)"
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(floor(x * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, v AS cv
+       |        FROM e ORDER BY id LIMIT $k),
+       |a1 AS (SELECT id, v, c AS cell FROM (
+       |    SELECT e.id, e.v, cb0.c, ROW_NUMBER() OVER (PARTITION BY e.id
+       |      ORDER BY (${dotE("cb0.cv", "cb0.cv")}
+       |                - 2 * ${dotE("e.v", "cb0.cv")}) ASC, cb0.c) AS rn
+       |    FROM e CROSS JOIN cb0) t WHERE rn = 1),
+       |u1 AS (SELECT cell, dim, SUM(x) AS s, COUNT(*) AS n FROM (
+       |    SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a1) t
+       |  GROUP BY 1, 2),
+       |c1 AS (SELECT cell AS sid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS sv
+       |       FROM u1 GROUP BY 1),
+       |cass AS (SELECT id, v, sid AS cell, csim FROM (
+       |    SELECT e.id, e.v, s.sid, ${sqlCos("e.v", "s.sv")} AS csim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${sqlCos("e.v", "s.sv")} DESC, s.sid) AS rn
+       |    FROM e CROSS JOIN c1 s) t WHERE rn = 1),
+       |pairs AS (SELECT a.id AS id1, b.id AS id2
+       |          FROM cass a JOIN cass b ON a.cell = b.cell AND a.id < b.id
+       |          WHERE ${sqlCos("a.v", "b.v")} >= $threshold),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |r AS (WITH RECURSIVE rr(id, reach) AS (
+       |        SELECT id, id FROM cass
+       |        UNION
+       |        SELECT rr.id, edges.dst FROM rr JOIN edges ON edges.src = rr.reach)
+       |      SELECT id, MIN(reach) AS comp FROM rr GROUP BY id),
+       |kk AS (SELECT cass.id, cass.cell, r.comp, cass.csim,
+       |        ROW_NUMBER() OVER (PARTITION BY r.comp
+       |          ORDER BY cass.csim ASC, cass.id) AS krn
+       |      FROM cass JOIN r USING (id))
+       |SELECT id, CAST(cell AS BIGINT) AS cell, comp, csim,
+       |  CAST(CASE WHEN krn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM kk ORDER BY id""".stripMargin
+  }
+
   /** DuckDB oracle for the combined IVF+PQ serving path: IVF cells by
     * cosine argmax (tie by seed id), PQ codes by the reduced argmin key,
     * probe `nprobe` cells per query, ADC-score only in-cell pairs. Every
@@ -1101,6 +1151,27 @@ object PipelineQueries {
           nlist = 16, threshold = 0.4)
         .orderBy(col("id")),
       Some(semdedupOracleSql(nlist = 16, threshold = 0.4))),
+
+    // The TRAINED pipeline composition a production SemDeDup actually runs:
+    // deterministic k-means centroids (one Lloyd iteration, integer-exact
+    // sums) become the coarse cells, so dedup groups follow the DATA's
+    // geometry instead of arbitrary seed vectors. Proves the index-build →
+    // operator handoff (`trainedSeeds`) end to end — training, assignment,
+    // pairs, closure, and keep verdicts all hash-match one composed oracle.
+    DeclaredQuery("semdedup_trained",
+      (s, dir) => {
+        val quant = tbl(s, dir, "embeddings")
+          .withColumn("qv", transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0)).cast("double")))
+        val km = graft.vector.Clustering.kmeans(
+          quant, "vec_id", "qv", k = 8, dim = 64, iters = 1)
+        val seeds = km.centroids.map { case (c, v) => (c.toLong, v) }
+        graft.dedup.SemDedup.semanticDedup(
+          quant.select(col("vec_id"), col("qv")), "vec_id", "qv",
+          nlist = 8, threshold = 0.4, trainedSeeds = Some(seeds))
+          .orderBy(col("id"))
+      },
+      Some(semdedupTrainedOracleSql(k = 8, threshold = 0.4))),
 
     // Binary quantization: the candidate scan reads ONE BIGINT per vector
     // (8 bytes vs 256 for the floats — the 32× I/O cut that makes a 10⁹-row
