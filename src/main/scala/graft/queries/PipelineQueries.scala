@@ -29,6 +29,72 @@ object PipelineQueries {
   private def sqlDot(vec: String, p: IndexedSeq[Double]): String =
     s"list_reduce(list_transform(list_zip($vec, [${p.mkString(", ")}]), x -> x[1] * x[2]), (a, b) -> a + b)"
 
+  /** Fixed query-term set for the BM25/hybrid retrieval queries (all in the
+    * corpus vocabulary).
+    */
+  private val bm25Terms = Seq("spark", "query", "table", "join")
+
+  /** (doc_id, score): log-free BM25 (k1=1.2, b=0.75) against [[bm25Terms]].
+    * Query-term tfs pivot to columns, so the score is ONE fixed-order
+    * arithmetic expression per row — each double op appears in the same
+    * structural position as in [[bm25OracleCte]], making scores bitwise
+    * cross-engine. Corpus stats (N, Σlen, per-term df) are a broadcast
+    * one-row frame; no driver-side jobs.
+    */
+  private def bm25Scores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"))
+    val qtoks = toks.filter(col("term").isin(bm25Terms: _*))
+    val tfAggs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val tfp = qtoks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df$i") }
+    val dstat = qtoks.agg(dfAggs.head, dfAggs.tail: _*)
+    val nstat = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("totlen"))
+    val nd = col("n").cast("double")
+    val termScore = (i: Int) => {
+      val dfd = col(s"df$i").cast("double")
+      val tfd = coalesce(col(s"tf$i"), lit(0L)).cast("double")
+      val lend = col("len").cast("double")
+      ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+        ((tfd * lit(2.2)) / (tfd + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (lend / (col("totlen").cast("double") / nd)))))
+    }
+    lens.join(tfp, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nstat.crossJoin(dstat)))
+      .withColumn("score", termScore(0) + termScore(1) + termScore(2) + termScore(3))
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Oracle CTE prefix ending in `scored(doc_id, score)` — the exact SQL
+    * mirror of [[bm25Scores]], op for op.
+    */
+  private val bm25OracleCte: String = {
+    val inList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    def tfCase(i: Int) =
+      s"SUM(CASE WHEN term = '${bm25Terms(i)}' THEN 1 ELSE 0 END) AS tf$i"
+    def dfCase(i: Int) =
+      s"COUNT(DISTINCT CASE WHEN term = '${bm25Terms(i)}' THEN doc_id END) AS df$i"
+    def termExpr(i: Int) =
+      s"""((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * ((CAST(COALESCE(tf$i, 0) AS DOUBLE) * 2.2) / (CAST(COALESCE(tf$i, 0) AS DOUBLE)
+         |    + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE)
+         |      / (CAST(totlen AS DOUBLE) / CAST(n AS DOUBLE))))))""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+       |nstat AS (SELECT COUNT(*) AS n, SUM(len) AS totlen FROM lens),
+       |qtoks AS (SELECT * FROM toks WHERE term IN ($inList)),
+       |dstat AS (SELECT ${(0 until 4).map(dfCase).mkString(", ")} FROM qtoks),
+       |tfp AS (SELECT doc_id, ${(0 until 4).map(tfCase).mkString(", ")}
+       |        FROM qtoks GROUP BY doc_id),
+       |scored AS (SELECT l.doc_id,
+       |    ${(0 until 4).map(termExpr).mkString("\n  + ")} AS score
+       |  FROM lens l LEFT JOIN tfp USING (doc_id) CROSS JOIN nstat CROSS JOIN dstat)""".stripMargin
+  }
+
   private def sqlCos(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)
        | / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (a, b) -> a + b))
@@ -865,6 +931,89 @@ object PipelineQueries {
             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
           FROM scored)
         SELECT doc_id, rk, term, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---- BM25 retrieval (log-free idf ratio, fixed-order term sum) --------
+    // The retrieval scorer a RAG corpus actually serves. idf is the exact
+    // ratio (N−df+0.5)/(df+0.5) — same per-term monotonicity as ln-BM25 but
+    // bitwise-portable (the tfidf precedent above; libm ln is not). The
+    // 4 query terms pivot to COLUMNS so the score is one fixed-order
+    // expression — no double-sum aggregation whose order could differ
+    // between engines. One pass over the corpus: tf for the query terms,
+    // doc length, and the broadcast one-row stats frame (N, Σlen, df per
+    // term) all fold into the plan; no driver-side counts.
+    DeclaredQuery("bm25_topk",
+      (s, dir) => bm25Scores(tbl(s, dir, "documents"))
+        .filter(col("score") > 0.0)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("doc_id"), col("score"))
+        .orderBy(col("rk")),
+      Some(s"""$bm25OracleCte
+        SELECT rk, doc_id, score FROM (
+          SELECT doc_id, score,
+            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM scored WHERE score > 0) t
+        WHERE rk <= 20 ORDER BY rk""")),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion -------------------------
+    // The standard hybrid-search merge (Cormack et al. 2009): fuse the
+    // lexical BM25 ranking with a dense cosine ranking by summing
+    // 1/(60+rank) per branch. Ranks are integers, the two reciprocal terms
+    // add in fixed order — fully hash-portable. The dense branch queries by
+    // example (vec_id 0's embedding, broadcast one-row cross join — read
+    // from the table, never a driver literal); fusion inner-joins the two
+    // rankings on id, i.e. over documents that have embeddings.
+    DeclaredQuery("hybrid_rrf_topk",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val bm = bm25Scores(tbl(s, dir, "documents"))
+          .filter(col("score") > 0.0)
+          .withColumn("rb", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("rb"))
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        val cs = emb.crossJoin(broadcast(qv))
+          .withColumn("cscore", graft.vector.VectorFunctions.cosine(col("v"), col("qv")))
+          .withColumn("rc", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cscore").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id"), col("rc"))
+        bm.join(cs, bm("doc_id") === cs("vec_id"))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60.0) + col("rb").cast("double"))
+              + lit(1.0) / (lit(60.0) + col("rc").cast("double")))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("rk"), col("doc_id"), col("rb"), col("rc"), col("rrf"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""$bm25OracleCte,
+        bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+               FROM scored WHERE score > 0),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS (SELECT v AS q FROM ev WHERE vec_id = 0),
+        cs AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+                 (list_reduce(list_transform(list_zip(v, q), x -> x[1] * x[2]), (a, b) -> a + b)
+                  / (sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))
+                   * sqrt(list_reduce(list_transform(list_zip(q, q), x -> x[1] * x[2]), (a, b) -> a + b))))
+                 DESC, vec_id) AS rc
+               FROM ev CROSS JOIN qv),
+        f AS (SELECT bm.doc_id, bm.rb, cs.rc,
+                1.0 / (60.0 + CAST(bm.rb AS DOUBLE))
+                  + 1.0 / (60.0 + CAST(cs.rc AS DOUBLE)) AS rrf
+              FROM bm JOIN cs ON cs.vec_id = bm.doc_id)
+        SELECT rk, doc_id, CAST(rb AS BIGINT) AS rb, CAST(rc AS BIGINT) AS rc, rrf
+        FROM (SELECT doc_id, rb, rc, rrf,
+                ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM f) t
+        WHERE rk <= 20 ORDER BY rk""")),
 
     // ---- deterministic hash sampling (reproducible splits) ----------------
     DeclaredQuery("sample_split_stats",
