@@ -170,10 +170,16 @@ object Dedup {
     // unpersisted (the result is lazy); entries are MEMORY_AND_DISK and LRU-
     // evicted — sessions running many pipelines can clearCache() between them
     val tf = termFrequencies(docs, idCol, textCol).cache()
-    probeDictionary(tf, denseVocabCap) match {
+    val pairs = probeDictionary(tf, denseVocabCap) match {
       case Some(terms) => denseFromTf(tf, terms, threshold)
       case None => sparseFromTf(tf, threshold, maxDf = None)
     }
+    // The scored-pairs frame itself is answer-sized and the single most
+    // expensive subtree in the dedup family; consumers (pair listing,
+    // components closure, canonical pick) all build the identical plan, so
+    // one cached materialization serves them all via CacheManager plan
+    // matching — the buffer-pool behavior an engine owes repeated subqueries.
+    pairs.cache()
   }
 
   /** Inverted shingle-index rows (id, key): key fuses block columns + the
