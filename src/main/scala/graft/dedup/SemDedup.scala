@@ -76,11 +76,15 @@ object SemDedup {
       struct((-VectorFunctions.cosine(col("v"), array(sv.map(lit): _*))).as("nscore"),
         lit(sid).as("sid"))
     }
+    // Four consumers (both pair sides, the node set, the final verdict
+    // join) — cache the assignment rather than re-scoring nlist cosines per
+    // row per consumer. LRU-evicted like the other operator caches.
     val assigned = data
       .withColumn("__b", array_min(array(perSeed: _*)))
       .select(col("id"), col("v"),
         col("__b").getField("sid").as("cell"),
         (-col("__b").getField("nscore")).as("csim"))
+      .cache()
 
     // Quadratic step, bounded to cells: one hash shuffle by cell per side.
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
