@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions._
+import graft.text.Sampling
 import graft.dedup.{Dedup, MinHash, SimHash}
 import graft.vector.{Similarity, VectorFunctions}
 import graft.multimodal.Multimodal
@@ -1014,6 +1015,42 @@ object PipelineQueries {
         FROM (SELECT doc_id, rb, rc, rrf,
                 ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM f) t
         WHERE rk <= 20 ORDER BY rk""")),
+
+    // ---- per-epoch deterministic shuffle order ----------------------------
+    // The training-order permutation a multi-epoch run needs: sort by
+    // md5(epoch:id) and every epoch reads the corpus in a fresh,
+    // reproducible pseudorandom order with NO global rank ever materialized
+    // (range-partition by the key at scale; here each epoch head collapses
+    // to TakeOrderedAndProject). The query proves determinism and
+    // epoch-dependence by emitting the first 10 docs of epochs 0 and 1.
+    DeclaredQuery("epoch_shuffle_heads",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        val heads = Seq(0, 1).map { e =>
+          docs
+            .withColumn("skey", Sampling.epochShuffleKey(e, col("doc_id")))
+            .orderBy(col("skey"), col("doc_id")).limit(10)
+            .withColumn("epoch", lit(e.toLong))
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("skey"), col("doc_id"))).cast("long"))
+        }
+        heads.reduce(_ unionByName _)
+          .select(col("epoch"), col("rk"), col("doc_id"), col("skey"))
+          .orderBy(col("epoch"), col("rk"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+        h0 AS (SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
+                 md5('0:' || CAST(doc_id AS VARCHAR)) AS skey
+               FROM d ORDER BY skey, doc_id LIMIT 10),
+        h1 AS (SELECT CAST(1 AS BIGINT) AS epoch, doc_id,
+                 md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
+               FROM d ORDER BY skey, doc_id LIMIT 10),
+        u AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1)
+        SELECT epoch,
+          ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY skey, doc_id) AS rk,
+          doc_id, skey
+        FROM u ORDER BY epoch, rk""")),
 
     // ---- deterministic hash sampling (reproducible splits) ----------------
     DeclaredQuery("sample_split_stats",

@@ -47,6 +47,16 @@ object Sampling {
     when(bucket < (evalFraction * (1L << 32)).toLong, "eval").otherwise("train")
   }
 
+  /** Deterministic per-epoch shuffle key: sorting (or range-partitioning)
+    * by it yields an epoch-specific pseudorandom training order — a fresh
+    * permutation per epoch, reproducible forever, with NO global rank
+    * materialized (a trainer range-partitions by the key; a resume
+    * re-derives the identical order from the epoch number alone). md5 keeps
+    * the permutation engine-portable and seed-auditable.
+    */
+  def epochShuffleKey(epoch: Int, keyCol: Column): Column =
+    md5(concat(lit(s"$epoch:"), keyCol.cast("string")))
+
   /** Exact-quota source-mix rebalancing: keep the LARGEST dataset whose
     * per-group row counts follow the target `weight` proportions without
     * upsampling any group. The binding group is the one whose rows run out

@@ -78,4 +78,16 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq.sorted
     assert(a === b)
   }
+
+  test("epoch shuffle keys give a full permutation per epoch, different across epochs") {
+    val df = (1L to 200L).toDF("id")
+    def order(e: Int): Seq[Long] = df
+      .withColumn("k", Sampling.epochShuffleKey(e, col("id")))
+      .orderBy(col("k"), col("id")).select("id").as[Long].collect().toSeq
+    val e0 = order(0); val e1 = order(1)
+    assert(e0.sorted === (1L to 200L))          // a permutation, nothing lost
+    assert(e1.sorted === (1L to 200L))
+    assert(e0 !== e1)                           // epochs reshuffle
+    assert(e0 === order(0))                     // reproducible
+  }
 }
