@@ -1053,6 +1053,50 @@ object PipelineQueries {
         FROM u ORDER BY epoch, rk""")),
 
     // ---- deterministic hash sampling (reproducible splits) ----------------
+    // ---- train-vs-eval decontamination ------------------------------------
+    // The pre-training gate labs actually run: index the EVAL split's
+    // distinct word 3-grams, flag every TRAIN doc sharing >= 3 of them
+    // (Lee et al. 2022 / GPT-3-appendix style n-gram decontamination, here
+    // at n=3 for the synthetic corpus). Split membership is the
+    // deterministic splitTag hash, shingles are row-local, and the overlap
+    // is one inverted-index equi-join — no train×eval pair scan. At open-web
+    // scale the join key becomes xxhash64(g) (the shingleIndex trick); the
+    // string key here keeps the oracle exact.
+    DeclaredQuery("eval_decontamination",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("split", Sampling.splitTag(col("doc_id"), 0.25))
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("text"), 3))).as("g"))
+        val evalGrams = grams(docs.filter(col("split") === "eval"))
+          .select(col("g")).distinct().withColumn("__hit", lit(true))
+        grams(docs.filter(col("split") === "train"))
+          .join(evalGrams, Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("contaminated",
+            when(col("n_hits") >= 3, 1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+          CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               < ${(0.25 * (1L << 32)).toLong} THEN 'eval' ELSE 'train' END AS split
+        FROM documents),
+        g AS (SELECT doc_id, split,
+            unnest(list_distinct(list_transform(range(1, len(w) - 1), i ->
+              array_to_string(list_slice(w, i, i + 2), ' ')))) AS g
+          FROM d WHERE len(w) >= 3),
+        eg AS (SELECT DISTINCT g FROM g WHERE split = 'eval'),
+        t AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+            SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+          FROM g LEFT JOIN eg ON eg.g = g.g
+          WHERE g.split = 'train' GROUP BY 1)
+        SELECT doc_id, n_grams, CAST(n_hits AS BIGINT) AS n_hits,
+          CAST(CASE WHEN n_hits >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM t ORDER BY doc_id""")),
+
     DeclaredQuery("sample_split_stats",
       (s, dir) => {
         tbl(s, dir, "documents")
