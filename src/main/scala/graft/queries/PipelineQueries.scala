@@ -942,15 +942,21 @@ object PipelineQueries {
     // between engines. One pass over the corpus: tf for the query terms,
     // doc length, and the broadcast one-row stats frame (N, Σlen, df per
     // term) all fold into the plan; no driver-side counts.
+    // Ranking: orderBy+limit lowers to TakeOrderedAndProject (per-partition
+    // heap, answer-sized merge), then the 20 survivors get exact ranks via
+    // Ranks.boundedRank — NO global row_number window anywhere: the old
+    // unpartitioned window collapsed the whole scored corpus into one task.
     DeclaredQuery("bm25_topk",
-      (s, dir) => bm25Scores(tbl(s, dir, "documents"))
-        .filter(col("score") > 0.0)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .filter(col("rk") <= 20)
-        .select(col("rk"), col("doc_id"), col("score"))
-        .orderBy(col("rk")),
+      (s, dir) => {
+        val top = bm25Scores(tbl(s, dir, "documents"))
+          .filter(col("score") > 0.0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+        graft.relational.Ranks
+          .boundedRank(top, "rk", Seq("score" -> false, "doc_id" -> true))
+          .select(col("rk"), col("doc_id"), col("score"))
+          .orderBy(col("rk"))
+      },
       Some(s"""$bm25OracleCte
         SELECT rk, doc_id, score FROM (
           SELECT doc_id, score,
@@ -960,57 +966,70 @@ object PipelineQueries {
 
     // ---- hybrid retrieval: reciprocal-rank fusion -------------------------
     // The standard hybrid-search merge (Cormack et al. 2009): fuse the
-    // lexical BM25 ranking with a dense cosine ranking by summing
-    // 1/(60+rank) per branch. Ranks are integers, the two reciprocal terms
-    // add in fixed order — fully hash-portable. The dense branch queries by
-    // example (vec_id 0's embedding, broadcast one-row cross join — read
-    // from the table, never a driver literal); fusion inner-joins the two
-    // rankings on id, i.e. over documents that have embeddings.
+    // lexical BM25 list with a dense cosine list by summing 1/(60+rank)
+    // per branch. As in the paper (and every production hybrid-search
+    // stack), fusion runs over the RETRIEVED top-K lists (K=100 here), not
+    // whole-corpus rankings: each branch shortlists via orderBy+limit
+    // (TakeOrderedAndProject), the K survivors get exact ranks via
+    // Ranks.boundedRank (rank within the top-K list == global rank for its
+    // members), and docs missing from a branch contribute 0 (rank ∞) —
+    // union semantics via full outer join, NULL branch rank preserved in
+    // the output. Ranks are integers, the two reciprocal terms add in fixed
+    // order — fully hash-portable. The dense branch queries by example
+    // (vec_id 0's embedding, broadcast one-row cross join — read from the
+    // table, never a driver literal). No unpartitioned window anywhere:
+    // every ranking step is bounded by K.
     DeclaredQuery("hybrid_rrf_topk",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val bm = bm25Scores(tbl(s, dir, "documents"))
+        val k = 100
+        val bmTop = bm25Scores(tbl(s, dir, "documents"))
           .filter(col("score") > 0.0)
-          .withColumn("rb", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+        val bm = graft.relational.Ranks
+          .boundedRank(bmTop, "rb", Seq("score" -> false, "doc_id" -> true))
           .select(col("doc_id"), col("rb"))
         val emb = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("v").as("qv"))
-        val cs = emb.crossJoin(broadcast(qv))
+        val csTop = emb.crossJoin(broadcast(qv))
           .withColumn("cscore", graft.vector.VectorFunctions.cosine(col("v"), col("qv")))
-          .withColumn("rc", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cscore").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id"), col("cscore"))
+          .orderBy(col("cscore").desc, col("vec_id")).limit(k)
+        val cs = graft.relational.Ranks
+          .boundedRank(csTop, "rc", Seq("cscore" -> false, "vec_id" -> true))
           .select(col("vec_id"), col("rc"))
-        bm.join(cs, bm("doc_id") === cs("vec_id"))
+        val fused = bm.join(cs, bm("doc_id") === cs("vec_id"), "full_outer")
+          .select(
+            coalesce(bm("doc_id"), cs("vec_id")).as("doc_id"),
+            col("rb"), col("rc"))
           .withColumn("rrf",
-            lit(1.0) / (lit(60.0) + col("rb").cast("double"))
-              + lit(1.0) / (lit(60.0) + col("rc").cast("double")))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-          .filter(col("rk") <= 20)
+            coalesce(lit(1.0) / (lit(60.0) + col("rb").cast("double")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60.0) + col("rc").cast("double")), lit(0.0)))
+        val top20 = fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        graft.relational.Ranks
+          .boundedRank(top20, "rk", Seq("rrf" -> false, "doc_id" -> true))
           .select(col("rk"), col("doc_id"), col("rb"), col("rc"), col("rrf"))
           .orderBy(col("rk"))
       },
       Some(s"""$bm25OracleCte,
-        bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
-               FROM scored WHERE score > 0),
+        bm AS (SELECT doc_id, rb FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+            FROM scored WHERE score > 0) t WHERE rb <= 100),
         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         qv AS (SELECT v AS q FROM ev WHERE vec_id = 0),
-        cs AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-                 (list_reduce(list_transform(list_zip(v, q), x -> x[1] * x[2]), (a, b) -> a + b)
-                  / (sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))
-                   * sqrt(list_reduce(list_transform(list_zip(q, q), x -> x[1] * x[2]), (a, b) -> a + b))))
-                 DESC, vec_id) AS rc
-               FROM ev CROSS JOIN qv),
-        f AS (SELECT bm.doc_id, bm.rb, cs.rc,
-                1.0 / (60.0 + CAST(bm.rb AS DOUBLE))
-                  + 1.0 / (60.0 + CAST(cs.rc AS DOUBLE)) AS rrf
-              FROM bm JOIN cs ON cs.vec_id = bm.doc_id)
+        cs AS (SELECT vec_id, rc FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+              (list_reduce(list_transform(list_zip(v, q), x -> x[1] * x[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(list_zip(q, q), x -> x[1] * x[2]), (a, b) -> a + b))))
+              DESC, vec_id) AS rc
+            FROM ev CROSS JOIN qv) t WHERE rc <= 100),
+        f AS (SELECT COALESCE(bm.doc_id, cs.vec_id) AS doc_id, bm.rb, cs.rc,
+                COALESCE(1.0 / (60.0 + CAST(bm.rb AS DOUBLE)), 0.0)
+                  + COALESCE(1.0 / (60.0 + CAST(cs.rc AS DOUBLE)), 0.0) AS rrf
+              FROM bm FULL OUTER JOIN cs ON cs.vec_id = bm.doc_id)
         SELECT rk, doc_id, CAST(rb AS BIGINT) AS rb, CAST(rc AS BIGINT) AS rc, rrf
         FROM (SELECT doc_id, rb, rc, rrf,
                 ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM f) t

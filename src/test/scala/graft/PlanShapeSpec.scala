@@ -113,6 +113,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles === 0, s"segments() must not exchange:\n$plan")
   }
 
+  test("retrieval rankings carry no window at all — shortlist-then-rank only") {
+    // the round-4 scale-killer: row_number().over(Window.orderBy(...)) with
+    // no partitionBy plans a single-partition sort of the whole scored
+    // corpus. The fix ranks only TakeOrdered shortlists via Ranks.boundedRank
+    // (broadcast self-join), so the plan must contain zero Window nodes and
+    // must keep the TakeOrderedAndProject shortlist shape.
+    Seq("bm25_topk", "hybrid_rrf_topk").foreach { q =>
+      val plan = run(q)
+      assert(count(plan, "Window") === 0, s"$q re-grew a window:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"), s"$q lost its shortlist shape:\n$plan")
+      assert(count(plan, "CartesianProduct") === 0)
+    }
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     Seq("q1_pricing_summary", "minhash_neardup_pairs", "cosine_topk").foreach { q =>
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(run(q)).map(_.group(1)).toSet.size
