@@ -70,7 +70,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(fullJson)
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-      "q10_returned_revenue", "dedup_exact", "minhash_neardup_pairs",
+      "q10_returned_revenue", "dedup_exact", "minhash_fastpath_containment",
       "cosine_topk", "ann_lsh_topk", "events_route_counts",
       "line_dedup_stats", "heavy_hitters_bigrams", "seq_pack_chunks")
     val headlineTimes = results.filter { case (k, _) => headline.contains(k) }

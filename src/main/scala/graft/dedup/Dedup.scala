@@ -64,12 +64,15 @@ object Dedup {
     */
   private def sparseFromTf(tf0: DataFrame, threshold: Double,
                            maxDf: Option[Long]): DataFrame = {
-    // Three consumers (both postings sides + norms) and the dispatcher's
-    // probe — cache the tf frame once. The self-join key is the term's
-    // xxhash64, not the term string: the shuffle carries 8-byte longs, and a
-    // cross-term collision (≈vocab²/2⁶⁴) is the same accepted risk as the
-    // shingle index's fused keys.
-    val tf = tf0.cache()
+    // Three consumers (both postings sides + norms) all embed the identical
+    // subtree ending at the tf aggregate's exchange, so ReuseExchange scans
+    // and shuffles the corpus once; the consumers re-read shuffle blocks
+    // (no operator-internal cache — a lazy result has no unpersist point).
+    // The self-join key is the term's xxhash64, not the term string: the
+    // shuffle carries 8-byte longs, and a cross-term collision
+    // (≈vocab²/2⁶⁴) is the same accepted risk as the shingle index's fused
+    // keys.
+    val tf = tf0
     val postings0 = tf.select(col("id"), xxhash64(col("t")).as("tk"), col("tf"))
     val postings = maxDf match {
       case Some(cap) =>
@@ -164,22 +167,19 @@ object Dedup {
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
-    // cache before the probe: the probe job materializes it, and the chosen
-    // physical path (and sparseFromTf's identical .cache() — CacheManager
-    // dedups by plan equality) then reads the cached frame. Never explicitly
-    // unpersisted (the result is lazy); entries are MEMORY_AND_DISK and LRU-
-    // evicted — sessions running many pipelines can clearCache() between them
-    val tf = termFrequencies(docs, idCol, textCol).cache()
-    val pairs = probeDictionary(tf, denseVocabCap) match {
+    // The probe is its own bounded job (dictionary capped at denseVocabCap+1
+    // rows by limit pushdown); the chosen path then recomputes tf inside the
+    // main query, where ReuseExchange shares its aggregate exchange across
+    // the postings/norms consumers. No operator-internal cache: the result
+    // is lazy, so a cache() here would have no unpersist point and would pin
+    // a corpus-sized frame for the session's lifetime — callers that
+    // materialize the (answer-sized) pair set repeatedly should cache the
+    // RESULT under their own lifecycle instead.
+    val tf = termFrequencies(docs, idCol, textCol)
+    probeDictionary(tf, denseVocabCap) match {
       case Some(terms) => denseFromTf(tf, terms, threshold)
       case None => sparseFromTf(tf, threshold, maxDf = None)
     }
-    // The scored-pairs frame itself is answer-sized and the single most
-    // expensive subtree in the dedup family; consumers (pair listing,
-    // components closure, canonical pick) all build the identical plan, so
-    // one cached materialization serves them all via CacheManager plan
-    // matching — the buffer-pool behavior an engine owes repeated subqueries.
-    pairs.cache()
   }
 
   /** Inverted shingle-index rows (id, key): key fuses block columns + the

@@ -184,12 +184,13 @@ object MinHash {
       .filter(col("full"))
       .select(col("id"), fp60(col("s")).as("h"))
       .distinct()
-      // Three consumers (digest mins, both verify sides) — cache the compact
-      // (id, 60-bit) frame rather than re-deriving the md5s per consumer.
-      // cache(), not localCheckpoint(): caching keeps the logical plan and
-      // its statistics, so the verify joins still plan as broadcast. Never
-      // explicitly unpersisted (lazy result) — LRU eviction reclaims it.
-      .cache()
+    // Three consumers (digest mins, both verify sides) share this frame
+    // WITHOUT a cache: all three plans contain the identical subtree ending
+    // at the distinct's exchange, so ReuseExchange computes the expensive
+    // part (corpus scan + per-shingle md5 + shuffle write) once and the
+    // consumers re-read shuffle blocks. An operator-internal cache() has no
+    // unpersist point (lazy result) and would pin a corpus-sized frame for
+    // the session's lifetime.
     // one md5 digest is 128 bits = TWO independent 60-bit mixes (hex chars
     // 1-15 and 16-30), so k mins cost k/2 digests per distinct shingle hash.
     // Digests are projected per row ONCE; the min aggregates then slice them

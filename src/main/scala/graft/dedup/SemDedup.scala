@@ -77,14 +77,16 @@ object SemDedup {
         lit(sid).as("sid"))
     }
     // Four consumers (both pair sides, the node set, the final verdict
-    // join) — cache the assignment rather than re-scoring nlist cosines per
-    // row per consumer. LRU-evicted like the other operator caches.
+    // join) recompute the assignment — a NARROW map (nlist cosines per row,
+    // no exchange), and the two pair sides share one shuffle via
+    // ReuseExchange anyway. No operator-internal cache: the result is lazy
+    // (no unpersist point), and at corpus scale re-running a linear map
+    // beats writing a corpus-sized cache entry that outlives the query.
     val assigned = data
       .withColumn("__b", array_min(array(perSeed: _*)))
       .select(col("id"), col("v"),
         col("__b").getField("sid").as("cell"),
         (-col("__b").getField("nscore")).as("csim"))
-      .cache()
 
     // Quadratic step, bounded to cells: one hash shuffle by cell per side.
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))

@@ -1229,11 +1229,34 @@ object PipelineQueries {
         COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""")),
 
-    // ---- rows-only operators (seeded hashes — covered by ScalaTest) -------
-    DeclaredQuery("minhash_neardup_pairs",
-      (s, dir) => MinHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text")
-        .filter(col("jaccard") >= 0.5).orderBy(col("id1"), col("id2")),
-      None),
+    // ---- fast-path soundness gates (seeded hashes, oracle-verdict-able) ---
+    // The xxhash64 MinHash fast path can't hash-match a DuckDB oracle (the
+    // seeds aren't portable), but its SOUNDNESS is oracle-expressible: every
+    // pair it emits is exact-verified during the pipeline, so fast pairs at
+    // threshold t must be a subset of the exact n-gram-Jaccard pair set at t
+    // — with the identical jaccard value (both sides compute inter/union
+    // from distinct shingle-set cardinalities; xxhash64 collisions at ~2⁻⁶⁴
+    // are the documented exception). The query emits the VIOLATIONS —
+    // deterministically empty for any seed choice — so the row finally gets
+    // a real verdict instead of `no_oracle`. (Recall is seed-dependent by
+    // design — banding probability — and stays property-tested in DedupSpec;
+    // the portable md5 twin below remains the end-to-end hash-checked one.)
+    DeclaredQuery("minhash_fastpath_containment",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val fast = MinHash.nearDupPairs(docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id1"), col("id2"), col("jaccard").as("j_fast"))
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, blockCols = Seq.empty, minJaccard = 0.5)
+          .select(col("id1"), col("id2"), col("jaccard").as("j_exact"))
+        fast.join(exact, Seq("id1", "id2"), "left")
+          .filter(col("j_exact").isNull || col("j_fast") =!= col("j_exact"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+        CAST(NULL AS DOUBLE) AS j_fast, CAST(NULL AS DOUBLE) AS j_exact
+        WHERE FALSE""")),
 
     // The PORTABLE SimHash: md5-derived 60-bit fingerprints, same majority
     // rule — fingerprints AND hamming pairs hash-match the generated oracle,
@@ -1256,10 +1279,36 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2")),
       Some(portableMinhashOracleSql(k = 16, b = 8, minJaccard = 0.5))),
 
-    DeclaredQuery("simhash_neardup_pairs",
-      (s, dir) => SimHash.nearDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3).orderBy(col("id1"), col("id2")),
-      None),
+    // SimHash fast-path gate: the banded pipeline must EQUAL the brute-force
+    // hamming filter over the same seeded fingerprints — banding 64 bits
+    // into 4 blocks is lossless for hamming ≤ 3 by pigeonhole, so the
+    // symmetric difference is deterministically empty for any seed. Both
+    // sides run on the portable query's doc slice so the brute side stays a
+    // bounded broadcast (all-pairs over the full corpus would be the exact
+    // scale-killer the banding exists to avoid); implementation bugs the
+    // theorem can't cover (block math, distinct, filter order) surface here.
+    DeclaredQuery("simhash_banding_equiv",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+        val fast = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        val fp = SimHash.fingerprints(docs, "doc_id", "text")
+        val brute = fp.select(col("id").as("id1"), col("fp").as("f1"))
+          .join(broadcast(fp.select(col("id").as("id2"), col("fp").as("f2"))),
+            col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            SimHash.hamming(col("f1"), col("f2")).cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+        fast.withColumn("side", lit("banded"))
+          .unionByName(brute.withColumn("side", lit("brute")))
+          .groupBy(col("id1"), col("id2"), col("hamming"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") =!= 2)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+        CAST(NULL AS BIGINT) AS hamming, CAST(NULL AS BIGINT) AS n
+        WHERE FALSE""")),
 
     // LSH is deterministic too (seeded literal hyperplanes, portable double
     // folds), so the oracle SQL is GENERATED with the identical plane

@@ -1,0 +1,62 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed exact prefix sums in a stable global order, with NO global
+  * window, NO RangePartitioner, and NO materialization.
+  *
+  * The classic two-phase shape: bucket rows order-compatibly, sum per bucket
+  * (bucket-count scalars to the driver), broadcast exclusive bucket offsets
+  * back, window only WITHIN buckets. The subtlety is the bucketing:
+  * `repartitionByRange` draws SAMPLED cut points with a per-action seed, so
+  * the offsets job and the final query could see different boundaries — the
+  * previous implementation pinned one sampled outcome with
+  * `localCheckpoint()`, which materializes the whole repartitioned frame to
+  * executor storage and is lineage-unsafe under executor loss. Here buckets
+  * are uniform id-range cells computed from one exact (min, max) aggregate:
+  * reproducible on EVERY recompute (plan-deterministic, so lineage recovery
+  * is safe), order-preserving by construction, and free of any pinned state.
+  * Bucket boundaries steer parallelism only — the running sum is the exact
+  * `idCol`-order prefix whatever `numParts` is; id skew can unbalance bucket
+  * sizes but never changes a value.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = INCLUSIVE running sum of `valueCol` (long) in exact
+    * `idCol` order (ids must be numeric and unique). Returns the augmented
+    * frame and the grand total (the driver already holds the bucket sums).
+    */
+  def runningSum(df: DataFrame, idCol: String, valueCol: String,
+                 outCol: String, numParts: Int = 32): (DataFrame, Long) = {
+    require(numParts > 0)
+    val bounds = df.agg(
+      min(col(idCol).cast("double")).as("lo"),
+      max(col(idCol).cast("double")).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: zero rows — just type the output column
+      return (df.withColumn(outCol, lit(0L)), 0L)
+    }
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val span = hi - lo + 1.0
+    // monotone in id: (id−lo)/span ∈ [0,1), ×P then floor ∈ [0,P−1]; the
+    // least() guards the hi endpoint against rounding up to P
+    val bucket = least(lit(numParts - 1),
+      floor((col(idCol).cast("double") - lit(lo)) / lit(span) * numParts))
+      .cast("int")
+    val withB = df.withColumn("__b", bucket)
+    val totals = withB.groupBy(col("__b")).agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bs = totals.keys.toSeq.sorted
+    val offs = bs.zip(bs.scanLeft(0L)((a, b) => a + totals(b)).dropRight(1)).toMap
+    val offsetOf = bs.foldRight(lit(0L): org.apache.spark.sql.Column) { (b, acc) =>
+      when(col("__b") === b, lit(offs(b))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__b")).orderBy(col(idCol))
+    val out = withB
+      .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
+      .drop("__b")
+    (out, totals.values.sum)
+  }
+}

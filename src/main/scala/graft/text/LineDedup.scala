@@ -93,10 +93,13 @@ object LineDedup {
     val fps = segd
       .select(col(idCol), explode(col("__segs")).as("__t"))
       .select(col(idCol), md5(col("__t")).as("fp"))
-      // two consumers (doc-frequency, bad-set join): cache the compact
-      // (id, fp) frame instead of re-segmenting + re-hashing the corpus.
-      // Never explicitly unpersisted (lazy result) — LRU eviction reclaims it
-      .cache()
+    // Two consumers (doc-frequency, bad-set join) recompute this narrow
+    // projection — two scans of (id, 16-byte fp), NOT a cache: a lazy
+    // operator has no action to scope an unpersist to, and an unbounded
+    // corpus-sized cache entry in a long-lived session costs more (storage
+    // pressure + disk-spilled blocks LRU never reclaims) than one extra
+    // columnar scan. Callers that materialize repeatedly can cache the
+    // RESULT under their own lifecycle.
     val bad = fps.groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > maxDocs)

@@ -18,12 +18,11 @@ object Packing {
     * a stable global order (`idCol`): chunk_id = floor(start_offset/budget).
     *
     * The global running token offset does NOT use a global-order window (a
-    * single-partition sort at 100 TB). Same two-phase distributed prefix sum
-    * as `Sampling.systematicWeightedSample`: range-partition by id, sum per
-    * partition, broadcast the tiny offset table back, window only WITHIN
-    * partitions — every stage parallelizes. The range partitioning is pinned
-    * with `localCheckpoint` before the two consuming jobs because
-    * RangePartitioner re-samples cut points per action.
+    * single-partition sort at 100 TB) — it is a
+    * [[graft.relational.PrefixSum.runningSum]] two-phase distributed prefix
+    * sum over deterministic id-range buckets: no RangePartitioner sampling,
+    * no `localCheckpoint` materialization, lineage-safe, and `numParts`
+    * steers parallelism without ever changing an offset.
     *
     * @param tokens strictly-positive integer token-count column
     * @return input columns + (n_tokens, start_offset, chunk_id)
@@ -31,24 +30,13 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
                     budget: Long, numParts: Int = 32): DataFrame = {
     require(budget > 0)
-    val parts = df
-      .withColumn("n_tokens", tokens.cast("long"))
-      .repartitionByRange(numParts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val partTotals = parts.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = partTotals.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((a, p) => a + partTotals(p)).dropRight(1)).toMap
-    val offsetOf = pids.foldRight(lit(0L): Column) { (p, acc) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    parts
-      .withColumn("start_offset",
-        offsetOf + sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val base = df.withColumn("n_tokens", tokens.cast("long"))
+    val (summed, _) = graft.relational.PrefixSum.runningSum(
+      base, idCol, "n_tokens", "__cw", numParts)
+    summed
+      .withColumn("start_offset", col("__cw") - col("n_tokens"))
       .withColumn("chunk_id", expr(s"start_offset div $budget"))
-      .drop("__pid")
+      .drop("__cw")
   }
 
   /** Split each document into overlapping token windows of `size` tokens

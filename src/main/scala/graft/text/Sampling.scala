@@ -103,40 +103,23 @@ object Sampling {
     * rows heavier than the step are always kept.
     *
     * The global cumulative sum does NOT use a global-order window (a
-    * single-partition scan at 100 TB). It range-partitions by `idCol`, sums
-    * per partition, broadcasts the tiny per-partition offset table back, and
-    * windows only WITHIN partitions — the standard two-phase distributed
-    * prefix sum, so every stage parallelizes.
+    * single-partition scan at 100 TB) — it is a
+    * [[graft.relational.PrefixSum.runningSum]] two-phase distributed prefix
+    * sum over deterministic id-range buckets: no RangePartitioner sampling,
+    * no `localCheckpoint` materialization, lineage-safe.
     *
     * @param weight strictly-positive integer weight column
     */
   def systematicWeightedSample(df: DataFrame, idCol: String, weight: Column,
                                k: Int, numParts: Int = 32): DataFrame = {
-    // Pin the range partitioning BEFORE the two consuming jobs:
-    // RangePartitioner draws sample-based cut points whose seed varies per
-    // action, so without materialization the offsets job and the final query
-    // could see DIFFERENT partition boundaries and misalign the offsets.
-    val parts = df
-      .withColumn("__w", weight.cast("long"))
-      .repartitionByRange(numParts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // phase 1: per-partition totals → driver (numParts scalars), turned into
-    // exclusive offsets; phase 2: in-partition running sums + the offset
-    val partTotals = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = partTotals.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((a, p) => a + partTotals(p)).dropRight(1)).toMap
-    val total = partTotals.values.sum
-    val offsetOf = pids.foldRight(lit(0L): Column) { (p, acc) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    parts
-      .withColumn("cw", offsetOf + sum(col("__w")).over(w))
+    val base = df.withColumn("__w", weight.cast("long"))
+    val (summed, total) = graft.relational.PrefixSum.runningSum(
+      base, idCol, "__w", "cw", numParts)
+    if (total == 0L) summed.where(lit(false)).drop("__w")
+    else summed
       // integer `div` (the operator form — Spark registers no div() function):
       // the grid index floor(cw·k / total) changes within the row's interval
       .filter(expr(s"(cw * $k) div $total > ((cw - __w) * $k) div $total"))
-      .drop("__w", "__pid")
+      .drop("__w")
   }
 }

@@ -26,8 +26,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no declared query plans a cartesian product") {
     // spot-check the join-heavy and pair-generating queries
-    Seq("q5_region_revenue", "q7_nation_volume", "minhash_neardup_pairs",
-      "simhash_neardup_pairs", "ngram_jaccard_pairs", "ivf_topk",
+    Seq("q5_region_revenue", "q7_nation_volume", "minhash_fastpath_containment",
+      "simhash_banding_equiv", "ngram_jaccard_pairs", "ivf_topk",
       "crossdoc_ngram_contamination").foreach { q =>
       assert(count(run(q), "CartesianProduct") === 0, s"$q plans a cartesian product")
     }
@@ -128,7 +128,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("every spot-checked query keeps non-zero whole-stage codegen") {
-    Seq("q1_pricing_summary", "minhash_neardup_pairs", "cosine_topk").foreach { q =>
+    // NOT the containment gate: that query is deterministically empty, so
+    // AQE's empty-relation propagation collapses it to a LocalTableScan
+    // with no codegen stage at all — nothing to assert on.
+    Seq("q1_pricing_summary", "minhash_portable_pairs", "cosine_topk").foreach { q =>
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(run(q)).map(_.group(1)).toSet.size
       assert(spans > 0, s"$q fell out of whole-stage codegen")
     }

@@ -38,11 +38,15 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("hybrid_rrf_topk: rrf equals the reciprocal-rank sum of its branches") {
+    // union semantics: a doc shortlisted by only one branch keeps a NULL
+    // rank in the other and that branch contributes 0 to the fusion
     val rows = run("hybrid_rrf_topk")
       .select("rk", "doc_id", "rb", "rc", "rrf").collect()
     assert(rows.nonEmpty)
+    def term(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else 1.0 / (60.0 + r.getLong(i))
     rows.foreach { r =>
-      val expect = 1.0 / (60.0 + r.getLong(2)) + 1.0 / (60.0 + r.getLong(3))
+      val expect = term(r, 2) + term(r, 3)
       assert(r.getDouble(4) === expect,
         s"rrf mismatch for doc ${r.getLong(1)}")
     }
@@ -53,6 +57,7 @@ class RetrievalSpec extends SparkSpec {
   test("rrf prefers a doc ranked well in both branches over one good in one") {
     val rows = run("hybrid_rrf_topk")
       .select("doc_id", "rb", "rc", "rrf").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
     // any doc with BOTH branch ranks strictly better than another's must
     // fuse strictly higher
     for (a <- rows; b <- rows
