@@ -28,16 +28,26 @@ object Bench {
     // whichever family member runs first alphabetically. Running the heavy
     // families once over sf0.001 (~100 docs) compiles the same generated
     // classes for cents.
+    // Guard: when SPARK_GRAFT_SF_DIR itself points at sf0.001 the warmup
+    // would pre-execute the heavy queries on the MEASURED dataset — table
+    // caches plus CacheManager plan-matching would then serve the measured
+    // run from memory and invalidate those timings. Skip warmup entirely in
+    // that case (the dataset is tiny; JIT cost is negligible there anyway).
     val warmDir = new java.io.File(
       new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (warmDir.isDirectory) {
+    val warmIsMeasured =
+      warmDir.getCanonicalFile == new java.io.File(sfDir).getCanonicalFile
+    if (warmDir.isDirectory && !warmIsMeasured) {
       val qs = SparkEntry.queries
       Seq("dedup_canonical_docs", "dedup_components", "semdedup_keep",
         "curation_pipeline_e2e", "minhash_portable_pairs", "sparse_cosine_pairs",
         "prefix_jaccard_pairs", "heavy_hitters_bigrams", "kinesis_roundtrip_route")
         .foreach { n =>
+          // log, don't swallow: a warmup OOM/misconfig is a signal the
+          // measured run is about to be wrong, not noise
           try qs.get(n).foreach(_(spark, warmDir.getPath).count())
-          catch { case _: Throwable => () }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $n failed: $e") }
         }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

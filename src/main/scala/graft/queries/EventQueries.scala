@@ -61,6 +61,46 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- additionalProperties:false through the quarantine gate ----------
+    // The first AJV keyword a real schema-registry port needs beyond value
+    // constraints. from_json drops unknown keys before parsed-level checks
+    // run, so the config carries the raw payload JSON alongside the parsed
+    // fields and NoAdditionalProps validates the raw object's key set.
+    // Payloads where k ≡ 0 (mod 7) carry a extra "debug" key → quarantined
+    // as invalid payloads even though every PARSED field is in range.
+    DeclaredQuery("route_additional_props",
+      (s, dir) => {
+        val evs = events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("raw", concat(lit("{\"k\":"), col("k"),
+            when(pmod(col("k"), lit(7)) === 0, lit(",\"debug\":true"))
+              .otherwise(lit("")),
+            lit("}")))
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              col("k").as("k"),
+              col("raw").as("raw")).as("data")))
+        val strictRegistry = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(Required("k"), NumRange("k", None, Some(90.0)),
+              NoAdditionalProps("raw", Seq("k")))),
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), strictRegistry)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some("""SELECT CASE
+          WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+          WHEN k IS NULL OR k > 90 OR k % 7 = 0 THEN 'badmsg'
+          ELSE 'branch:' || event_type END AS route, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The

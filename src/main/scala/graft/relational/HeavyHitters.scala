@@ -66,10 +66,22 @@ object HeavyHitters {
     * frame with an empty-partition window, which is safe precisely because
     * that frame is at most |candidates|+1 rows.
     */
-  def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+  def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int,
+                        broadcastCandidateLimit: Long = 2000000L): DataFrame = {
     val cand = candidates(items, itemCol, k)
+    // The candidate side is bounded by k per input partition — an upper
+    // bound known from the PLAN, no extra counting job. Small bound →
+    // broadcast (no shuffle of the item stream at all); large bound (10k
+    // partitions × k=200 would broadcast 2M rows to every executor) →
+    // shuffle hash join, which costs one item-stream shuffle but keeps
+    // per-executor memory at the per-partition candidate slice.
+    val candBound = k.toLong * items.rdd.getNumPartitions
+    val tagged = cand.withColumn("__hit", lit(true))
+    val probeSide =
+      if (candBound <= broadcastCandidateLimit) broadcast(tagged)
+      else tagged.hint("shuffle_hash")
     val grouped = items
-      .join(broadcast(cand.withColumn("__hit", lit(true))), Seq(itemCol), "left")
+      .join(probeSide, Seq(itemCol), "left")
       .groupBy(when(col("__hit"), col(itemCol)).as(itemCol))
       .agg(count(lit(1)).as("cnt"))
     grouped

@@ -81,6 +81,65 @@ final case class AnyOf(alternatives: Seq[Seq[Constraint]]) extends Constraint {
       .foldLeft(lit(false))(_ || _)
 }
 
+/** draft-04 `allOf` — every subschema holds. Distinct from listing the
+  * constraints flat only when nested under combinators (`Not(AllOf(...))`,
+  * a `oneOf` alternative that is itself an allOf), which is exactly where
+  * AJV schemas use it.
+  */
+final case class AllOf(all: Seq[Constraint]) extends Constraint {
+  def predicate(root: Column): Column =
+    all.foldLeft(lit(true))((acc, c) => acc && c.predicate(root))
+}
+
+/** draft-04 `oneOf` — EXACTLY one alternative holds. AJV counts matching
+  * subschemas and fails on 0 or ≥2; the match count is a sum of 0/1 terms
+  * so the whole keyword stays one codegen'd expression.
+  */
+final case class OneOf(alternatives: Seq[Seq[Constraint]]) extends Constraint {
+  def predicate(root: Column): Column =
+    alternatives
+      .map(_.foldLeft(lit(true))((acc, c) => acc && c.predicate(root)))
+      .map(m => when(m, lit(1)).otherwise(lit(0)))
+      .reduceOption(_ + _)
+      .map(_ === 1)
+      .getOrElse(lit(false)) // oneOf:[] matches zero subschemas → invalid
+}
+
+/** draft-04 `not` — the subschema must NOT validate. Negates the COMPILED
+  * verdict, exactly AJV's semantics: because leaves treat absent as valid,
+  * `Not(Pattern(...))` rejects absent values (the subschema would have
+  * validated) — same verdict AJV gives, surprising or not.
+  */
+final case class Not(c: Constraint) extends Constraint {
+  def predicate(root: Column): Column = !c.predicate(root)
+}
+
+/** draft-04 `multipleOf` — value divided by n is an integer. Mirrors AJV's
+  * check (`division % 1 == 0` on IEEE doubles), so fractional factors
+  * inherit the same float quirks AJV has (e.g. 0.3 / 0.1).
+  */
+final case class MultipleOf(path: String, n: Double) extends Constraint {
+  require(n > 0, "multipleOf must be > 0")
+  def predicate(root: Column): Column = {
+    val f = at(root, path)
+    f.isNull || (f.cast("double") / lit(n)) % lit(1.0) === lit(0.0)
+  }
+}
+
+/** draft-04 `$ref` — resolved against a definitions registry (AJV's
+  * `addSchema` map) at predicate-compile time. The by-name `defs` lets
+  * definitions be assembled after the referring schema is declared;
+  * RECURSIVE refs are unsupported (compilation to a static Column must
+  * terminate — AJV compiles lazily and has no such limit; a recursive
+  * payload schema has unbounded depth and no columnar shape anyway).
+  */
+final case class Ref(id: String, defs: () => Map[String, Seq[Constraint]]) extends Constraint {
+  def predicate(root: Column): Column =
+    defs().getOrElse(id,
+      throw new IllegalArgumentException(s"unresolved $$ref: $id"))
+      .foldLeft(lit(true))((acc, c) => acc && c.predicate(root))
+}
+
 /** draft-04 `minItems`/`maxItems` for array fields. */
 final case class ArrayItems(path: String, min: Option[Int], max: Option[Int]) extends Constraint {
   def predicate(root: Column): Column = {
@@ -133,13 +192,26 @@ object Format {
     "hostname" -> "^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
 }
 
+/** draft-04 `additionalProperties: false` as a payload constraint. The
+  * keyword cannot be checked on the parsed struct — `from_json` drops
+  * unknown fields before constraints run — so the routing config carries
+  * the RAW JSON string alongside the parsed fields (at `rawPath`, relative
+  * to the validated struct) and this constraint keys over it. Absent or
+  * corrupt raw objects are valid here; their rejection belongs to
+  * `required`/parse checks (AJV's per-keyword independence).
+  */
+final case class NoAdditionalProps(rawPath: String, allowed: Seq[String]) extends Constraint {
+  def predicate(root: Column): Column =
+    SchemaValidator.noAdditionalProps(at(root, rawPath), "$", allowed)
+}
+
 /** A registered schema: id + value constraints (structure enforced by the
   * `from_json` StructType in [[EventCodec]]).
   *
-  * draft-04 `additionalProperties: false` cannot be checked on the parsed
-  * struct — `from_json` drops unknown fields before constraints run — so it
-  * is exposed as [[SchemaValidator.noAdditionalProps]] over the RAW JSON
-  * column, to be conjoined with the parsed-level `valid` predicate.
+  * draft-04 `additionalProperties: false` needs the RAW JSON column —
+  * `from_json` drops unknown fields before constraints run — via
+  * [[NoAdditionalProps]] (struct-relative) or
+  * [[SchemaValidator.noAdditionalProps]] (free-standing).
   */
 final case class RegisteredSchema(id: String, constraints: Seq[Constraint]) {
   /** Conjunction of all constraints; vacuously true when none. */

@@ -33,6 +33,29 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("verify join dispatches broadcast vs shuffle on the candidate bound") {
+    val items = spark.sparkContext.parallelize(zipf, 4).toDF("item")
+    val n = zipf.size.toLong
+    val k = 5
+    val expected = zipf.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * k > n }.toMap
+
+    def planOf(limit: Long) = {
+      val df = HeavyHitters.exactHeavyHitters(items, "item", k, limit)
+      val got = df.select("item", "cnt").as[(String, Long)].collect().toMap
+      assert(got === expected, s"limit=$limit changed the answer")
+      df.queryExecution.executedPlan.toString
+    }
+    // bound = k·parts = 20: default limit → broadcast branch
+    val bPlan = planOf(2000000L)
+    assert(bPlan.contains("BroadcastHashJoin"),
+      "small candidate bound must broadcast the verify probe")
+    // limit below the bound → shuffle-hash branch, no broadcast of candidates
+    val sPlan = planOf(10L)
+    assert(sPlan.contains("ShuffledHashJoin"),
+      "over-limit candidate bound must fall back to a shuffle hash join")
+  }
+
   test("n_total is the full stream length, not the candidate subset") {
     val items = spark.sparkContext.parallelize(zipf, 3).toDF("item")
     val rows = HeavyHitters.exactHeavyHitters(items, "item", 5).collect()

@@ -148,6 +148,70 @@ class SchemaValidatorSpec extends SparkSpec {
     assert(nested.filter(col("got") =!= col("expected")).count() === 0)
   }
 
+  test("oneOf: exactly one alternative must hold (AJV counts matches)") {
+    // oneOf: [{qty<=10}, {kind=bulk}] — a bulk doc with small qty matches
+    // BOTH and must fail, unlike anyOf
+    val schema = RegisteredSchema("t/1", Seq(OneOf(Seq(
+      Seq(Required("qty"), NumRange("qty", None, Some(10))),
+      Seq(Required("kind"), EnumIn("kind", Seq("bulk")))))))
+    verdicts(schema, Seq(
+      ("small qty only", """{"qty":5}""", true),
+      ("bulk only", """{"kind":"bulk","qty":100}""", true),
+      ("both match fails", """{"kind":"bulk","qty":5}""", false),
+      ("neither fails", """{"kind":"single","qty":100}""", false)))
+    // oneOf:[] matches zero subschemas → invalid, like anyOf:[]
+    verdicts(RegisteredSchema("t/1", Seq(OneOf(Nil))),
+      Seq(("anything", """{"qty":1}""", false)))
+  }
+
+  test("allOf nests under combinators; flat conjunction unchanged") {
+    val schema = RegisteredSchema("t/1", Seq(OneOf(Seq(
+      Seq(AllOf(Seq(Required("kind"), EnumIn("kind", Seq("bulk")),
+        Required("qty"), NumRange("qty", Some(100), None)))),
+      Seq(AllOf(Seq(Required("qty"), NumRange("qty", None, Some(1)))))))))
+    verdicts(schema, Seq(
+      ("bulk big", """{"kind":"bulk","qty":500}""", true),
+      ("tiny", """{"qty":1}""", true),
+      ("bulk small", """{"kind":"bulk","qty":5}""", false)))
+  }
+
+  test("not negates the compiled subschema verdict, AJV-style") {
+    // not:{enum:[internal]} — absent kind VALIDATES the subschema (enum
+    // skips absent values) so `not` rejects it: AJV's exact verdict
+    val schema = RegisteredSchema("t/1",
+      Seq(Required("kind"), Not(EnumIn("kind", Seq("internal")))))
+    verdicts(schema, Seq(
+      ("external ok", """{"kind":"public"}""", true),
+      ("internal rejected", """{"kind":"internal"}""", false),
+      ("absent rejected by required", """{"qty":1}""", false)))
+  }
+
+  test("multipleOf: division must be integral; absent is valid") {
+    val schema = RegisteredSchema("t/1", Seq(MultipleOf("qty", 5.0)))
+    verdicts(schema, Seq(
+      ("multiple", """{"qty":25}""", true),
+      ("zero is a multiple", """{"qty":0}""", true),
+      ("not a multiple", """{"qty":7}""", false),
+      ("absent valid", """{"kind":"x"}""", true)))
+    intercept[IllegalArgumentException] { MultipleOf("qty", 0.0) }
+  }
+
+  test("$ref resolves against a late-bound definitions registry") {
+    lazy val defs: Map[String, Seq[Constraint]] = Map(
+      "defs#positiveQty" -> Seq(Required("qty"), NumRange("qty", Some(1), None)),
+      "defs#lowercaseTags" -> Seq(ArrayAll("tags", Pattern("", "^[a-z]+$"))))
+    val schema = RegisteredSchema("t/1", Seq(
+      Ref("defs#positiveQty", () => defs),
+      Ref("defs#lowercaseTags", () => defs)))
+    verdicts(schema, Seq(
+      ("both hold", """{"qty":2,"tags":["ab"]}""", true),
+      ("ref'd range fails", """{"qty":0}""", false),
+      ("ref'd pattern fails", """{"qty":2,"tags":["AB"]}""", false)))
+    intercept[IllegalArgumentException] {
+      Ref("defs#missing", () => defs).predicate(col("doc"))
+    }
+  }
+
   test("anyOf composes with array constraints") {
     // either a tagged doc (1..2 lowercase tags) or an order doc (>=1 line)
     val schema = RegisteredSchema("t/1", Seq(AnyOf(Seq(
