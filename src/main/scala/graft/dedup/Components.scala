@@ -42,10 +42,12 @@ object Components {
     *              be member ids.
     * @return (id, comp) with comp = min id in the component
     *
-    * Not safe for CONCURRENT use on one SparkSession: the loop temporarily
-    * sizes `spark.sql.shuffle.partitions` from the measured edge count
-    * (restored on exit), which is session-global state. The loop itself is
-    * driver-synchronous; run concurrent instances on separate sessions.
+    * Concurrency-safe on a shared session: no session-global conf is
+    * touched (an earlier version sized `spark.sql.shuffle.partitions` from
+    * the edge count, which silently re-planned ANY concurrent query on the
+    * session while the loop ran). Right-sizing small rounds is AQE's job —
+    * partition coalescing collapses the label-sized shuffles at runtime,
+    * per query, without cross-thread planning hazards.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
@@ -71,21 +73,12 @@ object Components {
     // round's shuffles. In a real dedup corpus near-dup members are the
     // small minority, so this shrinks the per-round label table by orders of
     // magnitude; the untouched singletons are unioned back at the end.
-    // Size the loop's shuffle partitioning from the MEASURED edge count
-    // (the count also forces the cache): ~2M edge rows (≈32 MB of long
-    // pairs) per partition, capped at the session setting. A 3k-edge dedup
-    // graph then iterates on 1 partition instead of paying the full session
-    // width per round, while a 10¹⁰-edge graph keeps the session's
-    // parallelism — the same statistics-driven sizing AQE applies to single
-    // queries, applied to the loop. Restored in the finally below; the
-    // returned frame plans under the restored setting.
-    val sess = nodes.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val edgeRows = sym.count()
-    val loopParts = math.max(1L,
-      math.min(prevParts.toLong, edgeRows / 2000000L + 1L))
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // Per-round shuffle sizing is left to AQE partition coalescing: a
+    // 3k-edge graph's label shuffles collapse to one task at runtime while
+    // a 10¹⁰-edge graph keeps the session's parallelism — per query, with
+    // no session-conf mutation (the previous measured-count conf override
+    // silently re-planned concurrent queries on the same session).
+    sym.count() // forces the cache before the loop's consumers
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -142,9 +135,6 @@ object Components {
     nodes.select(col(idCol).as("id"))
       .join(labels.select(col("id"), col("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
   }
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into

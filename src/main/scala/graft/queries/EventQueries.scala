@@ -135,6 +135,49 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- T1/T6 under the oracle: the streaming skin end-to-end -----------
+    // The reference's ACTUAL job shape, hash-checked: a DSv2 replay stream
+    // over the events table drains through foreachRoutedBatch
+    // (Trigger.AvailableNow, batchSize 4000 → multiple micro-batches at the
+    // gate SF) into a parquet sink carrying tag + reason, and the query
+    // returns hourly per-route windowed counts over the SINK — so the
+    // verdict covers the micro-batch source, the per-batch routing, the
+    // append sink, AND the window, against the same batch SQL oracle the
+    // batch analogue uses. Batches partition the replayed rows disjointly,
+    // so sink-level aggregation equals the all-at-once batch answer.
+    DeclaredQuery("stream_windowed_route_counts",
+      (s, dir) => {
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("batchSize", "4000")
+          .load()
+        val evs = stream
+          .withColumn("ts",
+            if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+              timestamp_micros(expr("ts div 1000")) else col("ts"))
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")).as("data")))
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), registry)
+        val out = java.nio.file.Files.createTempDirectory("graft_stream_route")
+        val outDir = out.resolve("sink").toString
+        val ckpt = out.resolve("ckpt").toString
+        graft.streaming.StreamingRouter.drainRoutedToParquet(
+          evs, config, keepCols = Seq("ts"), outDir, ckpt)
+        s.read.parquet(outDir)
+          .groupBy(col(Router.TagCol).as("route"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"), col("hour"))
+      },
+      Some(s"""SELECT $routeOracleCase AS route,
+          CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- P7: a NON-IDENTITY branch handler through the verify gate. The
     // reference passes the parsed payload AND the full record to the
     // registered transformer (`transfomer(parsed, record)`,

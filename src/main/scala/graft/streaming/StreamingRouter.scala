@@ -50,4 +50,34 @@ object StreamingRouter {
     */
   def startMemorySink(df: DataFrame, name: String, outputMode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Drain a BOUNDED stream through the routed path into a parquet sink and
+    * block until done (`Trigger.AvailableNow`): the reference's whole job
+    * shape — decode → validate → route → ack/quarantine per micro-batch,
+    * every batch appended with its tag + reason columns so branches,
+    * dead letters, and skips all land in one downstream-queryable dataset
+    * (ref lib/kinesisHandler.js:132-192). Checkpointed offsets make a
+    * restart resume instead of re-reading (at-least-once; the parquet
+    * append is the idempotency boundary, exactly the reference's re-poll
+    * contract).
+    */
+  def drainRoutedToParquet(stream: DataFrame, config: Router.Config,
+                           keepCols: Seq[String], outDir: String,
+                           checkpointDir: String,
+                           filesPerBatch: Int = 1): Unit = {
+    val q = foreachRoutedBatch(stream, config) { (routed, _) =>
+      routed.tagged
+        .select((Seq(Router.TagCol, Router.ReasonCol) ++ keepCols).map(col): _*)
+        // micro-batch size is bounded by the source's batch config, so a
+        // fixed small file count per batch is the correct sink layout —
+        // without it every batch fans out to shuffle-partition-many tiny
+        // files and downstream reads pay the listing
+        .coalesce(filesPerBatch)
+        .write.mode("append").parquet(outDir)
+    }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+  }
 }
