@@ -1378,6 +1378,10 @@ object PipelineQueries {
     // Sparse-cosine similarity join: inverted postings index, integer dot /
     // norm sums, one IEEE sqrt-divide at the end — the exact bag-of-words
     // dual of the dense cosine path, with no dense vectors materialized.
+    // Hash-exactness caveat: the postings self-join keys on xxhash64(term),
+    // so equality with the term-string oracle is contingent on xxhash64
+    // being collision-free over the corpus vocabulary (≈vocab²/2⁶⁴ — the
+    // same accepted risk as the shingle index's fused keys).
     DeclaredQuery("sparse_cosine_pairs",
       (s, dir) => Dedup.cosinePairs(tbl(s, dir, "documents"), "doc_id", "text",
           threshold = 0.9)
