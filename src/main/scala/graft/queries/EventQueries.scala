@@ -138,7 +138,7 @@ object EventQueries {
     // ---- T1/T6 under the oracle: the streaming skin end-to-end -----------
     // The reference's ACTUAL job shape, hash-checked: a DSv2 replay stream
     // over the events table drains through foreachRoutedBatch
-    // (Trigger.AvailableNow, batchSize 4000 → multiple micro-batches at the
+    // (Trigger.AvailableNow, batchSize 8000 → multiple micro-batches at the
     // gate SF) into a parquet sink carrying tag + reason, and the query
     // returns hourly per-route windowed counts over the SINK — so the
     // verdict covers the micro-batch source, the per-batch routing, the
@@ -150,7 +150,7 @@ object EventQueries {
         val stream = s.readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("batchSize", "4000")
+          .option("batchSize", "8000")
           .load()
         val evs = stream
           .withColumn("ts",
@@ -167,6 +167,11 @@ object EventQueries {
         val ckpt = out.resolve("ckpt").toString
         graft.streaming.StreamingRouter.drainRoutedToParquet(
           evs, config, keepCols = Seq("ts"), outDir, ckpt)
+        // the returned frame reads the sink LAZILY, so the only safe delete
+        // point is JVM exit; deleteOnExit runs in reverse registration
+        // order, so the top-down walk (dirs before their files) deletes
+        // files first, dirs after
+        java.nio.file.Files.walk(out).forEach(p => p.toFile.deleteOnExit())
         s.read.parquet(outDir)
           .groupBy(col(Router.TagCol).as("route"),
             date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))

@@ -45,6 +45,35 @@ class StreamingRouterSpec extends SparkSpec {
     assert(routedCounts === Map("branch" -> 1L, "bad" -> 1L, "skip" -> 1L))
   }
 
+  test("drainRoutedToParquet: rerun with the same checkpoint appends nothing") {
+    val root = java.nio.file.Files.createTempDirectory("drain_resume")
+    val outDir = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    val config = Router.Config("env/1", RegisteredSchema("env/1", Nil),
+      Map("click" -> Router.Registration(RegisteredSchema("click", Nil),
+        identity[org.apache.spark.sql.DataFrame])))
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .format(classOf[graft.sources.ReplayStreamSource].getName)
+        .option("path", "/root/testdata/sf0.001/events.parquet")
+        .option("batchSize", "300")
+        .load()
+        .withColumn("event", struct(
+          lit("env/1").as("schema"),
+          struct(col("event_type").as("schema")).as("data")))
+      StreamingRouter.drainRoutedToParquet(stream, config,
+        keepCols = Seq("event_id"), outDir, ckpt)
+    }
+    drain()
+    val first = spark.read.parquet(outDir).count()
+    assert(first === 1000L, "all fixture rows landed in the sink")
+    // a restart against the same checkpoint resumes at the committed
+    // offset — the already-processed rows are NOT replayed into the sink
+    drain()
+    assert(spark.read.parquet(outDir).count() === first,
+      "rerun re-appended rows despite committed offsets")
+  }
+
   test("batch Observation metrics ride the query without a second pass") {
     val obs = new org.apache.spark.sql.Observation("route_obs")
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
