@@ -501,6 +501,51 @@ object PipelineQueries {
         SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         GROUP BY 1 ORDER BY n DESC, token LIMIT 25""")),
 
+    // ---- PII redaction ----------------------------------------------------
+    // The scrub step every curation pipeline runs before packing: mask
+    // emails / IPs / phone numbers with stable tokens. Row-local
+    // regexp_replace chain — zero shuffle, linear at 100 TB. The corpus has
+    // no real PII, so the query plants deterministic PII derived from
+    // doc_id (an extra email on every 3rd doc) and hash-compares the
+    // REDACTED STRINGS plus per-row match counts against DuckDB running the
+    // identical portable patterns (constructs chosen to behave the same in
+    // Java regex and RE2; see text/Redact.scala).
+    DeclaredQuery("pii_redaction",
+      (s, dir) => {
+        import graft.text.Redact
+        val aug = concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@example.com via "),
+          pmod(col("doc_id"), lit(256)), lit(".10.0.1 or 555-01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@corp.org"))
+            .otherwise(lit("")),
+          lit(" ok"))
+        tbl(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), aug.as("a"))
+          .select(col("doc_id"),
+            Redact.patternCount(col("a"), Redact.EmailPattern).as("n_email"),
+            Redact.patternCount(col("a"), Redact.IPv4Pattern).as("n_ip"),
+            Redact.patternCount(col("a"), Redact.PhonePattern).as("n_phone"),
+            Redact.redactAll(col("a")).as("clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+          SELECT doc_id, text || ' contact u' || doc_id || '@example.com via ' ||
+            (doc_id % 256) || '.10.0.1 or 555-01' ||
+            lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+            (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.org' ELSE '' END) ||
+            ' ok' AS a
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+          CAST(len(string_split_regex(a, '${graft.text.Redact.EmailPattern}')) - 1 AS BIGINT) AS n_email,
+          CAST(len(string_split_regex(a, '${graft.text.Redact.IPv4Pattern}')) - 1 AS BIGINT) AS n_ip,
+          CAST(len(string_split_regex(a, '${graft.text.Redact.PhonePattern}')) - 1 AS BIGINT) AS n_phone,
+          regexp_replace(regexp_replace(regexp_replace(a,
+            '${graft.text.Redact.EmailPattern}', '<EMAIL>', 'g'),
+            '${graft.text.Redact.IPv4Pattern}', '<IP>', 'g'),
+            '${graft.text.Redact.PhonePattern}', '<PHONE>', 'g') AS clean
+        FROM aug ORDER BY doc_id""")),
+
     // ---- quality scoring --------------------------------------------------
     DeclaredQuery("text_quality",
       (s, dir) => {

@@ -1,0 +1,56 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Direct armor for the distributed prefix sum both packing and systematic
+  * sampling ride on: exact agreement with the driver-computed running sum
+  * under arbitrary partitioning, bucket counts, id skew, and degenerate
+  * inputs — and recompute-determinism (the property `localCheckpoint` used
+  * to buy by materialization, now guaranteed by plan-deterministic
+  * bucketing).
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(rows: Seq[(Long, Long)], parts: Int, numParts: Int): Unit = {
+    val df = spark.sparkContext.parallelize(rows, parts).toDF("id", "v")
+    val (out, total) = PrefixSum.runningSum(df, "id", "v", "cw", numParts)
+    val got = out.select("id", "cw").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val expected = rows.sortBy(_._1).map { case (id, v) => acc += v; id -> acc }.toMap
+    assert(got === expected, s"parts=$parts numParts=$numParts")
+    assert(total === rows.map(_._2).sum)
+  }
+
+  test("matches the driver-side running sum under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0L until 500L).toVector).map(id => id -> (rnd.nextInt(50) + 1).toLong)
+    for (parts <- Seq(1, 3, 32); numParts <- Seq(1, 4, 64)) check(rows, parts, numParts)
+  }
+
+  test("skewed, sparse, and negative ids keep exact order") {
+    // ids cluster at two far ends with a lone outlier — most uniform
+    // buckets are empty, two are heavy; offsets must still be exact
+    val rows = (Seq.tabulate(50)(i => i.toLong) ++
+      Seq.tabulate(50)(i => 1000000L + i) :+ -5000L)
+      .map(id => id -> (id.abs % 7 + 1))
+    check(rows, 5, 16)
+  }
+
+  test("degenerate inputs: empty and single-row") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("id", "v")
+    val (out0, t0) = PrefixSum.runningSum(empty, "id", "v", "cw", 8)
+    assert(out0.count() === 0L && t0 === 0L)
+    check(Seq(42L -> 9L), 2, 8)
+  }
+
+  test("recompute-deterministic: two actions over one frame agree") {
+    val rows = (0L until 200L).map(id => id -> (id % 5 + 1))
+    val df = spark.sparkContext.parallelize(rows, 6).toDF("id", "v")
+    val (out, _) = PrefixSum.runningSum(df, "id", "v", "cw", 8)
+    val first = out.select("id", "cw").as[(Long, Long)].collect().sorted
+    val second = out.select("id", "cw").as[(Long, Long)].collect().sorted
+    assert(first.sameElements(second))
+  }
+}
