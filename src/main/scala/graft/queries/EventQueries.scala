@@ -183,6 +183,75 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- T6 under the oracle: event-time windows through micro-batches ----
+    // Watermarked tumbling-window counts computed STATEFULLY across the
+    // replay stream's micro-batches (each batch updates window state; the
+    // fixture's ts is monotone in replay order, so the watermark drops
+    // nothing and the final state equals the batch answer). Complete-mode
+    // memory sink: with Trigger.AvailableNow the last emission is the full
+    // deterministic result — Append would hold back every window newer than
+    // the final watermark. Unique sink name per invocation (the driver and
+    // specs run a query repeatedly in one session).
+    DeclaredQuery("stream_hourly_counts",
+      (s, dir) => {
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("batchSize", "8000")
+          .load()
+        val evs = stream
+          .withColumn("ts",
+            if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+              timestamp_micros(expr("ts div 1000")) else col("ts"))
+        val counts = graft.streaming.StreamingRouter.windowedCounts(
+          evs, "ts", watermark = "2 hours", size = "1 hour", slide = "1 hour",
+          "event_type")
+        val name = "stream_hourly_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("window.start").cast("timestamp_ntz").as("hour"),
+            col("event_type"), col("n"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+          event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- T7 under the oracle: observability metrics, not data -------------
+    // The row-accounting a production stream job alarms on, hash-checked:
+    // per-micro-batch numInputRows from the engine's own
+    // StreamingQueryProgress (read via q.recentProgress AFTER termination —
+    // synchronous, unlike the async listener bus). The replay source's read
+    // limit makes batch sizes deterministic (full batches of batchSize,
+    // then the remainder), so the oracle computes them from COUNT(*) alone:
+    // the metrics must agree with arithmetic over the table, proving the
+    // progress stream neither drops nor double-counts rows.
+    DeclaredQuery("stream_observed_batches",
+      (s, dir) => {
+        import s.implicits._
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("batchSize", "8000")
+          .load()
+        val q = stream.writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .map(p => (p.batchId, p.numInputRows))
+          .toDF("batch_id", "input_rows")
+          .orderBy(col("batch_id"))
+      },
+      Some("""SELECT (rn - 1) // 8000 AS batch_id, COUNT(*) AS input_rows
+        FROM (SELECT ROW_NUMBER() OVER () AS rn FROM events) t
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- P7: a NON-IDENTITY branch handler through the verify gate. The
     // reference passes the parsed payload AND the full record to the
     // registered transformer (`transfomer(parsed, record)`,
