@@ -101,6 +101,44 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- uniqueItems + dependencies through the quarantine gate ----------
+    // The remaining draft-04 keywords under the oracle: the payload carries
+    // a tags array (duplicate exactly when k < 10, since tags = [k, k%10])
+    // and an optional `extra` field (present when k ≡ 0 mod 5) whose
+    // dependency `extra2` is only present when k ≡ 0 mod 10 — so every
+    // k ∈ {5, 15, 25, ...} violates the dependency and every k < 10
+    // violates uniqueItems. The oracle recomputes the verdict arithmetic.
+    DeclaredQuery("route_keyword_gauntlet",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              k.as("k"),
+              array(k, pmod(k, lit(10))).as("tags"),
+              when(pmod(k, lit(5)) === 0, k).as("extra"),
+              when(pmod(k, lit(10)) === 0, k).as("extra2")).as("data")))
+        val gauntlet = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(Required("k"), UniqueItems("tags"),
+              Dependencies("extra", Seq("extra2")))),
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), gauntlet)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some("""SELECT CASE
+          WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+          WHEN k IS NULL OR k < 10 OR (k % 5 = 0 AND k % 10 <> 0) THEN 'badmsg'
+          ELSE 'branch:' || event_type END AS route, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The

@@ -140,6 +140,27 @@ final case class Ref(id: String, defs: () => Map[String, Seq[Constraint]]) exten
       .foldLeft(lit(true))((acc, c) => acc && c.predicate(root))
 }
 
+/** draft-04 `uniqueItems` for array fields — no two equal elements.
+  * Absent arrays are valid (AJV keyword independence).
+  */
+final case class UniqueItems(path: String) extends Constraint {
+  def predicate(root: Column): Column = {
+    val f = at(root, path)
+    f.isNull || size(f) === size(array_distinct(f))
+  }
+}
+
+/** draft-04 property `dependencies` — if `ifPresent` is present, every path
+  * in `requires` must be present too (the {"a": ["b", "c"]} form; the
+  * schema-dependency form is `AnyOf(Seq(Seq(Not(Required(ifPresent))), deps))`
+  * with an arbitrary subschema).
+  */
+final case class Dependencies(ifPresent: String, requires: Seq[String]) extends Constraint {
+  def predicate(root: Column): Column =
+    at(root, ifPresent).isNull ||
+      requires.foldLeft(lit(true))((acc, p) => acc && at(root, p).isNotNull)
+}
+
 /** draft-04 `minItems`/`maxItems` for array fields. */
 final case class ArrayItems(path: String, min: Option[Int], max: Option[Int]) extends Constraint {
   def predicate(root: Column): Column = {

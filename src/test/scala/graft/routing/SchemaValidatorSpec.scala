@@ -212,6 +212,26 @@ class SchemaValidatorSpec extends SparkSpec {
     }
   }
 
+  test("uniqueItems rejects duplicate elements; absent array is valid") {
+    val schema = RegisteredSchema("t/1", Seq(UniqueItems("tags")))
+    verdicts(schema, Seq(
+      ("distinct", """{"tags":["a","b"]}""", true),
+      ("duplicate", """{"tags":["a","a"]}""", false),
+      ("empty", """{"tags":[]}""", true),
+      ("absent", """{"qty":1}""", true)))
+  }
+
+  test("dependencies: presence of one field requires the others") {
+    // {"kind": ["qty", "tags"]}
+    val schema = RegisteredSchema("t/1",
+      Seq(Dependencies("kind", Seq("qty", "tags"))))
+    verdicts(schema, Seq(
+      ("all present", """{"kind":"a","qty":1,"tags":["x"]}""", true),
+      ("trigger absent", """{"qty":1}""", true),
+      ("missing one dep", """{"kind":"a","qty":1}""", false),
+      ("missing both deps", """{"kind":"a"}""", false)))
+  }
+
   test("anyOf composes with array constraints") {
     // either a tagged doc (1..2 lowercase tags) or an order doc (>=1 line)
     val schema = RegisteredSchema("t/1", Seq(AnyOf(Seq(
