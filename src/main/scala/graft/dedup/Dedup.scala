@@ -234,6 +234,35 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Exact word-n-gram CONTAINMENT for all pairs within blocks:
+    * c(A in B) = |A∩B| / |A| — the asymmetric near-dup signal symmetric
+    * Jaccard washes out. A short document quoted whole inside a long one
+    * scores jaccard ≈ |A|/|B| (→ 0 as B grows) but containment = 1; this
+    * is the signal quote/subset detection and contamination audits need
+    * (cf. the containment-style dedup in Lee et al. 2022). Same inverted
+    * shingle index and answer-sized aggregation as [[ngramJaccardPairs]] —
+    * no array ops, no cross products; emits both directions per unordered
+    * pair, thresholded on the larger one.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, blockCols: Seq[String],
+                            minContainment: Double): DataFrame = {
+    val index = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
+    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val inter = index.select(col("id").as("id1"), col("key"))
+      .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("nsh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("nsh").as("n2")), "id2")
+      .withColumn("c12", col("inter") / col("n1").cast("double"))
+      .withColumn("c21", col("inter") / col("n2").cast("double"))
+      .filter(greatest(col("c12"), col("c21")) >= minContainment)
+      .select("id1", "id2", "c12", "c21")
+  }
+
   /** Prefix-filtered exact Jaccard pairs (the PPJoin/SSJoin candidate
     * pruning): identical results to [[ngramJaccardPairs]] at the same
     * threshold, with candidate generation restricted to each document's

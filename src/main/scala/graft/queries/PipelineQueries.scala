@@ -704,6 +704,26 @@ object PipelineQueries {
         SELECT id1, id2, inter / (na + nb - inter) AS jaccard
         FROM p WHERE inter / (na + nb - inter) >= 0.1 ORDER BY id1, id2""")),
 
+    // Asymmetric CONTAINMENT over the same shingle index: |A∩B|/|A| per
+    // direction — the quote/subset signal symmetric Jaccard washes out (a
+    // short doc quoted whole inside a long one has jaccard ≈ |A|/|B| but
+    // containment 1). Thresholded on the larger direction; lower cut than
+    // the jaccard query precisely to surface asymmetric pairs it misses.
+    DeclaredQuery("ngram_containment_pairs",
+      (s, dir) => Dedup.ngramContainmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, blockCols = Seq("source", "lang"), minContainment = 0.3)
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id, source, lang,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT id1, id2, inter / na AS c12, inter / nb AS c21
+        FROM p WHERE GREATEST(inter / na, inter / nb) >= 0.3 ORDER BY id1, id2""")),
+
     // Prefix-filtered exact Jaccard (PPJoin-style): only each doc's rarest
     // shingles generate candidates (lossless for J >= t by the prefix-filter
     // lemma), then one bounded array_intersect verifies each candidate. Same

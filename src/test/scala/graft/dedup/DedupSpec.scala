@@ -71,6 +71,29 @@ class DedupSpec extends SparkSpec {
     assert(inverted === direct)
   }
 
+  test("containment catches the quote Jaccard washes out; directions are exact") {
+    // doc 7 is doc 6's text quoted whole inside a much longer document:
+    // jaccard ≈ |A|/|B| is small, containment of 6 in 7 must be 1.0
+    val quoted = Seq(
+      (6L, "alpha beta gamma delta epsilon"),
+      (7L, "intro words first alpha beta gamma delta epsilon then many trailing filler " +
+        "tokens continue the long document with unrelated content until the end here"),
+      (8L, "totally disjoint vocabulary row nothing shared at all with others")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(quoted, "doc_id", "text",
+      shingleN = 3, blockCols = Nil, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pairs.length === 1)
+    val (id1, id2, c12, c21) = pairs.head
+    assert((id1, id2) === (6L, 7L))
+    assert(c12 === 1.0, "every shingle of the short doc appears in the long one")
+    assert(c21 < 0.25, "the long doc is mostly NOT covered by the short one")
+    // and symmetric jaccard at the same cut misses it
+    val j = Dedup.ngramJaccardPairs(quoted, "doc_id", "text",
+      shingleN = 3, blockCols = Nil, minJaccard = 0.9).count()
+    assert(j === 0L)
+  }
+
   test("sparse cosine pairs equals a local dense computation; maxDf only drops pairs") {
     val got = Dedup.sparseCosinePairs(corpus, "doc_id", "text", threshold = 0.0)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
