@@ -27,8 +27,9 @@ class PlanShapeSpec extends SparkSpec {
   test("no declared query plans a cartesian product") {
     // spot-check the join-heavy and pair-generating queries
     Seq("q5_region_revenue", "q7_nation_volume", "minhash_fastpath_containment",
-      "simhash_banding_equiv", "ngram_jaccard_pairs", "ivf_topk",
-      "crossdoc_ngram_contamination").foreach { q =>
+      "simhash_banding_equiv", "ngram_jaccard_pairs", "ngram_containment_pairs",
+      "ivf_topk", "crossdoc_ngram_contamination", "route_keyword_gauntlet",
+      "pii_redaction").foreach { q =>
       assert(count(run(q), "CartesianProduct") === 0, s"$q plans a cartesian product")
     }
   }
