@@ -176,8 +176,8 @@ object EventQueries {
     // ---- T1/T6 under the oracle: the streaming skin end-to-end -----------
     // The reference's ACTUAL job shape, hash-checked: a DSv2 replay stream
     // over the events table drains through foreachRoutedBatch
-    // (Trigger.AvailableNow, batchSize 8000 → multiple micro-batches at the
-    // gate SF) into a parquet sink carrying tag + reason, and the query
+    // (Trigger.AvailableNow, numBatches 4 → multi-batch at EVERY SF with
+    // constant trigger overhead) into a parquet sink carrying tag + reason, and the query
     // returns hourly per-route windowed counts over the SINK — so the
     // verdict covers the micro-batch source, the per-batch routing, the
     // append sink, AND the window, against the same batch SQL oracle the
@@ -188,7 +188,7 @@ object EventQueries {
         val stream = s.readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("batchSize", "8000")
+          .option("numBatches", "4")
           .load()
         val evs = stream
           .withColumn("ts",
@@ -235,7 +235,7 @@ object EventQueries {
         val stream = s.readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("batchSize", "8000")
+          .option("numBatches", "4")
           .load()
         val evs = stream
           .withColumn("ts",
@@ -249,7 +249,7 @@ object EventQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        graft.streaming.StreamingRouter.awaitBounded(q)
         s.table(name)
           .select(col("window.start").cast("timestamp_ntz").as("hour"),
             col("event_type"), col("n"))
@@ -279,7 +279,7 @@ object EventQueries {
         val q = stream.writeStream.format("noop")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        graft.streaming.StreamingRouter.awaitBounded(q)
         q.recentProgress.toSeq
           .filter(_.numInputRows > 0)
           .map(p => (p.batchId, p.numInputRows))

@@ -39,7 +39,10 @@ import scala.jdk.CollectionConverters._
   * trigger advances by `batchSize` rows, so a bounded input produces
   * ⌈n/batchSize⌉ micro-batches and then idles. Offsets are replayable
   * (restart from checkpoint re-serves the same rows) — the at-least-once
-  * contract of the reference.
+  * contract of the reference. Alternatively `numBatches` fixes the batch
+  * COUNT (batch size becomes ⌈n/numBatches⌉): use it when the multi-batch
+  * SEMANTICS matter but the input size varies by scale factor, so drain
+  * cost doesn't grow with per-batch bookkeeping.
   *
   * Scale shape: the driver reads ONLY parquet footers (file list + per-file
   * row counts — no data rows); `planInputPartitions` maps an offset range to
@@ -56,10 +59,12 @@ class ReplayStreamSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ReplayTable(properties.get("path"),
-      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000), schema)
+      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("numBatches")).map(_.toInt), schema)
 }
 
-final class ReplayTable(path: String, batchSize: Int, tableSchema: StructType)
+final class ReplayTable(path: String, batchSize: Int, numBatches: Option[Int],
+                        tableSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"replay($path)"
   override def schema(): StructType = tableSchema
@@ -71,7 +76,7 @@ final class ReplayTable(path: String, batchSize: Int, tableSchema: StructType)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ReplayMicroBatchStream(path, batchSize, tableSchema)
+          new ReplayMicroBatchStream(path, batchSize, numBatches, tableSchema)
       }
     }
 }
@@ -83,7 +88,8 @@ final case class ReplayOffset(rows: Long) extends Offset {
 /** One file of the snapshot: global row offset of its first row + row count. */
 private[sources] final case class ReplayFile(path: String, start: Long, rows: Long)
 
-final class ReplayMicroBatchStream(path: String, batchSize: Int, schema: StructType)
+final class ReplayMicroBatchStream(path: String, batchSize: Int,
+                                   numBatches: Option[Int], schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -110,17 +116,28 @@ final class ReplayMicroBatchStream(path: String, batchSize: Int, schema: StructT
   }
   private lazy val totalRows: Long = files.map(_.rows).sum
 
+  // `numBatches` overrides `batchSize` with ⌈total/numBatches⌉, holding the
+  // micro-batch COUNT constant as the input grows — trigger overhead (offset
+  // log writes, state commits, sink epochs) is per-batch, so a fixed-rows
+  // batch size turns a 10× bigger replay into 10× the batches of pure
+  // bookkeeping. Results are batching-invariant; only the drain cost isn't.
+  private lazy val effectiveBatchRows: Long =
+    numBatches.map(n => math.max(1L, (totalRows + n - 1) / n))
+      .getOrElse(batchSize.toLong)
+
   override def initialOffset(): Offset = ReplayOffset(0L)
 
-  // Admission control: each trigger admits at most `batchSize` rows; the
-  // AvailableNow wrapper then iterates triggers until reportLatestOffset.
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+  // Admission control: each trigger admits at most `effectiveBatchRows`
+  // rows; the AvailableNow wrapper then iterates triggers until
+  // reportLatestOffset.
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(effectiveBatchRows)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rows
     val max = limit match {
       case r: ReadMaxRows => r.maxRows()
-      case _ => batchSize.toLong
+      case _ => effectiveBatchRows
     }
     ReplayOffset(math.min(s + max, totalRows))
   }

@@ -78,6 +78,17 @@ object StreamingRouter {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .start()
-    q.awaitTermination()
+    awaitBounded(q)
   }
+
+  /** Await a bounded (AvailableNow) query with a hang guard: a wedged
+    * stream inside a correctness-gate query must fail loudly, not hang the
+    * whole gate run. Ten minutes is ~50× the worst observed drain.
+    */
+  def awaitBounded(q: StreamingQuery, timeoutMs: Long = 600000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"bounded streaming query '${q.name}' still running after ${timeoutMs} ms")
+    }
 }

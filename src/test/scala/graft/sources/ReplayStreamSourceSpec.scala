@@ -29,6 +29,28 @@ class ReplayStreamSourceSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 250L), s"batchSize respected: $batchSizes")
   }
 
+  test("numBatches fixes the batch COUNT regardless of input size") {
+    val stream = spark.readStream
+      .format(classOf[ReplayStreamSource].getName)
+      .option("path", s"$sf0001/events.parquet")
+      .option("numBatches", "4")
+      .load()
+
+    var batchSizes = Vector.empty[Long]
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes :+= batch.count()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val nonEmpty = batchSizes.filter(_ > 0)
+    assert(batchSizes.sum === 1000L, s"all fixture rows replayed: $batchSizes")
+    assert(nonEmpty.size === 4, s"exactly numBatches micro-batches: $batchSizes")
+    assert(nonEmpty.forall(_ === 250L), s"⌈1000/4⌉ rows per batch: $batchSizes")
+  }
+
   test("multi-file directory input: offsets span files in name order, batches split mid-file") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replay_multi").toString
