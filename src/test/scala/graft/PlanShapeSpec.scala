@@ -128,6 +128,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline stage anchors reuse exchanges — no stage recompute fan-out") {
+    // Each stage output is consumed 2-3x downstream; without the explicit
+    // repartition anchors the upstream subtrees multiply into every
+    // reference (measured: 7 corpus scans and 3 reuses unanchored vs 5 and
+    // 5 anchored at sf0.1, ~25% wall-clock). Lock the anchored shape.
+    val plan = run("curation_pipeline_e2e")
+    assert(count(plan, "ReusedExchange") >= 5,
+      s"pipeline anchors no longer reuse exchanges:\n$plan")
+    assert(count(plan, "FileScan parquet") <= 5,
+      s"pipeline stage recompute fan-out returned:\n$plan")
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan
