@@ -1697,5 +1697,38 @@ object PipelineQueries {
         grid AS (SELECT doc_id, unnest(range(16)) AS idx FROM documents)
         SELECT g.doc_id, g.idx AS feat_idx, COALESCE(h.cnt, 0) AS feat_val
         FROM grid g LEFT JOIN h ON h.doc_id = g.doc_id AND h.bucket = g.idx
-        ORDER BY g.doc_id, g.idx""")))
+        ORDER BY g.doc_id, g.idx""")),
+
+    // ---- DSIR importance resampling (Xie et al. 2023) --------------------
+    // Data selection by target-domain resemblance: hashed-bigram bucket
+    // weights ((c_target+1)*1e6 div (c_raw+1), the integer log-free
+    // surrogate — see text/Importance scaladoc), docs scored by the sum of
+    // their occurrences' weights, raw-pool top-20 via TakeOrdered (no
+    // window). Target domain: the src0 slice of the corpus.
+    DeclaredQuery("dsir_importance_topk",
+      (s, dir) => graft.text.Importance.importanceScores(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source") === "src0", buckets = 1024)
+        .filter(!col("is_target"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_bigrams"), col("score")),
+      Some("""WITH w AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (
+          SELECT a.doc_id, a.source = 'src0' AS t,
+                 CAST(('0x' || substring(md5(a.word || ' ' || b.word), 1, 8)) AS BIGINT) % 1024 AS b
+          FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        cw AS (
+          SELECT b, ((SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1) * 1000000)
+                    // (SUM(CASE WHEN t THEN 0 ELSE 1 END) + 1) AS wgt
+          FROM bg GROUP BY 1),
+        sc AS (
+          SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(cw.wgt) AS BIGINT) AS score
+          FROM bg JOIN cw USING (b) WHERE NOT bg.t GROUP BY 1)
+        SELECT doc_id, n_bigrams, score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 20""")))
 }

@@ -120,7 +120,7 @@ class PlanShapeSpec extends SparkSpec {
     // corpus. The fix ranks only TakeOrdered shortlists via Ranks.boundedRank
     // (broadcast self-join), so the plan must contain zero Window nodes and
     // must keep the TakeOrderedAndProject shortlist shape.
-    Seq("bm25_topk", "hybrid_rrf_topk").foreach { q =>
+    Seq("bm25_topk", "hybrid_rrf_topk", "dsir_importance_topk").foreach { q =>
       val plan = run(q)
       assert(count(plan, "Window") === 0, s"$q re-grew a window:\n$plan")
       assert(plan.contains("TakeOrderedAndProject"), s"$q lost its shortlist shape:\n$plan")
