@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.relational.TableMaintenance
+import Dsl._
+
+/** Lakehouse table-maintenance coverage: CDC MERGE/upsert with delete
+  * markers, SCD2 effective-dated history, small-file compaction planning,
+  * and temperature-weighted source mixing (the N^α allocation used to
+  * flatten source imbalance in pretraining mixtures).
+  *
+  * Change feeds are derived deterministically from the orders table
+  * (modulus partitions of the key space) so the oracle can rebuild the
+  * exact same snapshot/feed split in SQL.
+  */
+object MaintenanceQueries {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- CDC MERGE: latest-wins upsert with delete markers ---------------
+    // Snapshot = keys not divisible by 4; feed = keys divisible by 3, which
+    // updates matched rows (status 'U', price+100), inserts the unmatched
+    // (keys ≡ 0 mod 12 are feed-only), and deletes keys divisible by 9.
+    DeclaredQuery("merge_upsert_orders",
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val changes = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 9 === 0, "D").otherwise("U").as("op"),
+            lit(1L).as("version"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"))
+        TableMaintenance.upsert(base, changes, "o_orderkey", "version", "op",
+            Seq("o_orderstatus", "o_totalprice"))
+          .select(col("o_orderkey").as("orderkey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("totalprice"))
+          .orderBy(col("orderkey"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderkey % 4 <> 0),
+        chg AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
+            'U' AS new_status, o_totalprice + 100.0 AS new_price
+          FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS orderkey,
+          COALESCE(c.new_status, b.o_orderstatus) AS status,
+          COALESCE(c.new_price, b.o_totalprice) AS totalprice
+        FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+        WHERE COALESCE(c.op, 'U') <> 'D'
+        ORDER BY 1""")),
+
+    // ---- SCD2: effective-dated order-status history per customer ---------
+    DeclaredQuery("scd2_order_history",
+      (s, dir) => {
+        val states = tbl(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+            col("o_orderstatus").as("status"), col("o_orderdate").as("eff_from"))
+        TableMaintenance.scd2(states, "custkey", "eff_from", "orderkey")
+          .select(col("custkey"), col("orderkey"), col("status"),
+            col("eff_from"), col("eff_to"), col("is_current"))
+          .orderBy(col("custkey"), col("eff_from"), col("orderkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+          o_orderstatus AS status, o_orderdate AS eff_from,
+          LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS eff_to,
+          CAST(CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM orders
+        ORDER BY 1, 4, 2""")),
+
+    // ---- compaction planner: bin-pack simulated files to ~64 KB ----------
+    // "Files" are (source, doc_id mod 50) groups of documents; the plan
+    // assigns each to an output bin by bytes-before-it div target.
+    DeclaredQuery("compaction_bins",
+      (s, dir) => {
+        val files = tbl(s, dir, "documents")
+          .groupBy(col("source"), (col("doc_id") % 50).as("file_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+        TableMaintenance.compactionBins(files, "source", "file_id", "bytes",
+            65536L)
+          .select(col("source"), col("file_id"), col("n_docs"), col("bytes"),
+            col("bin"))
+          .orderBy(col("source"), col("file_id"))
+      },
+      Some("""WITH files AS (
+          SELECT source, doc_id % 50 AS file_id, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY 1, 2)
+        SELECT source, file_id, n_docs, bytes,
+          CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            // 65536 AS bin
+        FROM files
+        ORDER BY 1, 2""")),
+
+    // ---- temperature-weighted source mixing ------------------------------
+    // Allocation n_s ∝ N_s^0.5 over a 1000-doc budget, computed in exact
+    // integer arithmetic: w = floor(sqrt(N)·10⁶) (sqrt is IEEE
+    // correctly-rounded, identical in both engines), alloc = budget·w div Σw.
+    DeclaredQuery("mix_temperature_alloc",
+      (s, dir) => {
+        val bys = tbl(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt(col("n_docs")) * 1e6))
+        val tot = bys.agg(sum(col("w")).as("w_total"))
+        bys.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            col("w"), expr("1000 * w div w_total").as("alloc"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH bys AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(FLOOR(SQRT(COUNT(*)) * 1e6) AS BIGINT) AS w
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM bys)
+        SELECT source, n_docs, w, CAST((1000 * w) // w_total AS BIGINT) AS alloc
+        FROM bys CROSS JOIN tot
+        ORDER BY 1""")))
+}

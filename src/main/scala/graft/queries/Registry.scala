@@ -7,7 +7,8 @@ package graft.queries
 object Registry {
   val all: Seq[DeclaredQuery] =
     RelationalQueries.queries ++ ExtendedQueries.queries ++ ScalarQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries
+      EventQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
+      MaintenanceQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

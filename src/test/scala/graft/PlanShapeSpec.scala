@@ -140,6 +140,22 @@ class PlanShapeSpec extends SparkSpec {
       s"pipeline stage recompute fan-out returned:\n$plan")
   }
 
+  test("table maintenance: merge co-partitions, histories window per-key only") {
+    // CDC merge: the feed dedup + full-outer join must stay hash/sort
+    // based — a nested-loop full outer means the broadcast hint leaked back.
+    val merge = run("merge_upsert_orders")
+    assert(count(merge, "CartesianProduct") === 0)
+    assert(count(merge, "BroadcastNestedLoop") === 0, s"merge must not BNL:\n$merge")
+    // SCD2 + compaction windows are per-key/per-partition: any
+    // single-partition exchange means an unpartitioned window crept in.
+    Seq("scd2_order_history", "compaction_bins").foreach { q =>
+      val plan = run(q)
+      assert(count(plan, "Window") >= 1, s"$q lost its window:\n$plan")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q planned a single-partition window:\n$plan")
+    }
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan

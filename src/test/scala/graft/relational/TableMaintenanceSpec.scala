@@ -1,0 +1,77 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: latest version wins, deletes drop, inserts land, keep cols survive") {
+    val base = Seq(
+      (1L, "a", 10.0, "keep1"),
+      (2L, "b", 20.0, "keep2"),
+      (3L, "c", 30.0, "keep3")
+    ).toDF("k", "status", "price", "note")
+    val changes = Seq(
+      (1L, "U", 1L, "x", 11.0),   // superseded by v2
+      (1L, "U", 2L, "y", 12.0),   // winner for key 1
+      (2L, "D", 1L, "-", 0.0),    // delete key 2
+      (9L, "U", 1L, "n", 99.0),   // insert key 9
+      (8L, "D", 1L, "-", 0.0)     // delete of absent key: no-op
+    ).toDF("k", "op", "version", "status", "price")
+
+    val out = TableMaintenance.upsert(base, changes, "k", "version", "op",
+      Seq("status", "price")).orderBy("k")
+    val rows = out.select("k", "status", "price", "note").as[(Long, String, Double, String)].collect()
+    assert(rows === Seq(
+      (1L, "y", 12.0, "keep1"),   // update: payload from v2, keep col from base
+      (3L, "c", 30.0, "keep3"),   // untouched
+      (9L, "n", 99.0, null)       // insert: no base keep col
+    ))
+  }
+
+  test("scd2: chains per key, exactly one current row, eff_to = next eff_from") {
+    val states = Seq(
+      (1L, 100L, "new"), (1L, 200L, "paid"), (1L, 300L, "shipped"),
+      (2L, 150L, "new")
+    ).toDF("k", "t", "st")
+    val hist = TableMaintenance.scd2(states, "k", "t", "st")
+      .orderBy("k", "t").collect()
+
+    val k1 = hist.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getLong(1), Option(r.get(3)), r.getLong(4))).toSeq ===
+      Seq((100L, Some(200L), 0L), (200L, Some(300L), 0L), (300L, None, 1L)))
+    // exactly one current row per key
+    val currents = hist.groupBy(_.getLong(0)).map { case (_, rs) =>
+      rs.count(_.getLong(4) == 1L)
+    }
+    assert(currents.forall(_ == 1))
+  }
+
+  test("compaction: every file binned, bins non-decreasing, bounded by target + max file") {
+    val target = 100L
+    val files = Seq(
+      ("s1", 0L, 40L), ("s1", 1L, 40L), ("s1", 2L, 40L), ("s1", 3L, 150L),
+      ("s1", 4L, 10L), ("s2", 0L, 10L), ("s2", 1L, 10L)
+    ).toDF("grp", "fid", "bytes")
+    val out = TableMaintenance.compactionBins(files, "grp", "fid", "bytes", target)
+      .orderBy("grp", "fid")
+      .select("grp", "fid", "bytes", "bin")
+      .as[(String, Long, Long, Long)].collect()
+
+    assert(out.length == 7)                       // every file assigned
+    // first file of each group is bin 0; bins never decrease in file order
+    for (g <- Seq("s1", "s2")) {
+      val bins = out.filter(_._1 == g).sortBy(_._2).map(_._4)
+      assert(bins.head == 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+    // bin byte totals are < target + the largest file assigned to the bin
+    val byBin = out.groupBy(r => (r._1, r._4)).map { case (_, rs) =>
+      (rs.map(_._3).sum, rs.map(_._3).max)
+    }
+    assert(byBin.forall { case (tot, mx) => tot < target + mx })
+    // the oversized 150-byte file occupies its own division range
+    assert(out.filter(r => r._1 == "s1" && r._2 == 3L).head._4 == 1L)
+  }
+}
