@@ -121,5 +121,55 @@ object MaintenanceQueries {
         tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM bys)
         SELECT source, n_docs, w, CAST((1000 * w) // w_total AS BIGINT) AS alloc
         FROM bys CROSS JOIN tot
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // ---- data-quality constraint audit -----------------------------------
+    // The write-gate report a healthy pipeline runs before publishing a
+    // snapshot. All row-local constraints (nulls, ranges, domains,
+    // key uniqueness) fold into ONE conditional-aggregation scan; the
+    // relational one (orphaned foreign keys) is the only join. One row per
+    // rule so the gate is a trivial `violations == 0` check downstream.
+    DeclaredQuery("dq_constraint_report",
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+        val rowLocal = orders.agg(
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+              .as("bad_status"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+            count(lit(1)).as("checked"))
+          .selectExpr(
+            """stack(4,
+              'bad_status', bad_status,
+              'dup_orderkey', dup_orderkey,
+              'nonpos_price', nonpos_price,
+              'null_custkey', null_custkey) as (rule, violations)""",
+            "checked")
+        val orphans = orders
+          .join(tbl(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .crossJoin(broadcast(orders.agg(count(lit(1)).as("checked"))))
+          .select(lit("orphan_custkey").as("rule"), col("violations"), col("checked"))
+        rowLocal.unionByName(orphans).orderBy(col("rule"))
+      },
+      Some("""WITH t AS (
+          SELECT COUNT(*) AS checked,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+            CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+            CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
+          FROM orders),
+        orph AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS violations FROM orders o
+          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL)
+        SELECT * FROM (
+          SELECT 'bad_status' AS rule, bad_status AS violations, checked FROM t
+          UNION ALL SELECT 'dup_orderkey', dup_orderkey, checked FROM t
+          UNION ALL SELECT 'nonpos_price', nonpos_price, checked FROM t
+          UNION ALL SELECT 'null_custkey', null_custkey, checked FROM t
+          UNION ALL SELECT 'orphan_custkey', violations, (SELECT checked FROM t) FROM orph)
+        ORDER BY rule""")))
 }
