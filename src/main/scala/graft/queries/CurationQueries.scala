@@ -287,25 +287,29 @@ object CurationQueries {
     DeclaredQuery("curation_pipeline_e2e",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        // Each stage output is read 2–3× downstream (quota sampling: counts
-        // + rank + join; prefix-sum packing: bucket totals + final).
-        // Unanchored, that multiplies the upstream subtree into ~19 scans
-        // of the corpus in one plan; anchored, ReuseExchange computes each
-        // stage once (see relational/Stages scaladoc).
-        val cleaned = graft.relational.Stages.anchor(
-          LineDedup.cleanDocs(docs, "doc_id", "text",
-            segWords = 3, maxDocs = 2), col("doc_id"))
-        val scored = graft.relational.Stages.anchor(
+        // Stage outputs are read 2× downstream (quota sampling: counts +
+        // rank; prefix-sum packing: bucket totals + final), and lazy
+        // composition MULTIPLIES those reads through the chain. In-plan
+        // exchange-reuse anchors only partially close that (per-branch
+        // column pruning breaks subtree identity — Stages scaladoc), so the
+        // expensive boundary (`scored`: the full clean+score derivation) is
+        // a durable stage write, exactly the inter-job table a production
+        // pipeline lands; downstream stages scan its compact (id, n,
+        // source) projection instead of re-deriving the corpus clean.
+        val cleaned = LineDedup.cleanDocs(docs, "doc_id", "text",
+          segWords = 3, maxDocs = 2)
+        val scored = graft.relational.Stages.materialize(
           cleaned
             .withColumn("n", size(split(col("text"), " ")).cast("long"))
             .filter(col("n") >= 5)
-            .join(docs.select(col("doc_id"), col("source")), "doc_id"),
-          col("doc_id"))
+            .join(docs.select(col("doc_id"), col("source")), "doc_id")
+            .select(col("doc_id"), col("n"), col("source")),
+          "scored")
         val wcol = lit(10L) * (lit(1L) +
           substring(col("source"), 4, 10).cast("long") % 4)
-        val mixed = graft.relational.Stages.anchor(
+        val mixed = graft.relational.Stages.materialize(
           Sampling.quotaMixSample(scored, "source", col("doc_id"), wcol),
-          col("doc_id"))
+          "mixed")
         Packing.packSequences(mixed, "doc_id", col("n"), budget = 256)
           .groupBy(col("chunk_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),

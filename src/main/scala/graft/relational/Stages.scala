@@ -13,20 +13,54 @@ import org.apache.spark.sql.{Column, DataFrame}
   * composed query is lazy), which is exactly the cache-lifecycle hazard this
   * engine avoids.
   *
-  * [[anchor]] instead ends the stage at an explicit hash-partition
-  * `Exchange`. Catalyst's `ReuseExchange` rule (and AQE's stage reuse)
-  * dedups IDENTICAL exchange subtrees within a plan, so every downstream
-  * reference re-reads the one materialized shuffle instead of recomputing
-  * the stage: the stage runs once, costs one extra shuffle of its own
-  * (answer-sized) output, holds no storage beyond normal shuffle files, and
-  * stays lineage-safe under executor loss (shuffle blocks re-derive from the
-  * deterministic hash partitioning — unlike `localCheckpoint`).
+  * [[anchor]] ends the stage at an explicit hash-partition `Exchange`.
+  * Catalyst's `ReuseExchange` rule (and AQE's stage reuse) dedups IDENTICAL
+  * exchange subtrees within a plan, so a downstream reference re-reads the
+  * one materialized shuffle instead of recomputing the stage — costing one
+  * extra shuffle of the stage's own output, no pinned storage, lineage-safe
+  * under executor loss (shuffle blocks re-derive from the deterministic
+  * hash partitioning — unlike `localCheckpoint`).
   *
-  * Use it at stage BOUNDARIES whose upstream is expensive and whose output
-  * is consumed more than once. Don't bother when the input is a bare table
-  * scan — a scan re-read is cheaper than a shuffle — or when the consumer
-  * count is one.
+  * CAVEAT (measured, not theoretical): the sharing is BEST-EFFORT. Column
+  * pruning and filter pushdown rewrite each consumer's copy of the subtree
+  * independently — a consumer that reads fewer columns gets a narrower
+  * aggregate below "its" exchange — and any divergence breaks the subtree
+  * identity ReuseExchange matches on, silently restoring the recompute
+  * (final-plan `ReusedExchange` count is the ground truth; `PlanReuse` is
+  * the dev tool that reports it). When the upstream is expensive and the
+  * sharing MUST happen, use [[materialize]].
+  *
+  * Use anchor at stage BOUNDARIES whose upstream is expensive and whose
+  * output is consumed more than once. Don't bother when the input is a bare
+  * table scan — a scan re-read is cheaper than a shuffle — or when the
+  * consumer count is one.
   */
 object Stages {
   def anchor(df: DataFrame, key: Column): DataFrame = df.repartition(key)
+
+  /** GUARANTEED stage boundary: write the stage output to parquet and read
+    * it back. This is what a production multi-job pipeline does between
+    * stages (each stage lands a table; the next job reads it), expressed as
+    * an operator: downstream consumers scan the compact materialized columns
+    * instead of re-deriving the whole upstream, so composed pipeline cost is
+    * ADDITIVE in the stages rather than multiplicative in their consumer
+    * counts.
+    *
+    * Use it when [[anchor]]'s best-effort plan sharing is not enough: the
+    * exchange-reuse [[anchor]] relies on is defeated whenever Catalyst
+    * prunes the branches differently (a consumer that reads fewer columns
+    * gets its OWN copy of the stage subtree with a narrower aggregate —
+    * observed, not hypothetical), while a durable write is shared
+    * unconditionally. Costs one write + n reads of the stage's own
+    * (answer-sized) output; lineage-safe under executor loss (the files ARE
+    * the lineage); no executor storage pinned. The temp location stands in
+    * for the warehouse table path a cluster deployment would use.
+    */
+  def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_$tag")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("data.parquet").toString
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

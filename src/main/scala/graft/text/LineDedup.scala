@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** C4-style segment-level corpus deduplication.
   *
@@ -12,12 +13,13 @@ import org.apache.spark.sql.functions._
   * dropped from every document that contains it (the C4 dataset's
   * three-sentence rule, applied segment-wise).
   *
-  * Scale shape: one explode to (doc, segment) rows, one aggregation keyed by
-  * the segment's 128-bit md5 fingerprint (shuffling a 16-byte key, never the
-  * segment text), one broadcast-friendly equi-join back. No pairwise work —
-  * cost is linear in corpus size, the same plan at 500 docs or 10⁹. The
-  * fingerprint doubles as the cross-engine oracle key (md5 is md5
-  * everywhere).
+  * Scale shape: one explode to (doc, segment-fingerprint) rows, ONE shuffle
+  * keyed by the segment's 128-bit md5 fingerprint (16-byte key + ordinal,
+  * never the segment text) over which the per-fingerprint document frequency
+  * is computed as a window column — no second pass, no join-back. No
+  * pairwise work — cost is linear in corpus size, the same plan at 500 docs
+  * or 10⁹. The fingerprint doubles as the cross-engine oracle key (md5 is
+  * md5 everywhere).
   */
 object LineDedup {
 
@@ -49,6 +51,25 @@ object LineDedup {
       .groupBy(col("fp"))
       .agg(countDistinct(col(idCol)).as("df"))
 
+  /** Distinct-document frequency as a window column over segment-occurrence
+    * rows — the ONE-PASS alternative to aggregate-then-join-back: dense_rank
+    * over (fp, id) reaches count-distinct-ids at the partition's end, and an
+    * unbounded max over the same fp partitioning reads it back on every row.
+    * Same exchange serves both window functions (identical partitioning; the
+    * second needs no sort the first hasn't done), so the segment rows are
+    * computed and shuffled ONCE where the join-back formulation computes the
+    * whole explode→fingerprint chain twice. Trade-off: the shuffle carries
+    * every occurrence row rather than the map-side-deduped (fp, id) pairs —
+    * a few bytes per segment, linear either way.
+    */
+  private def withDocFrequency(fps: DataFrame, idCol: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    fps
+      .withColumn("__dr", dense_rank().over(byFp.orderBy(col(idCol))))
+      .withColumn("df", max(col("__dr")).over(byFp))
+      .drop("__dr")
+  }
+
   /** Per-document keep/drop accounting under the `df <= maxDocs` rule.
     * Output: (idCol, n_seg, kept_seg, dropped_seg, kept_words).
     */
@@ -56,9 +77,8 @@ object LineDedup {
                  segWords: Int, maxDocs: Int): DataFrame = {
     val segs = segments(docs, idCol, textCol, segWords)
       .withColumn("fp", md5(col("seg_text")))
-    val freq = segmentDocFrequency(segs, idCol)
     val kept = col("df") <= maxDocs
-    segs.join(freq, "fp")
+    withDocFrequency(segs.select(col(idCol), col("n_words"), col("fp")), idCol)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_seg"),
@@ -90,26 +110,22 @@ object LineDedup {
         i => array_join(
           slice(col("__ws"), (i * segWords + 1).cast("int"), lit(segWords)),
           " ")).as("__segs"))
+    // One pass over the occurrence rows: posexplode keeps each segment's
+    // ordinal so the rebuild can drop by POSITION (no md5 recompute per
+    // segment at rebuild time), and the doc frequency rides along as a
+    // window column instead of an aggregate joined back — the explode→
+    // fingerprint chain runs once, not twice.
     val fps = segd
-      .select(col(idCol), explode(col("__segs")).as("__t"))
-      .select(col(idCol), md5(col("__t")).as("fp"))
-    // Two consumers (doc-frequency, bad-set join) recompute this narrow
-    // projection — two scans of (id, 16-byte fp), NOT a cache: a lazy
-    // operator has no action to scope an unpersist to, and an unbounded
-    // corpus-sized cache entry in a long-lived session costs more (storage
-    // pressure + disk-spilled blocks LRU never reclaims) than one extra
-    // columnar scan. Callers that materialize repeatedly can cache the
-    // RESULT under their own lifecycle.
-    val bad = fps.groupBy(col("fp"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .select(col(idCol),
+        posexplode(transform(col("__segs"), s => md5(s))).as(Seq("__i", "fp")))
+    val badPerDoc = withDocFrequency(fps, idCol)
       .filter(col("df") > maxDocs)
-    val badPerDoc = fps.join(bad.select("fp"), "fp")
-      .groupBy(col(idCol)).agg(collect_set(col("fp")).as("__bad"))
+      .groupBy(col(idCol)).agg(collect_set(col("__i")).as("__bad"))
     segd.join(badPerDoc, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__bad").isNull, col("__segs"))
           .otherwise(filter(col("__segs"),
-            s => !array_contains(col("__bad"), md5(s)))).as("__kept"))
+            (s, i) => !array_contains(col("__bad"), i))).as("__kept"))
       .filter(size(col("__kept")) > 0)
       .select(col(idCol), array_join(col("__kept"), " ").as(textCol))
   }

@@ -128,15 +128,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("curation pipeline stage anchors reuse exchanges — no stage recompute fan-out") {
-    // Each stage output is consumed 2-3x downstream; without the explicit
-    // repartition anchors the upstream subtrees multiply into every
-    // reference (measured: 7 corpus scans and 3 reuses unanchored vs 5 and
-    // 5 anchored at sf0.1, ~25% wall-clock). Lock the anchored shape.
+  test("curation pipeline lands its stage boundaries — no corpus recompute fan-out") {
+    // Stage outputs are consumed 2× downstream and lazy composition
+    // multiplies those reads through the chain (measured: 19 corpus scans
+    // fully lazy, 5 with best-effort exchange anchors, ~4× wall-clock).
+    // The clean+score boundary is a durable stage write (Stages
+    // .materialize), so the FINAL plan must not touch the documents table
+    // at all — it reads only the compact materialized stages.
     val plan = run("curation_pipeline_e2e")
-    assert(count(plan, "ReusedExchange") >= 5,
-      s"pipeline anchors no longer reuse exchanges:\n$plan")
-    assert(count(plan, "FileScan parquet") <= 5,
+    assert(!plan.contains("documents.parquet"),
+      s"pipeline final plan re-derives the corpus instead of reading the " +
+        s"landed stage:\n$plan")
+    assert(count(plan, "FileScan parquet") <= 3,
       s"pipeline stage recompute fan-out returned:\n$plan")
   }
 
