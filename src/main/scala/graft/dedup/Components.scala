@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * state ever gathers on one executor (a 10⁸-member component is fine; its
   * label is just widely replicated). The fixpoint test is a one-scalar
   * count per round (the standard driver-side convergence check of every
-  * iterative Spark algorithm), and `localCheckpoint` truncates the growing
-  * lineage each round (a reliable checkpoint dir at cluster scale).
+  * iterative Spark algorithm), and each round's labels land as parquet
+  * (`Stages.materialize`), truncating the growing lineage with durable
+  * files and REAL size statistics (see the in-loop comment for why
+  * `localCheckpoint` is specifically wrong here).
   *
   * The result is deterministic regardless of round count or partitioning:
   * at the fixpoint every node holds the MINIMUM id of its component.
@@ -48,6 +50,15 @@ object Components {
     * session while the loop ran). Right-sizing small rounds is AQE's job —
     * partition coalescing collapses the label-sized shuffles at runtime,
     * per query, without cross-thread planning hazards.
+    *
+    * Loop-join dispatch: the endpoint count is known before the loop (one
+    * count on the materialized label table), so label-side broadcast is
+    * hinted explicitly when labels are comfortably inside the broadcast
+    * budget — deterministic round plans independent of estimator behavior —
+    * and the loop runs shuffle-free, with a deeper pointer-jump chain
+    * buying fewer driver-synchronous rounds; a big graph keeps the
+    * two-jump shuffle path unchanged. Same plan-known-bound dispatch as
+    * `HeavyHitters.exactHeavyHitters`.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
@@ -79,46 +90,106 @@ object Components {
     // no session-conf mutation (the previous measured-count conf override
     // silently re-planned concurrent queries on the same session).
     sym.count() // forces the cache before the loop's consumers
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    // Round results land through a stage boundary, NOT a bare
+    // `localCheckpoint`: checkpointing rewrites the new leaf's statistics
+    // FROM THE PRE-CHECKPOINT PLAN, and a join's size estimate is the
+    // product of its children's — so each round's leaf inherits
+    // size_prev^(joins-per-round) and the estimate diverges as a power
+    // tower (by ~round 9 the sizeInBytes BigInt has millions of digits and
+    // the driver sits in BigInteger.multiply for minutes — measured).
+    // Small graphs pin rounds in memory (`Stages.pin` discards the
+    // rewritten stats), big graphs land as parquet (`Stages.materialize`:
+    // real file sizes, durable lineage under executor loss).
+    var labels = graft.relational.Stages.materialize(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")), "cc_labels")
+    // ~16 bytes per (id, comp) row; stay an order of magnitude under the
+    // default 10 MB autoBroadcastJoinThreshold so the hint never builds a
+    // relation AQE itself would refuse.
+    val labelRows = labels.count()
+    val broadcastLabels = labelRows <= 65536
+    def side(d: DataFrame): DataFrame = if (broadcastLabels) broadcast(d) else d
+    // Small graphs land each round in memory (Stages.pin — checkpoint
+    // round-trips dominate a shallow loop); big graphs land as parquet
+    // (durable lineage, real file stats). Same dispatch bound as the
+    // broadcast hint.
+    def land(d: DataFrame): DataFrame =
+      if (broadcastLabels) graft.relational.Stages.pin(d)
+      else graft.relational.Stages.materialize(d, "cc_next")
     var it = 0
     var done = false
     var lastChanged = 0L
-    // Per round: one materialized PROPAGATION (neighbor-min, with the old
-    // label carried as `__old` so change detection costs no extra join),
-    // then a double POINTER JUMP against the just-checkpointed propagation
-    // result — comp := comp(comp(comp(v))) over fresh labels. Jumping
-    // against the fresh table (not the previous round's) is what makes the
-    // label forest's depth actually halve per round (measured: the stale
-    // variant needed the same rounds as no jump at all); the checkpoint
-    // means the jump joins read materialized rows instead of re-deriving
-    // the propagation subtree per join.
-    def jump(d: DataFrame, tbl: DataFrame): DataFrame =
-      d.join(tbl.select(col("id").as("__jk"), col("comp").as("__jc")),
-          d("comp") === col("__jk"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__jc"), col("comp"))).as("comp"),
-          col("__old"))
+    // Per round, CONTRACTION — not plain neighbor-min propagation.
+    // Propagation alone moves the component-minimum label ONE EDGE-HOP per
+    // round, so rounds scale with graph DIAMETER (pointer jumping over the
+    // label forest cannot teleport across edges — measured: extra jumps
+    // changed nothing on a chain-shaped dedup graph). Instead each round
+    // re-contracts the ORIGINAL edge list through the current labels
+    // (u,v) → (comp(u), comp(v)): an edge between two label-groups becomes
+    // an edge between their roots, so the effective distance between any
+    // two nodes roughly HALVES per round and convergence is O(log
+    // diameter) — Shiloach-Vishkin-style hook-and-contract, the same round
+    // class as large-star/small-star (Kiveris et al., SoCC'14). Stale
+    // labels (a root that itself merged this round) self-heal: the next
+    // recontraction connects the stale root to its new root, and the
+    // following update folds both — labels still only ever decrease, and
+    // the component minimum never moves, so the fixpoint is exactly
+    // comp = min id per component.
+    //
+    // `__m2` uses coalesce, not least: update targets are strictly smaller
+    // than their keys (an update fires only when the neighbor-min is below
+    // the root), so a hit always decreases the label; coalesce also keeps
+    // the projected expression LINEAR in jump depth where a least() form
+    // doubles it per level (measured: constraint propagation over the
+    // exponential tree pinned the driver).
     while (!done && it < maxIters) {
       val cur = labels
-      val nbrMin = sym
-        .join(cur.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("ncomp")).as("nbr"))
-      val prop = cur.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          col("comp").as("__old"))
-        .localCheckpoint()
-      val next = jump(jump(prop, prop), prop)
-        .select(col("id"), col("comp"),
-          (col("comp") =!= col("__old")).as("__ch"))
-        .localCheckpoint()
-      val changed = next.filter(col("__ch")).count()
+      val curLab = side(cur.select(col("id").as("__k"), col("comp").as("__c")))
+      val contracted = sym
+        .join(curLab, sym("src") === col("__k"), "left")
+        .select(coalesce(col("__c"), col("src")).as("cu"), col("dst"))
+        .join(side(cur.select(col("id").as("__k2"), col("comp").as("__c2"))),
+          col("dst") === col("__k2"), "left")
+        .select(col("cu"), coalesce(col("__c2"), col("dst")).as("cv"))
+        .filter(col("cu") =!= col("cv"))
+      // root → strictly-smaller neighbor-min over the contracted graph
+      // (sym carries both orientations, so every cross-root edge appears
+      // under both endpoints and no re-symmetrization is needed; for the
+      // same reason "no update fires" is equivalent to "no cross-root edge
+      // remains" — the smaller endpoint of any surviving pair would fire)
+      val upd = contracted
+        .groupBy(col("cu").as("__r")).agg(min(col("cv")).as("__m"))
+        .filter(col("__m") < col("__r"))
+      // HOOK the update into the labels, then POINTER-DOUBLE through the
+      // full label table (comp := L(L(v)) — the table composes with
+      // ITSELF, so accumulated shifts multiply geometrically; jumping
+      // through the sparse root-update map instead does NOT compose — the
+      // first application lands on a non-key and the second misses,
+      // measured as linear rounds on a path graph). The convergence scalar
+      // rides the write job as an observed metric — no separate count
+      // scan per round.
+      val hooked = cur
+        .join(side(upd), cur("comp") === col("__r"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          coalesce(col("__m"), col("comp")).as("comp"))
+      def double(t: DataFrame): DataFrame =
+        t.join(side(t.select(col("id").as("__k"), col("comp").as("__c"))),
+            t("comp") === col("__k"), "left")
+          .select(t("id"), col("__old"),
+            coalesce(col("__c"), t("comp")).as("comp"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$it")
+      val next = land(
+        double(double(hooked))
+          .select(col("id"), col("comp"),
+            (col("comp") =!= col("__old")).as("__ch"))
+          .observe(obs, sum(when(col("__ch"), 1L).otherwise(0L)).as("changed")))
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "comp")
       done = changed == 0
       lastChanged = changed
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-round] it=$it changed=$changed")
     }
     sym.unpersist()
     // The scaladoc promises the deterministic fixpoint (min id per

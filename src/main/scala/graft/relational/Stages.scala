@@ -56,6 +56,26 @@ object Stages {
     * the lineage); no executor storage pinned. The temp location stands in
     * for the warehouse table path a cluster deployment would use.
     */
+  /** Memory-landed stage boundary for ANSWER-SIZED frames in iterative
+    * loops: localCheckpoint (eager — truncates lineage, pins the rows in
+    * executor storage) re-exposed through a FRESH leaf so the checkpoint's
+    * statistics rewrite is discarded. `Dataset.localCheckpoint` copies the
+    * PRE-checkpoint plan's size estimate onto the new leaf, and join
+    * estimates are products of their children's — so in a loop each round
+    * inherits size_prev^(joins-per-round) and the estimate diverges as a
+    * power tower (by ~round 9 the BigInt has millions of digits and the
+    * driver sits in BigInteger.multiply for minutes; measured). The
+    * re-wrap's leaf carries the neutral default estimate instead: callers
+    * in loops hint their own broadcasts (they know the measured row
+    * count). Only for frames a single executor can hold and a re-run can
+    * cheaply rebuild — for corpus-sized or lineage-critical boundaries use
+    * [[materialize]] (durable, real file stats).
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def materialize(df: DataFrame, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_$tag")
     dir.toFile.deleteOnExit()
