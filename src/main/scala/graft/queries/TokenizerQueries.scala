@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+import Dsl._
+
+/** Tokenizer-and-language-model surface of the training-data pipeline:
+  * distributed BPE vocabulary induction (Sennrich et al. 2016) and
+  * CCNet-style bigram-LM quality scoring + head/middle/tail bucketing
+  * (Wenzek et al. 2019, "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data").
+  *
+  * Oracle portability: all model quantities are exact integer counts; the
+  * per-bigram "surprisal" is an integer log₂ — length(bin(ratio)) - 1 —
+  * computed from an integer Laplace ratio, so every per-doc sum is
+  * order-free and hash-exact cross-engine (no libm log anywhere). BPE merge
+  * application is literal leftmost-non-overlap replace — the identical
+  * primitive in both engines (see [[graft.text.Bpe]]).
+  */
+object TokenizerQueries {
+
+  private val bpeRounds = 8
+
+  /** DuckDB replay of [[Bpe.applyRule]]: Passes nested literal replaces on
+    * the padded symbol string, search/replacement built from the best-pair
+    * CTE's columns.
+    */
+  private def sqlApplyRule(bref: String): String = {
+    val padded = "' ' || sym || ' '"
+    val out = (1 to Bpe.Passes).foldLeft(padded) { (acc, _) =>
+      s"replace($acc, ' ' || $bref.a || ' ' || $bref.b || ' ', ' ' || $bref.a || $bref.b || ' ')"
+    }
+    s"trim($out)"
+  }
+
+  /** One BPE training round as CTEs: pair counts from the previous
+    * segmentation, deterministic argmax, merged segmentation. Pair
+    * extraction zips the symbol list against its own tail (NULL-padded last
+    * pair filtered) — the same shape the Spark side builds with transform().
+    */
+  private def sqlBpeRound(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT pr[1] AS a, pr[2] AS b, SUM(ct) AS wt FROM (
+            SELECT unnest(list_zip(l, l[2:])) AS pr, ct FROM (
+              SELECT string_split(sym, ' ') AS l, ct FROM $prev) t) u
+          WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        b$r AS (SELECT a, b, wt FROM p$r ORDER BY wt DESC, a, b LIMIT 1),
+        w$r AS (SELECT w, ct, ${sqlApplyRule(s"b$r")} AS sym
+                FROM $prev CROSS JOIN b$r)"""
+  }
+
+  /** Word-type histogram + char-level init + all training rounds. */
+  private def sqlBpeCtes: String = {
+    val rounds = (1 to bpeRounds).map(sqlBpeRound).mkString(",\n        ")
+    s"""WITH wh AS (SELECT t AS w, COUNT(*) AS ct FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+          GROUP BY 1),
+        w0 AS (SELECT w, ct, array_to_string(string_split(w, ''), ' ') AS sym FROM wh),
+        $rounds"""
+  }
+
+  /** (w, ct) word-type histogram — the one corpus-scale aggregation of BPE
+    * training (map-side combined; result is vocabulary-sized).
+    */
+  private def wordHist(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+
+  /** Shared CCNet scoring CTEs → per-doc integer surprisal stats.
+    * Bigram model: cab = bigram counts, ca = prefix counts, v = vocabulary
+    * size; per-bigram bits = ⌊log₂((ca + v) / (cab + 1))⌋ via bin-length
+    * (Laplace ratio ≥ 1 always, since ca ≥ cab and v ≥ 1).
+    */
+  private val sqlLmScoreCtes: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents),
+      bg AS (SELECT doc_id, t AS a,
+               LEAD(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b FROM tok),
+      b2 AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+      cab AS (SELECT a, b, COUNT(*) AS cab FROM b2 GROUP BY 1, 2),
+      ca AS (SELECT a, COUNT(*) AS ca FROM b2 GROUP BY 1),
+      vv AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+      bits AS (SELECT doc_id, length(bin((ca + v) // (cab + 1))) - 1 AS bits
+               FROM b2 JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv),
+      sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS surp_bits,
+               (CAST(SUM(bits) AS BIGINT) * 1000) // COUNT(*) AS mean_millibits
+             FROM bits GROUP BY 1)"""
+
+  /** Spark twin of [[sqlLmScoreCtes]]: per-doc (doc_id, n_bigrams,
+    * surp_bits, mean_millibits). Model tables are vocabulary²-bounded —
+    * far below corpus scale — joined back by plain equi-joins; the only
+    * window is the per-doc bigram lead (partitioned by doc_id).
+    */
+  private def lmDocScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.text.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks.withColumn("b", lead(col("t"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("t").as("a"), col("b"))
+    val cab = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = big.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val v = toks.select(col("t")).distinct().agg(count(lit(1)).as("v"))
+    big.join(cab, Seq("a", "b")).join(ca, Seq("a")).crossJoin(broadcast(v))
+      .withColumn("bits", (length(bin(expr("(ca + v) div (cab + 1)"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surp_bits"))
+      .withColumn("mean_millibits", expr("surp_bits * 1000 div n_bigrams"))
+  }
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- bigram-LM surprisal per document ---------------------------------
+    // The CCNet quality signal: train a Laplace-smoothed bigram model on the
+    // corpus, score each doc by total/mean surprisal in integer bits. Rare
+    // continuations cost more bits; boilerplate scores near the model floor.
+    DeclaredQuery("ngram_lm_surprisal",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        lmDocScores(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_bigrams"),
+            col("surp_bits"), col("mean_millibits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$sqlLmScoreCtes
+        SELECT sc.doc_id, d.source, sc.n_bigrams, sc.surp_bits, sc.mean_millibits
+        FROM sc JOIN documents d USING (doc_id) ORDER BY sc.doc_id""")),
+
+    // ---- CCNet head/middle/tail quality buckets ---------------------------
+    // CCNet buckets docs by LM perplexity percentile, with thresholds fitted
+    // once on a sample and then treated as constants. Same shape here: a
+    // FIXED-SIZE deterministic hash sample (orderBy md5 + limit K — a
+    // TakeOrdered, bounded at any corpus scale), exact tertile thresholds
+    // from the K sampled scores via Ranks.boundedRank (no global window),
+    // thresholds broadcast to bucket the full corpus. head = least
+    // surprising (closest to the corpus LM), tail = most.
+    DeclaredQuery("ccnet_quality_buckets",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        // the score stage is consumed twice (threshold sample + bucketing):
+        // anchor it at an explicit exchange so the consumers share one
+        // computation of the explode+window+model-join subtree
+        val sc = graft.relational.Stages.anchor(
+          lmDocScores(docs)
+            .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("mean_millibits")),
+          col("doc_id"))
+        val smp = sc
+          .withColumn("skey", md5(concat(lit("ccnet:"), col("doc_id").cast("string"))))
+          .orderBy(col("skey"), col("doc_id")).limit(90)
+          .select(col("mean_millibits"), col("doc_id"))
+        val rnk = graft.relational.Ranks.boundedRank(smp, "rs",
+          Seq("mean_millibits" -> true, "doc_id" -> true))
+        // both tertile thresholds from ONE scalar aggregate over the ranked
+        // sample — a second branch would re-derive the whole score subtree
+        val th = rnk.agg(
+          max(when(col("rs") === 30, col("mean_millibits"))).as("t1"),
+          max(when(col("rs") === 60, col("mean_millibits"))).as("t2"))
+        sc.crossJoin(broadcast(th))
+          .withColumn("bucket",
+            when(col("mean_millibits") <= col("t1"), "head")
+              .when(col("mean_millibits") <= col("t2"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("mean_millibits")).as("ssum"))
+          .withColumn("avg_millibits", expr("ssum div n_docs"))
+          .select(col("source"), col("bucket"), col("n_docs"), col("avg_millibits"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some(s"""$sqlLmScoreCtes,
+        smp AS (SELECT doc_id, mean_millibits FROM sc
+                ORDER BY md5('ccnet:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 90),
+        rnk AS (SELECT mean_millibits,
+                  ROW_NUMBER() OVER (ORDER BY mean_millibits, doc_id) AS rs FROM smp),
+        t1 AS (SELECT mean_millibits AS t1 FROM rnk WHERE rs = 30),
+        t2 AS (SELECT mean_millibits AS t2 FROM rnk WHERE rs = 60),
+        lab AS (SELECT d.source,
+                  CASE WHEN sc.mean_millibits <= t1.t1 THEN 'head'
+                       WHEN sc.mean_millibits <= t2.t2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+                  sc.mean_millibits
+                FROM sc JOIN documents d USING (doc_id) CROSS JOIN t1 CROSS JOIN t2)
+        SELECT source, bucket, COUNT(*) AS n_docs,
+          CAST(SUM(mean_millibits) AS BIGINT) // COUNT(*) AS avg_millibits
+        FROM lab GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- BPE vocabulary induction -----------------------------------------
+    // 8 distributed merge rounds over the word-type histogram; output is the
+    // learned merge table (the tokenizer). Deterministic argmax (weight
+    // desc, pair asc) makes training itself oracle-replayable — the DuckDB
+    // twin runs the identical 8 rounds in chained CTEs.
+    DeclaredQuery("bpe_train_merges",
+      (s, dir) => {
+        val (rules, _) = Bpe.trainMerges(wordHist(tbl(s, dir, "documents")), bpeRounds)
+        import s.implicits._
+        rules.map(m => (m.rank.toLong, m.lhs, m.rhs, m.merged, m.weight))
+          .toDF("merge_rank", "lhs", "rhs", "merged", "weight")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        val unions = (1 to bpeRounds).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+              a || b AS merged, CAST(wt AS BIGINT) AS weight FROM b$r"""
+        }.mkString("\n        UNION ALL ")
+        s"""$sqlBpeCtes
+        $unions
+        ORDER BY merge_rank"""
+      }),
+
+    // ---- BPE tokenization stats -------------------------------------------
+    // Apply the trained tokenizer to the corpus: per-doc whitespace-token
+    // count vs BPE-subword count. The segmentation table is vocabulary-sized
+    // → broadcast equi-join; the corpus side never shuffles for the apply.
+    DeclaredQuery("bpe_token_stats",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val (_, segmented) = Bpe.trainMerges(wordHist(docs), bpeRounds)
+        val nsub = segmented.select(col("w"),
+          size(split(col("sym"), " ")).cast("long").as("n_sub"))
+        docs.select(col("doc_id"), explode(graft.text.TextFunctions.tokens(col("text"))).as("t"))
+          .join(broadcast(nsub), col("t") === col("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("ws_tokens"), sum(col("n_sub")).as("bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$sqlBpeCtes
+        SELECT d.doc_id, COUNT(*) AS ws_tokens, CAST(SUM(s.n_sub) AS BIGINT) AS bpe_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) d
+        JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
+          ON d.t = s.w
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -159,6 +159,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer/LM family: no single-partition stage, no cartesian") {
+    // ngram LM + CCNet bucketing window only per-doc (lead over doc_id
+    // partitions); CCNet thresholds come from a bounded TakeOrdered sample
+    // ranked via Ranks.boundedRank — never a global window. BPE training
+    // runs vocabulary-sized argmax jobs outside the declared plan; the
+    // declared stats query is a broadcast word→subwords equi-join.
+    Seq("ngram_lm_surprisal", "ccnet_quality_buckets", "bpe_token_stats")
+      .foreach { q =>
+        val plan = run(q)
+        assert(count(plan, "CartesianProduct") === 0, s"$q plans a cartesian:\n$plan")
+        // single-partition exchanges may exist ONLY as the answer-sized tail
+        // of a scalar aggregate (vocab size, corpus N) — never under a Sort
+        // or Window (the global-ranking scale-killer)
+        assert(count(plan, "Exchange SinglePartition") <=
+          count(plan, "HashAggregate\\(keys=\\[\\]"),
+          s"$q has a non-aggregate single-partition stage:\n$plan")
+        plan.linesIterator.zipWithIndex.foreach { case (line, i) =>
+          if (line.contains("Exchange SinglePartition")) {
+            val above = plan.linesIterator.slice(math.max(0, i - 2), i).mkString("\n")
+            assert(!above.contains("Sort ") && !above.contains("Window "),
+              s"$q sorts/windows over a single partition:\n$plan")
+          }
+        }
+      }
+    // NOTE: Window-node counts in the printed plan are not asserted —
+    // broadcast branches print their subtrees inline even when AQE stage
+    // reuse shares them at runtime; the Sort/Window-over-SinglePartition
+    // neighborhood check above is the actual scale-killer detector.
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan
