@@ -102,13 +102,21 @@ object TokenizerQueries {
     val big = toks.withColumn("b", lead(col("t"), 1).over(w))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("t").as("a"), col("b"))
-    val cab = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val ca = big.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    // collapse the exploded corpus to per-doc distinct-bigram counts in ONE
+    // pass; the model tables then derive from this compact frame instead of
+    // rescanning the corpus — cab by re-aggregation, ca as the row-sum of
+    // cab over its continuations (Σ_b cab(a,b) == prefix occurrences of a).
+    // The corpus-scale explode+window is referenced exactly once per branch.
+    val db = big.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    // vocabulary still needs the token stream (a doc-final token may never
+    // open a bigram), but it's a plain distinct-count — no window
     val v = toks.select(col("t")).distinct().agg(count(lit(1)).as("v"))
-    big.join(cab, Seq("a", "b")).join(ca, Seq("a")).crossJoin(broadcast(v))
+    db.join(cab, Seq("a", "b")).join(ca, Seq("a")).crossJoin(broadcast(v))
       .withColumn("bits", (length(bin(expr("(ca + v) div (cab + 1)"))) - 1).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surp_bits"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("bits") * col("cnt")).as("surp_bits"))
       .withColumn("mean_millibits", expr("surp_bits * 1000 div n_bigrams"))
   }
 
@@ -142,14 +150,16 @@ object TokenizerQueries {
     DeclaredQuery("ccnet_quality_buckets",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        // the score stage is consumed twice (threshold sample + bucketing):
-        // anchor it at an explicit exchange so the consumers share one
-        // computation of the explode+window+model-join subtree
-        val sc = graft.relational.Stages.anchor(
+        // the score stage is consumed twice (threshold sample + bucketing)
+        // and its consumers prune different columns — which defeats
+        // exchange-reuse subtree identity (measured on the curation
+        // pipeline) — so land it durably: both consumers scan the compact
+        // 3-column stage instead of re-deriving explode+window+model joins
+        val sc = graft.relational.Stages.materialize(
           lmDocScores(docs)
             .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("mean_millibits")),
-          col("doc_id"))
+          "ccnet_scores")
         val smp = sc
           .withColumn("skey", md5(concat(lit("ccnet:"), col("doc_id").cast("string"))))
           .orderBy(col("skey"), col("doc_id")).limit(90)
