@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Final round-5 additions to the training-data-pipeline surface: exact
+  * duplicated-substring spans (the ExactSubstr dedup signal of Lee et al.
+  * 2022 — see [[graft.dedup.ExactSubstr]]) and a trained Naive-Bayes
+  * document quality classifier (the fastText-style filter of the GPT-3 /
+  * LLaMA corpora — see [[graft.text.QualityClassifier]]). Both oracles are
+  * pure integer pipelines (md5 fingerprints, integer-bits surprisals), so
+  * every row hash-matches DuckDB exactly.
+  */
+object QualityQueries {
+
+  /** Anchor width in tokens — the paper uses 50 BPE tokens at web scale;
+    * 8 words fits the synthetic corpus' 20–80-word documents.
+    */
+  private val substrK = 8
+
+  private val substrLeads: String =
+    (1 until substrK).map(i => s"LEAD(t, $i) OVER w AS t$i").mkString(", ")
+  private val substrGram: String =
+    "t || ' ' || " + (1 until substrK).map(i => s"t$i").mkString(" || ' ' || ")
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- exact duplicated-substring coverage ------------------------------
+    // Per doc: how much of its text lies inside a ≥k-token span that occurs
+    // elsewhere in the corpus (the ExactSubstr removal signal). Island
+    // assembly over duplicated k-gram anchors; positions are 0-based in
+    // Spark and 1-based in DuckDB, but every output column is a count or a
+    // position DIFFERENCE, so the offset never reaches the compare.
+    DeclaredQuery("exact_substring_spans",
+      (s, dir) => graft.dedup.ExactSubstr
+        .docCoverage(tbl(s, dir, "documents"), "doc_id", "text", substrK)
+        .select(col("doc_id"), col("total_tokens"), col("n_spans"),
+          col("n_anchors"), col("covered_tokens"), col("dup_permille"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+               FROM documents),
+        g0 AS (SELECT doc_id, pos, t, $substrLeads
+               FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT doc_id, pos, substring(md5($substrGram), 1, 16) AS fp
+              FROM g0 WHERE t${substrK - 1} IS NOT NULL),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS n FROM g) u
+                WHERE n >= 2),
+        isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM (SELECT doc_id, pos,
+                        CASE WHEN pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                                 -1000000) >= $substrK
+                             THEN 1 ELSE 0 END AS brk
+                      FROM dup) b),
+        sp AS (SELECT doc_id, isl, MIN(pos) AS p0, MAX(pos) + ${substrK - 1} AS p1,
+                 COUNT(*) AS na
+               FROM isl GROUP BY 1, 2),
+        pd AS (SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(na) AS BIGINT) AS n_anchors,
+                 CAST(SUM(p1 - p0 + 1) AS BIGINT) AS covered_tokens
+               FROM sp GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS total_tokens,
+          COALESCE(pd.n_spans, 0) AS n_spans,
+          COALESCE(pd.n_anchors, 0) AS n_anchors,
+          COALESCE(pd.covered_tokens, 0) AS covered_tokens,
+          COALESCE(pd.covered_tokens, 0) * 1000
+            // CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dup_permille
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ---- Naive-Bayes quality classifier -----------------------------------
+    // Train on the corpus with lang='en' as the positive (in-domain) class
+    // — the LLaMA/CCNet shape where a curated monolingual slice defines
+    // "quality" — then score every doc under both class models in integer
+    // bits and classify by cheaper fit. (DSIR, dsir_importance_topk, is the
+    // UNSUPERVISED cousin: hashed-feature ratio weights, no argmax; this is
+    // the supervised classifier stage.)
+    DeclaredQuery("nb_quality_classifier",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+            col("bits_pos"), col("bits_neg"), col("margin_bits"), col("predicted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(cnt * bp) AS BIGINT) AS bits_pos,
+                 CAST(SUM(cnt * bn) AS BIGINT) AS bits_neg
+               FROM tf JOIN wt USING (t) GROUP BY 1)
+        SELECT d.doc_id, d.source, d.lang, sc.n_tokens, sc.bits_pos, sc.bits_neg,
+          sc.bits_neg - sc.bits_pos AS margin_bits,
+          CASE WHEN sc.bits_pos < sc.bits_neg THEN 'pos' ELSE 'neg' END AS predicted
+        FROM sc JOIN documents d USING (doc_id)
+        ORDER BY d.doc_id"""))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering: a multinomial Naive Bayes
+  * bag-of-words classifier, the distributed shape of the fastText-style
+  * linear quality filters the major LLM corpora were built with (GPT-3's
+  * WebText-vs-crawl classifier, Brown et al. 2020 appendix A; LLaMA's
+  * Wikipedia-reference classifier, Touvron et al. 2023 §2; CCNet pairs the
+  * same idea with its LM — Wenzek et al. 2019). Training IS an aggregation
+  * — per-class token counts — so the trained model falls out of one corpus
+  * pass, and scoring is one vocabulary join: both ends stay declarative.
+  *
+  * Determinism (the repo-wide oracle rule): class likelihoods are
+  * integer-bits surprisals — cost_c(t) = ⌊log₂((T_c + V) ÷ (ct_c + 1))⌋
+  * computed as length(bin(·)) − 1 on BIGINT Laplace ratios (T_c = total
+  * token occurrences in class c, ct_c = occurrences of t in c, V =
+  * vocabulary size; the ratio is ≥ 1 since ct_c ≤ T_c). A document's class
+  * cost is Σ tf(t)·cost_c(t) — an order-free integer sum, hash-exact in
+  * any engine. The argmax over two integer costs (ties → negative) is the
+  * classifier decision; class priors are omitted (a constant per class —
+  * it shifts every document identically and the margin column absorbs it).
+  *
+  * Scale: one corpus explode feeds a map-side-combined (doc, token) count;
+  * the class-count table is vocabulary-sized and is landed durably
+  * ([[graft.relational.Stages.materialize]]) because it is consumed twice
+  * (totals + weights) with different prunings — exchange reuse would
+  * silently recompute it (measured on the CCNet scorer). Scoring joins the
+  * compact tf frame to the weight table on the token — AQE broadcasts it
+  * while the vocabulary fits, and degrades to a plain shuffle join when it
+  * doesn't; nothing is driver-sided either way.
+  */
+object QualityClassifier {
+
+  /** Per-class token counts: (t, cpos, cneg) — the trained model, one
+    * corpus pass, vocabulary-sized output.
+    */
+  def classCounts(docs: DataFrame, idCol: String, textCol: String,
+                  isPositive: Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), isPositive.as("lab"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("lab"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("lab"), 0L).otherwise(1L)).as("cneg"))
+
+  /** Integer-bits weight table from [[classCounts]]: (t, bp, bn) where bp/bn
+    * are the per-occurrence surprisal of t under the positive/negative
+    * class model.
+    */
+  def tokenBits(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("cpos")).as("tp"), sum(col("cneg")).as("tn"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (length(bin(expr("(tp + v) div (cpos + 1)"))) - 1).cast("long").as("bp"),
+        (length(bin(expr("(tn + v) div (cneg + 1)"))) - 1).cast("long").as("bn"))
+  }
+
+  /** Score every document under both class models: (doc_id, n_tokens,
+    * bits_pos, bits_neg, margin_bits, predicted). Lower bits = better fit;
+    * margin_bits = bits_neg − bits_pos > 0 means the positive class
+    * explains the document more cheaply. `predicted` breaks ties negative
+    * (deterministic). Self-scoring the training corpus is the standard
+    * curation shape — the filter is then applied to held-out raw data by
+    * passing a different `docs`.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            isPositive: Column): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val model = graft.relational.Stages.materialize(
+      classCounts(docs, idCol, textCol, isPositive), "nb_class_counts")
+    tf.join(tokenBits(model), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("bp")).as("bits_pos"),
+        sum(col("cnt") * col("bn")).as("bits_neg"))
+      .withColumn("margin_bits", col("bits_neg") - col("bits_pos"))
+      .withColumn("predicted",
+        when(col("bits_pos") < col("bits_neg"), lit("pos")).otherwise(lit("neg")))
+  }
+}
