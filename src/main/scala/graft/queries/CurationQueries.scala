@@ -92,6 +92,47 @@ object CurationQueries {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // Bucketed batching: pow-2 length buckets, 8-doc batches cut within each
+    // bucket in stable doc_id order; per-batch padding waste (pad to the
+    // batch max vs pad to the bucket width) quantifies the layout's win.
+    // In-bucket ranks come from the grouped two-phase prefix sum — a
+    // per-bucket window would serialize each rung into one task.
+    DeclaredQuery("length_bucket_batches",
+      (s, dir) => Packing.lengthBucketBatches(tbl(s, dir, "documents"),
+        "doc_id", size(split(col("text"), " ")), batchSize = 8)
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_sum"),
+          max(col("n_tokens")).as("tokens_max"))
+        .withColumn("pad_waste",
+          col("n_docs") * col("tokens_max") - col("tokens_sum"))
+        .withColumn("bucket_pad",
+          col("n_docs") * col("bucket") - col("tokens_sum"))
+        .orderBy(col("bucket"), col("batch_id")),
+      Some("""WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                 WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                 ELSE 1024 END AS bucket
+          FROM t),
+        r AS (
+          SELECT doc_id, n, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+          FROM b),
+        a AS (
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+            CAST((rk - 1) // 8 AS BIGINT) AS batch_id,
+            COUNT(*) AS n_docs, SUM(n) AS tokens_sum, MAX(n) AS tokens_max
+          FROM r GROUP BY 1, 2)
+        SELECT bucket, batch_id, n_docs, tokens_sum, tokens_max,
+          n_docs * tokens_max - tokens_sum AS pad_waste,
+          n_docs * bucket - tokens_sum AS bucket_pad
+        FROM a ORDER BY bucket, batch_id""")),
+
     // RAG/long-context chunking: 40-token windows every 20 tokens, last
     // chunk short, all per-row integer math (shuffle-free).
     DeclaredQuery("chunk_overlap_stats",

@@ -40,18 +40,34 @@ object Dsl {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
-    * reads as a long (spark.sql.legacy.parquet.nanosAsLong — set in every
-    * session built by this library). Convert to a µs TimestampType here; all
-    * oracle-compared outputs derived from `ts` are at ≥second granularity so
-    * the ns→µs truncation is invisible to the comparison.
+  /** Normalized view of the events table: `ts` as µs TimestampType whatever
+    * the generator wrote. Earlier driver fixtures carried TIMESTAMP(NANOS)
+    * parquet, which Spark only reads as a long
+    * (spark.sql.legacy.parquet.nanosAsLong — set in every session built by
+    * this library); current fixtures write µs with isAdjustedToUTC=false,
+    * which Spark reads as TIMESTAMP_NTZ. Both forms convert here — the NTZ
+    * cast is value-preserving because every library session pins the session
+    * time zone to UTC (and DuckDB reads the same file as a naive timestamp,
+    * so oracle comparisons see identical values). All oracle-compared
+    * outputs derived from `ts` are at ≥second granularity, so the ns→µs
+    * truncation on legacy fixtures is invisible to the comparison.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = tbl(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(tbl(s, dir, "events"))
+
+  /** The `ts`-normalization above for ANY frame carrying a raw fixture `ts`
+    * (the streaming replay source reads the same parquet footers, so its
+    * frames need the identical conversion).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   /** Exact decimal view of a raw 2-decimal money column. */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))

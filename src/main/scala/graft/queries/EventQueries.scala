@@ -190,10 +190,7 @@ object EventQueries {
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
           .load()
-        val evs = stream
-          .withColumn("ts",
-            if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-              timestamp_micros(expr("ts div 1000")) else col("ts"))
+        val evs = Dsl.normalizeTs(stream)
           .withColumn("event", struct(
             lit(envelopeId).as("schema"),
             struct(
@@ -237,10 +234,7 @@ object EventQueries {
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
           .load()
-        val evs = stream
-          .withColumn("ts",
-            if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-              timestamp_micros(expr("ts div 1000")) else col("ts"))
+        val evs = Dsl.normalizeTs(stream)
         val counts = graft.streaming.StreamingRouter.windowedCounts(
           evs, "ts", watermark = "2 hours", size = "1 hour", slide = "1 hour",
           "event_type")

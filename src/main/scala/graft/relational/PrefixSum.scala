@@ -59,4 +59,52 @@ object PrefixSum {
       .drop("__b")
     (out, totals.values.sum)
   }
+
+  /** Per-GROUP exact running sums in `idCol` order: the grouped twin of
+    * [[runningSum]]. A naive `Window.partitionBy(groupCol)` serializes each
+    * group into ONE task — fatal when groups are few and huge (length
+    * buckets, source corpora). Here each group is crossed with the same
+    * deterministic id-range cells, the per-(group, cell) totals (a
+    * #groups × `numParts` scalar table — caller guarantees #groups is
+    * bounded, e.g. a fixed bucket ladder) come back to the driver, exclusive
+    * offsets go out as a broadcast join, and the window partitions by
+    * (group, cell) — parallelism `numParts` PER group regardless of skew.
+    */
+  def groupedRunningSum(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, outCol: String,
+                        numParts: Int = 32): DataFrame = {
+    require(numParts > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.agg(
+      min(col(idCol).cast("double")).as("lo"),
+      max(col(idCol).cast("double")).as("hi")).head()
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val span = hi - lo + 1.0
+    val bucket = least(lit(numParts - 1),
+      floor((col(idCol).cast("double") - lit(lo)) / lit(span) * numParts))
+      .cast("int")
+    val withB = df.withColumn("__b", bucket)
+    val totals = withB.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col(valueCol)).as("t"))
+      .collect()
+      .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // exclusive prefix over cells WITHIN each group
+    val offsets = totals.keys.toSeq.groupBy(_._1).toSeq.flatMap {
+      case (g, ks) =>
+        val cells = ks.map(_._2).sorted
+        cells.zip(cells.scanLeft(0L)((a, c) => a + totals((g, c))).dropRight(1))
+          .map { case (c, off) => (g.toString, c, off) }
+    }
+    val offDf = broadcast(
+      offsets.toDF("__g", "__ob", "__off"))
+    val w = Window.partitionBy(col(groupCol), col("__b")).orderBy(col(idCol))
+    withB
+      .join(offDf, col(groupCol).cast("string") === col("__g") &&
+        col("__b") === col("__ob"), "left")
+      .withColumn(outCol,
+        coalesce(col("__off"), lit(0L)) + sum(col(valueCol)).over(w))
+      .drop("__b", "__g", "__ob", "__off")
+  }
 }

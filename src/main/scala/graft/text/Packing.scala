@@ -60,6 +60,37 @@ object Packing {
       .drop("__nc")
   }
 
+  /** Length-bucketed batch assembly (the bucketed-batching layout): route
+    * each document to the smallest power-of-two `ladder` rung holding its
+    * token count (longer docs share the top rung), rank docs within each
+    * bucket in stable `idCol` order, and cut fixed-`batchSize` batches from
+    * each bucket — so every batch pads only to its own max length instead of
+    * the corpus max. The in-bucket rank is a
+    * [[graft.relational.PrefixSum.groupedRunningSum]] two-phase distributed
+    * prefix sum (ladder rungs are FEW and HUGE — a per-bucket window would
+    * serialize each rung into one task; the grouped prefix sum keeps
+    * `numParts`-way parallelism inside every rung).
+    *
+    * @return input columns + (n_tokens, bucket, batch_id, pos_in_batch)
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokens: Column,
+                          batchSize: Int,
+                          ladder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024),
+                          numParts: Int = 32): DataFrame = {
+    require(batchSize > 0 && ladder.nonEmpty && ladder == ladder.sorted)
+    val base = df.withColumn("n_tokens", tokens.cast("long"))
+    val bucket = ladder.init.foldRight(lit(ladder.last.toLong)) { (rung, acc) =>
+      when(col("n_tokens") <= rung, lit(rung.toLong)).otherwise(acc)
+    }
+    val ranked = graft.relational.PrefixSum.groupedRunningSum(
+      base.withColumn("bucket", bucket).withColumn("__one", lit(1L)),
+      "bucket", idCol, "__one", "__rk", numParts)
+    ranked
+      .withColumn("batch_id", expr(s"(__rk - 1L) div $batchSize"))
+      .withColumn("pos_in_batch", expr(s"(__rk - 1L) % $batchSize"))
+      .drop("__one", "__rk")
+  }
+
   /** Per-group token-budget quota: within each `groupCol`, walk rows in
     * `idCol` order and keep rows while the running token sum stays within
     * `budget` (per-source caps in corpus mixing). One window pass per group

@@ -53,4 +53,31 @@ class PrefixSumSpec extends SparkSpec {
     val second = out.select("id", "cw").as[(Long, Long)].collect().sorted
     assert(first.sameElements(second))
   }
+
+  test("grouped running sum matches per-group driver-side sums") {
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0L until 300L).toVector)
+      .map(id => (id, s"g${id % 3}", rnd.nextInt(20) + 1L))
+    val df = spark.sparkContext.parallelize(rows, 7).toDF("id", "g", "v")
+    for (numParts <- Seq(1, 4, 32)) {
+      val out = PrefixSum.groupedRunningSum(df, "g", "id", "v", "cw", numParts)
+      val got = out.select("id", "cw").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._2).values.flatMap { grp =>
+        var acc = 0L
+        grp.sortBy(_._1).map { case (id, _, v) => acc += v; id -> acc }
+      }.toMap
+      assert(got === expected, s"numParts=$numParts")
+    }
+  }
+
+  test("grouped sum: one-group degenerate equals ungrouped, empty is empty") {
+    val rows = (0L until 50L).map(id => (id, "only", id % 4 + 1L))
+    val df = spark.sparkContext.parallelize(rows, 3).toDF("id", "g", "v")
+    val grouped = PrefixSum.groupedRunningSum(df, "g", "id", "v", "cw", 8)
+      .select("id", "cw").as[(Long, Long)].collect().toMap
+    val (plain, _) = PrefixSum.runningSum(df, "id", "v", "cw", 8)
+    assert(grouped === plain.select("id", "cw").as[(Long, Long)].collect().toMap)
+    val empty = spark.emptyDataset[(Long, String, Long)].toDF("id", "g", "v")
+    assert(PrefixSum.groupedRunningSum(empty, "g", "id", "v", "cw", 8).count() === 0L)
+  }
 }

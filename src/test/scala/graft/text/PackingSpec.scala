@@ -30,6 +30,39 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("lengthBucketBatches buckets, ranks, and cuts batches exactly") {
+    val docs = spark.range(1, 301).select(col("id").as("doc_id"),
+      (pmod(col("id") * 53, lit(400)) + 1).as("n"))
+    val got = Packing.lengthBucketBatches(docs, "doc_id", col("n"), batchSize = 8)
+      .select("doc_id", "bucket", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+    val ref = docs.as[(Long, Long)].collect()
+      .map { case (id, n) => (id, ladder.find(n <= _).getOrElse(1024L)) }
+      .groupBy(_._2).toSeq.flatMap { case (b, grp) =>
+        grp.sortBy(_._1).zipWithIndex.map { case ((id, _), i) =>
+          (id, b, i.toLong / 8, i.toLong % 8)
+        }
+      }.sortBy(_._1)
+    assert(got.toSeq === ref)
+    // batch sizes: every batch full except possibly the last per bucket
+    val sizes = got.groupBy(r => (r._2, r._3)).map { case (k, rs) => k -> rs.length }
+    sizes.groupBy(_._1._1).foreach { case (_, batches) =>
+      val partial = batches.count(_._2 < 8)
+      assert(partial <= 1, s"more than one partial batch in a bucket: $batches")
+    }
+  }
+
+  test("lengthBucketBatches is invariant to input partitioning") {
+    val docs = spark.range(1, 101).select(col("id").as("doc_id"),
+      (pmod(col("id") * 29, lit(200)) + 1).as("n"))
+    def run(parts: Int) =
+      Packing.lengthBucketBatches(docs.repartition(parts), "doc_id", col("n"), 4)
+        .select("doc_id", "bucket", "batch_id").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+  }
+
   test("chunkWithOverlap covers every token with the documented stride") {
     val docs = Seq((1L, 10L), (2L, 40L), (3L, 41L), (4L, 100L)).toDF("doc_id", "n")
     val chunks = Packing.chunkWithOverlap(docs, col("n"), size = 40, stride = 20)
