@@ -253,6 +253,54 @@ object EventQueries {
           event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- T6 under the oracle: STREAM-STREAM interval join ----------------
+    // The attribution join (clicks within the trailing 2 h of each
+    // purchase) running fully in Structured Streaming: two replay streams
+    // over the same fixture, both watermarked at 3 h so join state is
+    // BOUNDED (clicks evict once the watermark passes their match horizon
+    // — the forever-running shape, not an unbounded-state demo), inner
+    // join with an event-time band, append-mode emission. Exactness
+    // against the batch oracle is provable, not hoped: the fixture's ts is
+    // monotone in replay order and both sources split the file at the same
+    // row ranges, so every click a future purchase can reach (≤ 2 h back)
+    // is younger than watermark − 1 h at eviction time — nothing a match
+    // needs is ever dropped. Inner-join matches emit eagerly (append mode
+    // holds back only outer-side nulls), so the drained sink holds exactly
+    // the batch join's pairs; the post-drain aggregation is batch-side.
+    DeclaredQuery("stream_attribution_join",
+      (s, dir) => {
+        def replay(tp: String) = Dsl.normalizeTs(s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load()).filter(col("event_type") === tp)
+        val clicks = replay("click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "3 hours")
+        val buys = replay("purchase")
+          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "3 hours")
+        val joined = buys.join(clicks, expr(
+          """c_user = p_user AND
+             c_ts >= p_ts - interval 2 hours AND c_ts < p_ts"""))
+        val name = "stream_attr_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StreamingRouter.awaitBounded(q)
+        s.table(name)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, COUNT(*) AS n_clicks
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- T7 under the oracle: observability metrics, not data -------------
     // The row-accounting a production stream job alarms on, hash-checked:
     // per-micro-batch numInputRows from the engine's own
