@@ -724,6 +724,49 @@ object PipelineQueries {
         SELECT id1, id2, inter / na AS c12, inter / nb AS c21
         FROM p WHERE GREATEST(inter / na, inter / nb) >= 0.3 ORDER BY id1, id2""")),
 
+    // Cross-source duplicate-overlap matrix: which corpus sources share
+    // content — the provenance question a curation team asks before
+    // weighting sources (a mirror site shows up as a hot off-diagonal
+    // cell). Pairs come from the SAME inverted shingle index as the
+    // jaccard query but blocked by lang only, so pairs cross source
+    // boundaries; each unordered pair then maps to a canonical
+    // (source_a <= source_b) cell. The doc->source joins are answer-sized
+    // (pairs, not the corpus), and min/max/count aggregates are
+    // order-free, so the matrix is hash-portable.
+    DeclaredQuery("source_overlap_matrix",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, blockCols = Seq("lang"), minJaccard = 0.5)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+          .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+          .select(least(col("s1"), col("s2")).as("source_a"),
+            greatest(col("s1"), col("s2")).as("source_b"), col("jaccard"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_strong"),
+            min(col("jaccard")).as("min_jaccard"),
+            max(col("jaccard")).as("max_jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id, source, lang,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.source AS sa, b.source AS sb,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        j AS (SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+            inter / (na + nb - inter) AS jaccard
+          FROM p WHERE inter / (na + nb - inter) >= 0.5)
+        SELECT source_a, source_b, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
+          MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Prefix-filtered exact Jaccard (PPJoin-style): only each doc's rarest
     // shingles generate candidates (lossless for J >= t by the prefix-filter
     // lemma), then one bounded array_intersect verifies each candidate. Same
