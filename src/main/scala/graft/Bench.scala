@@ -41,7 +41,9 @@ object Bench {
       val qs = SparkEntry.queries
       Seq("dedup_canonical_docs", "dedup_components", "semdedup_keep",
         "curation_pipeline_e2e", "minhash_portable_pairs", "sparse_cosine_pairs",
-        "prefix_jaccard_pairs", "heavy_hitters_bigrams", "kinesis_roundtrip_route")
+        "prefix_jaccard_pairs", "heavy_hitters_bigrams", "kinesis_roundtrip_route",
+        "bpe_token_stats", "ccnet_quality_buckets", "dsir_importance_topk",
+        "minhash_fastpath_containment", "source_overlap_matrix")
         .foreach { n =>
           // log, don't swallow: a warmup OOM/misconfig is a signal the
           // measured run is about to be wrong, not noise

@@ -92,6 +92,45 @@ object CurationQueries {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // Dataset card / manifest: the per-source datasheet a released corpus
+    // ships with — doc and token counts, language spread, exact-duplicate
+    // exposure (via corpus-wide md5 fingerprint frequencies, an
+    // answer-per-distinct-text join), and token-length envelope. Every
+    // aggregate is an order-free count/sum/min/max; the one double (mean
+    // tokens) is a single IEEE division of exact integers.
+    DeclaredQuery("dataset_manifest",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("fp", md5(col("text")))
+        val fps = docs.groupBy(col("fp")).agg(count(lit(1)).as("fp_n"))
+        docs.join(fps, "fp")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .withColumn("mean_tokens",
+            col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, lang, md5(text) AS fp,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        f AS (SELECT fp, COUNT(*) AS fp_n FROM d GROUP BY 1)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          COUNT(DISTINCT lang) AS n_langs,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+          CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+        FROM d JOIN f USING (fp)
+        GROUP BY 1 ORDER BY 1""")),
+
     // Bucketed batching: pow-2 length buckets, 8-doc batches cut within each
     // bucket in stable doc_id order; per-batch padding waste (pad to the
     // batch max vs pad to the bucket width) quantifies the layout's win.

@@ -808,6 +808,54 @@ object PipelineQueries {
           FROM sc)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // Contrastive-pair mining: per anchor, the HARDEST positive (most
+    // similar same-label vector — the informative anchor-positive pair)
+    // and the 3 hardest negatives (most similar OTHER-label vectors — the
+    // near-miss pairs a contrastive loss learns most from). Anchors
+    // broadcast, candidates stream, and per-(anchor, kind) selection is
+    // the bounded-heap TopK — candidate rows never sort, only k·partitions
+    // survivors shuffle; ranks are assigned on the answer-sized survivor
+    // set (the window partitions a ≤ k-row-per-group frame, not the
+    // corpus).
+    DeclaredQuery("contrastive_mining",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlab"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("label").as("clab"))
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("qid") =!= col("cid"))
+          .withColumn("score",
+            graft.vector.VectorFunctions.cosine(col("qvec"), col("cvec")))
+          .withColumn("kind",
+            when(col("clab") === col("qlab"), "pos").otherwise("neg"))
+          .select(col("qid"), col("kind"), col("cid"), col("score"))
+        val top = graft.relational.TopK.perGroup(scored, Seq("qid", "kind"),
+          Seq("score" -> false, "cid" -> true), k = 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"), col("kind"))
+          .orderBy(col("score").desc, col("cid"))
+        top.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("kind") === "neg" || col("rk") === 1L)
+          .select(col("qid"), col("kind"), col("rk"), col("cid"), col("score"))
+          .orderBy(col("qid"), col("kind"), col("rk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlab, v AS qv FROM e WHERE vec_id < 8),
+        sc AS (SELECT qid, e.vec_id AS cid,
+            CASE WHEN e.label = qlab THEN 'pos' ELSE 'neg' END AS kind,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        r AS (SELECT qid, kind, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid, kind ORDER BY score DESC, cid) AS rk
+          FROM sc)
+        SELECT qid, kind, rk, cid, score FROM r
+        WHERE rk <= 3 AND (kind = 'neg' OR rk = 1) ORDER BY qid, kind, rk""")),
+
     // ---- int8 scalar-quantized similarity (the vector-DB SQ8 path) --------
     // Embeddings quantized per-vector to integer levels in [-127, 127]
     // (symmetric scalar quantization); approximate score = integer dot
