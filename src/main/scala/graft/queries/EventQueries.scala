@@ -267,6 +267,48 @@ object EventQueries {
     // needs is ever dropped. Inner-join matches emit eagerly (append mode
     // holds back only outer-side nulls), so the drained sink holds exactly
     // the batch join's pairs; the post-drain aggregation is batch-side.
+    // ---- T4/O1 under the oracle: STATEFUL cross-batch exact dedup --------
+    // The streaming twin of dedup_exact: documents replay in 4 stable
+    // micro-batches, a flatMapGroupsWithState seen-marker keeps each text
+    // fingerprint's first occurrence ONLY (one boolean of state per
+    // distinct fp, partitioned by key — the bounded-state corpus-dedup
+    // shape), and per-batch winners reduce deterministically by min
+    // doc_id. The fixture's file order is doc_id-monotone, so the kept
+    // row per fp equals the GLOBAL min-doc_id row, and the batch oracle
+    // is a plain min-per-group join.
+    DeclaredQuery("stream_dedup_firstseen",
+      (s, dir) => {
+        import s.implicits._
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/documents.parquet")
+          .option("numBatches", "4")
+          .load()
+        val ds = stream
+          .select(col("doc_id").cast("long"), md5(col("text")).as("fp"),
+            col("source"))
+          .as[(Long, String, String)]
+        val kept = graft.streaming.StatefulOps.firstOccurrenceBy(ds)(
+          _._2, (a, b) => if (a._1 <= b._1) a else b)
+        val name = "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = kept.toDF("doc_id", "fp", "source")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StreamingRouter.awaitBounded(q)
+        s.table(name)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        k AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+        SELECT d.source, COUNT(*) AS n_kept,
+          CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+        FROM d JOIN k ON d.doc_id = k.keep_id
+        GROUP BY 1 ORDER BY 1""")),
+
     DeclaredQuery("stream_attribution_join",
       (s, dir) => {
         def replay(tp: String) = Dsl.normalizeTs(s.readStream

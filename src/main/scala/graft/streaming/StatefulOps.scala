@@ -33,6 +33,26 @@ object StatefulOps {
           else { state.update(true); rows.take(1) }
       }
 
+  /** Deterministic cross-batch first occurrence: within each micro-batch
+    * the per-key rows reduce through `better` (a total order's min), and
+    * only the FIRST batch to carry the key emits. `firstOccurrences` above
+    * takes whatever row the post-shuffle iterator yields first — fine for
+    * dedup semantics, useless for a hash-checked oracle; with a replay
+    * source whose batches partition the input in stable order, this
+    * variant's emitted row is exactly the `better`-minimum over the key's
+    * earliest-batch rows, which (for an input sorted by the tiebreak id)
+    * equals the GLOBAL minimum — oracle-expressible as min-per-group.
+    */
+  def firstOccurrenceBy[T: Encoder](ds: Dataset[T])(
+      key: T => String, better: (T, T) => T): Dataset[T] =
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.reduce(better)) }
+      }
+
   /** TTL'd first-occurrence filter: seen-markers expire after `ttlMs` of
     * processing time, bounding state for unbounded key domains (the standard
     * corpus-dedup horizon trade-off).
