@@ -26,6 +26,26 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.count(_._1 == "a") === 1, "only first occurrence of 'a' survives")
   }
 
+  test("deterministic first occurrence keeps the better-min row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val kept = StatefulOps.firstOccurrenceBy(input.toDS())(
+      _._1, (a, b) => if (a._2 <= b._2) a else b)
+
+    val q = kept.writeStream.format("memory").queryName("first_by_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(("a", 7), ("a", 3), ("b", 9)) // in-batch reduce picks a->3
+    q.processAllAvailable()
+    input.addData(("a", 1), ("b", 2), ("c", 5)) // later batches never re-emit
+    q.processAllAvailable()
+    val got = spark.table("first_by_out").as[(String, Int)].collect().toSet
+    q.stop()
+
+    assert(got === Set(("a", 3), ("b", 9), ("c", 5)),
+      "winner is the in-batch minimum of the FIRST batch carrying the key")
+  }
+
   test("running counts accumulate state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
