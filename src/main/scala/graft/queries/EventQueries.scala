@@ -139,6 +139,48 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // The remaining draft-04 combinator keywords under the oracle: $ref
+    // (resolved against a definitions registry at compile time — AJV's
+    // addSchema), oneOf (EXACTLY-one via a 0/1 match-count sum), not, and
+    // multipleOf (AJV's division % 1 check). Verdict per event:
+    // k present AND k ≡ 0 (mod 3) [via $ref] AND k in exactly one of
+    // [10,40] / [30,90] [oneOf — the overlap fails on BOTH matching] AND
+    // k not ≡ 0 (mod 7) [not]. The oracle recomputes the same arithmetic.
+    DeclaredQuery("route_ref_oneof",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(col("event_type").as("schema"), k.as("k")).as("data")))
+        val defs = () => Map(
+          "common/k-multiple-of-3" -> Seq(Required("k"), MultipleOf("k", 3.0)))
+        val gauntlet = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(
+              Ref("common/k-multiple-of-3", defs),
+              OneOf(Seq(
+                Seq(NumRange("k", Some(10), Some(40))),
+                Seq(NumRange("k", Some(30), Some(90))))),
+              Not(MultipleOf("k", 7.0)))),
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), gauntlet)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some("""SELECT CASE
+          WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+          WHEN k IS NULL OR k % 3 <> 0 THEN 'badmsg'
+          WHEN (CASE WHEN k BETWEEN 10 AND 40 THEN 1 ELSE 0 END
+              + CASE WHEN k BETWEEN 30 AND 90 THEN 1 ELSE 0 END) <> 1 THEN 'badmsg'
+          WHEN k % 7 = 0 THEN 'badmsg'
+          ELSE 'branch:' || event_type END AS route, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The
