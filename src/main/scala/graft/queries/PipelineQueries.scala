@@ -808,6 +808,62 @@ object PipelineQueries {
           FROM sc)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // PageRank centrality over the k-NN graph — the coreset-selection /
+    // representative-sampling signal (a vector central to many neighbors
+    // represents its region; herding-style selection keeps high-centrality
+    // points first). Determinism is engineered: ranks live in INTEGER
+    // micro-units (10⁶ = 1.0), contributions are integer divisions by the
+    // constant out-degree, and each round's damped update is pure integer
+    // arithmetic — order-free sums, bitwise-portable, no libm anywhere
+    // (the quantization pattern from the Dsl scaladoc applied to an
+    // iterative graph kernel; rounds replay as chained CTEs in the oracle
+    // like bpe_train_merges). The k-NN build is the brute-force baseline
+    // (broadcast queries); at corpus scale the edge build swaps to the
+    // IVF path (ivf_topk) with the iteration unchanged.
+    DeclaredQuery("knn_pagerank_centrality",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val knn = graft.vector.Similarity.bruteForceTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3)
+        val edges = knn.select(col("qid").as("src"), col("cid").as("dst"))
+        val nodes = emb.select(col("vec_id").as("id"))
+        var ranks = nodes.withColumn("r", lit(1000000L))
+        for (_ <- 1 to 4) {
+          val contrib = edges.join(ranks, col("src") === col("id"))
+            .select(col("dst").as("id"), expr("r div 3").as("c"))
+            .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+          ranks = nodes.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              (lit(150000L) +
+                expr("(850 * coalesce(cs, cast(0 as bigint))) div 1000")).as("r"))
+        }
+        ranks.orderBy(col("id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+        knn AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM sc) t WHERE rk <= 3),
+        n AS (SELECT vec_id AS id FROM e),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+        c1 AS (SELECT cid AS id, SUM(r // 3) AS cs FROM knn JOIN r0 ON r0.id = knn.qid GROUP BY 1),
+        r1 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(cs, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT cid AS id, SUM(r // 3) AS cs FROM knn JOIN r1 ON r1.id = knn.qid GROUP BY 1),
+        r2 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(cs, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT cid AS id, SUM(r // 3) AS cs FROM knn JOIN r2 ON r2.id = knn.qid GROUP BY 1),
+        r3 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(cs, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c3 USING (id)),
+        c4 AS (SELECT cid AS id, SUM(r // 3) AS cs FROM knn JOIN r3 ON r3.id = knn.qid GROUP BY 1),
+        r4 AS (SELECT n.id, CAST(150000 + (850 * COALESCE(cs, 0)) // 1000 AS BIGINT) AS r
+               FROM n LEFT JOIN c4 USING (id))
+        SELECT id, r FROM r4 ORDER BY id""")),
+
     // Contrastive-pair mining: per anchor, the HARDEST positive (most
     // similar same-label vector — the informative anchor-positive pair)
     // and the 3 hardest negatives (most similar OTHER-label vectors — the
