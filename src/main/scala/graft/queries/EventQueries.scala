@@ -356,7 +356,7 @@ object EventQueries {
         def replay(tp: String) = Dsl.normalizeTs(s.readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()).filter(col("event_type") === tp)
         val clicks = replay("click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
