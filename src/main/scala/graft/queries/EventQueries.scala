@@ -309,6 +309,97 @@ object EventQueries {
     // needs is ever dropped. Inner-join matches emit eagerly (append mode
     // holds back only outer-side nulls), so the drained sink holds exactly
     // the batch join's pairs; the post-drain aggregation is batch-side.
+    // ---- Dead-letter REDRIVE: quarantine reprocessing under the oracle ----
+    // The production follow-up to a quarantine queue: records that failed
+    // the strict schema (k <= 50) are re-validated under a relaxed one
+    // (k <= 90) — a redrive after a schema-registry fix. Both passes are
+    // the same single-projection tag kernel; the second runs ONLY on the
+    // first pass's badmsg slice (answer-sized, not a rescan), and the
+    // output accounts every strict-pass verdict with recovered/still-bad
+    // split — the ledger an ops team reads after a redrive.
+    DeclaredQuery("deadletter_redrive",
+      (s, dir) => {
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              get_json_object(col("props"), "$.k").cast("long").as("k")).as("data")))
+        def reg(maxK: Double) = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(Required("k"), NumRange("k", None, Some(maxK)))),
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val strict = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), reg(50.0))
+        val relaxed = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), reg(90.0))
+        val firstPass = Router.tag(evs, strict)
+        val redriven = Router.tag(
+          firstPass.filter(col(Router.TagCol) === Router.BadMessage)
+            .drop(Router.TagCol, Router.ReasonCol), relaxed)
+        val firstCounts = firstPass
+          .groupBy(col(Router.TagCol).as("verdict"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pass", lit("strict"))
+        val redriveCounts = redriven
+          .groupBy(col(Router.TagCol).as("verdict"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pass", lit("redrive"))
+        firstCounts.unionByName(redriveCounts)
+          .select(col("pass"), col("verdict"), col("n"))
+          .orderBy(col("pass"), col("verdict"))
+      },
+      Some("""WITH e AS (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        strict AS (SELECT CASE
+            WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+            WHEN k IS NULL OR k > 50 THEN 'badmsg'
+            ELSE 'branch:' || event_type END AS verdict, * FROM e),
+        redrive AS (SELECT CASE
+            WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+            WHEN k IS NULL OR k > 90 THEN 'badmsg'
+            ELSE 'branch:' || event_type END AS verdict
+          FROM strict WHERE verdict = 'badmsg')
+        SELECT 'strict' AS pass, verdict, COUNT(*) AS n FROM strict GROUP BY 1, 2
+        UNION ALL
+        SELECT 'redrive' AS pass, verdict, COUNT(*) AS n FROM redrive GROUP BY 1, 2
+        ORDER BY pass, verdict""")),
+
+    // ---- Effectively-once union: at-least-once delivery collapsed --------
+    // The reference's re-poll contract means the SAME record can arrive
+    // twice (Kinesis re-delivery, overlapping backfills). Two replay
+    // streams over the SAME fixture union into one feed — every event
+    // delivered exactly twice — and the stateful first-occurrence filter
+    // collapses re-deliveries by event_id, so downstream counts equal the
+    // single-copy batch answer: at-least-once transport + idempotent state
+    // = effectively-once processing, hash-checked.
+    DeclaredQuery("stream_union_effectively_once",
+      (s, dir) => {
+        import s.implicits._
+        def replay() = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "2")
+          .load()
+        val union = replay().unionByName(replay())
+          .select(col("event_id").cast("long"), col("event_type"))
+          .as[(Long, String)]
+        val once = graft.streaming.StatefulOps.firstOccurrenceBy(union)(
+          _._1.toString, (a, b) => if (a._1 <= b._1) a else b)
+        val name = "stream_once_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = once.toDF("event_id", "event_type")
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StreamingRouter.awaitBounded(q)
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- T4/O1 under the oracle: STATEFUL cross-batch exact dedup --------
     // The streaming twin of dedup_exact: documents replay in 4 stable
     // micro-batches, a flatMapGroupsWithState seen-marker keeps each text
