@@ -1425,6 +1425,53 @@ object PipelineQueries {
         FROM surviving GROUP BY 1 ORDER BY 1""")),
 
     // ---- exact interpolated percentiles -----------------------------------
+    // Multi-signal quality stratification: two cheap per-doc signals
+    // (token count, distinct-token count) are cut into DECILES at exact
+    // corpus-wide percentile thresholds, and the per-doc blend (sum of
+    // decile indices, 0..18) stratifies the corpus for curriculum /
+    // mixing decisions. Exactness is engineered: `percentile` and DuckDB's
+    // `quantile_cont` share the same linear-interpolation arithmetic
+    // (proven IEEE-identical by value_quantiles), the thresholds ride ONE
+    // broadcast one-row frame (no driver round-trip), and bucketing is
+    // pure comparisons — order-free, hash-portable.
+    DeclaredQuery("quality_decile_blend",
+      (s, dir) => {
+        val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+        val docs = tbl(s, dir, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("double").as("n"),
+          size(array_distinct(split(col("text"), " "))).cast("double").as("u"))
+        val th = docs.agg(
+          expr(s"percentile(n, array($ps))").as("tn"),
+          expr(s"percentile(u, array($ps))").as("tu"))
+        def decile(v: String, t: String) = (0 until 9)
+          .map(i => when(col(v) > col(t)(i), 1).otherwise(0))
+          .reduce(_ + _)
+        docs.crossJoin(broadcast(th))
+          .withColumn("blend", (decile("n", "tn") + decile("u", "tu")).cast("long"))
+          .groupBy(col("blend"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n")).cast("long").as("min_tokens"),
+            max(col("n")).cast("long").as("max_tokens"))
+          .orderBy(col("blend"))
+      },
+      Some {
+        val ps = (1 to 9).map(i => s"0.$i").mkString(", ")
+        def caseSum(v: String, t: String) = (1 to 9)
+          .map(i => s"CASE WHEN $v > $t[$i] THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS u
+          FROM documents),
+        t AS (SELECT quantile_cont(n, [$ps]) AS tn, quantile_cont(u, [$ps]) AS tu FROM d),
+        b AS (SELECT doc_id, n,
+            (${caseSum("n", "tn")}) + (${caseSum("u", "tu")}) AS blend
+          FROM d CROSS JOIN t)
+        SELECT CAST(blend AS BIGINT) AS blend, COUNT(*) AS n_docs,
+          CAST(MIN(n) AS BIGINT) AS min_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens
+        FROM b GROUP BY 1 ORDER BY 1"""
+      }),
+
     DeclaredQuery("value_quantiles",
       (s, dir) => {
         events(s, dir)
