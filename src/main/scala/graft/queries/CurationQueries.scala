@@ -288,6 +288,38 @@ object CurationQueries {
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2 ORDER BY 1""")),
 
+    // First-touch attribution over the same bucketized interval join: for
+    // each purchase, the EARLIEST click by the same user in the trailing
+    // 2 h — the argmin is a min(struct(ts, id)) aggregate (deterministic
+    // id tiebreak), never a per-group sort or window. Only attributed
+    // purchases emit; minutes_before is exact integer arithmetic on µs.
+    DeclaredQuery("attribution_first_touch",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+        IntervalJoin.firstInWindow(purchases, "event_id", "user_id", "ts",
+          clicks, "event_id", "ts", windowMicros = 7200000000L,
+          outTs = "first_click_ts", outId = "first_click_id")
+          .filter(col("first_click_id").isNotNull)
+          .select(col("event_id"), col("first_click_id"),
+            col("first_click_ts").cast("timestamp_ntz").as("first_click_ts"),
+            expr("(unix_micros(ts) - unix_micros(first_click_ts)) div 60000000")
+              .as("minutes_before"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH m AS (
+          SELECT p.event_id, c.event_id AS first_click_id, c.ts AS first_click_ts,
+            (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS minutes_before,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.event_id) AS rn
+          FROM events p JOIN events c
+            ON c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
+          WHERE p.event_type = 'purchase')
+        SELECT event_id, first_click_id, first_click_ts, minutes_before
+        FROM m WHERE rn = 1 ORDER BY event_id""")),
+
     // Token-rarity quality scoring: the deterministic stand-in for
     // LM-perplexity filtering — rank the vocabulary by corpus frequency
     // (unique ranks, ties by token), score each doc by the exact integer

@@ -51,4 +51,42 @@ object IntervalJoin {
       .drop("__lid")
       .withColumn(outName, coalesce(col(outName), lit(0L)))
   }
+
+  /** For each left row, the EARLIEST right row of the same key in
+    * [t − w, t) — first-touch attribution. Same two-bucket equi-join shape
+    * as [[recentCount]]; the per-left argmin is a `min(struct(rt, rid))`
+    * aggregate (lexicographic, rid as the deterministic tiebreak), so no
+    * per-group sort and no window over the matched set. Left rows with no
+    * match carry nulls.
+    *
+    * @return left columns + (outTs: timestamp, outId: long)
+    */
+  def firstInWindow(left: DataFrame, leftIdCol: String, keyCol: String,
+                    lTimeCol: String, right: DataFrame, rIdCol: String,
+                    rTimeCol: String, windowMicros: Long,
+                    outTs: String, outId: String): DataFrame = {
+    require(windowMicros > 0)
+    val lb = left
+      .withColumn("__lt", unix_micros(col(lTimeCol)))
+      .withColumn("__b0", expr(s"__lt div $windowMicros"))
+      .withColumn("__b", explode(array(col("__b0") - 1, col("__b0"))))
+      .select(col(leftIdCol).as("__lid"), col(keyCol).as("__lk"),
+        col("__lt"), col("__b"))
+    val rb = right
+      .withColumn("__rt", unix_micros(col(rTimeCol)))
+      .withColumn("__b", expr(s"__rt div $windowMicros"))
+      .select(col(keyCol).as("__rk"), col(rIdCol).as("__rid"),
+        col("__rt"), col("__b"))
+    val matched = lb
+      .join(rb, lb("__lk") === rb("__rk") && lb("__b") === rb("__b"))
+      .filter(col("__rt") >= col("__lt") - windowMicros &&
+        col("__rt") < col("__lt"))
+      .groupBy(col("__lid"))
+      .agg(min(struct(col("__rt"), col("__rid"))).as("__m"))
+    left
+      .join(matched, left(leftIdCol) === matched("__lid"), "left")
+      .withColumn(outTs, timestamp_micros(col("__m.__rt")))
+      .withColumn(outId, col("__m.__rid"))
+      .drop("__lid", "__m")
+  }
 }
