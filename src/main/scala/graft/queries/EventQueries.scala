@@ -476,6 +476,59 @@ object EventQueries {
          AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts < p.ts
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- T6 under the oracle: SESSION windows through micro-batches ------
+    // Event-time sessionization (30 min inactivity gap) computed statefully
+    // across the replay stream's batches via session_window — merged-window
+    // state updated per batch, Complete-mode emission at AvailableNow
+    // termination. The oracle mirrors session_window's EXACT boundary
+    // arithmetic in microseconds (a new session starts iff the gap is
+    // >= 30 min in µs — not the seconds-truncated lag of events_sessions),
+    // so the streaming merge is hash-checked, not approximated. Per-user
+    // event order equals ts order in the fixture, so the batch lag/cumsum
+    // replay is the same partition (bounded keys: users).
+    DeclaredQuery("stream_session_counts",
+      (s, dir) => {
+        val stream = Dsl.normalizeTs(s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load())
+        val sess = graft.streaming.StreamingRouter.sessionCounts(
+          stream.select(col("user_id"), col("ts")),
+          "ts", watermark = "2 hours", gap = "30 minutes", "user_id")
+        val name = "stream_sess_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = sess.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StreamingRouter.awaitBounded(q)
+        s.table(name)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_session"),
+            sum(col("n")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, ts,
+            LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events),
+        g AS (
+          SELECT user_id, ts,
+            CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM l),
+        sx AS (
+          SELECT user_id,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g),
+        per AS (SELECT user_id, sess_id, COUNT(*) AS n FROM sx GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_sessions,
+          CAST(MAX(n) AS BIGINT) AS max_session,
+          CAST(SUM(n) AS BIGINT) AS n_events
+        FROM per GROUP BY 1 ORDER BY 1""")),
+
     // ---- T7 under the oracle: observability metrics, not data -------------
     // The row-accounting a production stream job alarms on, hash-checked:
     // per-micro-batch numInputRows from the engine's own
