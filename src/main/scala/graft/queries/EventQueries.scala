@@ -529,6 +529,47 @@ object EventQueries {
           CAST(SUM(n) AS BIGINT) AS n_events
         FROM per GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Stream-static enrichment under the oracle -----------------------
+    // The dimension-join pattern every streaming pipeline runs: each
+    // micro-batch of the replay stream joins the STATIC customer table
+    // (re-read per batch, so a dim refresh is picked up between batches —
+    // Spark's stream-static join semantics) and aggregates revenue per
+    // market segment. Batches partition the stream disjointly and the dim
+    // is constant here, so the drained result equals the batch join —
+    // hash-checked. The dim side broadcasts (it is the small side by
+    // construction at any corpus scale).
+    DeclaredQuery("stream_static_enrichment",
+      (s, dir) => {
+        val stream = Dsl.normalizeTs(s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load())
+        val dim = broadcast(tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val joined = stream
+          .filter(col("event_type") === "purchase")
+          .join(dim, col("c_custkey") === col("user_id") + 1)
+        val name = "stream_enrich_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = joined
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("__sv"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        graft.streaming.StreamingRouter.awaitBounded(q)
+        s.table(name)
+          .select(col("c_mktsegment"), col("n"),
+            col("__sv").cast("double").as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c.c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- T7 under the oracle: observability metrics, not data -------------
     // The row-accounting a production stream job alarms on, hash-checked:
     // per-micro-batch numInputRows from the engine's own
