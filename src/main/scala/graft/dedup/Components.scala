@@ -51,6 +51,13 @@ object Components {
     * partition coalescing collapses the label-sized shuffles at runtime,
     * per query, without cross-thread planning hazards.
     *
+    * Bounded-graph dispatch: when the symmetrized edge list fits
+    * `driverEdgeCap` rows AND ids are integral, the closure runs as min-root
+    * union-find over the collected edges — one bounded collect replaces the
+    * whole round loop, with the identical fixpoint (min id per component;
+    * union-by-min is edge-order-independent). Pass `driverEdgeCap = 0` to
+    * force the iterative path (tests assert both paths agree).
+    *
     * Loop-join dispatch: the endpoint count is known before the loop (one
     * count on the materialized label table), so label-side broadcast is
     * hinted explicitly when labels are comfortably inside the broadcast
@@ -62,7 +69,8 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          driverEdgeCap: Long = 262144L): DataFrame = {
     // Pre-partition the (cached) symmetric edge list by the per-round join
     // key: every iteration's edges⋈labels then reuses the cached layout
     // (outputPartitioning already satisfies the join requirement), so only
@@ -89,7 +97,57 @@ object Components {
     // a 10¹⁰-edge graph keeps the session's parallelism — per query, with
     // no session-conf mutation (the previous measured-count conf override
     // silently re-planned concurrent queries on the same session).
-    sym.count() // forces the cache before the loop's consumers
+    val symRows = sym.count() // forces the cache before the loop's consumers
+    // Cost dispatch on the KNOWN edge count (the count above is free — it
+    // forces the cache anyway): a bounded graph short-circuits to min-root
+    // union-find on the collected edge list — one bounded collect (≤ cap
+    // rows of two integral ids, the same bounded-probe budget style as
+    // Dedup.probeDictionary) replaces O(log diameter) driver-synchronous
+    // rounds of jobs. The result is IDENTICAL (min id per component; union
+    // by min root is order-independent). Big graphs — where the edge list
+    // is not driver-bounded — take the iterative path below unchanged.
+    locally {
+      // default cap = ~4 MB of (long, long) rows collected
+      def integral(t: org.apache.spark.sql.types.DataType) =
+        t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.ShortType
+      val idType = sym.schema("src").dataType
+      if (symRows <= driverEdgeCap && integral(idType) &&
+          integral(sym.schema("dst").dataType)) {
+        val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        sym.unpersist()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path-halving keeps the walk near-constant
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        es.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { // attach the LARGER root under the smaller: the
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          } //              component minimum is the root at all times
+        }
+        val endpoints = es.iterator.map(_._1).toArray.distinct
+        val spark = nodes.sparkSession
+        val labelRows = endpoints.map(e => org.apache.spark.sql.Row(e, find(e)))
+        val labelsDf = spark.createDataFrame(
+          java.util.Arrays.asList(labelRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType))))
+          .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
+        return nodes.select(col(idCol).as("id"))
+          .join(broadcast(labelsDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      }
+    }
     // Round results land through a stage boundary, NOT a bare
     // `localCheckpoint`: checkpointing rewrites the new leaf's statistics
     // FROM THE PRE-CHECKPOINT PLAN, and a join's size estimate is the

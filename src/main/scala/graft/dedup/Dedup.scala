@@ -55,24 +55,32 @@ object Dedup {
     */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxDf: Option[Long] = None): DataFrame =
-    sparseFromTf(termFrequencies(docs, idCol, textCol), threshold, maxDf)
+    sparseFromTf(
+      graft.relational.Stages.materialize(
+        termFrequencies(docs, idCol, textCol), "tf"),
+      threshold, maxDf)
 
-  /** Postings plan over an already-built term-frequency frame — shared by
-    * [[sparseCosinePairs]] and the [[cosinePairs]] dispatcher, so the
-    * fallback path reuses the tf the probe was computed from instead of
+  /** Postings plan over an already-MATERIALIZED term-frequency frame —
+    * shared by [[sparseCosinePairs]] and the [[cosinePairs]] dispatcher, so
+    * the fallback path reuses the tf the probe was computed from instead of
     * re-tokenizing and re-aggregating the corpus.
+    *
+    * The tf input must be a durable stage boundary ([[graft.relational.
+    * Stages.materialize]]): three consumers (both postings sides + norms)
+    * read it, and best-effort ReuseExchange sharing is defeated by
+    * per-consumer column pruning (each consumer gets its own narrowed copy
+    * of the tf aggregate subtree — measured 6.7× regression at sf0.1 when
+    * round 5 dropped the explicit boundary). A landed tf is exactly what a
+    * production pipeline does between the tokenize job and the similarity
+    * job; consumers scan the compact (id, term, tf) columns, never
+    * re-tokenize the corpus.
     */
-  private def sparseFromTf(tf0: DataFrame, threshold: Double,
+  private def sparseFromTf(tf: DataFrame, threshold: Double,
                            maxDf: Option[Long]): DataFrame = {
-    // Three consumers (both postings sides + norms) all embed the identical
-    // subtree ending at the tf aggregate's exchange, so ReuseExchange scans
-    // and shuffles the corpus once; the consumers re-read shuffle blocks
-    // (no operator-internal cache — a lazy result has no unpersist point).
     // The self-join key is the term's xxhash64, not the term string: the
     // shuffle carries 8-byte longs, and a cross-term collision
     // (≈vocab²/2⁶⁴) is the same accepted risk as the shingle index's fused
     // keys.
-    val tf = tf0
     val postings0 = tf.select(col("id"), xxhash64(col("t")).as("tk"), col("tf"))
     val postings = maxDf match {
       case Some(cap) =>
@@ -167,19 +175,25 @@ object Dedup {
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double, denseVocabCap: Int = 4096): DataFrame = {
-    // The probe is its own bounded job (dictionary capped at denseVocabCap+1
-    // rows by limit pushdown); the chosen path then recomputes tf inside the
-    // main query, where ReuseExchange shares its aggregate exchange across
-    // the postings/norms consumers. No operator-internal cache: the result
-    // is lazy, so a cache() here would have no unpersist point and would pin
-    // a corpus-sized frame for the session's lifetime — callers that
-    // materialize the (answer-sized) pair set repeatedly should cache the
-    // RESULT under their own lifecycle instead.
-    val tf = termFrequencies(docs, idCol, textCol)
-    probeDictionary(tf, denseVocabCap) match {
-      case Some(terms) => denseFromTf(tf, terms, threshold)
-      case None => sparseFromTf(tf, threshold, maxDf = None)
-    }
+    // The tf stage lands durably ONCE, then serves the probe job AND every
+    // consumer of the chosen path (postings sides + norms, or the dense
+    // vectorizer). A landed stage — not cache (no unpersist point for a
+    // lazy result) and not bare ReuseExchange (defeated by per-consumer
+    // column pruning; the round-5 regression) — keeps composed cost
+    // additive: one tokenize pass, then answer-proportional work.
+    val tf = graft.relational.Stages.materialize(
+      termFrequencies(docs, idCol, textCol), "tf")
+    // The RESULT also lands (it is answer-sized — thresholded near-dup
+    // pairs): every consumer of the same pair set in a session (components,
+    // canonical-doc selection, the pair listing itself) reads the one landed
+    // copy instead of re-running the quadratic scoring — the exact sharing
+    // the r4 operator-internal cache() provided, now with files instead of
+    // pinned executor storage.
+    graft.relational.Stages.materialize(
+      probeDictionary(tf, denseVocabCap) match {
+        case Some(terms) => denseFromTf(tf, terms, threshold)
+        case None => sparseFromTf(tf, threshold, maxDf = None)
+      }, "cosine_pairs")
   }
 
   /** Inverted shingle-index rows (id, key): key fuses block columns + the

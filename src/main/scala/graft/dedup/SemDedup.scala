@@ -77,16 +77,19 @@ object SemDedup {
         lit(sid).as("sid"))
     }
     // Four consumers (both pair sides, the node set, the final verdict
-    // join) recompute the assignment — a NARROW map (nlist cosines per row,
-    // no exchange), and the two pair sides share one shuffle via
-    // ReuseExchange anyway. No operator-internal cache: the result is lazy
-    // (no unpersist point), and at corpus scale re-running a linear map
-    // beats writing a corpus-sized cache entry that outlives the query.
-    val assigned = data
-      .withColumn("__b", array_min(array(perSeed: _*)))
-      .select(col("id"), col("v"),
-        col("__b").getField("sid").as("cell"),
-        (-col("__b").getField("nscore")).as("csim"))
+    // join) read the assignment, and the map is NOT cheap to replay: nlist
+    // cosines per row per consumer (measured ~1.9× query slowdown at sf0.1
+    // when round 5 left it to recompute). Land it durably — the stage output
+    // (id, v, cell, csim) is the corpus plus two scalars, written once and
+    // scanned by each consumer; this is the assignment table an IVF-style
+    // production pipeline persists between the index job and the search job.
+    val assigned = graft.relational.Stages.materialize(
+      data
+        .withColumn("__b", array_min(array(perSeed: _*)))
+        .select(col("id"), col("v"),
+          col("__b").getField("sid").as("cell"),
+          (-col("__b").getField("nscore")).as("csim")),
+      "semdedup_assign")
 
     // Quadratic step, bounded to cells: one hash shuffle by cell per side.
     val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))

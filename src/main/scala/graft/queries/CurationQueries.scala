@@ -165,7 +165,8 @@ object CurationQueries {
         a AS (
           SELECT CAST(bucket AS BIGINT) AS bucket,
             CAST((rk - 1) // 8 AS BIGINT) AS batch_id,
-            COUNT(*) AS n_docs, SUM(n) AS tokens_sum, MAX(n) AS tokens_max
+            COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens_sum,
+            MAX(n) AS tokens_max
           FROM r GROUP BY 1, 2)
         SELECT bucket, batch_id, n_docs, tokens_sum, tokens_max,
           n_docs * tokens_max - tokens_sum AS pad_waste,

@@ -285,8 +285,7 @@ object EventQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
           .select(col("window.start").cast("timestamp_ntz").as("hour"),
             col("event_type"), col("n"))
           .orderBy(col("hour"), col("event_type"))
@@ -384,14 +383,10 @@ object EventQueries {
           .as[(Long, String)]
         val once = graft.streaming.StatefulOps.firstOccurrenceBy(union)(
           _._1.toString, (a, b) => if (a._1 <= b._1) a else b)
-        val name = "stream_once_" + java.lang.Long.toHexString(System.nanoTime())
-        val q = once.toDF("event_id", "event_type")
-          .writeStream.format("memory").queryName(name)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        // per-event survivor rows are corpus-sized → parquet sink, not the
+        // driver; final counts are batch SQL over the sink
+        graft.streaming.StreamingRouter.drainToParquet(
+          once.toDF("event_id", "event_type"), "once")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
           .orderBy(col("event_type"))
@@ -423,14 +418,10 @@ object EventQueries {
           .as[(Long, String, String)]
         val kept = graft.streaming.StatefulOps.firstOccurrenceBy(ds)(
           _._2, (a, b) => if (a._1 <= b._1) a else b)
-        val name = "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
-        val q = kept.toDF("doc_id", "fp", "source")
-          .writeStream.format("memory").queryName(name)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        // dedup survivors ≈ the distinct corpus — corpus-sized, so they land
+        // on storage (parquet sink), and the per-source ledger is batch SQL
+        graft.streaming.StreamingRouter.drainToParquet(
+          kept.toDF("doc_id", "fp", "source"), "dedup")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
           .orderBy(col("source"))
@@ -458,13 +449,11 @@ object EventQueries {
         val joined = buys.join(clicks, expr(
           """c_user = p_user AND
              c_ts >= p_ts - interval 2 hours AND c_ts < p_ts"""))
-        val name = "stream_attr_" + java.lang.Long.toHexString(System.nanoTime())
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        // The pair set is NOT answer-sized (clicks×purchases within 2 h per
+        // user grows with the corpus) — land it on storage via the parquet
+        // sink, never the driver; aggregation is batch SQL over the sink.
+        graft.streaming.StreamingRouter.drainToParquet(
+          joined.select(col("event_id")), "attr")
           .groupBy(col("event_id"))
           .agg(count(lit(1)).as("n_clicks"))
           .orderBy(col("event_id"))
@@ -501,8 +490,7 @@ object EventQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_session"),
             sum(col("n")).as("n_events"))
@@ -558,8 +546,7 @@ object EventQueries {
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        graft.streaming.StreamingRouter.awaitBounded(q)
-        s.table(name)
+        graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
           .select(col("c_mktsegment"), col("n"),
             col("__sv").cast("double").as("sum_value"))
           .orderBy(col("c_mktsegment"))

@@ -81,6 +81,52 @@ object StreamingRouter {
     awaitBounded(q)
   }
 
+  /** Drain a bounded Append-mode stream into a parquet sink and return a
+    * reader over the landed files. This is the ONLY scale-safe shape for a
+    * streaming frame that is not answer-sized (raw routed rows, stream-stream
+    * join pairs, per-event dedup survivors): the rows land on (distributed)
+    * storage executor-to-disk and the driver never holds them — a memory
+    * sink would collect the full pre-aggregation set into the driver
+    * catalog, which dies at 100× gate scale. Downstream aggregation is then
+    * ordinary batch SQL over the sink, the same pattern as
+    * [[drainRoutedToParquet]].
+    */
+  def drainToParquet(df: DataFrame, tag: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_stream_$tag")
+    val sinkDir = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = df.writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    awaitBounded(q)
+    // the returned frame reads the sink lazily; only safe delete point is
+    // JVM exit (deleteOnExit runs in reverse registration order, so the
+    // top-down walk removes files before their dirs)
+    java.nio.file.Files.walk(root).forEach(p => p.toFile.deleteOnExit())
+    df.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** Drain a bounded Complete-mode memory-sink query and hand back its final
+    * result as a LOCAL relation, dropping the temp view. Only for
+    * ANSWER-SIZED aggregates (windowed counts, per-key sessions): Complete
+    * mode re-emits the whole result each trigger, so the sink table IS the
+    * answer. Localizing + dropping the view keeps repeated runs in one
+    * session (Verify, Bench warmups, PlanAudit) from pinning one abandoned
+    * result set per run in the driver catalog for the session lifetime.
+    */
+  def drainMemoryToLocal(q: StreamingQuery, name: String): DataFrame = {
+    awaitBounded(q)
+    val spark = q.sparkSession
+    val t = spark.table(name)
+    val rows = java.util.Arrays.asList(t.collect(): _*)
+    val local = spark.createDataFrame(rows, t.schema)
+    spark.catalog.dropTempView(name)
+    local
+  }
+
   /** Await a bounded (AvailableNow) query with a hang guard: a wedged
     * stream inside a correctness-gate query must fail loudly, not hang the
     * whole gate run. Ten minutes is ~50× the worst observed drain.

@@ -71,7 +71,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dense cosine pairs: broadcast NL pair scan, postings-join signature absent") {
-    val plan = run("sparse_cosine_pairs")
+    // cosinePairs lands its result through Stages.materialize, so the
+    // DECLARED query's final plan is just a scan of the landed pairs; the
+    // shape under audit is the pair-computing plan itself — assert on the
+    // un-landed dense path directly.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = finalPlan(
+      dedup.Dedup.denseCosinePairs(docs, "doc_id", "text", threshold = 0.9))
     // the dense plan's signature: exactly one broadcast nested-loop doing
     // the id1<id2 pair scan. The degenerate postings plan has none (it
     // equi-joins on term and shuffles one row per nonzero product).

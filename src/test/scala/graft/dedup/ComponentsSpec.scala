@@ -7,20 +7,26 @@ class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
   private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
-                  maxIters: Int = 25): Map[Long, Long] =
+                  maxIters: Int = 25,
+                  driverEdgeCap: Long = 262144L): Map[Long, Long] =
     Components.connectedComponents(
       nodes.toDF("id"), "id",
-      edges.toDF("a", "b"), "a", "b", maxIters)
+      edges.toDF("a", "b"), "a", "b", maxIters, driverEdgeCap)
       .as[(Long, Long)].collect().toMap
 
   test("triangle + chain + singleton resolve to min-id components") {
-    val got = run(
-      nodes = 1L to 8L,
-      edges = Seq((2L, 3L), (3L, 4L), (2L, 4L), // triangle {2,3,4}
-        (5L, 6L), (6L, 7L)))                    // chain {5,6,7}
-    assert(got(1L) === 1L && got(8L) === 8L)    // singletons
-    assert(Seq(2L, 3L, 4L).map(got) === Seq(2L, 2L, 2L))
-    assert(Seq(5L, 6L, 7L).map(got) === Seq(5L, 5L, 5L))
+    // exercised on BOTH physical paths: the bounded-graph union-find
+    // dispatch and (cap = 0) the iterative hook-and-contract loop
+    for (cap <- Seq(262144L, 0L)) {
+      val got = run(
+        nodes = 1L to 8L,
+        edges = Seq((2L, 3L), (3L, 4L), (2L, 4L), // triangle {2,3,4}
+          (5L, 6L), (6L, 7L)),                    // chain {5,6,7}
+        driverEdgeCap = cap)
+      assert(got(1L) === 1L && got(8L) === 8L)    // singletons
+      assert(Seq(2L, 3L, 4L).map(got) === Seq(2L, 2L, 2L))
+      assert(Seq(5L, 6L, 7L).map(got) === Seq(5L, 5L, 5L))
+    }
   }
 
   test("long path converges within O(log n) rounds via pointer jumping") {
@@ -28,15 +34,42 @@ class ComponentsSpec extends SparkSpec {
     val path = (1L until n).map(i => (i, i + 1))
     // plain min propagation would need ~63 rounds; jumping needs ~log2(63)+2.
     // maxIters = 12 fails if the compression isn't actually working.
-    val got = run(1L to n, path, maxIters = 12)
+    // cap = 0 forces the iterative path — the default would short-circuit
+    // this small graph to the driver and prove nothing about jumping.
+    val got = run(1L to n, path, maxIters = 12, driverEdgeCap = 0L)
     assert(got.values.toSet === Set(1L))
   }
 
   test("merge order does not matter: worst-case labels still reach the min") {
     // high ids point at low ids through a hub; min sits at a leaf
-    val got = run(Seq(10L, 20L, 30L, 40L, 1L),
-      Seq((40L, 30L), (30L, 20L), (20L, 10L), (10L, 1L)))
-    assert(got.values.toSet === Set(1L))
+    for (cap <- Seq(262144L, 0L)) {
+      val got = run(Seq(10L, 20L, 30L, 40L, 1L),
+        Seq((40L, 30L), (30L, 20L), (20L, 10L), (10L, 1L)),
+        driverEdgeCap = cap)
+      assert(got.values.toSet === Set(1L))
+    }
+  }
+
+  test("union-find dispatch agrees with the iterative path on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val nodes = 1L to 200L
+    val edges = Seq.fill(150)((rnd.nextInt(200) + 1L, rnd.nextInt(200) + 1L))
+      .filter { case (a, b) => a != b }
+    val fast = run(nodes, edges)
+    val slow = run(nodes, edges, driverEdgeCap = 0L)
+    assert(fast === slow)
+  }
+
+  test("union-find dispatch handles edge-only ids like the iterative path") {
+    // edges reference id 99 which is absent from nodes: connectivity
+    // THROUGH it must still merge 1 and 2, and 99 itself stays out
+    val nodes = Seq(1L, 2L, 3L)
+    val edges = Seq((1L, 99L), (99L, 2L))
+    val fast = run(nodes, edges)
+    val slow = run(nodes, edges, driverEdgeCap = 0L)
+    assert(fast === slow)
+    assert(fast(1L) === 1L && fast(2L) === 1L && fast(3L) === 3L)
+    assert(!fast.contains(99L))
   }
 
   test("componentSummary reports only multi-member groups with checksums") {

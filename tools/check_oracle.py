@@ -11,6 +11,22 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def _kind_class(dtype):
+    """Collapse a pandas/numpy dtype to the class the driver's hash is
+    sensitive to: int-vs-float-vs-bool-vs-string-vs-datetime. Width within a
+    class (int32 vs int64) hashes identically driver-side, so widths are
+    folded; signedness likewise."""
+    k = getattr(dtype, "kind", None)
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "obj"
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,6 +63,15 @@ def main(sfdir, outdir):
         bad = []
         for c in got.columns:
             a, b = got[c], want[c]
+            # Type-strict gate (mirrors the driver's hash compare): an int64
+            # spark column vs a float64 oracle column has equal VALUES under
+            # pandas (104 == 104.0) but different hashes driver-side. Fail on
+            # dtype-class mismatch before any value compare.
+            ka, kb = _kind_class(a.dtype), _kind_class(b.dtype)
+            if ka != kb:
+                bad.append((c, f"dtype-class mismatch: spark={a.dtype}({ka}) "
+                               f"oracle={b.dtype}({kb})"))
+                continue
             try:
                 if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
                     # tz-awareness must MATCH — the driver's comparator may
