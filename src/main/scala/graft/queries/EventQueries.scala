@@ -181,6 +181,62 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // The draft-04 TAIL keywords under the oracle: exclusiveMaximum (bound
+    // flips strict: k < 95), maxProperties (raw gains a 4th key "y" when
+    // k ≡ 0 mod 11 → over the 3-key cap), patternProperties ("x-a" must be
+    // a digit string; it is "bad" when k ≡ 0 mod 13), and a union type
+    // array for "v" (string when k ≡ 0 mod 3, DOUBLE when k ≡ 0 mod 17 —
+    // only string|integer admitted, so the double variant quarantines),
+    // with additionalProperties admitting the "x-*" extension keys via
+    // allowedPatterns. The oracle recomputes the verdict arithmetic.
+    DeclaredQuery("route_draft4_tail",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val evs = events(s, dir)
+          .withColumn("k", k)
+          .withColumn("raw", concat(
+            lit("{\"k\":"), col("k"),
+            lit(",\"v\":"),
+            when(pmod(col("k"), lit(3)) === 0,
+              concat(lit("\"s"), col("k"), lit("\"")))
+              .when(pmod(col("k"), lit(17)) === 0, concat(col("k"), lit(".5")))
+              .otherwise(col("k").cast("string")),
+            lit(",\"x-a\":"),
+            when(pmod(col("k"), lit(13)) === 0, lit("\"bad\""))
+              .otherwise(col("k").cast("string")),
+            when(pmod(col("k"), lit(11)) === 0, lit(",\"y\":1")).otherwise(lit("")),
+            lit("}")))
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              col("event_type").as("schema"),
+              col("k").as("k"),
+              col("raw").as("raw")).as("data")))
+        val tail = registeredTypes.map { t =>
+          t -> Router.Registration(
+            RegisteredSchema(t, Seq(
+              Required("k"),
+              NumRange("k", Some(0), Some(95), exclusiveMax = true),
+              PropsCount("raw", Some(1), Some(3)),
+              PatternProps("raw", "^x-", "^\\d+$"),
+              TypeUnion("raw", "$.v", Seq("string", "integer")),
+              NoAdditionalProps("raw", Seq("k", "v", "y"), Seq("^x-")))),
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val config = Router.Config(envelopeId, RegisteredSchema(envelopeId, Nil), tail)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some("""SELECT CASE
+          WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+          WHEN k IS NULL OR k >= 95 OR k % 11 = 0 OR k % 13 = 0
+            OR (k % 17 = 0 AND k % 3 <> 0) THEN 'badmsg'
+          ELSE 'branch:' || event_type END AS route, COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The

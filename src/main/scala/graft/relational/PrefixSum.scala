@@ -25,19 +25,33 @@ import org.apache.spark.sql.expressions.Window
 object PrefixSum {
 
   /** Adds `outCol` = INCLUSIVE running sum of `valueCol` (long) in exact
-    * `idCol` order (ids must be numeric and unique). Returns the augmented
-    * frame and the grand total (the driver already holds the bucket sums).
+    * `idCol` order. CONTRACT: ids must be numeric (castable to double
+    * without nulls — enforced, misuse fails loudly) and UNIQUE — with
+    * duplicate ids the within-bucket order among equal ids is
+    * partition-internal and the prefix at those rows is not well-defined
+    * (the explicit ROWS frame makes each row get SOME prefix instead of the
+    * old RANGE frame's peer-inclusive sum, but which one is arbitrary).
+    * Returns the augmented frame and the grand total (the driver already
+    * holds the bucket sums).
     */
   def runningSum(df: DataFrame, idCol: String, valueCol: String,
                  outCol: String, numParts: Int = 32): (DataFrame, Long) = {
     require(numParts > 0)
     val bounds = df.agg(
       min(col(idCol).cast("double")).as("lo"),
-      max(col(idCol).cast("double")).as("hi")).head()
-    if (bounds.isNullAt(0)) {
+      max(col(idCol).cast("double")).as("hi"),
+      count(lit(1)).as("n"),
+      count(col(idCol).cast("double")).as("nn")).head()
+    if (bounds.getLong(2) == 0L) {
       // empty input: zero rows — just type the output column
       return (df.withColumn(outCol, lit(0L)), 0L)
     }
+    // a non-empty frame whose ids cast to null would otherwise ride the
+    // empty-input path and silently return outCol = 0 for every row
+    require(bounds.getLong(3) == bounds.getLong(2),
+      s"$idCol must be numeric and non-null: " +
+        s"${bounds.getLong(2) - bounds.getLong(3)} of ${bounds.getLong(2)} " +
+        "rows have ids that cast to null")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = hi - lo + 1.0
     // monotone in id: (id−lo)/span ∈ [0,1), ×P then floor ∈ [0,P−1]; the
@@ -53,7 +67,12 @@ object PrefixSum {
     val offsetOf = bs.foldRight(lit(0L): org.apache.spark.sql.Column) { (b, acc) =>
       when(col("__b") === b, lit(offs(b))).otherwise(acc)
     }
+    // explicit ROWS frame: the default RANGE frame would hand duplicate ids
+    // peer-INCLUSIVE equal sums — under the unique-id contract the frames
+    // agree, but the ROWS form never silently folds a contract violation
+    // into plausible-looking output
     val w = Window.partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = withB
       .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
       .drop("__b")
@@ -69,17 +88,26 @@ object PrefixSum {
     * bounded, e.g. a fixed bucket ladder) come back to the driver, exclusive
     * offsets go out as a broadcast join, and the window partitions by
     * (group, cell) — parallelism `numParts` PER group regardless of skew.
+    *
+    * Same id contract as [[runningSum]]: numeric, non-null (enforced) and
+    * UNIQUE across the whole frame — via `lengthBucketBatches`, duplicate
+    * doc ids would collide ranks and overfill batches.
     */
   def groupedRunningSum(df: DataFrame, groupCol: String, idCol: String,
                         valueCol: String, outCol: String,
                         numParts: Int = 32): DataFrame = {
     require(numParts > 0)
     val spark = df.sparkSession
-    import spark.implicits._
     val bounds = df.agg(
       min(col(idCol).cast("double")).as("lo"),
-      max(col(idCol).cast("double")).as("hi")).head()
-    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+      max(col(idCol).cast("double")).as("hi"),
+      count(lit(1)).as("n"),
+      count(col(idCol).cast("double")).as("nn")).head()
+    if (bounds.getLong(2) == 0L) return df.withColumn(outCol, lit(0L))
+    require(bounds.getLong(3) == bounds.getLong(2),
+      s"$idCol must be numeric and non-null (see runningSum's contract): " +
+        s"${bounds.getLong(2) - bounds.getLong(3)} of ${bounds.getLong(2)} " +
+        "rows have ids that cast to null")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = hi - lo + 1.0
     val bucket = least(lit(numParts - 1),
@@ -89,19 +117,35 @@ object PrefixSum {
     val totals = withB.groupBy(col(groupCol), col("__b"))
       .agg(sum(col(valueCol)).as("t"))
       .collect()
-      .map(r => (r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // an all-null valueCol cell sums to null — its contribution is 0,
+      // matching the window sum's null-skipping
+      .map(r => (r.get(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
     // exclusive prefix over cells WITHIN each group
     val offsets = totals.keys.toSeq.groupBy(_._1).toSeq.flatMap {
       case (g, ks) =>
         val cells = ks.map(_._2).sorted
         cells.zip(cells.scanLeft(0L)((a, c) => a + totals((g, c))).dropRight(1))
-          .map { case (c, off) => (g.toString, c, off) }
+          .map { case (c, off) => org.apache.spark.sql.Row(g, c, off) }
     }
-    val offDf = broadcast(
-      offsets.toDF("__g", "__ob", "__off"))
+    // The offset frame carries the group key in its NATIVE type, joined with
+    // null-safe equality: the previous string-typed join (cast(groupCol as
+    // string) == JVM toString) silently missed groups whose two renderings
+    // disagree — java.sql.Timestamp's trailing ".0" vs Spark's cast, Decimal
+    // scale formatting — and NPE'd on null groups, zeroing offsets with no
+    // error. Native equality has no rendering to disagree on.
+    val groupType = df.schema(groupCol).dataType
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offsets: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g", groupType),
+        org.apache.spark.sql.types.StructField("__ob", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType)))))
+    // ROWS frame + unique-id contract: see runningSum
     val w = Window.partitionBy(col(groupCol), col("__b")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB
-      .join(offDf, col(groupCol).cast("string") === col("__g") &&
+      .join(offDf, col(groupCol) <=> col("__g") &&
         col("__b") === col("__ob"), "left")
       .withColumn(outCol,
         coalesce(col("__off"), lit(0L)) + sum(col(valueCol)).over(w))

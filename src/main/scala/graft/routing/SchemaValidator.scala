@@ -42,12 +42,19 @@ final case class EnumIn(path: String, values: Seq[String]) extends Constraint {
   }
 }
 
-/** draft-04 `minimum`/`maximum` (inclusive) for numeric fields. */
-final case class NumRange(path: String, min: Option[Double], max: Option[Double]) extends Constraint {
+/** draft-04 `minimum`/`maximum` for numeric fields, with the draft-04
+  * boolean `exclusiveMinimum`/`exclusiveMaximum` modifiers (in draft-04
+  * these are FLAGS changing the adjacent bound to strict — the standalone
+  * numeric form arrived in draft-06, which the reference's AJV setup does
+  * not use).
+  */
+final case class NumRange(path: String, min: Option[Double], max: Option[Double],
+                          exclusiveMin: Boolean = false,
+                          exclusiveMax: Boolean = false) extends Constraint {
   def predicate(root: Column): Column = {
     val f = at(root, path)
-    val lo = min.map(m => f >= m).getOrElse(lit(true))
-    val hi = max.map(m => f <= m).getOrElse(lit(true))
+    val lo = min.map(m => if (exclusiveMin) f > m else f >= m).getOrElse(lit(true))
+    val hi = max.map(m => if (exclusiveMax) f < m else f <= m).getOrElse(lit(true))
     f.isNull || (lo && hi)
   }
 }
@@ -221,9 +228,78 @@ object Format {
   * corrupt raw objects are valid here; their rejection belongs to
   * `required`/parse checks (AJV's per-keyword independence).
   */
-final case class NoAdditionalProps(rawPath: String, allowed: Seq[String]) extends Constraint {
+final case class NoAdditionalProps(rawPath: String, allowed: Seq[String],
+                                   allowedPatterns: Seq[String] = Nil) extends Constraint {
   def predicate(root: Column): Column =
-    SchemaValidator.noAdditionalProps(at(root, rawPath), "$", allowed)
+    SchemaValidator.noAdditionalProps(at(root, rawPath), "$", allowed, allowedPatterns)
+}
+
+/** draft-04 `minProperties`/`maxProperties` — bounds on the RAW object's key
+  * count (like `additionalProperties`, uncheckable on the parsed struct:
+  * `from_json` fixes the field set). Absent/corrupt raw objects are valid
+  * here (keyword independence).
+  */
+final case class PropsCount(rawPath: String, min: Option[Int], max: Option[Int]) extends Constraint {
+  def predicate(root: Column): Column = {
+    val keys = json_object_keys(at(root, rawPath))
+    val lo = min.map(m => size(keys) >= m).getOrElse(lit(true))
+    val hi = max.map(m => size(keys) <= m).getOrElse(lit(true))
+    keys.isNull || (lo && hi)
+  }
+}
+
+/** draft-04 `patternProperties` value checks: every RAW-object key matching
+  * `keyRegex` has a scalar value whose TEXT matches `valueRegex`. The raw
+  * object parses once to `map<string,string>` (Spark's JSON reader yields
+  * each scalar's token text under a string target type), then a
+  * `map_filter` + `forall` pair — still one codegen'd expression, no UDF.
+  * Nested object/array values carry their JSON text, so a structural
+  * `valueRegex` (e.g. `^\[.*\]$`) can gate shape. Key-set RESTRICTION via
+  * patternProperties (+ additionalProperties: false) is
+  * [[NoAdditionalProps]]'s `allowedPatterns`.
+  */
+final case class PatternProps(rawPath: String, keyRegex: String,
+                              valueRegex: String) extends Constraint {
+  def predicate(root: Column): Column = {
+    val m = from_json(at(root, rawPath),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    m.isNull || forall(
+      map_values(map_filter(m, (k, _) => k.rlike(keyRegex))),
+      v => v.isNull || v.rlike(valueRegex))
+  }
+}
+
+/** draft-04 union `type` arrays (`"type": ["string", "integer"]`) — checked
+  * on the RAW JSON, where the value still HAS a JSON type (`from_json` into
+  * a typed struct coerces or nulls it). The value extracts as a VARIANT and
+  * `schema_of_variant` names its runtime type; each draft-04 type name maps
+  * to the variant type(s) JSON parsing can produce. Missing values are
+  * valid (keyword independence — pair with [[Required]] to force presence).
+  *
+  * @param jsonPath `$.field` path into the raw object ("$" = whole value)
+  */
+final case class TypeUnion(rawPath: String, jsonPath: String,
+                           types: Seq[String]) extends Constraint {
+  def predicate(root: Column): Column = {
+    val v =
+      if (jsonPath == "$") try_parse_json(at(root, rawPath))
+      else try_variant_get(try_parse_json(at(root, rawPath)), jsonPath, "variant")
+    val ty = schema_of_variant(v)
+    val ok = types.map {
+      case "string"  => ty === "STRING"
+      case "boolean" => ty === "BOOLEAN"
+      case "integer" => ty === "BIGINT" || ty.rlike("^DECIMAL\\(\\d+,0\\)$")
+      case "number"  => ty === "BIGINT" || ty === "DOUBLE" || ty === "FLOAT" ||
+        ty.startsWith("DECIMAL")
+      case "object"  => ty.startsWith("OBJECT") || ty.startsWith("STRUCT")
+      case "array"   => ty.startsWith("ARRAY")
+      case "null"    => ty === "VOID"
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }.foldLeft(lit(false))(_ || _)
+    v.isNull || ok
+  }
 }
 
 /** A registered schema: id + value constraints (structure enforced by the
@@ -245,13 +321,17 @@ object SchemaValidator {
 
   /** draft-04 `additionalProperties: false`: the object at `jsonPath` (a
     * `$.a.b` JSONPath into the raw JSON string column; `$` = root) has no
-    * keys outside `allowed`. Absent/corrupt objects are valid here — their
-    * rejection belongs to `required`/parse checks, matching AJV's
-    * per-keyword independence.
+    * keys outside `allowed` — or, in the `patternProperties` interplay the
+    * spec defines, outside keys matching one of `allowedPatterns`.
+    * Absent/corrupt objects are valid here — their rejection belongs to
+    * `required`/parse checks, matching AJV's per-keyword independence.
     */
-  def noAdditionalProps(raw: Column, jsonPath: String, allowed: Seq[String]): Column = {
+  def noAdditionalProps(raw: Column, jsonPath: String, allowed: Seq[String],
+                        allowedPatterns: Seq[String] = Nil): Column = {
     val obj = if (jsonPath == "$") raw else get_json_object(raw, jsonPath)
     val keys = json_object_keys(obj)
-    keys.isNull || forall(keys, k => k.isin(allowed.map(_.asInstanceOf[Any]): _*))
+    keys.isNull || forall(keys, k =>
+      allowedPatterns.foldLeft(k.isin(allowed.map(_.asInstanceOf[Any]): _*))(
+        (acc, p) => acc || k.rlike(p)))
   }
 }

@@ -21,8 +21,15 @@ object StatefulOps {
     * emits each key's first row only, ever — later occurrences in the same
     * or any later batch are dropped. State per key is one boolean.
     *
-    * For unbounded key spaces use the TTL variant below so state ages out
-    * with the dedup horizon.
+    * PRODUCTION CALLERS: on a forever-running stream this variant's state
+    * grows with the DISTINCT key count, unboundedly — it is only safe on
+    * bounded replays (the correctness-gate shape) or key domains that are
+    * themselves bounded (enum-like keys). For an unbounded key domain — doc
+    * fingerprints, event ids — use [[firstOccurrencesWithTtl]], which ages
+    * seen-markers out with the dedup horizon: re-deliveries in real systems
+    * (Kinesis re-polls, overlapping backfills) arrive within a bounded
+    * window, so a TTL at that window keeps the guarantee AND the state
+    * bound.
     */
   def firstOccurrences[T: Encoder](ds: Dataset[T])(key: T => String): Dataset[T] =
     ds.groupByKey(key)(Encoders.STRING)
@@ -42,6 +49,9 @@ object StatefulOps {
     * variant's emitted row is exactly the `better`-minimum over the key's
     * earliest-batch rows, which (for an input sorted by the tiebreak id)
     * equals the GLOBAL minimum — oracle-expressible as min-per-group.
+    *
+    * Same state caveat as [[firstOccurrences]]: no TTL, so production use on
+    * unbounded key domains needs [[firstOccurrencesWithTtl]]'s horizon.
     */
   def firstOccurrenceBy[T: Encoder](ds: Dataset[T])(
       key: T => String, better: (T, T) => T): Dataset[T] =

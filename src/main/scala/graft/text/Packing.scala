@@ -77,7 +77,11 @@ object Packing {
                           batchSize: Int,
                           ladder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024),
                           numParts: Int = 32): DataFrame = {
-    require(batchSize > 0 && ladder.nonEmpty && ladder == ladder.sorted)
+    // strictly-increasing POSITIVE rungs: zero/negative rungs would bucket
+    // everything into a degenerate cell and duplicates would alias buckets
+    require(batchSize > 0 && ladder.nonEmpty && ladder.head > 0 &&
+      ladder == ladder.distinct.sorted,
+      s"ladder must be strictly-increasing positive rungs, got $ladder")
     val base = df.withColumn("n_tokens", tokens.cast("long"))
     val bucket = ladder.init.foldRight(lit(ladder.last.toLong)) { (rung, acc) =>
       when(col("n_tokens") <= rung, lit(rung.toLong)).otherwise(acc)

@@ -80,4 +80,75 @@ class PrefixSumSpec extends SparkSpec {
     val empty = spark.emptyDataset[(Long, String, Long)].toDF("id", "g", "v")
     assert(PrefixSum.groupedRunningSum(empty, "g", "id", "v", "cw", 8).count() === 0L)
   }
+
+  test("grouped sum joins offsets on the NATIVE group type (timestamps)") {
+    // java.sql.Timestamp.toString renders '...10:00:00.0' where Spark's
+    // string cast renders '...10:00:00' — the old string-keyed offset join
+    // missed every group and silently zeroed offsets. Native-typed keys
+    // cannot disagree with themselves.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-02 11:30:00")
+    val rows = (0L until 100L).map(id => (id, if (id % 2 == 0) ts0 else ts1, id % 5 + 1L))
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("id", "g", "v")
+    val out = PrefixSum.groupedRunningSum(df, "g", "id", "v", "cw", 8)
+    val got = out.select("id", "cw").as[(Long, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      var acc = 0L
+      grp.sortBy(_._1).map { case (id, _, v) => acc += v; id -> acc }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("grouped sum: null group is its own group, not an NPE") {
+    val rows: Seq[(Long, java.lang.Long, Long)] =
+      (0L until 40L).map(id => (id, if (id % 4 == 0) null
+        else java.lang.Long.valueOf(id % 2), id + 1L))
+    val df = spark.sparkContext.parallelize(rows, 3).toDF("id", "g", "v")
+    val out = PrefixSum.groupedRunningSum(df, "g", "id", "v", "cw", 8)
+    val got = out.select("id", "cw").as[(Long, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      var acc = 0L
+      grp.sortBy(_._1).map { case (id, _, v) => acc += v; id -> acc }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("grouped sum: all-null value cells contribute zero, not an NPE") {
+    val rows: Seq[(Long, String, java.lang.Long)] =
+      (0L until 30L).map(id => (id, s"g${id % 2}",
+        if (id < 15) null else java.lang.Long.valueOf(id)))
+    val df = spark.sparkContext.parallelize(rows, 2).toDF("id", "g", "v")
+    // numParts=2 so the low-id cells of each group are all-null: their
+    // TOTALS must fold in as 0 (the driver used to NPE at getLong), while
+    // per-row cw keeps SQL sum semantics — null until the group's first
+    // non-null value
+    val out = PrefixSum.groupedRunningSum(df, "g", "id", "v", "cw", 2)
+    val got = out.select("id", "cw").as[(Long, Option[Long])].collect().toMap
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      var acc = 0L; var seen = false
+      grp.sortBy(_._1).map { case (id, _, v) =>
+        if (v != null) { acc += v.longValue; seen = true }
+        id -> (if (seen) Some(acc) else None) }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("non-numeric ids fail loudly instead of returning all-zero sums") {
+    // ANSI mode already throws on a malformed string cast; the engine's own
+    // guard covers the silent case — ids that CAST to null (all-null ids)
+    val allNull: Seq[(java.lang.Long, Long)] =
+      Seq((null, 1L), (null, 2L))
+    val df = spark.sparkContext.parallelize(allNull, 1).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.runningSum(df, "id", "v", "cw", 8)
+    }
+    assert(e.getMessage.contains("cast to null"))
+    val e2 = intercept[IllegalArgumentException] {
+      PrefixSum.groupedRunningSum(df.withColumn("g", lit("x")), "g", "id", "v", "cw", 8)
+    }
+    assert(e2.getMessage.contains("cast to null"))
+    // malformed string ids are loud too (ANSI cast error, not zeros)
+    val strDf = Seq(("a", 1L), ("b", 2L)).toDF("id", "v")
+    intercept[Exception] { PrefixSum.runningSum(strDf, "id", "v", "cw", 8) }
+  }
 }

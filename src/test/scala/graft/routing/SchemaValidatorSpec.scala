@@ -244,4 +244,77 @@ class SchemaValidatorSpec extends SparkSpec {
       ("tagged bad pattern, no lines", """{"tags":["A"]}""", false),
       ("neither", """{"qty":1}""", false)))
   }
+
+  test("exclusiveMinimum/exclusiveMaximum flags make the bound strict") {
+    val schema = RegisteredSchema("t/1", Seq(
+      NumRange("qty", Some(1), Some(10), exclusiveMin = true, exclusiveMax = true)))
+    verdicts(schema, Seq(
+      ("inside", """{"qty":5}""", true),
+      ("at min excluded", """{"qty":1}""", false),
+      ("at max excluded", """{"qty":10}""", false),
+      ("absent valid", """{"kind":"x"}""", true)))
+    // inclusive default unchanged
+    val incl = RegisteredSchema("t/1", Seq(NumRange("qty", Some(1), Some(10))))
+    verdicts(incl, Seq(
+      ("at min included", """{"qty":1}""", true),
+      ("at max included", """{"qty":10}""", true)))
+  }
+
+  private def rawVerdicts(mk: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          cases: Seq[(String, String, Boolean)]): Unit = {
+    val df = cases.toDF("name", "json", "expected")
+      .withColumn("got", mk(col("json")))
+    val wrong = df.filter(col("got") =!= col("expected"))
+      .select("name", "got", "expected").collect()
+    assert(wrong.isEmpty, s"AJV-divergent verdicts: ${wrong.mkString(", ")}")
+  }
+
+  test("minProperties/maxProperties bound the raw object's key count") {
+    val schema = StructType(Seq(StructField("raw", StringType)))
+    val c = PropsCount("raw", Some(1), Some(2))
+    rawVerdicts(raw => c.predicate(struct(raw.as("raw"))), Seq(
+      ("one key", """{"a":1}""", true),
+      ("two keys", """{"a":1,"b":2}""", true),
+      ("empty under min", """{}""", false),
+      ("three over max", """{"a":1,"b":2,"c":3}""", false),
+      ("corrupt json don't-care", """nope""", true)))
+  }
+
+  test("patternProperties: matching keys' values must match the value regex") {
+    val c = PatternProps("raw", "^x-", "^\\d+$")
+    rawVerdicts(raw => c.predicate(struct(raw.as("raw"))), Seq(
+      ("numeric ext values", """{"k":1,"x-a":12,"x-b":"34"}""", true),
+      ("non-numeric ext value", """{"k":1,"x-a":"oops"}""", false),
+      ("no matching keys", """{"k":"whatever"}""", true),
+      ("corrupt json don't-care", """nope""", true)))
+  }
+
+  test("additionalProperties:false admits patternProperties-matched keys") {
+    rawVerdicts(raw =>
+      SchemaValidator.noAdditionalProps(raw, "$", Seq("k"), Seq("^x-")), Seq(
+      ("known + pattern keys", """{"k":1,"x-a":2}""", true),
+      ("unknown key", """{"k":1,"y":2}""", false)))
+  }
+
+  test("union type arrays validate the raw JSON value's runtime type") {
+    val c = TypeUnion("raw", "$.v", Seq("string", "integer"))
+    rawVerdicts(raw => c.predicate(struct(raw.as("raw"))), Seq(
+      ("string ok", """{"v":"s"}""", true),
+      ("integer ok", """{"v":42}""", true),
+      ("float rejected", """{"v":4.5}""", false),
+      ("bool rejected", """{"v":true}""", false),
+      ("array rejected", """{"v":[1]}""", false),
+      ("absent valid", """{"k":1}""", true),
+      ("corrupt json don't-care", """nope""", true)))
+    val num = TypeUnion("raw", "$.v", Seq("number"))
+    rawVerdicts(raw => num.predicate(struct(raw.as("raw"))), Seq(
+      ("float is number", """{"v":4.5}""", true),
+      ("int is number", """{"v":4}""", true),
+      ("string not number", """{"v":"4"}""", false)))
+    val obj = TypeUnion("raw", "$.v", Seq("object", "null"))
+    rawVerdicts(raw => obj.predicate(struct(raw.as("raw"))), Seq(
+      ("object ok", """{"v":{"a":1}}""", true),
+      ("explicit null ok", """{"v":null}""", true),
+      ("scalar rejected", """{"v":3}""", false)))
+  }
 }
