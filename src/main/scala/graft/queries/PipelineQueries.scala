@@ -546,6 +546,59 @@ object PipelineQueries {
             '${graft.text.Redact.PhonePattern}', '<PHONE>', 'g') AS clean
         FROM aug ORDER BY doc_id""")),
 
+    // ---- O34: PII-density quarantine gate ---------------------------------
+    // Mask-vs-drop triage: a doc that is MOSTLY contact strings is scraped
+    // directory/boilerplate content — masking it leaves token soup, so the
+    // gate drops it instead. Density = matches per 100 whitespace tokens
+    // (one IEEE division of exact integers), thresholded; planted PII
+    // varies by doc (every 5th doc gets a contact block whose size scales
+    // with doc_id % 3) so both verdicts occur. Per-source ledger.
+    DeclaredQuery("pii_density_gate",
+      (s, dir) => {
+        import graft.text.Redact
+        val aug = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"),
+            lit(" a"), col("doc_id"), lit("@x.io b"), col("doc_id"),
+            lit("@y.io"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(" 10.0.0.1 555-123-4567 c@z.io")).otherwise(lit(""))))
+          .otherwise(col("text"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), aug.as("a"))
+          .select(col("doc_id"), col("source"),
+            Redact.piiMatchCount(col("a")).as("n_pii"),
+            Redact.piiDensityPer100(col("a")).as("density"))
+          .withColumn("verdict",
+            when(col("density") > 5.0, lit("quarantine")).otherwise(lit("keep")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("verdict") === "quarantine", 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(col("n_pii")).as("total_pii"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH aug AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 5 = 0 THEN
+              text || ' a' || doc_id || '@x.io b' || doc_id || '@y.io' ||
+              (CASE WHEN doc_id % 3 = 0 THEN ' 10.0.0.1 555-123-4567 c@z.io'
+                    ELSE '' END)
+            ELSE text END AS a
+          FROM documents),
+        m AS (
+          SELECT doc_id, source,
+            CAST(len(string_split_regex(a, '${graft.text.Redact.EmailPattern}')) - 1
+              + len(string_split_regex(a, '${graft.text.Redact.IPv4Pattern}')) - 1
+              + len(string_split_regex(a, '${graft.text.Redact.PhonePattern}')) - 1
+              AS BIGINT) AS n_pii,
+            CAST(len(string_split(a, ' ')) AS BIGINT) AS nt
+          FROM aug)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN CAST(n_pii AS DOUBLE) * 100.0 / CAST(nt AS DOUBLE) > 5.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+          CAST(SUM(n_pii) AS BIGINT) AS total_pii
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
     // ---- quality scoring --------------------------------------------------
     DeclaredQuery("text_quality",
       (s, dir) => {
@@ -673,6 +726,48 @@ object PipelineQueries {
       },
       Some("""SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
         FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O32: normalized-form fuzzy-exact dedup (C4/CCNet preprocessing) --
+    // Casefold + strip non-[a-z0-9 ] + collapse spaces, then hash-group: the
+    // re-rendered duplicates (punctuation, casing, spacing variants) that
+    // byte-exact dedup misses, still at O(n) hash-groupBy cost — no pair
+    // joins. The normalization regex is deliberately ASCII-only so Spark's
+    // Java regex and DuckDB's RE2 agree byte-for-byte. Per-source ledger of
+    // kept docs (min doc_id per normalized group), plus how many groups the
+    // normalization actually MERGED beyond raw md5 (fuzzy-only dups).
+    DeclaredQuery("normalized_dedup",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            fingerprint(col("text")).as("raw_fp"),
+            graft.text.TextFunctions.normalizedFingerprint(col("text")).as("fp"))
+        val k = d.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n"),
+            countDistinct(col("raw_fp")).as("n_raw"))
+        d.join(k, "fp")
+          .filter(col("doc_id") === col("keep_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("kept_id_sum"),
+            sum(when(col("n_raw") > 1, 1L).otherwise(0L)).as("n_fuzzy_groups"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source, md5(text) AS raw_fp,
+            md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+              ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        k AS (SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n,
+            COUNT(DISTINCT raw_fp) AS n_raw
+          FROM d GROUP BY 1)
+        SELECT d.source, COUNT(*) AS n_kept,
+          CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum,
+          CAST(SUM(CASE WHEN k.n_raw > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fuzzy_groups
+        FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.keep_id
+        GROUP BY 1 ORDER BY 1""")),
 
     // ---- O2-lite: order-insensitive bag fingerprint dedup -----------------
     // (the corpus really contains bag-duplicate groups — n > 1 rows appear)
@@ -1700,6 +1795,72 @@ object PipelineQueries {
           SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
         SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
         FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""")),
+
+    // ---- O33: leakage-safe train/eval split -------------------------------
+    // The eval-contamination guard every dedup-aware pipeline needs: the
+    // split hash keys on the near-dup COMPONENT id, so a near-duplicate of
+    // a training doc can never land in eval (a doc-keyed split leaks
+    // whenever near-dups exist). Components and the pair set are shared
+    // with dedup_components through the landed-stage memo — this query adds
+    // only the split tag and ledger. cross_split_comps is the soundness
+    // gate: components spanning both splits, ZERO by construction, and the
+    // oracle recomputes the same count from its own closure.
+    DeclaredQuery("leakage_safe_split",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val split = graft.text.Sampling.leakageSafeSplit(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2",
+          evalFraction = 0.25)
+        val violations = broadcast(
+          split.groupBy(col("comp"))
+            .agg(countDistinct(col("split")).as("__ns"))
+            .filter(col("__ns") > 1)
+            .agg(count(lit(1)).as("cross_split_comps")))
+        split
+          .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("comp")).as("n_comps"),
+            sum(col("n_chars")).as("chars"))
+          .crossJoin(violations)
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        dots AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
+          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
+        pairs AS (
+          SELECT id1, id2 FROM dots
+          JOIN norms n1 ON n1.doc_id = id1
+          JOIN norms n2 ON n2.doc_id = id2
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+        nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+        r AS (
+          WITH RECURSIVE rr(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+          SELECT id, MIN(reach) AS comp FROM rr GROUP BY id),
+        s AS (
+          SELECT id, comp,
+            CASE WHEN CAST(('0x' || substring(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT)
+                 < ${(0.25 * (1L << 32)).toLong} THEN 'eval' ELSE 'train' END AS split
+          FROM r),
+        x AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_comps FROM (
+            SELECT comp FROM s GROUP BY comp HAVING COUNT(DISTINCT split) > 1))
+        SELECT s.split, COUNT(*) AS n_docs, COUNT(DISTINCT s.comp) AS n_comps,
+          CAST(SUM(d.n_chars) AS BIGINT) AS chars,
+          (SELECT cross_split_comps FROM x) AS cross_split_comps
+        FROM s JOIN documents d ON d.doc_id = s.id
+        GROUP BY 1 ORDER BY 1""")),
 
     // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup over
     // embeddings — the quadratic pair step confined to coarse cells, then

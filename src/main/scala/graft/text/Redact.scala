@@ -52,4 +52,19 @@ object Redact {
     */
   def patternCount(c: Column, pattern: String): Column =
     (size(split(c, pattern)) - 1).cast("long")
+
+  /** Total PII matches across the three built-in pattern families. */
+  def piiMatchCount(c: Column): Column =
+    patternCount(c, EmailPattern) + patternCount(c, IPv4Pattern) +
+      patternCount(c, PhonePattern)
+
+  /** PII density per 100 whitespace tokens — the quarantine signal a
+    * curation gate thresholds on (a doc that is MOSTLY contact strings is
+    * scraped boilerplate/directory content, not prose; masking it would
+    * leave token soup). One IEEE division of exact integers ⇒
+    * oracle-deterministic.
+    */
+  def piiDensityPer100(c: Column): Column =
+    piiMatchCount(c).cast("double") * lit(100.0) /
+      size(split(c, " ")).cast("double")
 }

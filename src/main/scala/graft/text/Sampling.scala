@@ -47,6 +47,25 @@ object Sampling {
     when(bucket < (evalFraction * (1L << 32)).toLong, "eval").otherwise("train")
   }
 
+  /** LEAKAGE-SAFE train/eval split: assign each document so that an entire
+    * near-duplicate component lands in ONE split — the [[splitTag]] hash
+    * keys on the component id, not the document id, so a pair of near-dups
+    * can never straddle train and eval (the eval-contamination failure mode
+    * a doc-keyed split has by construction whenever near-dups exist).
+    * Components come from [[graft.dedup.Components.connectedComponents]]
+    * over the caller's pair set (cosine / MinHash / Jaccard — any edge
+    * source); singletons split exactly like a doc-keyed split would (their
+    * component id IS their doc id), so the realized eval fraction stays at
+    * `evalFraction` up to the duplicated minority.
+    *
+    * @return (id, comp, split) — one row per node
+    */
+  def leakageSafeSplit(nodes: DataFrame, idCol: String,
+                       pairs: DataFrame, srcCol: String, dstCol: String,
+                       evalFraction: Double): DataFrame =
+    graft.dedup.Components.connectedComponents(nodes, idCol, pairs, srcCol, dstCol)
+      .withColumn("split", splitTag(col("comp"), evalFraction))
+
   /** Deterministic per-epoch shuffle key: sorting (or range-partitioning)
     * by it yields an epoch-specific pseudorandom training order — a fresh
     * permutation per epoch, reproducible forever, with NO global rank

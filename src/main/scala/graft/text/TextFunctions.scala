@@ -67,6 +67,20 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Canonical normalized form for fuzzy-exact dedup (the C4/CCNet
+    * preprocessing shape): casefold, strip everything outside [a-z0-9 ],
+    * collapse whitespace runs, trim. Catches re-renderings that differ only
+    * in punctuation/casing/spacing — still O(n) hash-groupable dedup, no
+    * pair joins. Pattern is deliberately ASCII-only so Java and RE2 regex
+    * engines (Spark / DuckDB) agree byte-for-byte.
+    */
+  def normalizedForm(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]+", " "), " +", " "))
+
+  /** Fingerprint of [[normalizedForm]] — the fuzzy-exact dedup key. */
+  def normalizedFingerprint(text: Column): Column = md5(normalizedForm(text))
+
   /** Word n-gram shingles as strings (for Jaccard / MinHash). */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)

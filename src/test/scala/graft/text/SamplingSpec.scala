@@ -90,4 +90,28 @@ class SamplingSpec extends SparkSpec {
     assert(e0 !== e1)                           // epochs reshuffle
     assert(e0 === order(0))                     // reproducible
   }
+
+  test("leakage-safe split: components are atomic, singletons match doc-keyed split") {
+    val nodes = (1L to 100L).toDF("id")
+    // components: {1..5} via a chain, {10,11}, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val split = Sampling.leakageSafeSplit(nodes, "id", pairs, "a", "b", 0.25)
+      .select("id", "comp", "split")
+      .as[(Long, Long, String)].collect()
+    // atomicity: every component maps to exactly one split
+    val perComp = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perComp.values.forall(_.size == 1),
+      "a near-dup component straddles train/eval")
+    // near-dups share their component's tag
+    val byId = split.map(t => t._1 -> t._3).toMap
+    assert((1L to 5L).map(byId).toSet.size === 1)
+    assert(Set(byId(10L), byId(11L)).size === 1)
+    // singletons split exactly as a doc-keyed splitTag would (comp == id)
+    val singleton = split.filter(t => t._1 > 11L)
+    val docKeyed = (12L to 100L).toDF("id")
+      .withColumn("s", Sampling.splitTag(col("id"), 0.25))
+      .as[(Long, String)].collect().toMap
+    assert(singleton.forall(t => docKeyed(t._1) == t._3))
+  }
 }

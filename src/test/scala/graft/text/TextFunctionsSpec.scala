@@ -87,4 +87,28 @@ class TextFunctionsSpec extends SparkSpec {
       .select("rank").as[Int].collect().toSeq.sorted
     assert(ranks === Seq(1, 2))
   }
+
+  test("normalizedForm folds case/punctuation/spacing; fingerprint groups variants") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "hello worlds"),           // different content — must NOT merge
+      (5L, "a-b c_d"),                // punctuation becomes separators
+      (6L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextFunctions.normalizedForm(col("text")).as("norm"),
+      TextFunctions.normalizedFingerprint(col("text")).as("fp"))
+      .as[(Long, String, String)].collect().toList
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) === "hello world")
+    assert(byId(2L) === "hello world")
+    assert(byId(3L) === "hello world")
+    assert(byId(5L) === "a b c d")
+    val fps = out.map(t => t._1 -> t._3).toMap
+    assert(fps(1L) === fps(2L) && fps(2L) === fps(3L))
+    assert(fps(1L) !== fps(4L))
+    assert(fps(5L) === fps(6L))
+  }
 }
