@@ -54,6 +54,64 @@ object MaintenanceQueries {
         WHERE COALESCE(c.op, 'U') <> 'D'
         ORDER BY 1""")),
 
+    // ---- O36: snapshot reconciliation diff --------------------------------
+    // The post-migration audit: diff two versions of the orders table
+    // (version 2 synthesized deterministically — drops every 13th key,
+    // bumps price on every 7th, flips status on every 21st, inserts a new
+    // key for every 17th) into a verdict ledger with COLUMN-level change
+    // counts. One co-partitioned full-outer join + row-local null-safe
+    // compares; the oracle replays the same join.
+    DeclaredQuery("snapshot_diff",
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val nextV = orders
+          .filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 21 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .unionByName(orders.filter(col("o_orderkey") % 17 === 0)
+            .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        TableMaintenance.snapshotDiff(orders, nextV, "o_orderkey",
+            Seq("o_orderstatus", "o_totalprice"))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("chg_o_orderstatus")).as("n_status_changed"),
+            sum(col("chg_o_totalprice")).as("n_price_changed"))
+          .orderBy(col("change"))
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        nextv AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 21 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 17 = 0),
+        d AS (
+          SELECT
+            CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   OR b.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                 ELSE 'unchanged' END AS change,
+            CASE WHEN b.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+                 WHEN b.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1
+                 ELSE 0 END AS cs,
+            CASE WHEN b.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+                 WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1
+                 ELSE 0 END AS cp
+          FROM base b FULL OUTER JOIN nextv n ON b.o_orderkey = n.o_orderkey)
+        SELECT change, COUNT(*) AS n,
+          CAST(SUM(cs) AS BIGINT) AS n_status_changed,
+          CAST(SUM(cp) AS BIGINT) AS n_price_changed
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
     // ---- SCD2: effective-dated order-status history per customer ---------
     DeclaredQuery("scd2_order_history",
       (s, dir) => {

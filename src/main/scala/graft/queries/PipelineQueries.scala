@@ -903,6 +903,70 @@ object PipelineQueries {
           FROM sc)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
 
+    // ---- O35: Johnson–Lindenstrauss projection + recall ledger ------------
+    // The dimensionality cut a 100 TB ANN pipeline makes BEFORE indexing:
+    // 64→16 Rademacher projection (±1 signs from md5(seed:i:j) — trained
+    // on nothing, reproducible forever), top-k in the PROJECTED space, and
+    // an exact-top-k overlap column quantifying the recall cost of the 4×
+    // smaller vectors. Projection is a row-local map of 16 codegen'd
+    // vec_dot folds; the oracle embeds the identical literal sign matrix.
+    DeclaredQuery("jl_projection_topk",
+      (s, dir) => {
+        val signs = graft.vector.Projection.rademacherSigns(64, 16, "jl-v1")
+        val emb = tbl(s, dir, "embeddings")
+          .withColumn("p", graft.vector.Projection.project(
+            col("embedding").cast("array<double>"), signs))
+        val qs = emb.filter(col("vec_id") < 10)
+        val projTop = Similarity.bruteForceTopK(
+          qs.select(col("vec_id"), col("p")), "vec_id",
+          emb.select(col("vec_id"), col("p")), "vec_id", "p", k = 3)
+        val exactTop = Similarity.bruteForceTopK(qs, "vec_id", emb, "vec_id",
+          "embedding", k = 3)
+        val recall = projTop
+          .join(exactTop.select(col("qid"), col("cid")), Seq("qid", "cid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("recall3"))
+        projTop
+          .join(recall, Seq("qid"), "left")
+          .withColumn("recall3", coalesce(col("recall3"), lit(0L)))
+          .withColumn("rk", col("rank").cast("long")).drop("rank")
+          .select(col("qid"), col("rk"), col("cid"),
+            col("score").as("pscore"), col("recall3"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some {
+        val signs = graft.vector.Projection.rademacherSigns(64, 16, "jl-v1")
+        val m = graft.vector.Projection.signsSqlLiteral(signs)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT vec_id, v,
+            list_transform($m, row ->
+              list_reduce(list_transform(list_zip(v, row), x -> x[1] * x[2]), (a, b) -> a + b)) AS pv
+          FROM e),
+        q AS (SELECT vec_id AS qid, pv AS qp, v AS qv FROM p WHERE vec_id < 10),
+        psc AS (SELECT qid, p.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qp, pv), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qp, qp), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(pv, pv), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM p CROSS JOIN q WHERE p.vec_id <> qid),
+        pr AS (SELECT qid, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM psc),
+        esc AS (SELECT qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        er AS (SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM esc),
+        rec AS (SELECT pr.qid, COUNT(*) AS recall3
+          FROM pr JOIN er ON pr.qid = er.qid AND pr.cid = er.cid
+          WHERE pr.rk <= 3 AND er.rk <= 3 GROUP BY 1)
+        SELECT pr.qid, pr.rk, pr.cid, pr.score AS pscore,
+          COALESCE(rec.recall3, 0) AS recall3
+        FROM pr LEFT JOIN rec ON rec.qid = pr.qid
+        WHERE pr.rk <= 3 ORDER BY pr.qid, pr.rk"""
+      }),
+
     // PageRank centrality over the k-NN graph — the coreset-selection /
     // representative-sampling signal (a vector central to many neighbors
     // represents its region; herding-style selection keeps high-centrality

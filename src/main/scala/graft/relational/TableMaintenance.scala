@@ -95,4 +95,45 @@ object TableMaintenance {
         coalesce(sum(col(sizeCol)).over(w), lit(0L)))
       .withColumn("bin", expr(s"bytes_before div ${targetBytes}L"))
   }
+
+  /** Snapshot reconciliation diff: per-row verdict between two versions of
+    * a keyed table — the audit every migration/backfill/CDC pipeline runs
+    * to PROVE what changed ("the merge touched exactly these keys, changed
+    * exactly these columns") instead of trusting it.
+    *
+    * One co-partitioned full-outer join on the key (the same single-shuffle
+    * shape as [[upsert]]; bucketed storage removes it), then row-local
+    * null-safe column compares. Verdicts: 'added' (key only in `next`),
+    * 'removed' (key only in `base`), 'changed' (key in both, ≥1 compared
+    * column differs under null-safe equality), 'unchanged'. Per-column
+    * `chg_<col>` flags (0/1) let the caller aggregate column-level change
+    * counts without a second pass.
+    *
+    * @return one row per key in either version:
+    *         (key, change, chg_<c1>, chg_<c2>, ...)
+    */
+  def snapshotDiff(base: DataFrame, next: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val b = base.select(col(keyCol).as("__k") +:
+      compareCols.map(c => col(c).as(s"__b_$c")): _*)
+    val n = next.select(col(keyCol).as("__nk") +:
+      compareCols.map(c => col(c).as(s"__n_$c")): _*)
+    val joined = b.join(n, col("__k") === col("__nk"), "full_outer")
+    val flags = compareCols.map(c =>
+      when(col("__k").isNull || col("__nk").isNull, lit(0L))
+        .otherwise(when(col(s"__b_$c") <=> col(s"__n_$c"), 0L).otherwise(1L))
+        .as(s"chg_$c"))
+    val anyChanged = compareCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col("__k").isNull, lit("added"))
+          .when(col("__nk").isNull, lit("removed"))
+          .when(anyChanged, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(coalesce(col("__k"), col("__nk")).as(keyCol) +:
+        col("change") +: flags: _*)
+  }
 }

@@ -74,4 +74,33 @@ class TableMaintenanceSpec extends SparkSpec {
     // the oversized 150-byte file occupies its own division range
     assert(out.filter(r => r._1 == "s1" && r._2 == 3L).head._4 == 1L)
   }
+
+  test("snapshotDiff: all four verdicts, null-safe column compares, per-col flags") {
+    val base: Seq[(Long, java.lang.Long, String)] = Seq(
+      (1L, java.lang.Long.valueOf(10L), "a"),  // unchanged
+      (2L, java.lang.Long.valueOf(20L), "b"),  // price changes
+      (3L, null, "c"),                         // null -> value = changed
+      (4L, java.lang.Long.valueOf(40L), "d"),  // removed
+      (5L, null, "e"))                         // null == null = unchanged
+    val next: Seq[(Long, java.lang.Long, String)] = Seq(
+      (1L, java.lang.Long.valueOf(10L), "a"),
+      (2L, java.lang.Long.valueOf(21L), "b"),
+      (3L, java.lang.Long.valueOf(30L), "c"),
+      (5L, null, "e"),
+      (6L, java.lang.Long.valueOf(60L), "f"))  // added
+    val out = TableMaintenance.snapshotDiff(
+      base.toDF("k", "price", "status"),
+      next.toDF("k", "price", "status"),
+      "k", Seq("price", "status"))
+      .select("k", "change", "chg_price", "chg_status")
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L)._2 === "unchanged" && out(1L)._3 === 0L)
+    assert(out(2L)._2 === "changed" && out(2L)._3 === 1L && out(2L)._4 === 0L)
+    assert(out(3L)._2 === "changed" && out(3L)._3 === 1L,
+      "null -> value must count as a change (null-safe compare)")
+    assert(out(4L)._2 === "removed" && out(4L)._3 === 0L)
+    assert(out(5L)._2 === "unchanged", "null == null is not a change")
+    assert(out(6L)._2 === "added" && out(6L)._3 === 0L)
+    assert(out.size === 6)
+  }
 }
