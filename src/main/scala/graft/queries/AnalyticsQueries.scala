@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Round-6 event-analytics + training-order additions: ordered funnel
+  * conversion (O41), event transition matrix (O42), distribution-drift
+  * audit (O43), and curriculum stride-interleaving (O44). Integer-exact
+  * permille arithmetic throughout.
+  */
+object AnalyticsQueries {
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- O41: ordered funnel ----------------------------------------------
+    // view → click → purchase with in-order min-ts frontier semantics;
+    // every join keyed on user_id (co-partitioned chain).
+    DeclaredQuery("funnel_view_click_purchase",
+      (s, dir) => graft.relational.Funnel
+        .conversion(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx")),
+      Some("""WITH f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN f1 ON e.user_id = f1.user_id
+               WHERE e.event_type = 'click' AND e.ts >= f1.t GROUP BY 1),
+        f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN f2 ON e.user_id = f2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= f2.t GROUP BY 1),
+        c AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                COUNT(*) AS n_users FROM f1
+              UNION ALL SELECT 2, 'click', COUNT(*) FROM f2
+              UNION ALL SELECT 3, 'purchase', COUNT(*) FROM f3)
+        SELECT stage_idx, stage, n_users,
+          (1000 * n_users) // (SELECT n_users FROM c WHERE stage_idx = 1)
+            AS conv_permille
+        FROM c ORDER BY stage_idx""")),
+
+    // ---- O42: event transition matrix -------------------------------------
+    // Per-user next-event pairs (deterministic (ts, event_id) order), row
+    // shares in exact permille; totals broadcast (no per-row window).
+    DeclaredQuery("event_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, dir)
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("from_type").agg(sum("n").as("__rt"))
+        pairs.join(broadcast(totals), "from_type")
+          .withColumn("row_permille", expr("(1000L * n) div __rt"))
+          .select(col("from_type"), col("to_type"), col("n"), col("row_permille"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH p AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        g AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, SUM(n) AS rt FROM g GROUP BY 1)
+        SELECT g.from_type, g.to_type, g.n,
+          CAST((1000 * g.n) // t.rt AS BIGINT) AS row_permille
+        FROM g JOIN t USING (from_type)
+        ORDER BY g.from_type, g.to_type""")),
+
+    // ---- O43: distribution-drift audit ------------------------------------
+    // Event-mix shares in the two time halves; integer permille deltas, no
+    // logarithms (see Drift scaladoc).
+    DeclaredQuery("drift_event_mix",
+      (s, dir) => graft.relational.Drift
+        .tvByCategory(events(s, dir), "event_type", "ts")
+        .orderBy(col("category")),
+      Some("""WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+                FROM events),
+        h AS (SELECT event_type, epoch_us(ts) < (SELECT mid FROM b) AS h1
+              FROM events),
+        pc AS (SELECT event_type AS category,
+                 CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                 CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+               FROM h GROUP BY 1),
+        t AS (SELECT SUM(n_first) AS t1, SUM(n_second) AS t2 FROM pc)
+        SELECT category, n_first, n_second,
+          CAST((1000 * n_first) // t1 AS BIGINT) AS p1_permille,
+          CAST((1000 * n_second) // t2 AS BIGINT) AS p2_permille,
+          CAST(abs((1000 * n_first) // t1 - (1000 * n_second) // t2) AS BIGINT)
+            AS delta_permille
+        FROM pc, t ORDER BY category""")),
+
+    // ---- O44: curriculum stride interleave --------------------------------
+    // Quality-first within source, source-balanced globally; first 100
+    // positions of the deterministic training order.
+    DeclaredQuery("curriculum_interleave",
+      (s, dir) => graft.text.Curriculum
+        .strideInterleave(tbl(s, dir, "documents"), "doc_id", "source",
+          col("n_chars"))
+        .select(col("doc_id"), col("source"), col("rank_in_source"),
+          col("global_pos"))
+        .filter(col("global_pos") < 100)
+        .orderBy(col("global_pos")),
+      Some("""WITH s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1
+                 AS src_idx
+               FROM (SELECT DISTINCT source FROM documents)),
+        ns AS (SELECT COUNT(*) AS n FROM s),
+        r AS (SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents)
+        SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS rank_in_source,
+          CAST((rk - 1) * (SELECT n FROM ns) + s.src_idx AS BIGINT) AS global_pos
+        FROM r JOIN s USING (source)
+        WHERE (rk - 1) * (SELECT n FROM ns) + s.src_idx < 100
+        ORDER BY global_pos"""))
+  )
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Round-6 corpus-curation additions: Gopher repetition rules (O37),
+  * eval-benchmark n-gram decontamination (O38), k-center greedy coreset
+  * selection (O39), and per-class embedding outliers (O40). All four are
+  * integer-exact pipelines (permille divisions, quantized distances), so
+  * every compared column hash-matches DuckDB bit-for-bit.
+  */
+object CorpusQueries {
+
+  /** 8-gram decontamination window — the LEAD chain the oracle uses to
+    * mirror the row-local gram construction.
+    */
+  private val dk = 8
+  private val dkLeads: String =
+    (1 until dk).map(i => s"LEAD(t, $i) OVER w AS t$i").mkString(", ")
+  private val dkGram: String =
+    "t || ' ' || " + (1 until dk).map(i => s"t$i").mkString(" || ' ' || ")
+
+  /** The k-center greedy trajectory replayed as chained CTEs: c1 = farthest
+    * from origin; m_r = running min-dist after r picks; c_{r+1} = argmax.
+    */
+  private def coresetOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+        FROM embeddings),
+      n0 AS (SELECT vec_id, SUM(q*q) AS d FROM e GROUP BY 1),
+      c1 AS MATERIALIZED (SELECT vec_id, d FROM n0 ORDER BY d DESC, vec_id LIMIT 1),
+      m1 AS MATERIALIZED (SELECT e.vec_id, SUM((e.q - ce.q)*(e.q - ce.q)) AS d
+             FROM e JOIN e ce ON ce.dim = e.dim
+               AND ce.vec_id = (SELECT vec_id FROM c1)
+             GROUP BY 1)"""
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+      sb ++= s""",
+      c$r AS MATERIALIZED (SELECT vec_id, d FROM m${r - 1}
+              WHERE vec_id NOT IN ($prev)
+              ORDER BY d DESC, vec_id LIMIT 1)"""
+      if (r < k) sb ++= s""",
+      m$r AS MATERIALIZED (SELECT m${r - 1}.vec_id, LEAST(m${r - 1}.d, s.d) AS d
+              FROM m${r - 1} JOIN (
+                SELECT e.vec_id, SUM((e.q - ce.q)*(e.q - ce.q)) AS d
+                FROM e JOIN e ce ON ce.dim = e.dim
+                  AND ce.vec_id = (SELECT vec_id FROM c$r)
+                GROUP BY 1) s USING (vec_id))"""
+    }
+    sb ++= "\n      "
+    sb ++= (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_round, vec_id, CAST(d AS BIGINT) AS dist2 FROM c$r")
+      .mkString("\n      UNION ALL ")
+    sb ++= "\n      ORDER BY sel_round"
+    sb.toString
+  }
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- O37: Gopher repetition/quality rules -----------------------------
+    // Row-local fold over the split array (zero shuffles — see
+    // GopherRules scaladoc); the oracle takes the explode+window+3-agg
+    // road and must land on identical integers.
+    DeclaredQuery("gopher_repetition_gate",
+      (s, dir) => graft.text.GopherRules
+        .repetitionSignals(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len_centi"),
+          col("ttr_permille"), col("top_bigram_permille"),
+          col("dup_trigram_permille"), col("keep"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        l AS (SELECT doc_id, pos, t, LEAD(t, 1) OVER w AS t1, LEAD(t, 2) OVER w AS t2
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        ws AS (SELECT doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(len(t)) AS BIGINT) AS n_word_chars,
+                 COUNT(DISTINCT t) AS ndw
+               FROM l GROUP BY 1),
+        bg AS (SELECT doc_id, t || ' ' || t1 AS g, COUNT(*) AS c
+               FROM l WHERE t1 IS NOT NULL GROUP BY 1, 2),
+        bga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nbg,
+                  CAST(MAX(c) AS BIGINT) AS topbg FROM bg GROUP BY 1),
+        tg AS (SELECT doc_id, t || ' ' || t1 || ' ' || t2 AS g, COUNT(*) AS c
+               FROM l WHERE t2 IS NOT NULL GROUP BY 1, 2),
+        tga AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ntg,
+                  COUNT(*) AS ndtg FROM tg GROUP BY 1)
+        SELECT w.doc_id, w.n_words,
+          (100 * n_word_chars) // n_words AS mean_word_len_centi,
+          (1000 * ndw) // n_words AS ttr_permille,
+          (1000 * topbg) // nbg AS top_bigram_permille,
+          (1000 * (ntg - ndtg)) // ntg AS dup_trigram_permille,
+          (w.n_words BETWEEN 20 AND 100000)
+            AND ((100 * n_word_chars) // n_words BETWEEN 200 AND 1200)
+            AND ((1000 * ndw) // n_words >= 200)
+            AND ((1000 * topbg) // nbg <= 180)
+            AND ((1000 * (ntg - ndtg)) // ntg <= 600) AS keep
+        FROM ws w JOIN bga USING (doc_id) JOIN tga USING (doc_id)
+        ORDER BY w.doc_id""")),
+
+    // ---- O38: eval-benchmark n-gram decontamination -----------------------
+    // Eval set = doc_id % 10 = 7 (a deterministic stand-in benchmark);
+    // a training doc is contaminated when ≥20% of its distinct 8-grams
+    // appear anywhere in the eval set.
+    DeclaredQuery("decontaminate_ngram_overlap",
+      (s, dir) => graft.text.Decontaminate
+        .report(tbl(s, dir, "documents"), "doc_id", "text", dk,
+          col("doc_id") % 10 === 7, flagPermille = 200)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        g0 AS (SELECT doc_id, t, $dkLeads
+               FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT DISTINCT doc_id, substring(md5($dkGram), 1, 16) AS fp
+              FROM g0 WHERE t${dk - 1} IS NOT NULL),
+        ev AS (SELECT DISTINCT fp FROM g WHERE doc_id % 10 = 7),
+        tr AS (SELECT doc_id, fp FROM g WHERE doc_id % 10 <> 7),
+        pd AS (SELECT tr.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+               FROM tr LEFT JOIN ev ON tr.fp = ev.fp GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(pd.n_grams, 0) AS n_grams,
+          COALESCE(pd.n_hit, 0) AS n_hit,
+          CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+               ELSE (1000 * pd.n_hit) // pd.n_grams END AS contam_permille,
+          CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+               ELSE (1000 * pd.n_hit) // pd.n_grams END >= 200 AS contaminated
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        WHERE d.doc_id % 10 <> 7
+        ORDER BY d.doc_id""")),
+
+    // ---- O39: k-center greedy coreset -------------------------------------
+    // Exact integer distances make the greedy trajectory bit-reproducible;
+    // the oracle replays all 8 rounds as chained CTEs.
+    DeclaredQuery("kcenter_coreset",
+      (s, dir) => graft.vector.Coreset
+        .kCenterGreedy(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .withColumnRenamed("round", "sel_round")
+        .orderBy(col("sel_round")),
+      Some(coresetOracle(8))),
+
+    // ---- O40: per-class embedding outliers --------------------------------
+    // Farthest-from-centroid top-5 per label on the n²-scaled integer
+    // distance; ratio_permille is the exact distance-to-class-mean ratio.
+    DeclaredQuery("embedding_outliers",
+      (s, dir) => graft.vector.Outliers
+        .perClassOutliers(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", topK = 5)
+        .orderBy(col("label"), desc("dist2n"), col("vec_id")),
+      Some("""WITH e AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+          FROM embeddings),
+        s AS (SELECT label, dim, SUM(qv) AS sm, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        d AS (SELECT e.label, e.vec_id,
+                SUM((s.n * e.qv - s.sm) * (s.n * e.qv - s.sm)) AS dist2n
+              FROM e JOIN s ON s.label = e.label AND s.dim = e.dim
+              GROUP BY 1, 2),
+        l AS (SELECT label, SUM(dist2n) AS tot, COUNT(*) AS nl FROM d GROUP BY 1),
+        r AS (SELECT d.label, d.vec_id, CAST(d.dist2n AS BIGINT) AS dist2n,
+                CAST((1000 * d.dist2n * l.nl) // l.tot AS BIGINT) AS ratio_permille,
+                ROW_NUMBER() OVER (PARTITION BY d.label
+                  ORDER BY d.dist2n DESC, d.vec_id) AS rk
+              FROM d JOIN l USING (label))
+        SELECT CAST(label AS BIGINT) AS label, vec_id, dist2n, ratio_permille
+        FROM r WHERE rk <= 5
+        ORDER BY label, dist2n DESC, vec_id"""))
+  )
+}

@@ -8,7 +8,8 @@ object Registry {
   val all: Seq[DeclaredQuery] =
     RelationalQueries.queries ++ ExtendedQueries.queries ++ ScalarQueries.queries ++
       EventQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
-      MaintenanceQueries.queries ++ TokenizerQueries.queries ++ QualityQueries.queries
+      MaintenanceQueries.queries ++ TokenizerQueries.queries ++ QualityQueries.queries ++
+      CorpusQueries.queries ++ AnalyticsQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -1,0 +1,54 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel conversion — the event-analytics staple: how many users
+  * reach stage i having passed stages 1..i−1 IN ORDER (a later "view" after
+  * an early "purchase" does not count as progress). The reference routes
+  * these events one-by-one (lib/kinesisHandler.js:139-170); the funnel is
+  * the batch analytic a handler consumer builds on top.
+  *
+  * Scale design: the frontier chain is k−1 self-joins, every one keyed on
+  * the USER — after the first per-user aggregation the frames share hash
+  * partitioning on user_id, so Catalyst satisfies each subsequent
+  * join/groupBy from the existing exchange (one shuffle per stage of the
+  * EVENTS side only; the frontier side is already partitioned). No windows,
+  * no global sorts; per-stage counts union into one answer-sized frame.
+  */
+object Funnel {
+
+  /** Per-stage reach: (stage_idx, stage, n_users, conv_permille) with
+    * conv_permille = 1000·n_users/n_users(stage 1) as exact integer
+    * division. Stage i's timestamp is the EARLIEST occurrence of stage i
+    * at-or-after the user's stage-(i−1) frontier (min-ts semantics).
+    */
+  def conversion(events: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+
+    // frontier_i: (user, earliest completion ts of prefix 1..i)
+    var frontier = ev.filter(col("__t") === stages.head)
+      .groupBy("__u").agg(min(col("__ts")).as("__ft"))
+    var perStage = Vector(frontier)
+    stages.drop(1).foreach { st =>
+      frontier = ev.filter(col("__t") === st)
+        .join(frontier, "__u")
+        .filter(col("__ts") >= col("__ft"))
+        .groupBy("__u").agg(min(col("__ts")).as("__ft"))
+      perStage :+= frontier
+    }
+    val counts = perStage.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("n_users"))
+    }.reduce(_.union(_))
+    val base = counts.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("__base"))
+    counts.crossJoin(broadcast(base))
+      .withColumn("conv_permille", expr("(1000L * n_users) div __base"))
+      .drop("__base")
+  }
+}

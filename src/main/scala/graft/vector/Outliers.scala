@@ -1,0 +1,65 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-class embedding outlier detection — the mislabeled/noise filter over
+  * an embedded corpus: for each labeled class, rank vectors by squared
+  * distance to the CLASS CENTROID and surface the farthest (candidate
+  * label errors / out-of-distribution rows, the "confident learning"
+  * pre-filter shape).
+  *
+  * Exactness without FP drift: the centroid is never materialized as a
+  * float. With quantized components qv = floor(x·10⁴) and per-(label,dim)
+  * integer sums S and counts n, the n²-scaled squared distance
+  * Σ_d (n·qv − S)² is EXACT integer math, identical in any engine and any
+  * partition order — monotone in the true distance-to-centroid, so ranks
+  * and threshold verdicts match the float computation. Magnitudes:
+  * |qv| ≤ 5.3e3, n ≤ 10⁵ per class ⇒ term ≤ (1.06e9)²·64 ≈ 7e19 — that
+  * exceeds long for n ≳ 10⁴·class, so the per-dim term uses long (safe to
+  * n≈5e4 per class at |x|≤0.53) and the CLASS-level mean compare runs in
+  * DECIMAL(38,0) where products can exceed 2⁶³.
+  *
+  * Scale design: one explode (n·dim rows, map-side), one (label,dim)
+  * aggregation (dim-bounded result — broadcastable), one join back
+  * (broadcast: |labels|·dim rows), one (label,id) aggregation riding the
+  * same shuffle key family, then a bounded-heap top-k (no global window).
+  */
+object Outliers {
+
+  /** Top-`topK` farthest-from-centroid vectors per label:
+    * (label, vec_id, dist2n, ratio_permille) — dist2n is the n²-scaled
+    * integer distance (comparable WITHIN a label); ratio_permille is
+    * 1000·dist2n·n / Σdist2n, the distance-to-class-mean ratio as an exact
+    * integer division (a boolean k×-mean flag would be degenerate on
+    * concentrated high-dim embeddings — the ratio keeps the signal, and
+    * callers threshold it per corpus).
+    */
+  def perClassOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, topK: Int,
+                       quantScale: Double = 10000.0): DataFrame = {
+    require(topK > 0)
+    val flat = df.select(
+      col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("label"),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * lit(quantScale)).cast("long"))).as(Seq("dim", "qv")))
+    val sums = flat.groupBy("label", "dim")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    val per = flat.join(broadcast(sums), Seq("label", "dim"))
+      .withColumn("t", col("n") * col("qv") - col("s"))
+      .groupBy("label", "id")
+      .agg(sum(col("t") * col("t")).as("dist2n"))
+    val lab = per.groupBy("label")
+      .agg(sum(col("dist2n").cast(DecimalType(38, 0))).as("tot"),
+        count(lit(1)).as("nl"))
+    val scored = per.join(broadcast(lab), Seq("label"))
+      .withColumn("ratio_permille",
+        expr("(1000 * CAST(dist2n AS DECIMAL(38,0)) * nl) div tot"))
+      .select(col("label"), col("id").as("vec_id"), col("dist2n"),
+        col("ratio_permille"))
+    graft.relational.TopK.perGroup(scored, Seq("label"),
+      Seq(("dist2n", false), ("vec_id", true)), topK)
+  }
+}
