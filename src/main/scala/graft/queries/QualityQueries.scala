@@ -107,6 +107,61 @@ object QualityQueries {
           sc.bits_neg - sc.bits_pos AS margin_bits,
           CASE WHEN sc.bits_pos < sc.bits_neg THEN 'pos' ELSE 'neg' END AS predicted
         FROM sc JOIN documents d USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- O45: classifier calibration audit --------------------------------
+    // Exact-decile reliability table over the NB margins: is the filter's
+    // score monotone in the actual positive rate? The oracle replays the
+    // full NB pipeline, then bins on quantile_cont cutoffs (exact midpoints
+    // over integer margins — both engines agree bit-for-bit).
+    DeclaredQuery("nb_calibration_bins",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.text.QualityClassifier
+          .calibrationBins(scored, col("lang") === "en")
+          .select(col("bin"), col("n_docs"), col("n_pos"), col("pos_permille"),
+            col("margin_min"), col("margin_max"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id, CAST(SUM(cnt * bn) AS BIGINT) - CAST(SUM(cnt * bp) AS BIGINT)
+                 AS margin_bits
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        m AS (SELECT sc.doc_id, sc.margin_bits, l.pos
+              FROM sc JOIN lab l USING (doc_id)),
+        cuts AS (SELECT quantile_cont(margin_bits,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs FROM m),
+        b AS (SELECT m.*,
+                (CASE WHEN margin_bits > cs[1] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[2] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[3] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[4] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[5] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[6] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[7] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[8] THEN 1 ELSE 0 END +
+                 CASE WHEN margin_bits > cs[9] THEN 1 ELSE 0 END) AS bin
+              FROM m, cuts)
+        SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST((1000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+            AS pos_permille,
+          MIN(margin_bits) AS margin_min, MAX(margin_bits) AS margin_max
+        FROM b GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -83,4 +83,38 @@ object QualityClassifier {
       .withColumn("predicted",
         when(col("bits_pos") < col("bits_neg"), lit("pos")).otherwise(lit("neg")))
   }
+
+  /** Reliability table over [[score]] margins — the calibration audit a
+    * quality filter needs before its threshold is trusted: exact decile
+    * cutoffs of `margin_bits` (integer data ⇒ `percentile` midpoints are
+    * k or k+0.5, exact in double — the repo's quantile-determinism rule),
+    * rows binned by comparison against the broadcast 1-row cutoff array,
+    * and per-bin actual-positive rates in exact permille. A monotone
+    * pos_permille column is the "calibrated enough to threshold" signal.
+    *
+    * Scale: one percentile aggregation (answer-sized 1-row cutoff array,
+    * broadcast back), one conditional-aggregation pass — no sort, no
+    * window, no join beyond the 1-row broadcast.
+    *
+    * @param scored  [[score]] output joined with the actual label column
+    * @param isPositive the ACTUAL label (not the prediction)
+    */
+  def calibrationBins(scored: DataFrame, isPositive: Column,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = scored.agg(
+      expr(s"percentile(margin_bits, array(${qs.mkString(",")}))").as("__cs"))
+    scored.withColumn("__pos", isPositive)
+      .crossJoin(broadcast(cuts))
+      .withColumn("bin", (1 until nBins).map(i =>
+        when(col("margin_bits") > element_at(col("__cs"), i), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        min("margin_bits").as("margin_min"),
+        max("margin_bits").as("margin_max"))
+      .withColumn("pos_permille", expr("(1000L * n_pos) div n_docs"))
+  }
 }

@@ -195,6 +195,30 @@ class PlanShapeSpec extends SparkSpec {
     // neighborhood check above is the actual scale-killer detector.
   }
 
+  test("round-6 corpus/analytics ops keep their scale shapes") {
+    // The Gopher gate's claim is structural: the OPERATOR (before the
+    // declared query's oracle-determinism orderBy) is a map-only
+    // projection — zero exchanges of any kind.
+    val g = graft.text.GopherRules.repetitionSignals(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "text")
+    val gPlan = finalPlan(g)
+    assert(count(gPlan, "Exchange") === 0,
+      s"gopher gate grew a shuffle — it must stay map-only:\n$gPlan")
+    // No cartesian anywhere in the round-6 family (the crossJoins in
+    // funnel/drift/calibration are 1-row broadcast frames → BNL, not
+    // CartesianProduct)
+    Seq("decontaminate_ngram_overlap", "funnel_view_click_purchase",
+      "drift_event_mix", "event_transition_matrix", "embedding_outliers",
+      "curriculum_interleave", "nb_calibration_bins").foreach { q =>
+      assert(count(run(q), "CartesianProduct") === 0, s"$q plans a cartesian")
+    }
+    // Outlier model joins must broadcast (dim-bounded sums), never
+    // sort-merge the exploded frame against them
+    val o = run("embedding_outliers")
+    assert(count(o, "SortMergeJoin") === 0,
+      s"embedding_outliers sort-merges a dim-bounded model join:\n$o")
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan
