@@ -815,6 +815,34 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id""")),
 
+    // J5 on the NATIVE exec: the same backward as-of through the custom
+    // LogicalPlan → SparkStrategy → sort-merge AsOfJoinExec stack
+    // (graft.plans.NativeAsOf) instead of the union+window composition —
+    // the hash gate proves both forms bit-identical against DuckDB's
+    // native ASOF JOIN. The native plan shuffles each side at its own
+    // width and carries one right-row buffer per partition (no union
+    // padding, no window state) — the 100 TB-preferred shape when the
+    // probe side is wide.
+    DeclaredQuery("asof_native_click",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"), col("value"))
+        graft.plans.NativeAsOf.backward(purchases, clicks, Seq("user_id"),
+          "ts", "cts", Seq("click_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"), col("asof_value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
     // J5 with a staleness bound: the nearest earlier click counts only
     // within 30 minutes — nearest-THEN-check (pandas merge_asof tolerance
     // semantics), stale matches null out, every purchase row survives.
