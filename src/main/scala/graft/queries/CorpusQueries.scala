@@ -134,6 +134,34 @@ object CorpusQueries {
         WHERE d.doc_id % 10 <> 7
         ORDER BY d.doc_id""")),
 
+    // ---- O46: Pareto-front curation filter --------------------------------
+    // Documents no other document beats on BOTH length and lexical
+    // diversity — the multi-criteria keep-set. Signals are the row-local
+    // Gopher folds; the running max rides the two-phase prefix-max (no
+    // global sort/window — see relational/Skyline).
+    DeclaredQuery("pareto_front_docs",
+      (s, dir) => graft.relational.Skyline.front2D(
+        graft.text.GopherRules
+          .repetitionSignals(tbl(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("n_words"), col("ttr_permille")),
+        "n_words", "ttr_permille")
+        .select(col("doc_id"), col("n_words"), col("ttr_permille"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        ws AS (SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT t) AS ndw
+               FROM tok GROUP BY 1),
+        s AS (SELECT doc_id, n_words, (1000 * ndw) // n_words AS ttr FROM ws),
+        p AS (SELECT n_words, MAX(ttr) AS ymax FROM s GROUP BY 1),
+        m AS (SELECT n_words, ymax,
+                MAX(ymax) OVER (ORDER BY n_words DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+              FROM p)
+        SELECT s.doc_id, s.n_words, s.ttr AS ttr_permille
+        FROM s JOIN m USING (n_words)
+        WHERE s.ttr = m.ymax AND (m.m1 IS NULL OR s.ttr > m.m1)
+        ORDER BY s.doc_id""")),
+
     // ---- O39: k-center greedy coreset -------------------------------------
     // Exact integer distances make the greedy trajectory bit-reproducible;
     // the oracle replays all 8 rounds as chained CTEs.
