@@ -91,6 +91,69 @@ object AnalyticsQueries {
             AS delta_permille
         FROM pc, t ORDER BY category""")),
 
+    // ---- O47: incremental aggregate maintenance ---------------------------
+    // The production "don't rescan history" shape: a landed base aggregate
+    // (events before the cutoff) merged with a DELTA-ONLY aggregation via
+    // one answer-sized full-outer merge — at 100 TB only the delta
+    // shuffles. The matches_full column re-derives the same totals from a
+    // full recompute and asserts equality inside the result, so the gate
+    // hashes the maintenance invariant itself.
+    DeclaredQuery("incremental_agg_merge",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val bounds = evs.agg(
+          min(unix_micros(col("ts"))).as("__mn"),
+          max(unix_micros(col("ts"))).as("__mx"))
+          .select(expr("(__mn + __mx) div 2").as("__mid"))
+        val halved = evs.crossJoin(broadcast(bounds))
+          .withColumn("__is_base", unix_micros(col("ts")) < col("__mid"))
+        def aggOf(df: org.apache.spark.sql.DataFrame, n: String, c: String) = df
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as(n), sum(dec2(col("value"))).as(c))
+        val base = aggOf(halved.filter(col("__is_base")), "n_base", "v_base")
+        val delta = aggOf(halved.filter(!col("__is_base")), "n_delta", "v_delta")
+        val merged = base.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+              .as("n_merged"),
+            (coalesce(col("v_base"), lit(0).cast("decimal(22,2)")) +
+              coalesce(col("v_delta"), lit(0).cast("decimal(22,2)")))
+              .cast("double").as("value_merged"))
+        val full = evs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_full"),
+            sum(dec2(col("value"))).cast("double").as("v_full"))
+        merged.join(full, Seq("event_type"))
+          .withColumn("matches_full",
+            col("n_merged") === col("n_full") &&
+              col("value_merged") === col("v_full"))
+          .select(col("event_type"), col("n_base"), col("n_delta"),
+            col("n_merged"), col("value_merged"), col("matches_full"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+                FROM events),
+        base AS (SELECT event_type, COUNT(*) AS n_base,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS v_base
+                 FROM events WHERE epoch_us(ts) < (SELECT mid FROM b) GROUP BY 1),
+        delta AS (SELECT event_type, COUNT(*) AS n_delta,
+                    SUM(CAST(value AS DECIMAL(12,2))) AS v_delta
+                  FROM events WHERE epoch_us(ts) >= (SELECT mid FROM b) GROUP BY 1),
+        merged AS (SELECT event_type,
+                     COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+                     COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_merged,
+                     CAST(COALESCE(v_base, 0) + COALESCE(v_delta, 0) AS DOUBLE)
+                       AS value_merged
+                   FROM base FULL OUTER JOIN delta USING (event_type)),
+        f AS (SELECT event_type, COUNT(*) AS n_full,
+                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_full
+              FROM events GROUP BY 1)
+        SELECT m.event_type, m.n_base, m.n_delta, m.n_merged, m.value_merged,
+          m.n_merged = f.n_full AND m.value_merged = f.v_full AS matches_full
+        FROM merged m JOIN f USING (event_type)
+        ORDER BY m.event_type""")),
+
     // ---- O44: curriculum stride interleave --------------------------------
     // Quality-first within source, source-balanced globally; first 100
     // positions of the deterministic training order.
