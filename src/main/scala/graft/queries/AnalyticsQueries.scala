@@ -38,6 +38,32 @@ object AnalyticsQueries {
             AS conv_permille
         FROM c ORDER BY stage_idx""")),
 
+    // O41 with conversion windows: each transition must land within 2 h of
+    // the previous frontier (earliest-in-window becomes the next anchor).
+    DeclaredQuery("funnel_windowed_2h",
+      (s, dir) => graft.relational.Funnel
+        .conversion(events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), maxGapSeconds = Some(7200L))
+        .orderBy(col("stage_idx")),
+      Some("""WITH f1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN f1 ON e.user_id = f1.user_id
+               WHERE e.event_type = 'click' AND e.ts >= f1.t
+                 AND e.ts <= f1.t + INTERVAL 2 HOUR GROUP BY 1),
+        f3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+               JOIN f2 ON e.user_id = f2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= f2.t
+                 AND e.ts <= f2.t + INTERVAL 2 HOUR GROUP BY 1),
+        c AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                COUNT(*) AS n_users FROM f1
+              UNION ALL SELECT 2, 'click', COUNT(*) FROM f2
+              UNION ALL SELECT 3, 'purchase', COUNT(*) FROM f3)
+        SELECT stage_idx, stage, n_users,
+          (1000 * n_users) // (SELECT n_users FROM c WHERE stage_idx = 1)
+            AS conv_permille
+        FROM c ORDER BY stage_idx""")),
+
     // ---- O42: event transition matrix -------------------------------------
     // Per-user next-event pairs (deterministic (ts, event_id) order), row
     // shares in exact permille; totals broadcast (no per-row window).

@@ -22,10 +22,22 @@ object Funnel {
     * conv_permille = 1000·n_users/n_users(stage 1) as exact integer
     * division. Stage i's timestamp is the EARLIEST occurrence of stage i
     * at-or-after the user's stage-(i−1) frontier (min-ts semantics).
+    * With `maxGapSeconds`, each transition must also land WITHIN the gap
+    * of the previous frontier (the conversion-window form — "a click
+    * within an hour of the view"); the earliest-in-window occurrence
+    * becomes the next frontier, so the window is anchored per transition,
+    * not to the funnel start.
     */
   def conversion(events: DataFrame, userCol: String, typeCol: String,
-                 tsCol: String, stages: Seq[String]): DataFrame = {
+                 tsCol: String, stages: Seq[String],
+                 maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
+    require(maxGapSeconds.forall(_ > 0), "conversion window must be positive")
+    maxGapSeconds.foreach { _ =>
+      require(events.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        "conversion windows need a TIMESTAMP time column (unix_micros math)")
+    }
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"))
 
@@ -34,9 +46,15 @@ object Funnel {
       .groupBy("__u").agg(min(col("__ts")).as("__ft"))
     var perStage = Vector(frontier)
     stages.drop(1).foreach { st =>
+      val inWindow = maxGapSeconds match {
+        case Some(gap) =>
+          col("__ts") >= col("__ft") &&
+            unix_micros(col("__ts")) - unix_micros(col("__ft")) <= gap * 1000000L
+        case None => col("__ts") >= col("__ft")
+      }
       frontier = ev.filter(col("__t") === st)
         .join(frontier, "__u")
-        .filter(col("__ts") >= col("__ft"))
+        .filter(inWindow)
         .groupBy("__u").agg(min(col("__ts")).as("__ft"))
       perStage :+= frontier
     }

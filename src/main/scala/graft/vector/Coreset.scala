@@ -56,14 +56,21 @@ object Coreset {
     selected :+= ((seed.getLong(0), seed.getLong(1), seed.getSeq[Long](2)))
 
     var cur = q.withColumn("__md", dist2To(selected.head._3))
-    for (r <- 2 to k) {
-      val row = cur.filter(!col("id").isin(selected.map(_._1): _*))
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      val rows = cur.filter(!col("id").isin(selected.map(_._1): _*))
         .orderBy(desc("__md"), asc("id")).limit(1)
         .select(col("id"), col("__md"), col("q"))
-        .collect()(0)
-      val pick = (row.getLong(0), row.getLong(1), row.getSeq[Long](2))
-      selected :+= pick
-      if (r < k) cur = cur.withColumn("__md", least(col("__md"), dist2To(pick._3)))
+        .collect()
+      if (rows.isEmpty) {
+        // k exceeds the corpus: return the full trajectory so far
+        exhausted = true
+      } else {
+        val row = rows(0)
+        val pick = (row.getLong(0), row.getLong(1), row.getSeq[Long](2))
+        selected :+= pick
+        if (r < k) cur = cur.withColumn("__md", least(col("__md"), dist2To(pick._3)))
+      }
     }
     import spark.implicits._
     selected.zipWithIndex
