@@ -172,6 +172,67 @@ object CorpusQueries {
         .orderBy(col("sel_round")),
       Some(coresetOracle(8))),
 
+    // ---- O48: kNN-graph triangle census -----------------------------------
+    // Local clustering structure of the k=3 cosine graph: triangles per
+    // node and the clustering coefficient in exact permille. The
+    // canonical-order trick (a<b<c paths, one EXISTS probe) counts each
+    // triangle once; every join is degree-bounded (≤ 2k per node after
+    // symmetrization) and equi-keyed — the standard distributed triangle
+    // census, no enumeration of non-edges.
+    DeclaredQuery("knn_triangle_count",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val knn = graft.vector.Similarity.bruteForceTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3)
+        val und = knn.select(
+          least(col("qid"), col("cid")).as("a"),
+          greatest(col("qid"), col("cid")).as("b")).distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          .join(und.select(col("a").as("x"), col("b").as("z")),
+            Seq("x", "z"), "left_semi")
+        val tn = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("t"))
+        val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        emb.select(col("vec_id").as("id"))
+          .join(deg, Seq("id"), "left")
+          .join(tn, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("d"), lit(0L)).as("degree"),
+            coalesce(col("t"), lit(0L)).as("n_triangles"),
+            when(coalesce(col("d"), lit(0L)) >= 2,
+              expr("(2000L * coalesce(t, 0L)) div (d * (d - 1L))"))
+              .otherwise(lit(0L)).as("clustering_permille"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+        knn AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM sc) t WHERE rk <= 3),
+        und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = e1.a AND u.b = e2.b)),
+        tn AS (SELECT id, COUNT(*) AS t FROM (
+                 SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY 1),
+        deg AS (SELECT id, COUNT(*) AS d FROM (
+                  SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        n AS (SELECT vec_id AS id FROM e)
+        SELECT n.id, COALESCE(deg.d, 0) AS degree, COALESCE(tn.t, 0) AS n_triangles,
+          CASE WHEN COALESCE(deg.d, 0) >= 2
+               THEN (2000 * COALESCE(tn.t, 0)) // (deg.d * (deg.d - 1))
+               ELSE CAST(0 AS BIGINT) END AS clustering_permille
+        FROM n LEFT JOIN deg ON deg.id = n.id LEFT JOIN tn ON tn.id = n.id
+        ORDER BY n.id""")),
+
     // ---- O40: per-class embedding outliers --------------------------------
     // Farthest-from-centroid top-5 per label on the n²-scaled integer
     // distance; ratio_permille is the exact distance-to-class-mean ratio.
