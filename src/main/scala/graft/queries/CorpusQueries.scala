@@ -172,6 +172,35 @@ object CorpusQueries {
         .orderBy(col("sel_round")),
       Some(coresetOracle(8))),
 
+    // ---- O49: exact-balance stratified k-fold -----------------------------
+    // Round-robin over a deterministic md5 shuffle within each (source,
+    // lang) stratum: per-(stratum, fold) counts differ by at most one —
+    // the gate hashes the balance ledger itself.
+    DeclaredQuery("kfold_stratified",
+      (s, dir) => {
+        val folded = graft.text.Sampling.stratifiedKFold(
+          tbl(s, dir, "documents"), Seq("source", "lang"), col("doc_id"), k = 5)
+        val counts = folded.groupBy(col("source"), col("lang"), col("fold"))
+          .agg(count(lit(1)).as("n"))
+        val ledger = counts.groupBy(col("source"), col("lang"))
+          .agg(min(col("n")).as("__mn"), max(col("n")).as("__mx"))
+        counts.join(ledger, Seq("source", "lang"))
+          .select(col("source"), col("lang"), col("fold"), col("n"),
+            (col("__mx") - col("__mn") <= 1).as("balanced"))
+          .orderBy(col("source"), col("lang"), col("fold"))
+      },
+      Some("""WITH f AS (SELECT source, lang,
+                 (ROW_NUMBER() OVER (PARTITION BY source, lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1) % 5 AS fold
+               FROM documents),
+        c AS (SELECT source, lang, CAST(fold AS BIGINT) AS fold,
+                COUNT(*) AS n FROM f GROUP BY 1, 2, 3),
+        l AS (SELECT source, lang, MIN(n) AS mn, MAX(n) AS mx
+              FROM c GROUP BY 1, 2)
+        SELECT c.source, c.lang, c.fold, c.n, l.mx - l.mn <= 1 AS balanced
+        FROM c JOIN l USING (source, lang)
+        ORDER BY c.source, c.lang, c.fold""")),
+
     // ---- O48: kNN-graph triangle census -----------------------------------
     // Local clustering structure of the k=3 cosine graph: triangles per
     // node and the clustering coefficient in exact permille. The

@@ -141,4 +141,25 @@ object Sampling {
       .filter(expr(s"(cw * $k) div $total > ((cw - __w) * $k) div $total"))
       .drop("__w")
   }
+
+  /** EXACT-balance stratified k-fold assignment: within each stratum, rows
+    * are ordered by a deterministic md5 shuffle of the key and dealt
+    * round-robin into k folds — per-(stratum, fold) counts differ by AT
+    * MOST ONE, a guarantee proportional hash splits ([[splitTag]]) only
+    * give in expectation. The cross-validation / sharded-eval shape where
+    * every fold must see the same stratum mix.
+    *
+    * One window per stratum (hash-partitioned on the stratum columns —
+    * strata are dims like (source, lang); a corpus whose single stratum is
+    * huge should sub-salt the stratum or use the grouped prefix sum).
+    * Adds `fold` (0..k−1).
+    */
+  def stratifiedKFold(df: DataFrame, stratumCols: Seq[String], keyCol: Column,
+                      k: Int): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCols.map(col): _*)
+      .orderBy(md5(keyCol.cast("string")))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+  }
 }

@@ -114,4 +114,21 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(singleton.forall(t => docKeyed(t._1) == t._3))
   }
+
+  test("stratified k-fold: exact ±1 balance per stratum, deterministic") {
+    // 23 rows in stratum A (23 = 4·5+3 → folds sized 5,5,5,4,4),
+    // 7 in stratum B (2,2,1,1,1)
+    val rows = ((1L to 23L).map(i => (i, "A")) ++ (100L to 106L).map(i => (i, "B")))
+      .toDF("id", "s")
+    val folded = Sampling.stratifiedKFold(rows, Seq("s"), col("id"), k = 5)
+      .select("s", "fold", "id").as[(String, Long, Long)].collect()
+    val sizes = folded.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    assert(sizes.filterKeys(_._1 == "A").values.toSeq.sorted === Seq(4, 4, 5, 5, 5))
+    assert(sizes.filterKeys(_._1 == "B").values.toSeq.sorted === Seq(1, 1, 1, 2, 2))
+    assert(folded.forall(t => t._2 >= 0 && t._2 < 5))
+    // determinism: a second run assigns identical folds
+    val again = Sampling.stratifiedKFold(rows, Seq("s"), col("id"), k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(folded.forall(t => again(t._3) == t._2))
+  }
 }
