@@ -350,6 +350,58 @@ object EventQueries {
           event_type, COUNT(*) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- T6/T7: STREAMING drift monitor ----------------------------------
+    // The production pairing of drift_event_mix: hourly event-mix shares
+    // computed IN the stream (watermarked tumbling windows, state bounded
+    // by the watermark), with per-type permille share deltas versus the
+    // previous emitted window. The windowed-counts frame is answer-sized
+    // (hours × types), so the Complete-mode memory sink + localize + drop
+    // pattern applies; the delta post-processing runs over the LOCAL
+    // answer-sized frame. An alerting consumer thresholds delta_permille.
+    DeclaredQuery("stream_drift_windows",
+      (s, dir) => {
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load()
+        val evs = Dsl.normalizeTs(stream)
+        val counts = graft.streaming.StreamingRouter.windowedCounts(
+          evs, "ts", watermark = "2 hours", size = "1 hour", slide = "1 hour",
+          "event_type")
+        val name = "stream_drift_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val hourly = graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
+          .select(col("window.start").cast("timestamp_ntz").as("hour"),
+            col("event_type"), col("n"))
+        val tot = hourly.groupBy(col("hour")).agg(sum(col("n")).as("__ht"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("hour"))
+        hourly.join(tot, Seq("hour"))
+          .withColumn("share_permille", expr("(1000L * n) div __ht"))
+          .withColumn("delta_permille",
+            coalesce(abs(col("share_permille") -
+              lag(col("share_permille"), 1).over(w)), lit(0L)))
+          .select(col("hour"), col("event_type"), col("n"),
+            col("share_permille"), col("delta_permille"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                 event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+        t AS (SELECT hour, SUM(n) AS ht FROM c GROUP BY 1),
+        s AS (SELECT c.hour, c.event_type, c.n,
+                CAST((1000 * c.n) // t.ht AS BIGINT) AS share_permille
+              FROM c JOIN t USING (hour))
+        SELECT hour, event_type, n, share_permille,
+          CAST(COALESCE(abs(share_permille - LAG(share_permille) OVER (
+            PARTITION BY event_type ORDER BY hour)), 0) AS BIGINT)
+            AS delta_permille
+        FROM s ORDER BY hour, event_type""")),
+
     // ---- T6 under the oracle: STREAM-STREAM interval join ----------------
     // The attribution join (clicks within the trailing 2 h of each
     // purchase) running fully in Structured Streaming: two replay streams
