@@ -38,6 +38,7 @@ case class AsOfJoinNode(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     carried: Seq[Attribute], asofAttrs: Seq[Attribute],
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ asofAttrs
   // the asof_* columns are born here: excluded from missing-input analysis
@@ -51,6 +52,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     carried: Seq[Attribute], asofAttrs: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
@@ -108,7 +110,32 @@ case class AsOfJoinExec(
         var carryKey: UnsafeRow = null
         var carryVals: UnsafeRow = null
 
-        lIter.map { lRow =>
+        if (forward) {
+          // nearest right at-or-AFTER: rights with rt < lT are dead for
+          // every later left row too (lT ascending within the key), so the
+          // pointer is monotone and the match is simply the right head.
+          // Rights are consumed only once the key group or time passes —
+          // a left row's match may serve later left rows as well, so the
+          // head is NOT advanced past a satisfying row.
+          lIter.map { lRow =>
+            val lKey = lKeyProj(lRow)
+            val lT = timeOf(lTimeBound, lRow)
+            var advancing = true
+            while (advancing && rRow != null) {
+              val rKey = rKeyProj(rRow)
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0 || (cmp == 0 && timeOf(rTimeBound, rRow) < lT)) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else {
+                advancing = false
+              }
+            }
+            val matched = rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0
+            if (matched) numMatched += 1
+            numOutputRows += 1
+            result(joined(lRow, if (matched) carriedProj(rRow) else nulls))
+          }
+        } else lIter.map { lRow =>
           val lKey = lKeyProj(lRow)
           val lT = timeOf(lTimeBound, lRow)
           var advancing = true
@@ -138,7 +165,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.carried, n.asofAttrs, planLater(n.left), planLater(n.right)) :: Nil
+        n.carried, n.asofAttrs, n.forward,
+        planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -157,7 +185,22 @@ object NativeAsOf {
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String]): DataFrame =
+    build(left, right, keyCols, leftTime, rightTime, rightVals, forward = false)
+
+  /** Native forward as-of (nearest right at-or-AFTER) — mergeable in the
+    * same ascending order: dead rights stay dead for later left rows, so
+    * the pointer is monotone and no carry buffer is needed. Same semantics
+    * as [[graft.relational.AsOfJoin.forward]].
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String,
+              rightVals: Seq[String]): DataFrame =
+    build(left, right, keyCols, leftTime, rightTime, rightVals, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    leftTime: String, rightTime: String,
+                    rightVals: Seq[String], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -181,6 +224,6 @@ object NativeAsOf {
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
     GraftBridge.ofRows(spark, AsOfJoinNode(
       keyCols.map(la), keyCols.map(ra), la(leftTime), ra(rightTime),
-      carried, asofAttrs, lPlan, rPlan))
+      carried, asofAttrs, forward, lPlan, rPlan))
   }
 }

@@ -940,6 +940,29 @@ object EventQueries {
           ON p.user_id = c.user_id AND p.ts <= c.ts
         ORDER BY p.event_id""")),
 
+    // Forward direction on the NATIVE exec (see asof_native_click): the
+    // ascending merge needs no carry buffer — dead rights stay dead for
+    // later left rows, so the head pointer is monotone.
+    DeclaredQuery("asof_native_next_click",
+      (s, dir) => {
+        val evs = events(s, dir)
+        val purchases = evs.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = evs.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"), col("value"))
+        graft.plans.NativeAsOf.forward(purchases, clicks, Seq("user_id"),
+          "ts", "cts", Seq("click_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"), col("asof_value").as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id""")),
+
     // ---- Funnel / attribution: purchases converted by a click within the
     // preceding hour, per user. Built on the as-of join (nearest earlier
     // click), so the attribution window is a filter on ONE carried row — no

@@ -55,6 +55,34 @@ class NativeAsOfSpec extends SparkSpec {
       s"native plan regressed to union+window:\n$plan")
   }
 
+  test("forward direction: nearest at-or-after, head not consumed by a match") {
+    val l = Seq((1L, 10L, "p1"), (1L, 10L, "p2"), (1L, 20L, "p3"), (2L, 5L, "p4"))
+      .toDF("k", "t", "v")
+    val r = Seq((1L, 10L, "c1"), (1L, 30L, "c2"), (3L, 1L, "c3"))
+      .toDF("k", "rt", "w")
+    val out = NativeAsOf.forward(l, r, Seq("k"), "t", "rt", Seq("w"))
+      .select("v", "asof_w").as[(String, Option[String])].collect().toMap
+    // p1 AND p2 both match c1 (equal-time tie inclusive, head not consumed);
+    // p3's nearest later is c2; p4's key has no rights → null
+    assert(out === Map("p1" -> Some("c1"), "p2" -> Some("c1"),
+      "p3" -> Some("c2"), "p4" -> None))
+  }
+
+  test("forward parity with the compositional form on fixture events") {
+    val evs = graft.queries.Dsl.events(spark, sf0001)
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = evs.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value"))
+    val native = NativeAsOf.forward(purchases, clicks, Seq("user_id"),
+      "ts", "cts", Seq("cts", "value"))
+      .select("event_id", "asof_cts", "asof_value")
+    val composed = AsOfJoin.forward(purchases, clicks, Seq("user_id"),
+      "ts", "cts", Seq("cts", "value"))
+      .select("event_id", "asof_cts", "asof_value")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
   test("multiple partitions and empty right partitions behave (repartition stress)") {
     val left = (1L to 200L).map(i => (i % 7, i, s"l$i")).toDF("k", "t", "v")
       .repartition(13)
