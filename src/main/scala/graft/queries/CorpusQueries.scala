@@ -281,7 +281,9 @@ object CorpusQueries {
               GROUP BY 1, 2),
         l AS (SELECT label, SUM(dist2n) AS tot, COUNT(*) AS nl FROM d GROUP BY 1),
         r AS (SELECT d.label, d.vec_id, CAST(d.dist2n AS BIGINT) AS dist2n,
-                CAST((1000 * d.dist2n * l.nl) // l.tot AS BIGINT) AS ratio_permille,
+                CASE WHEN l.tot = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((1000 * d.dist2n * l.nl) // l.tot AS BIGINT)
+                END AS ratio_permille,
                 ROW_NUMBER() OVER (PARTITION BY d.label
                   ORDER BY d.dist2n DESC, d.vec_id) AS rk
               FROM d JOIN l USING (label))

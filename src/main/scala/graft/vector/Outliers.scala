@@ -55,8 +55,12 @@ object Outliers {
       .agg(sum(col("dist2n").cast(DecimalType(38, 0))).as("tot"),
         count(lit(1)).as("nl"))
     val scored = per.join(broadcast(lab), Seq("label"))
+      // a degenerate class (every vector identical) has tot = 0 — all
+      // points sit ON the centroid, so the ratio is 0, not an ANSI
+      // divide-by-zero crash
       .withColumn("ratio_permille",
-        expr("(1000 * CAST(dist2n AS DECIMAL(38,0)) * nl) div tot"))
+        when(col("tot") === 0, lit(0L))
+          .otherwise(expr("(1000 * CAST(dist2n AS DECIMAL(38,0)) * nl) div tot")))
       .select(col("label"), col("id").as("vec_id"), col("dist2n"),
         col("ratio_permille"))
     graft.relational.TopK.perGroup(scored, Seq("label"),
