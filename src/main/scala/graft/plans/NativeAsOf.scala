@@ -219,6 +219,17 @@ object NativeAsOf {
     require(supportedTime.contains(la(leftTime).dataType) &&
       supportedTime.contains(ra(rightTime).dataType),
       "as-of time columns must be timestamp/date/integral")
+    require(la(leftTime).dataType == ra(rightTime).dataType,
+      s"as-of time types must match: ${la(leftTime).dataType} vs " +
+        s"${ra(rightTime).dataType} (a long-vs-timestamp merge would compare " +
+        "epoch micros against raw longs)")
+    keyCols.foreach { kc =>
+      require(la(kc).dataType == ra(kc).dataType,
+        s"as-of key '$kc' types must match: ${la(kc).dataType} vs ${ra(kc).dataType}")
+    }
+    require(!left.columns.exists(c => rightVals.contains(c.stripPrefix("asof_"))
+        && c.startsWith("asof_")),
+      "left side already carries asof_-prefixed columns that would collide")
     val carried = rightVals.map(ra)
     val asofAttrs = carried.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
