@@ -24,6 +24,9 @@ object Drift {
     * the midpoint fall into the SECOND half.
     */
   def tvByCategory(df: DataFrame, catCol: String, tsCol: String): DataFrame = {
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "drift split needs a TIMESTAMP column (unix_micros midpoint math)")
     val bounds = df.agg(
       min(unix_micros(col(tsCol))).as("__mn"),
       max(unix_micros(col(tsCol))).as("__mx"))

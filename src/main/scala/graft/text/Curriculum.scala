@@ -28,8 +28,12 @@ object Curriculum {
     */
   def strideInterleave(docs: DataFrame, idCol: String, sourceCol: String,
                        score: Column): DataFrame = {
-    val srcs = docs.select(col(sourceCol).cast("string").as("__s"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val srcRows = docs.select(col(sourceCol).cast("string").as("__s"))
+      .distinct().collect()
+    // a null source would silently drop its rows at the offset join below
+    require(srcRows.forall(!_.isNullAt(0)),
+      s"$sourceCol must be non-null for stride interleaving")
+    val srcs = srcRows.map(_.getString(0)).sorted
     val s = srcs.length.toLong
     val idx = srcs.zipWithIndex.toSeq
     val spark = docs.sparkSession
