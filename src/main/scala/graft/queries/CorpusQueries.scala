@@ -172,6 +172,41 @@ object CorpusQueries {
         .orderBy(col("sel_round")),
       Some(coresetOracle(8))),
 
+    // ---- O50: silhouette cluster-quality audit ----------------------------
+    // Mean-squared-distance silhouette per point with NO pairwise join
+    // (sums-of-squares identity — see ClusterQuality scaladoc); doubles
+    // are single IEEE ops over exact (<2^53) integers, identically
+    // parenthesized in the oracle.
+    DeclaredQuery("embedding_silhouette",
+      (s, dir) => graft.vector.ClusterQuality
+        .silhouette(tbl(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+          FROM embeddings),
+        m AS (SELECT label AS cls, dim, SUM(qv) AS s, SUM(qv*qv) AS q2,
+                COUNT(*) AS n
+              FROM e GROUP BY 1, 2),
+        pc AS (SELECT e.vec_id, e.label, m.cls,
+                 CAST(SUM(m.n * e.qv * e.qv - 2 * e.qv * m.s + m.q2) AS BIGINT) AS x,
+                 MAX(m.n) AS nc
+               FROM e JOIN m USING (dim) GROUP BY 1, 2, 3),
+        r AS (SELECT vec_id, label, cls,
+                CASE WHEN cls = label
+                     THEN CASE WHEN nc > 1 THEN CAST(x AS DOUBLE) / (nc - 1) END
+                     ELSE CAST(x AS DOUBLE) / nc END AS ratio
+              FROM pc)
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+          MAX(CASE WHEN cls = label THEN ratio END) AS a_own,
+          MIN(CASE WHEN cls <> label THEN ratio END) AS b_other,
+          (MIN(CASE WHEN cls <> label THEN ratio END) -
+           MAX(CASE WHEN cls = label THEN ratio END)) /
+          GREATEST(MAX(CASE WHEN cls = label THEN ratio END),
+                   MIN(CASE WHEN cls <> label THEN ratio END)) AS silhouette
+        FROM r GROUP BY 1, 2
+        ORDER BY vec_id""")),
+
     // ---- O49: exact-balance stratified k-fold -----------------------------
     // Round-robin over a deterministic md5 shuffle within each (source,
     // lang) stratum: per-(stratum, fold) counts differ by at most one —
