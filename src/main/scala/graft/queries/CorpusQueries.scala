@@ -172,6 +172,46 @@ object CorpusQueries {
         .orderBy(col("sel_round")),
       Some(coresetOracle(8))),
 
+    // ---- classifier-evaluation view of the heuristic language ID ----------
+    // Confusion matrix of actual lang vs langId prediction with per-row
+    // recall in exact permille — the evaluation sibling of text_lang_id
+    // (which hashes the per-doc predictions) and nb_calibration_bins
+    // (which audits the NB filter). Category²-bounded output, row totals
+    // broadcast.
+    DeclaredQuery("langid_confusion",
+      (s, dir) => {
+        val pred = tbl(s, dir, "documents").select(
+          col("lang"), graft.text.TextFunctions.langId(col("text")).as("pred"))
+        val cells = pred.groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy("lang").agg(sum("n").as("__t"))
+        cells.join(broadcast(totals), Seq("lang"))
+          .withColumn("recall_permille", expr("(1000L * n) div __t"))
+          .select(col("lang"), col("pred"), col("n"), col("recall_permille"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+          len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+          len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'es'))) AS s_es,
+          len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'de', 'et', 'est'))) AS s_fr,
+          len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+          len(list_filter(string_split(text, ' '), t -> t IN ('的', '是', '在', '了', '和'))) AS s_zh
+        FROM documents),
+        p AS (SELECT lang,
+          CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+               WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+               WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+               ELSE 'zh' END AS pred
+          FROM h),
+        c AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        t AS (SELECT lang, SUM(n) AS tt FROM c GROUP BY 1)
+        SELECT c.lang, c.pred, c.n,
+          CAST((1000 * c.n) // t.tt AS BIGINT) AS recall_permille
+        FROM c JOIN t USING (lang)
+        ORDER BY c.lang, c.pred""")),
+
     // ---- O50: silhouette cluster-quality audit ----------------------------
     // Mean-squared-distance silhouette per point with NO pairwise join
     // (sums-of-squares identity — see ClusterQuality scaladoc); doubles
