@@ -43,4 +43,37 @@ class FunnelWindowSpec extends SparkSpec {
     val evs = Seq((1L, "view", 0L), (1L, "click", 3600L))
     assert(run(Some(3600L), evs: _*).take(2) === Seq(1L, 1L))
   }
+
+  test("windowed funnel matches a sequential simulation on random event streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val stages = Seq("view", "click", "purchase")
+    val gap = 10L
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.chooseNum(1L, 5L); t <- Gen.oneOf(stages)
+      s <- Gen.chooseNum(0L, 50L)
+    } yield (u, t, s))
+    val cases = (1 to 6).flatMap(i =>
+      evGen.apply(Gen.Parameters.default, Seed(31337L + i)))
+    cases.foreach { evs =>
+      val got = run(Some(gap), evs: _*)
+      val expect = (1 to stages.length).map { depth =>
+        evs.groupBy(_._1).values.count { rows =>
+          var frontier = Option.empty[Long]
+          var ok = true
+          stages.take(depth).foreach { st =>
+            if (ok) {
+              val cand = rows.collect {
+                case (_, t, ts) if t == st &&
+                  frontier.forall(f => ts >= f && ts <= f + gap) => ts
+              }
+              if (cand.isEmpty) ok = false else frontier = Some(cand.min)
+            }
+          }
+          ok
+        }.toLong
+      }
+      assert(got === expect, s"events: $evs")
+    }
+  }
 }
