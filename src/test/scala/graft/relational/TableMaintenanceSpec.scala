@@ -30,6 +30,41 @@ class TableMaintenanceSpec extends SparkSpec {
     ))
   }
 
+  test("upsert matches a sequential CDC fold on random logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      baseKeys <- Gen.someOf(1L to 12L)
+      nCh <- Gen.chooseNum(0, 25)
+      chs <- Gen.listOfN(nCh, for {
+        k <- Gen.chooseNum(1L, 15L)
+        op <- Gen.oneOf("U", "D")
+        s <- Gen.oneOf("p", "q", "r")
+      } yield (k, op, s))
+    } yield (baseKeys.toSeq, chs)
+    val cases = (1 to 6).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(5150L + i)))
+    cases.foreach { case (baseKeys, chs0) =>
+      // unique versions per key so latest-wins is unambiguous
+      val chs = chs0.zipWithIndex.map { case ((k, op, s), i) =>
+        (k, op, i.toLong, s)
+      }
+      val base = baseKeys.map(k => (k, s"b$k")).toDF("k", "status")
+      val changes =
+        if (chs.isEmpty) Seq.empty[(Long, String, Long, String)].toDF("k", "op", "version", "status")
+        else chs.toDF("k", "op", "version", "status")
+      val got = TableMaintenance.upsert(base, changes, "k", "version", "op",
+        Seq("status")).select("k", "status")
+        .as[(Long, String)].collect().toMap
+
+      val latest = chs.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+      val expect = (baseKeys.map(k => k -> s"b$k").toMap ++
+        latest.collect { case (k, (_, "U", _, s)) => k -> s })
+        .filterNot { case (k, _) => latest.get(k).exists(_._2 == "D") }
+      assert(got === expect, s"base=$baseKeys chs=$chs")
+    }
+  }
+
   test("scd2: chains per key, exactly one current row, eff_to = next eff_from") {
     val states = Seq(
       (1L, 100L, "new"), (1L, 200L, "paid"), (1L, 300L, "shipped"),
