@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   * no match → NULL-filled carried columns (left-join shape). Among right
   * rows sharing (keys, time), the last in sort order wins — callers needing
   * determinism there must ensure (keys, time) uniqueness, same as the
-  * compositional form.
+  * compositional form. NULL time columns follow DuckDB too: a null-time
+  * right row never matches (filtered at build), a null-time left row is
+  * emitted unmatched.
   */
 case class AsOfJoinNode(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
@@ -95,9 +97,11 @@ case class AsOfJoinExec(
         val joined = new JoinedRow
         val nulls = new GenericInternalRow(carried.length)
 
-        // null times sort first in the required ordering; treating them as
-        // -inf keeps the merge consistent with that order (a null-time left
-        // row matches only null-time right rows)
+        // NULL-time semantics follow DuckDB ASOF (l.t >= r.t is NULL on
+        // NULL ⇒ never a match): null-time RIGHT rows are filtered out at
+        // build(); null-time LEFT rows emit unmatched below. timeOf's
+        // -inf mapping only remains as a defensive consistency with the
+        // nulls-first sort order should the exec be constructed directly.
         def timeOf(e: Expression, row: InternalRow): Long = e.eval(row) match {
           case l: java.lang.Long => l.longValue
           case i: java.lang.Integer => i.longValue
@@ -105,6 +109,16 @@ case class AsOfJoinExec(
           case other => throw new IllegalStateException(
             s"unsupported as-of time value class ${other.getClass}")
         }
+        // boxed variant for the left side: null must be DISTINGUISHED (no
+        // match), not collapsed into -inf
+        def timeOrNull(e: Expression, row: InternalRow): java.lang.Long =
+          e.eval(row) match {
+            case l: java.lang.Long => l
+            case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+            case null => null
+            case other => throw new IllegalStateException(
+              s"unsupported as-of time value class ${other.getClass}")
+          }
 
         var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
         var carryKey: UnsafeRow = null
@@ -119,43 +133,58 @@ case class AsOfJoinExec(
           // head is NOT advanced past a satisfying row.
           lIter.map { lRow =>
             val lKey = lKeyProj(lRow)
-            val lT = timeOf(lTimeBound, lRow)
+            val lTBox = timeOrNull(lTimeBound, lRow)
+            if (lTBox == null) {
+              // null-time left: no match, and (nulls-first sort) it precedes
+              // every timed row of its key, so skipping the merge keeps the
+              // pointer monotone for later rows
+              numOutputRows += 1
+              result(joined(lRow, nulls))
+            } else {
+              val lT = lTBox.longValue
+              var advancing = true
+              while (advancing && rRow != null) {
+                val rKey = rKeyProj(rRow)
+                val cmp = keyOrd.compare(rKey, lKey)
+                if (cmp < 0 || (cmp == 0 && timeOf(rTimeBound, rRow) < lT)) {
+                  rRow = if (rIter.hasNext) rIter.next() else null
+                } else {
+                  advancing = false
+                }
+              }
+              val matched = rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0
+              if (matched) numMatched += 1
+              numOutputRows += 1
+              result(joined(lRow, if (matched) carriedProj(rRow) else nulls))
+            }
+          }
+        } else lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lTBox = timeOrNull(lTimeBound, lRow)
+          if (lTBox == null) {
+            numOutputRows += 1
+            result(joined(lRow, nulls))
+          } else {
+            val lT = lTBox.longValue
             var advancing = true
             while (advancing && rRow != null) {
               val rKey = rKeyProj(rRow)
               val cmp = keyOrd.compare(rKey, lKey)
-              if (cmp < 0 || (cmp == 0 && timeOf(rTimeBound, rRow) < lT)) {
+              if (cmp < 0) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else if (cmp == 0 && timeOf(rTimeBound, rRow) <= lT) {
+                carryKey = rKey.copy()
+                carryVals = carriedProj(rRow).copy()
                 rRow = if (rIter.hasNext) rIter.next() else null
               } else {
                 advancing = false
               }
             }
-            val matched = rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0
+            val matched = carryKey != null && keyOrd.compare(carryKey, lKey) == 0
             if (matched) numMatched += 1
             numOutputRows += 1
-            result(joined(lRow, if (matched) carriedProj(rRow) else nulls))
+            result(joined(lRow, if (matched) carryVals else nulls))
           }
-        } else lIter.map { lRow =>
-          val lKey = lKeyProj(lRow)
-          val lT = timeOf(lTimeBound, lRow)
-          var advancing = true
-          while (advancing && rRow != null) {
-            val rKey = rKeyProj(rRow)
-            val cmp = keyOrd.compare(rKey, lKey)
-            if (cmp < 0) {
-              rRow = if (rIter.hasNext) rIter.next() else null
-            } else if (cmp == 0 && timeOf(rTimeBound, rRow) <= lT) {
-              carryKey = rKey.copy()
-              carryVals = carriedProj(rRow).copy()
-              rRow = if (rIter.hasNext) rIter.next() else null
-            } else {
-              advancing = false
-            }
-          }
-          val matched = carryKey != null && keyOrd.compare(carryKey, lKey) == 0
-          if (matched) numMatched += 1
-          numOutputRows += 1
-          result(joined(lRow, if (matched) carryVals else nulls))
         }
     }
   }
@@ -233,8 +262,14 @@ object NativeAsOf {
     val carried = rightVals.map(ra)
     val asofAttrs = carried.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    // DuckDB ASOF semantics on NULL: `l.t >= r.t` is NULL ⇒ never a match,
+    // so a null-time right row is dead weight — drop it before the shuffle
+    // (the exec handles null-time LEFT rows by emitting them unmatched)
+    val rFiltered =
+      if (ra(rightTime).nullable) Filter(IsNotNull(ra(rightTime)), rPlan)
+      else rPlan
     GraftBridge.ofRows(spark, AsOfJoinNode(
       keyCols.map(la), keyCols.map(ra), la(leftTime), ra(rightTime),
-      carried, asofAttrs, forward, lPlan, rPlan))
+      carried, asofAttrs, forward, lPlan, rFiltered))
   }
 }

@@ -37,9 +37,18 @@ object Drift {
       .agg(sum(when(col("__h1"), 1L).otherwise(0L)).as("n_first"),
         sum(when(!col("__h1"), 1L).otherwise(0L)).as("n_second"))
     val totals = perCat.agg(sum("n_first").as("__t1"), sum("n_second").as("__t2"))
+    // Degenerate-split guard: with a constant timestamp (min == max) every
+    // row lands in the second half and __t1 = 0; an empty category frame
+    // gives NULL totals. Either way the integer division would raise
+    // DIVIDE_BY_ZERO under ANSI — report a 0 share for an empty half
+    // instead of failing the whole audit.
     perCat.crossJoin(broadcast(totals))
-      .withColumn("p1_permille", expr("(1000L * n_first) div __t1"))
-      .withColumn("p2_permille", expr("(1000L * n_second) div __t2"))
+      .withColumn("p1_permille",
+        when(coalesce(col("__t1"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000L * n_first) div __t1")))
+      .withColumn("p2_permille",
+        when(coalesce(col("__t2"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000L * n_second) div __t2")))
       .withColumn("delta_permille", abs(col("p1_permille") - col("p2_permille")))
       .drop("__t1", "__t2")
   }

@@ -65,8 +65,14 @@ object Funnel {
     }.reduce(_.union(_))
     val base = counts.filter(col("stage_idx") === 1)
       .select(col("n_users").as("__base"))
+    // Zero-base guard: if no event matches stages.head every stage count is
+    // 0 and the integer division would raise DIVIDE_BY_ZERO under ANSI mode
+    // (the repo default) — report conv_permille = 0 instead, matching the
+    // Outliers degenerate-class convention.
     counts.crossJoin(broadcast(base))
-      .withColumn("conv_permille", expr("(1000L * n_users) div __base"))
+      .withColumn("conv_permille",
+        when(col("__base") === 0, lit(0L))
+          .otherwise(expr("(1000L * n_users) div __base")))
       .drop("__base")
   }
 }

@@ -36,10 +36,20 @@ object Skyline {
       min(col(keyCol).cast("double")).as("lo"),
       max(col(keyCol).cast("double")).as("hi"),
       count(lit(1)).as("n"),
-      count(col(keyCol).cast("double")).as("nn")).head()
+      count(col(keyCol).cast("double")).as("nn"),
+      countDistinct(col(keyCol)).as("nd")).head()
     if (bounds.getLong(2) == 0L) return df.withColumn(outCol, lit(null).cast("long"))
     require(bounds.getLong(3) == bounds.getLong(2),
       s"$keyCol must be numeric and non-null for skyline bucketing")
+    // The strictly-before window below is rowsBetween over keyCol DESC — a
+    // DUPLICATE key value would leak its equal-key neighbor into the
+    // "strictly greater" max and silently break the contract. front2D
+    // guarantees uniqueness via its per-x pre-aggregation; direct callers
+    // must too, so enforce it in the same answer-sized bounds pass.
+    require(bounds.getLong(4) == bounds.getLong(2),
+      s"$keyCol must be UNIQUE for the exclusive prefix max (got " +
+        s"${bounds.getLong(2)} rows, ${bounds.getLong(4)} distinct keys); " +
+        "pre-aggregate max(valCol) per key first — cf. Skyline.front2D")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = hi - lo + 1.0
     val bucket = least(lit(numParts - 1),

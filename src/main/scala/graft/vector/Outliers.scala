@@ -16,10 +16,12 @@ import org.apache.spark.sql.types.DecimalType
   * Σ_d (n·qv − S)² is EXACT integer math, identical in any engine and any
   * partition order — monotone in the true distance-to-centroid, so ranks
   * and threshold verdicts match the float computation. Magnitudes:
-  * |qv| ≤ 5.3e3, n ≤ 10⁵ per class ⇒ term ≤ (1.06e9)²·64 ≈ 7e19 — that
-  * exceeds long for n ≳ 10⁴·class, so the per-dim term uses long (safe to
-  * n≈5e4 per class at |x|≤0.53) and the CLASS-level mean compare runs in
-  * DECIMAL(38,0) where products can exceed 2⁶³.
+  * |qv| ≤ 5.3e3, n ≤ 10⁵ per class ⇒ term ≤ (1.06e9)²·64 ≈ 7e19 — beyond
+  * long, so the square-and-sum runs in DECIMAL(38,0) (exact to 10³⁸) and
+  * only the final dist2n narrows to long, failing loudly under ANSI if a
+  * class is so large the total itself exceeds 2⁶³ (the same representable
+  * bound the oracle's CAST AS BIGINT enforces). The class-level mean
+  * compare likewise runs in DECIMAL(38,0).
   *
   * Scale design: one explode (n·dim rows, map-side), one (label,dim)
   * aggregation (dim-bounded result — broadcastable), one join back
@@ -47,10 +49,16 @@ object Outliers {
         x => floor(x.cast("double") * lit(quantScale)).cast("long"))).as(Seq("dim", "qv")))
     val sums = flat.groupBy("label", "dim")
       .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    // The per-dim term n·qv − S can reach ~1e9 at n≈10⁵; its square ~1e18
+    // ×dims overflows long, so square and sum in DECIMAL(38,0) (exact) and
+    // only narrow back to long at the end — ANSI makes a genuinely
+    // unrepresentable total fail loudly instead of wrapping, the same bound
+    // the oracle's CAST(dist2n AS BIGINT) enforces.
     val per = flat.join(broadcast(sums), Seq("label", "dim"))
-      .withColumn("t", col("n") * col("qv") - col("s"))
+      .withColumn("t", (col("n") * col("qv") - col("s")).cast(DecimalType(38, 0)))
       .groupBy("label", "id")
-      .agg(sum(col("t") * col("t")).as("dist2n"))
+      .agg(sum(col("t") * col("t")).as("__d2"))
+      .withColumn("dist2n", col("__d2").cast("long")).drop("__d2")
     val lab = per.groupBy("label")
       .agg(sum(col("dist2n").cast(DecimalType(38, 0))).as("tot"),
         count(lit(1)).as("nl"))

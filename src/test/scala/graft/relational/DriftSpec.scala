@@ -30,6 +30,16 @@ class DriftSpec extends SparkSpec {
     assert(out === ((1L, 2L)))
   }
 
+  test("constant timestamp: empty first half reports 0 shares, not DIVIDE_BY_ZERO") {
+    // min ts == max ts → midpoint equals every row's ts → all rows fall in
+    // the SECOND half, __t1 = 0; the guarded division reports p1 = 0
+    val d = Seq(("a", ts(42)), ("b", ts(42)), ("a", ts(42))).toDF("cat", "ts")
+    val out = Drift.tvByCategory(d, "cat", "ts")
+      .select("category", "n_first", "n_second", "p1_permille", "p2_permille")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 0L, 2L, 0L, 666L), ("b", 0L, 1L, 0L, 333L)))
+  }
+
   test("stable mix yields zero delta") {
     val d = Seq(
       ("a", ts(0)), ("b", ts(10)), ("a", ts(60)), ("b", ts(70)))

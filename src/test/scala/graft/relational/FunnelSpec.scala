@@ -30,6 +30,13 @@ class FunnelSpec extends SparkSpec {
     assert(out.map(_._3).toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("empty first stage: zero base reports conv_permille 0, not DIVIDE_BY_ZERO") {
+    // no event matches stages.head ("view") → every stage count is 0; under
+    // ANSI the unguarded integer division would throw
+    val out = run((1L, "click", 1L), (1L, "purchase", 2L))
+    assert(out.map(r => (r._3, r._4)).toSeq === Seq((0L, 0L), (0L, 0L), (0L, 0L)))
+  }
+
   test("frontier is the EARLIEST valid completion, not any completion") {
     // user views at 10; the click at 1 is too early, the click at 20 counts;
     // purchase at 15 precedes the valid click → not converted

@@ -31,6 +31,17 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys in a direct exclusivePrefixMaxDesc call fail loudly") {
+    // the strictly-before window is rowsBetween over key DESC — an equal key
+    // in a preceding row would leak into the "strictly greater" max, so
+    // uniqueness is enforced, not just documented
+    val dup = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Skyline.exclusivePrefixMaxDesc(dup, "k", "v", "m").collect()
+    }
+    assert(ex.getMessage.contains("UNIQUE"))
+  }
+
   test("empty input returns an empty typed frame") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(Skyline.exclusivePrefixMaxDesc(empty, "k", "v", "m").count() === 0)

@@ -33,6 +33,21 @@ class OutliersSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L), (1L, 4L)))
   }
 
+  test("unrepresentable dist2n fails loudly at the long cast, never wraps") {
+    // quantScale 1e9 makes t = n·qv − S reach ±6e9, t² = 3.6e19 > Long.Max:
+    // the DECIMAL(38,0) square-and-sum is exact and only the final narrowing
+    // cast fails (ANSI), instead of silently wrapping mid-aggregation
+    val d = Seq((1L, Seq(3.0f), 0), (2L, Seq(-3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Outliers.perClassOutliers(d, "vec_id", "embedding", "label", topK = 1,
+        quantScale = 1e9).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cast") ||
+      ex.getMessage.toLowerCase.contains("overflow"),
+      s"expected a loud cast/overflow failure, got: ${ex.getMessage}")
+  }
+
   test("top-k never exceeds class size; ratio is monotone in distance") {
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Outliers.perClassOutliers(d, "vec_id", "embedding", "label", topK = 5)
