@@ -77,11 +77,15 @@ object Dedup {
     */
   private def sparseFromTf(tf: DataFrame, threshold: Double,
                            maxDf: Option[Long]): DataFrame = {
-    // The self-join key is the term's xxhash64, not the term string: the
-    // shuffle carries 8-byte longs, and a cross-term collision
-    // (≈vocab²/2⁶⁴) is the same accepted risk as the shingle index's fused
-    // keys.
-    val postings0 = tf.select(col("id"), xxhash64(col("t")).as("tk"), col("tf"))
+    // The self-join key is a 60-bit md5-prefix of the term, not the term
+    // string: the shuffle carries 8-byte longs, AND the derivation is
+    // portable — the DuckDB oracle replays the identical key, so even a
+    // cross-term collision (≈vocab²/2⁶⁰) produces the same result in both
+    // engines instead of a silent one-sided perturbation (the accepted-risk
+    // class the earlier xxhash64 key carried).
+    val postings0 = tf.select(col("id"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("tk"),
+      col("tf"))
     val postings = maxDf match {
       case Some(cap) =>
         val df_ = postings0.groupBy(col("tk")).agg(count(lit(1)).as("df"))

@@ -282,12 +282,15 @@ object CorpusQueries {
     // canonical-order trick (a<b<c paths, one EXISTS probe) counts each
     // triangle once; every join is degree-bounded (≤ 2k per node after
     // symmetrization) and equi-keyed — the standard distributed triangle
-    // census, no enumeration of non-edges.
+    // census, no enumeration of non-edges. The edge build is the IVF
+    // coarse-cell path (equi-join on cell id, no full-side broadcast, no
+    // O(n²) pair stage); the oracle replays the identical cells.
     DeclaredQuery("knn_triangle_count",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.bruteForceTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3)
+        val knn = graft.vector.Similarity.ivfTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4)
         val und = knn.select(
           least(col("qid"), col("cid")).as("a"),
           greatest(col("qid"), col("cid")).as("b")).distinct()
@@ -312,14 +315,34 @@ object CorpusQueries {
           .orderBy(col("id"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-            list_reduce(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
-            / (sqrt(list_reduce(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2]), (a, b) -> a + b))
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
+        scored AS (
+          SELECT DISTINCT q.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
-          FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+          FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
         knn AS (SELECT qid, cid FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
-            FROM sc) t WHERE rk <= 3),
+            FROM scored) t WHERE rk <= 3),
         und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn),
         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
                 FROM und e1 JOIN und e2 ON e2.a = e1.b

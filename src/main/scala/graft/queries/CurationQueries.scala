@@ -21,9 +21,10 @@ object CurationQueries {
         SELECT doc_id, t, COUNT(*) AS tf FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
         GROUP BY 1, 2),
+      p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
       dots AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
-        FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
       norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
       pairs AS (
         SELECT id1, id2 FROM dots

@@ -976,14 +976,17 @@ object PipelineQueries {
     // arithmetic — order-free sums, bitwise-portable, no libm anywhere
     // (the quantization pattern from the Dsl scaladoc applied to an
     // iterative graph kernel; rounds replay as chained CTEs in the oracle
-    // like bpe_train_merges). The k-NN build is the brute-force baseline
-    // (broadcast queries); at corpus scale the edge build swaps to the
-    // IVF path (ivf_topk) with the iteration unchanged.
+    // like bpe_train_merges). The edge build is the IVF coarse-cell path
+    // (Similarity.ivfTopK): cell assignment is a shuffle-free map against
+    // nlist literal seeds and the candidate join is equi-keyed on cell id —
+    // no full-embedding-side broadcast, no O(n²) pair stage, the plan that
+    // survives 100× (the oracle replays the identical cells).
     DeclaredQuery("knn_pagerank_centrality",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.bruteForceTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3)
+        val knn = graft.vector.Similarity.ivfTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4)
         val edges = knn.select(col("qid").as("src"), col("cid").as("dst"))
         val nodes = emb.select(col("vec_id").as("id"))
         var ranks = nodes.withColumn("r", lit(1000000L))
@@ -999,14 +1002,34 @@ object PipelineQueries {
         ranks.orderBy(col("id"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        sc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-            list_reduce(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
-            / (sqrt(list_reduce(list_transform(list_zip(q.v, q.v), x -> x[1] * x[2]), (a, b) -> a + b))
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
+        scored AS (
+          SELECT DISTINCT q.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
-          FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+          FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
         knn AS (SELECT qid, cid FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
-            FROM sc) t WHERE rk <= 3),
+            FROM scored) t WHERE rk <= 3),
         n AS (SELECT vec_id AS id FROM e),
         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
         c1 AS (SELECT cid AS id, SUM(r // 3) AS cs FROM knn JOIN r0 ON r0.id = knn.qid GROUP BY 1),
@@ -1808,10 +1831,11 @@ object PipelineQueries {
           SELECT doc_id, t, COUNT(*) AS tf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
           GROUP BY 1, 2),
+        p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
         dots AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1)
         SELECT id1, id2,
           CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) AS score
@@ -1839,9 +1863,10 @@ object PipelineQueries {
           SELECT doc_id, t, COUNT(*) AS tf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
           GROUP BY 1, 2),
+        p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
         dots AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
-          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
         pairs AS (
           SELECT id1, id2 FROM dots
@@ -1894,9 +1919,10 @@ object PipelineQueries {
           SELECT doc_id, t, COUNT(*) AS tf FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
           GROUP BY 1, 2),
+        p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
         dots AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
-          FROM tf a JOIN tf b USING (t) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
         pairs AS (
           SELECT id1, id2 FROM dots

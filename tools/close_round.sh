@@ -1,0 +1,74 @@
+#!/usr/bin/env bash
+# Mechanical round close-out: runs every per-round evidence artifact and
+# refuses to close on any gate violation. Round-6 lesson: PLANAUDIT shipped
+# stale (153/177 rows) because regeneration was manual.
+#
+# Usage: tools/close_round.sh <round_number> [sf_dir_bench] [sf_dir_verify]
+#   e.g. tools/close_round.sh 7
+#
+# Produces, in the repo root:
+#   PLANAUDIT_r<N>.txt   — plan shapes for EVERY declared query (count-asserted)
+#   bench_out.json       — full two-pass per-query bench map at sf0.1
+# and checks:
+#   1. sbt test green
+#   2. Verify + check_oracle: 0 fails at sf0.01
+#   3. PlanAudit: zero cartesians, zero FAILED plans, row count == query count
+#   4. Bench runs and parses; bench_diff vs bench_history tail is advisory
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: close_round.sh <round_number>}"
+SF_BENCH="${2:-/root/testdata/sf0.1}"
+SF_VERIFY="${3:-/root/testdata/sf0.01}"
+AUDIT="PLANAUDIT_r${ROUND}.txt"
+
+echo "== close_round r${ROUND}: sbt test =="
+sbt -batch test 2>&1 | tail -4 | tee /tmp/close_test.log
+grep -q "All tests passed." /tmp/close_test.log || {
+  echo "CLOSE FAILED: sbt test not green"; exit 1; }
+
+echo "== close_round: Verify + oracle at ${SF_VERIFY} =="
+sbt -batch "runMain graft.Verify ${SF_VERIFY} /tmp/close_verify" >/dev/null 2>&1
+python3 tools/check_oracle.py "${SF_VERIFY}" /tmp/close_verify \
+  | tee /tmp/close_oracle.log | tail -3
+grep -qE "^[0-9]+ pass / 0 fail" /tmp/close_oracle.log || {
+  echo "CLOSE FAILED: oracle failures"; exit 1; }
+
+echo "== close_round: PlanAudit over every declared query =="
+SPARK_GRAFT_SF_DIR="${SF_VERIFY}" sbt -batch "runMain graft.PlanAudit" \
+  2>/dev/null | grep '^\[plan\]' > "${AUDIT}"
+N_DECLARED=$(python3 - <<'EOF'
+import json
+with open('/tmp/close_verify/oracle_sql.json') as f:
+    oracle = json.load(f)
+import os
+dirs = [d for d in os.listdir('/tmp/close_verify')
+        if os.path.isdir(os.path.join('/tmp/close_verify', d))]
+print(len(dirs))
+EOF
+)
+N_AUDIT=$(wc -l < "${AUDIT}")
+echo "declared=${N_DECLARED} audited=${N_AUDIT}"
+[ "${N_AUDIT}" -eq "${N_DECLARED}" ] || {
+  echo "CLOSE FAILED: ${AUDIT} has ${N_AUDIT} rows, expected ${N_DECLARED}"; exit 1; }
+if grep -E "cart=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: cartesian product in a declared plan"; exit 1; fi
+if grep -q "FAILED" "${AUDIT}"; then
+  echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
+
+echo "== close_round: Bench at ${SF_BENCH} (two interleaved passes) =="
+SPARK_GRAFT_SF_DIR="${SF_BENCH}" sbt -batch "runMain graft.Bench" \
+  2>/dev/null | grep '{"metric"' | tail -1 > /tmp/close_bench_short.json
+python3 -m json.tool < /tmp/close_bench_short.json >/dev/null || {
+  echo "CLOSE FAILED: bench short line did not parse"; exit 1; }
+echo "bench total: $(python3 -c "import json;print(json.load(open('bench_out.json'))['value'])") s"
+
+PREV=$(ls -t bench_history/*.json 2>/dev/null | head -1 || true)
+if [ -n "${PREV}" ]; then
+  echo "== close_round: bench_diff vs ${PREV} (advisory) =="
+  python3 tools/bench_diff.py "${PREV}" bench_out.json || \
+    echo "NOTE: regressions above — explain in SCALE.md or fix before closing"
+fi
+cp bench_out.json "bench_history/r${ROUND}_close.json" 2>/dev/null || true
+
+echo "== close_round r${ROUND}: ALL GATES GREEN =="
