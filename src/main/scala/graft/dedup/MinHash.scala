@@ -178,19 +178,24 @@ object MinHash {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    val hs = docs
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .select(col("id"), concat_ws(" ", leads: _*).as("s"), leads.last.isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("id"), fp60(col("s")).as("h"))
-      .distinct()
-    // Three consumers (digest mins, both verify sides) share this frame
-    // WITHOUT a cache: all three plans contain the identical subtree ending
-    // at the distinct's exchange, so ReuseExchange computes the expensive
-    // part (corpus scan + per-shingle md5 + shuffle write) once and the
-    // consumers re-read shuffle blocks. An operator-internal cache() has no
-    // unpersist point (lazy result) and would pin a corpus-sized frame for
-    // the session's lifetime.
+    val hs = graft.relational.Stages.materialize(
+      docs
+        .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+        .select(col("id"), concat_ws(" ", leads: _*).as("s"), leads.last.isNotNull.as("full"))
+        .filter(col("full"))
+        .select(col("id"), fp60(col("s")).as("h"))
+        .distinct(),
+      "minhash_portable_hs")
+    // FOUR consumers (digest mins, both verify sides, sizes) read this
+    // frame, so it is LANDED durably ([[graft.relational.Stages
+    // .materialize]]) rather than left to best-effort ReuseExchange: the
+    // consumers prune columns differently (verify reads (id, h), sizes only
+    // id), which rewrites each consumer's copy of the distinct subtree and
+    // breaks the exchange-subtree identity reuse matches on — the corpus
+    // scan + per-shingle md5 then re-derives per consumer (measured: the
+    // slowest batch row at sf0.1, shuf=12). Landing the compact (id, h)
+    // output once is exactly the tokenize-job → similarity-job boundary a
+    // production pipeline has.
     // one md5 digest is 128 bits = TWO independent 60-bit mixes (hex chars
     // 1-15 and 16-30), so k mins cost k/2 digests per distinct shingle hash.
     // Digests are projected per row ONCE; the min aggregates then slice them

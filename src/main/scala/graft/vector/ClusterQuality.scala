@@ -22,11 +22,30 @@ import org.apache.spark.sql.functions._
   * a single IEEE op on identical operands with identical parenthesization
   * in the oracle — the repo's exact-ratio rule. Singleton classes yield
   * NULL a and silhouette (no "other point" to measure against).
+  *
+  * BOUNDED-CLASS CONTRACT: the classes×dims model frame broadcasts and
+  * every point expands ×C in the per-class join — both assume the label
+  * cardinality is dimension-like (≲10³: k-means cells, language/source
+  * labels, quality tiers), NOT key-like. `maxClasses` enforces it loudly
+  * (a bounded-probe job, same discipline as the dense-vocabulary cap);
+  * raise it only with the broadcast and ×C expansion costs in view.
   */
 object ClusterQuality {
 
+  private[vector] def requireBoundedClasses(df: DataFrame, labelCol: String,
+                                            cap: Int, who: String): Unit = {
+    val probe = df.select(col(labelCol)).distinct().limit(cap + 1).count()
+    require(probe <= cap,
+      s"$who is a class-statistics operator: its classes x dims model " +
+        s"broadcast and per-point x-classes expansion need a bounded label " +
+        s"domain, but '$labelCol' has > $cap distinct values — this is a " +
+        "key, not a class label (or raise maxClasses deliberately)")
+  }
+
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
-                 labelCol: String, quantScale: Double = 10000.0): DataFrame = {
+                 labelCol: String, quantScale: Double = 10000.0,
+                 maxClasses: Int = 1024): DataFrame = {
+    requireBoundedClasses(df, labelCol, maxClasses, "silhouette")
     val flat = df.select(
       col(idCol).cast("long").as("id"),
       col(labelCol).cast("long").as("label"),

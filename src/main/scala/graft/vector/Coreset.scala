@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * `least` columns over one base scan, so the total work is O(k²·n/2)
   * row-local fold evaluations with NO shuffle anywhere (the argmax's
   * TakeOrdered ships one row per partition). At k≈tens and 100 TB the scan
-  * dominates; a cached/landed variant only wins when k·scan > materialize
-  * cost, which callers can get by passing a pre-landed `df`.
+  * dominates; for k≳100 pass `landEvery` (≈8–16) to periodically land the
+  * running min-distance column and cap the fold chain — trajectory
+  * bit-identical either way.
   *
   * Exactness: vectors are quantized to integer micro-units
   * (floor(x·10⁶) — |x|≤0.53, dim 64 ⇒ per-pair squared distance ≤ 7.2e13,
@@ -32,9 +33,20 @@ object Coreset {
     * selection score — the squared quantized norm for the seed (farthest
     * from the origin, the deterministic stand-in for "first pick"), and the
     * squared distance to the nearest earlier pick for every later round.
+    *
+    * `landEvery` is the k≳100 path: every m rounds the running (id, q,
+    * min-dist) frame is LANDED durably ([[graft.relational.Stages
+    * .materialize]]) so the next rounds fold over the landed column instead
+    * of re-evaluating the whole `least` chain from the base scan — lineage
+    * cost drops from O(k²·n) fold evaluations to O(k·m·n) plus k/m compact
+    * corpus writes. The landed frame holds EXACT integers, so the
+    * trajectory is bit-identical to the fold form (asserted in
+    * CoresetSpec). 0 (default) = never land, right at k≈tens where the
+    * fold chain is cheaper than any write.
     */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                    quantScale: Double = 1000000.0): DataFrame = {
+                    quantScale: Double = 1000000.0,
+                    landEvery: Int = 0): DataFrame = {
     require(k >= 1, "need at least one center")
     val spark = df.sparkSession
     val q = df.select(col(idCol).cast("long").as("id"),
@@ -69,7 +81,11 @@ object Coreset {
         val row = rows(0)
         val pick = (row.getLong(0), row.getLong(1), row.getSeq[Long](2))
         selected :+= pick
-        if (r < k) cur = cur.withColumn("__md", least(col("__md"), dist2To(pick._3)))
+        if (r < k) {
+          cur = cur.withColumn("__md", least(col("__md"), dist2To(pick._3)))
+          if (landEvery > 0 && (r - 1) % landEvery == 0)
+            cur = graft.relational.Stages.materialize(cur, s"kcenter_land_r$r")
+        }
       }
     }
     import spark.implicits._

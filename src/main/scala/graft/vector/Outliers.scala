@@ -40,8 +40,13 @@ object Outliers {
     */
   def perClassOutliers(df: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, topK: Int,
-                       quantScale: Double = 10000.0): DataFrame = {
+                       quantScale: Double = 10000.0,
+                       maxClasses: Int = 1024): DataFrame = {
     require(topK > 0)
+    // bounded-class contract: the (label, dim) sums broadcast — labels must
+    // be dimension-like, not key-like (see ClusterQuality scaladoc)
+    ClusterQuality.requireBoundedClasses(df, labelCol, maxClasses,
+      "perClassOutliers")
     val flat = df.select(
       col(idCol).cast("long").as("id"),
       col(labelCol).cast("long").as("label"),

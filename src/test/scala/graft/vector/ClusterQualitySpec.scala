@@ -40,6 +40,23 @@ class ClusterQualitySpec extends SparkSpec {
     assert(out(3L)._1.isEmpty && out(3L)._3.isEmpty && out(3L)._2.nonEmpty)
   }
 
+  test("key-like label column fails the bounded-class contract loudly") {
+    // vec_id as the "label": 500 distinct values > maxClasses → the
+    // classes×dims broadcast/expansion contract is violated and both
+    // class-statistics operators must refuse, not silently blow up the plan
+    val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      ClusterQuality.silhouette(d, "vec_id", "embedding", "vec_id",
+        maxClasses = 100)
+    }
+    assert(ex.getMessage.contains("class"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Outliers.perClassOutliers(d, "vec_id", "embedding", "vec_id",
+        topK = 3, maxClasses = 100)
+    }
+    assert(ex2.getMessage.contains("class"))
+  }
+
   test("fixture: per-class mean silhouette is finite and bounded") {
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = ClusterQuality.silhouette(d, "vec_id", "embedding", "label")

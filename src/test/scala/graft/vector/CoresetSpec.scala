@@ -31,6 +31,21 @@ class CoresetSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length === 6, "picks must be distinct")
   }
 
+  test("landed-distance variant is bit-identical to the fold form") {
+    // landEvery truncates the least-fold chain with durable landings every m
+    // rounds — exact integers land, so the trajectory must match exactly,
+    // at several landing cadences including m=1 (land every round)
+    val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val fold = Coreset.kCenterGreedy(d, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    for (m <- Seq(1, 3, 4)) {
+      val landed = Coreset.kCenterGreedy(d, "vec_id", "embedding", k = 10,
+        landEvery = m)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(landed === fold, s"landEvery=$m diverged from the fold form")
+    }
+  }
+
   test("k=1 returns only the seed") {
     val d = df(9L -> Seq(0.2f, 0.1f))
     val out = Coreset.kCenterGreedy(d, "vec_id", "embedding", k = 1)
