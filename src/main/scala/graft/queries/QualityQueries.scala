@@ -162,6 +162,62 @@ object QualityQueries {
           CAST((1000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
             AS pos_permille,
           MIN(margin_bits) AS margin_min, MAX(margin_bits) AS margin_max
-        FROM b GROUP BY 1 ORDER BY 1"""))
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // ---- PR threshold sweep -----------------------------------------------
+    // The operating-point picker for the NB filter: per observed margin θ,
+    // precision/recall/F1 of "keep iff margin ≥ θ" in exact permille. The
+    // oracle replays the NB pipeline, aggregates per margin, and takes the
+    // same ≥-tail cumulative sums (its window runs over the answer-sized
+    // margin frame; the Spark side uses the two-phase prefix sum — no
+    // global window).
+    DeclaredQuery("nb_pr_sweep",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.text.QualityClassifier
+          .prSweep(scored, col("lang") === "en")
+          .orderBy(desc("threshold"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id, CAST(SUM(cnt * bn) AS BIGINT) - CAST(SUM(cnt * bp) AS BIGINT)
+                 AS margin_bits
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        m AS (SELECT sc.doc_id, sc.margin_bits, l.pos
+              FROM sc JOIN lab l USING (doc_id)),
+        pm AS (SELECT margin_bits, COUNT(*) AS n,
+                 SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+               FROM m GROUP BY 1),
+        cum AS (SELECT margin_bits,
+                 CAST(SUM(n) OVER (ORDER BY margin_bits DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pred_pos,
+                 CAST(SUM(np) OVER (ORDER BY margin_bits DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp
+               FROM pm),
+        p AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ap FROM m),
+        r AS (SELECT margin_bits AS threshold, pred_pos, tp,
+                CAST((1000 * tp) // pred_pos AS BIGINT) AS precision_permille,
+                CAST(CASE WHEN p.ap = 0 THEN 0 ELSE (1000 * tp) // p.ap END AS BIGINT)
+                  AS recall_permille
+              FROM cum CROSS JOIN p)
+        SELECT threshold, pred_pos, tp, precision_permille, recall_permille,
+          CAST(CASE WHEN precision_permille + recall_permille = 0 THEN 0
+               ELSE (2 * precision_permille * recall_permille)
+                    // (precision_permille + recall_permille) END AS BIGINT) AS f1_permille
+        FROM r ORDER BY threshold DESC"""))
   )
 }

@@ -147,6 +147,16 @@ final case class Ref(id: String, defs: () => Map[String, Seq[Constraint]]) exten
       .foldLeft(lit(true))((acc, c) => acc && c.predicate(root))
 }
 
+/** Apply a constraint with its paths rebased under `path` — the
+  * $ref-at-a-property adapter: a `definitions` entry is written relative to
+  * its OWN root, so referencing it from a property means evaluating it
+  * against that property's subtree ("" inside the definition = the
+  * referenced field itself).
+  */
+final case class Rebase(path: String, c: Constraint) extends Constraint {
+  def predicate(root: Column): Column = c.predicate(at(root, path))
+}
+
 /** draft-04 `uniqueItems` for array fields — no two equal elements.
   * Absent arrays are valid (AJV keyword independence).
   */

@@ -99,6 +99,45 @@ object QualityClassifier {
     * @param scored  [[score]] output joined with the actual label column
     * @param isPositive the ACTUAL label (not the prediction)
     */
+  /** Precision/recall threshold sweep over [[score]] margins — the PR curve
+    * that picks a quality filter's operating point: for every observed
+    * margin value θ, the metrics of the rule "keep iff margin_bits ≥ θ".
+    * Completes the classifier-audit family (confusion, calibration,
+    * silhouette) in the same integer-exact style: permille precision,
+    * recall, and F1 from exact cumulative integer counts.
+    *
+    * Scale: one conditional aggregation to the per-margin frame
+    * (answer-sized — distinct integer margins), then cumulative counts via
+    * the two-phase [[graft.relational.PrefixSum.runningSum]] on the NEGATED
+    * margin (so the inclusive prefix is the ≥-θ tail) — no global window,
+    * no per-threshold join against the corpus. Margins are unique in the
+    * per-margin frame, satisfying the prefix-sum id contract.
+    *
+    * @param scored [[score]] output joined with the actual label column
+    * @param isPositive the ACTUAL label (not the prediction)
+    */
+  def prSweep(scored: DataFrame, isPositive: Column): DataFrame = {
+    val perM = scored.withColumn("__pos", isPositive)
+      .groupBy(col("margin_bits"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("np"))
+      .withColumn("__negm", -col("margin_bits"))
+    val (c1, _) = graft.relational.PrefixSum.runningSum(
+      perM, "__negm", "n", "pred_pos")
+    val (c2, totalPos) = graft.relational.PrefixSum.runningSum(
+      c1, "__negm", "np", "tp")
+    val prec = expr("(1000L * tp) div pred_pos") // pred_pos ≥ 1 (own row)
+    val rec =
+      if (totalPos == 0L) lit(0L) else expr(s"(1000L * tp) div ${totalPos}L")
+    c2.select(col("margin_bits").as("threshold"), col("pred_pos"), col("tp"))
+      .withColumn("precision_permille", prec)
+      .withColumn("recall_permille", rec)
+      .withColumn("f1_permille",
+        when(col("precision_permille") + col("recall_permille") === 0, lit(0L))
+          .otherwise(expr("(2L * precision_permille * recall_permille) div " +
+            "(precision_permille + recall_permille)")))
+  }
+
   def calibrationBins(scored: DataFrame, isPositive: Column,
                       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least two bins")
