@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Round-7 operator families: the pre-flight / planning diagnostics a
+  * 100 TB pipeline runs before committing compute — key-skew profiling
+  * (O51), quality-ordered token-budget water-filling (O52), k-core peeling
+  * over the kNN similarity graph (O53), and the unigram-entropy quality
+  * signal (O55). All integer-exact, all DuckDB-oracle hash-checked.
+  */
+object ProfilingQueries {
+
+  /** Shared oracle prefix: the IVF-built k=3 kNN graph over embeddings —
+    * identical cells to `Similarity.ivfTopK(nlist=16, nprobe=4)` (the same
+    * CTE chain the O26/O48 oracles replay).
+    */
+  private val ivfKnnCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      cass AS (
+        SELECT vec_id, v, sid FROM (
+          SELECT e.vec_id, e.v, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+               * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+              DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+      qass AS (
+        SELECT qid, qv, sid FROM (
+          SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+               * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+              DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
+      scored AS (
+        SELECT DISTINCT q.qid, c.vec_id AS cid,
+          list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+          / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
+           * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+        FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
+      knn AS (SELECT qid, cid FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM scored) t WHERE rk <= 3),
+      und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn)"""
+
+  val queries: Seq[DeclaredQuery] = Seq(
+
+    // ---- O51: key-skew profiler -------------------------------------------
+    // The shuffle-key pre-flight: hottest keys with share / uniform-multiple
+    // in exact permille, exact percentile cuts over per-key frequencies, and
+    // the salt factor that flattens the hottest key — the diagnosis feeding
+    // Skew.saltedJoin and AQE skew config, oracle-checked.
+    DeclaredQuery("key_skew_profile",
+      (s, dir) => graft.relational.SkewProfile
+        .hotKeys(events(s, dir), "user_id", topK = 5)
+        .orderBy(desc("cnt"), col("key")),
+      Some("""WITH pk AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(MAX(cnt) AS BIGINT) AS mx,
+                 quantile_cont(cnt, 0.5) AS p50_cnt,
+                 quantile_cont(cnt, 0.99) AS p99_cnt FROM pk),
+        top AS (SELECT key, cnt FROM pk ORDER BY cnt DESC, key LIMIT 5)
+        SELECT key, cnt,
+          CAST((1000 * cnt) // total AS BIGINT) AS share_permille,
+          CAST((1000 * cnt * n_keys) // total AS BIGINT) AS uniform_x_permille,
+          n_keys, total, p50_cnt, p99_cnt,
+          CAST((mx * n_keys + total - 1) // total AS BIGINT) AS salt_factor
+        FROM top CROSS JOIN st ORDER BY cnt DESC, key""")),
+
+    // ---- O52: quality-ordered token-budget water-fill ---------------------
+    // "Which sources make the cut for a half-corpus run": per-source token
+    // counts + en-share quality, filled highest-quality-first until the
+    // budget (total div 2) runs out. The source table is dimension-sized —
+    // the cumulative fill is the bounded-model-collect class (k-means
+    // centroids, BPE argmax), NOT a data-path collect.
+    DeclaredQuery("token_budget_waterfill",
+      (s, dir) => {
+        val perSource = tbl(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            expr("(1000L * sum(CASE WHEN lang = 'en' THEN 1L ELSE 0L END)) div count(1)")
+              .as("q"))
+        val budget = perSource.agg(sum(col("n_tokens"))).head().getLong(0) / 2
+        graft.text.Budget.waterFill(perSource, "source", "n_tokens", "q", budget)
+          .orderBy(col("fill_rank"))
+      },
+      Some("""WITH ps AS (SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                 CAST((1000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS q
+               FROM documents GROUP BY 1),
+        b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM ps),
+        r AS (SELECT ps.*, ROW_NUMBER() OVER (ORDER BY q DESC, source) AS rk,
+                CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY q DESC, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM ps)
+        SELECT source, n_tokens, q AS quality_permille, CAST(rk AS BIGINT) AS fill_rank,
+          LEAST(n_tokens, GREATEST(0, budget - cum_before)) AS alloc_tokens,
+          LEAST(n_tokens, GREATEST(0, budget - cum_before)) = n_tokens AS taken_whole
+        FROM r CROSS JOIN b ORDER BY fill_rank""")),
+
+    // ---- O53: k-core peeling over the IVF kNN graph -----------------------
+    // Coreness on the similarity graph: 4 fixed peel rounds at k=2, emitting
+    // each node's peel round (0 = core survivor) and survivor degree. Edge
+    // build is the IVF path (no O(n²) stage); the edge frame lands once so
+    // rounds don't re-derive it; every round is degree-agg + semi-joins,
+    // equi-keyed on node id. Oracle replays all rounds as chained CTEs.
+    DeclaredQuery("knn_kcore_peeling",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val knn = graft.vector.Similarity.ivfTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4)
+        val und = graft.relational.Stages.materialize(
+          knn.select(
+            least(col("qid"), col("cid")).as("a"),
+            greatest(col("qid"), col("cid")).as("b")).distinct(),
+          "kcore_edges")
+        graft.dedup.KCore.peelingTrace(
+          emb.select(col("vec_id")), "vec_id", und, "a", "b",
+          k = 2, rounds = 4)
+          .orderBy(col("id"))
+      },
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = if (r == 1) "a0" else s"a${r - 1}"
+          s"""dg$r AS (SELECT u AS id, COUNT(*) AS d FROM sym
+               JOIN $prev x ON x.id = sym.u JOIN $prev y ON y.id = sym.v GROUP BY 1),
+          p$r AS (SELECT $prev.id FROM $prev LEFT JOIN dg$r USING (id) WHERE COALESCE(d, 0) < 2),
+          a$r AS (SELECT $prev.id FROM $prev LEFT JOIN dg$r USING (id) WHERE COALESCE(d, 0) >= 2)"""
+        }.mkString(",\n        ")
+        s"""$ivfKnnCtes,
+        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        a0 AS (SELECT vec_id AS id FROM e),
+        $roundCtes,
+        fd AS (SELECT u AS id, COUNT(*) AS d FROM sym
+               JOIN a4 x ON x.id = sym.u JOIN a4 y ON y.id = sym.v GROUP BY 1)
+        SELECT a0.id,
+          CAST(CASE WHEN a0.id IN (SELECT id FROM p1) THEN 1
+               WHEN a0.id IN (SELECT id FROM p2) THEN 2
+               WHEN a0.id IN (SELECT id FROM p3) THEN 3
+               WHEN a0.id IN (SELECT id FROM p4) THEN 4
+               ELSE 0 END AS BIGINT) AS peel_round,
+          CAST(CASE WHEN a0.id IN (SELECT id FROM a4) THEN COALESCE(fd.d, 0)
+               ELSE 0 END AS BIGINT) AS final_degree
+        FROM a0 LEFT JOIN fd ON fd.id = a0.id
+        ORDER BY a0.id"""
+      }),
+
+    // ---- O55: unigram-entropy quality signal ------------------------------
+    // The compressibility axis of quality filtering in integer bits
+    // (libm-free, hash-identical): low = repetition/boilerplate, high =
+    // token soup. One explode + two keyed aggregations, no model.
+    DeclaredQuery("doc_entropy",
+      (s, dir) => graft.text.Entropy
+        .unigramEntropy(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (SELECT doc_id, t, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct FROM tf GROUP BY 1),
+        en AS (SELECT tf.doc_id,
+                 CAST(SUM(c * (length(bin(n_tokens // c)) - 1)) AS BIGINT) AS entropy_bits
+               FROM tf JOIN tot USING (doc_id) GROUP BY 1)
+        SELECT tot.doc_id, tot.n_tokens, tot.n_distinct, en.entropy_bits,
+          (1000 * en.entropy_bits) // tot.n_tokens AS millibits_per_token
+        FROM tot JOIN en USING (doc_id) ORDER BY tot.doc_id"""))
+  )
+}

@@ -243,6 +243,34 @@ object TokenizerQueries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) d
         JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
           ON d.t = s.w
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O54: tokenizer fertility by language -----------------------------
+    // The tokenizer-evaluation staple: subwords-per-word (fertility) of the
+    // trained BPE per language — a vocabulary trained on a mixed corpus
+    // over-segments the languages it under-represents, and this view is how
+    // that bias is measured (the per-language cousin of bpe_token_stats).
+    // Same broadcast apply join; the rollup is language-sized.
+    DeclaredQuery("bpe_fertility_by_lang",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val (_, segmented) = Bpe.trainMerges(wordHist(docs), bpeRounds)
+        val nsub = segmented.select(col("w"),
+          size(split(col("sym"), " ")).cast("long").as("n_sub"))
+        docs.select(col("lang"), explode(graft.text.TextFunctions.tokens(col("text"))).as("t"))
+          .join(broadcast(nsub), col("t") === col("w"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("ws_tokens"), sum(col("n_sub")).as("bpe_tokens"))
+          .withColumn("fertility_permille",
+            expr("(1000L * bpe_tokens) div ws_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""$sqlBpeCtes
+        SELECT d.lang, COUNT(*) AS ws_tokens, CAST(SUM(s.n_sub) AS BIGINT) AS bpe_tokens,
+          (1000 * CAST(SUM(s.n_sub) AS BIGINT)) // COUNT(*) AS fertility_permille
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) d
+        JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
+          ON d.t = s.w
         GROUP BY 1 ORDER BY 1"""))
   )
 }
