@@ -11,6 +11,56 @@ import Dsl._
   */
 object ProfilingQueries {
 
+  private val stops = Seq("the", "a")
+
+  /** The three labeling functions of the weak-supervision committee: shared
+    * by the vote and agreement queries (votes are {−1, 0, +1} longs).
+    */
+  private def lfVoteCols = {
+    import graft.text.TextFunctions._
+    val q = qualityScore(col("text"), stops)
+    Seq(
+      "lf_lang" -> when(col("lang") === "en", 1L).otherwise(-1L),
+      "lf_quality" -> when(q >= 0.7, 1L).when(q < 0.4, -1L).otherwise(0L),
+      "lf_entropy" -> when(col("millibits_per_token") >= 3000L, 1L)
+        .when(col("millibits_per_token") < 1500L, -1L).otherwise(0L))
+  }
+
+  /** Documents joined with their entropy signal — the per-doc frame the LF
+    * committee votes over (entropy is the one non-row-local voter).
+    */
+  private def lfInput(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = tbl(s, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .join(graft.text.Entropy.unigramEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("millibits_per_token")), Seq("doc_id"))
+  }
+
+  /** Shared oracle CTEs computing the three LF votes per doc. */
+  private val lfVoteCtes =
+    """WITH tf AS (SELECT doc_id, t, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+      en AS (SELECT tf.doc_id,
+               (1000 * CAST(SUM(c * (length(bin(n_tokens // c)) - 1)) AS BIGINT))
+                 // tot.n_tokens AS mbt
+             FROM tf JOIN tot USING (doc_id) GROUP BY tf.doc_id, tot.n_tokens),
+      qs AS (SELECT doc_id,
+               0.3::DOUBLE * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')))
+             + 0.4::DOUBLE * least(1.0::DOUBLE,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0::DOUBLE)
+             + 0.3::DOUBLE * (1.0::DOUBLE -
+                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+                 / len(string_split(text, ' '))) AS q
+             FROM documents),
+      lf AS (SELECT d.doc_id,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS lf_lang,
+               CASE WHEN qs.q >= 0.7 THEN 1 WHEN qs.q < 0.4 THEN -1 ELSE 0 END AS lf_quality,
+               CASE WHEN en.mbt >= 3000 THEN 1 WHEN en.mbt < 1500 THEN -1 ELSE 0 END AS lf_entropy
+             FROM documents d JOIN qs USING (doc_id) JOIN en USING (doc_id))"""
+
   /** Shared oracle prefix: the IVF-built k=3 kNN graph over embeddings —
     * identical cells to `Similarity.ivfTopK(nlist=16, nprobe=4)` (the same
     * CTE chain the O26/O48 oracles replay).
@@ -148,6 +198,115 @@ object ProfilingQueries {
                ELSE 0 END AS BIGINT) AS final_degree
         FROM a0 LEFT JOIN fd ON fd.id = a0.id
         ORDER BY a0.id"""
+      }),
+
+    // ---- O57: LPA communities over the IVF kNN graph ----------------------
+    // Deterministic synchronous label propagation (4 rounds, count-desc /
+    // label-asc tiebreak): the finer-than-CC community structure used for
+    // topical sampling strata. Per-round: edge⋈label join + count + bounded-
+    // heap top-1 per node — no corpus window; oracle replays the rounds.
+    DeclaredQuery("knn_lpa_communities",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val knn = graft.vector.Similarity.ivfTopK(
+          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4)
+        val und = graft.relational.Stages.materialize(
+          knn.select(
+            least(col("qid"), col("cid")).as("a"),
+            greatest(col("qid"), col("cid")).as("b")).distinct(),
+          "lpa_edges")
+        val lab = graft.dedup.LabelProp.communities(
+          emb.select(col("vec_id")), "vec_id", und, "a", "b", rounds = 4)
+        val sizes = lab.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
+        lab.join(sizes, Seq("community"))
+          .select(col("id"), col("community"), col("comm_size"))
+          .orderBy(col("id"))
+      },
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = s"l${r - 1}"
+          s"""v$r AS (SELECT sym.v AS id, $prev.lab, COUNT(*) AS c
+               FROM sym JOIN $prev ON $prev.id = sym.u GROUP BY 1, 2),
+          b$r AS (SELECT id, lab FROM (
+               SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+               FROM v$r) t WHERE rn = 1),
+          l$r AS (SELECT $prev.id, COALESCE(b$r.lab, $prev.lab) AS lab
+               FROM $prev LEFT JOIN b$r USING (id))"""
+        }.mkString(",\n        ")
+        s"""$ivfKnnCtes,
+        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        l0 AS (SELECT vec_id AS id, vec_id AS lab FROM e),
+        $roundCtes,
+        cs AS (SELECT lab, COUNT(*) AS n FROM l4 GROUP BY 1)
+        SELECT l4.id, l4.lab AS community, cs.n AS comm_size
+        FROM l4 JOIN cs USING (lab)
+        ORDER BY l4.id"""
+      }),
+
+    // ---- O58: weak-supervision majority vote ------------------------------
+    // The Snorkel-shaped quality committee: three LFs (lang, quality score,
+    // entropy band) vote {−1, 0, +1}; docs get the deterministic majority
+    // label (tie → abstain). Vote assembly is row-local over the doc⋈entropy
+    // frame — the library's lone-gatekeeper signals become voters.
+    DeclaredQuery("weak_label_votes",
+      (s, dir) => graft.text.WeakLabels
+        .majorityVote(lfInput(s, dir), lfVoteCols)
+        .select(col("doc_id"), col("lf_lang"), col("lf_quality"),
+          col("lf_entropy"), col("votes_pos"), col("votes_neg"),
+          col("n_abstain"), col("label"))
+        .orderBy(col("doc_id")),
+      Some(s"""$lfVoteCtes,
+        v AS (SELECT doc_id,
+                CAST(lf_lang AS BIGINT) AS lf_lang,
+                CAST(lf_quality AS BIGINT) AS lf_quality,
+                CAST(lf_entropy AS BIGINT) AS lf_entropy,
+                CAST((CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_quality = 1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_entropy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS votes_pos,
+                CAST((CASE WHEN lf_lang = -1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_quality = -1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_entropy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS votes_neg
+              FROM lf)
+        SELECT doc_id, lf_lang, lf_quality, lf_entropy, votes_pos, votes_neg,
+          3 - votes_pos - votes_neg AS n_abstain,
+          CASE WHEN votes_pos > votes_neg THEN 'pos'
+               WHEN votes_neg > votes_pos THEN 'neg'
+               ELSE 'abstain' END AS label
+        FROM v ORDER BY doc_id""")),
+
+    // ---- O58b: LF agreement/conflict matrix -------------------------------
+    // Which heuristics are redundant, which disagree: pairwise coverage /
+    // agreement / conflict counts with permille agreement over co-votes —
+    // k²/2 answer-sized conditional aggregations over the vote frame.
+    DeclaredQuery("weak_label_agreement",
+      (s, dir) => {
+        val voted = graft.text.WeakLabels.majorityVote(lfInput(s, dir), lfVoteCols)
+        graft.text.WeakLabels
+          .agreementMatrix(voted, lfVoteCols.map(_._1))
+          .orderBy(col("lf_a"), col("lf_b"))
+      },
+      Some {
+        // pairs in the Spark side's declaration order; the shared final
+        // ORDER BY (lf_a, lf_b) makes row order engine-independent
+        val sels = Seq(("lf_lang", "lf_quality"), ("lf_lang", "lf_entropy"),
+          ("lf_quality", "lf_entropy")).map { case (a, b) =>
+          s"""SELECT '$a' AS lf_a, '$b' AS lf_b,
+              CAST(SUM(CASE WHEN $a <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_a,
+              CAST(SUM(CASE WHEN $b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_b,
+              CAST(SUM(CASE WHEN $a <> 0 AND $b <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              CAST(SUM(CASE WHEN $a <> 0 AND $b <> 0 AND $a = $b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+              CAST(SUM(CASE WHEN $a <> 0 AND $b <> 0 AND $a <> $b THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+              CAST(CASE WHEN SUM(CASE WHEN $a <> 0 AND $b <> 0 THEN 1 ELSE 0 END) = 0 THEN 0
+                   ELSE (1000 * SUM(CASE WHEN $a <> 0 AND $b <> 0 AND $a = $b THEN 1 ELSE 0 END))
+                        // SUM(CASE WHEN $a <> 0 AND $b <> 0 THEN 1 ELSE 0 END) END AS BIGINT)
+                AS agree_permille
+              FROM lf"""
+        }.mkString("\n        UNION ALL\n        ")
+        s"""$lfVoteCtes
+        SELECT * FROM (
+        $sels
+        ) ORDER BY lf_a, lf_b"""
       }),
 
     // ---- O55: unigram-entropy quality signal ------------------------------

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weak-supervision vote assembly (the Snorkel/data-programming shape,
+  * Ratner 2017): k labeling functions (LFs) each emit +1 / −1 / 0-abstain
+  * per document; documents get the majority-vote label, and the LF set gets
+  * the pairwise agreement/conflict audit that tells you which heuristics
+  * are redundant and which disagree — the quality-filter COMMITTEE view,
+  * where the library's individual signals (lang-id, quality score, entropy,
+  * Gopher gates) become voters instead of lone gatekeepers.
+  *
+  * Everything is exact integer arithmetic: votes are {−1, 0, +1} columns,
+  * the majority label is a sign over an integer sum with deterministic
+  * tie→abstain, agreements are conditional counts with permille ratios.
+  *
+  * Scale: votes are row-local column expressions over whatever per-doc
+  * frame the caller assembled — vote assembly adds ZERO shuffles; the
+  * majority view is a projection; the k×k agreement matrix unions k²/2
+  * conditional aggregations over one landed vote frame (k is single-digit
+  * — the matrix is answer-sized).
+  */
+object WeakLabels {
+
+  /** Per-doc vote columns + majority verdict: input columns plus one `lf_i`
+    * column per function, `votes_pos`, `votes_neg`, `n_abstain`, and
+    * `label` ∈ {"pos", "neg", "abstain"} (sum 0 → abstain).
+    */
+  def majorityVote(df: DataFrame, lfs: Seq[(String, Column)]): DataFrame = {
+    require(lfs.nonEmpty, "need at least one labeling function")
+    val withVotes = lfs.foldLeft(df) { case (acc, (name, c)) =>
+      acc.withColumn(name, c.cast("long"))
+    }
+    val names = lfs.map(_._1)
+    val pos = names.map(n => when(col(n) === 1L, 1L).otherwise(0L)).reduce(_ + _)
+    val neg = names.map(n => when(col(n) === -1L, 1L).otherwise(0L)).reduce(_ + _)
+    withVotes
+      .withColumn("votes_pos", pos)
+      .withColumn("votes_neg", neg)
+      .withColumn("n_abstain", lit(names.size.toLong) - pos - neg)
+      .withColumn("label",
+        when(col("votes_pos") > col("votes_neg"), "pos")
+          .when(col("votes_neg") > col("votes_pos"), "neg")
+          .otherwise("abstain"))
+  }
+
+  /** Pairwise LF audit over a [[majorityVote]] frame: for each unordered LF
+    * pair (lf_a < lf_b by name): n_both (both voted), n_agree, n_conflict,
+    * agree_permille (of n_both; 0 when neither ever co-votes), plus each
+    * side's coverage (non-abstain count). One conditional aggregation per
+    * pair over the same frame, unioned — k²/2 answer-sized scans; land the
+    * vote frame first when k is large (it never is).
+    */
+  def agreementMatrix(voted: DataFrame, lfNames: Seq[String]): DataFrame = {
+    require(lfNames.size >= 2, "need at least two labeling functions")
+    val pairs = for {
+      i <- lfNames.indices; j <- lfNames.indices if i < j
+    } yield (lfNames(i), lfNames(j))
+    pairs.map { case (a, b) =>
+      val bothVoted = col(a) =!= 0L && col(b) =!= 0L
+      voted.agg(
+        sum(when(col(a) =!= 0L, 1L).otherwise(0L)).as("cov_a"),
+        sum(when(col(b) =!= 0L, 1L).otherwise(0L)).as("cov_b"),
+        sum(when(bothVoted, 1L).otherwise(0L)).as("n_both"),
+        sum(when(bothVoted && col(a) === col(b), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(bothVoted && col(a) =!= col(b), 1L).otherwise(0L)).as("n_conflict"))
+        .select(lit(a).as("lf_a"), lit(b).as("lf_b"),
+          coalesce(col("cov_a"), lit(0L)).as("cov_a"),
+          coalesce(col("cov_b"), lit(0L)).as("cov_b"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          coalesce(col("n_conflict"), lit(0L)).as("n_conflict"))
+        .withColumn("agree_permille",
+          when(col("n_both") === 0, lit(0L))
+            .otherwise(expr("(1000L * n_agree) div n_both")))
+    }.reduce(_.union(_))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WeakLabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lfs = Seq(
+    "lf_a" -> when(col("x") > 0, 1L).otherwise(-1L),
+    "lf_b" -> when(col("y") > 0, 1L).when(col("y") < 0, -1L).otherwise(0L),
+    "lf_c" -> lit(0L))
+
+  test("majority vote with deterministic tie -> abstain") {
+    val d = Seq(
+      (1L, 1, 1),   // +1, +1, 0 → pos
+      (2L, -1, -1), // −1, −1, 0 → neg
+      (3L, 1, -1),  // +1, −1, 0 → tie → abstain
+      (4L, -1, 0))  // −1, 0, 0 → neg
+      .toDF("doc_id", "x", "y")
+    val out = WeakLabels.majorityVote(d, lfs)
+      .select("doc_id", "votes_pos", "votes_neg", "n_abstain", "label")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((2L, 0L, 1L, "pos")))
+    assert(out(2L) === ((0L, 2L, 1L, "neg")))
+    assert(out(3L) === ((1L, 1L, 1L, "abstain")))
+    assert(out(4L) === ((0L, 1L, 2L, "neg")))
+  }
+
+  test("agreement matrix counts co-votes only; all-abstain pair reports 0") {
+    val d = Seq((1L, 1, 1), (2L, -1, -1), (3L, 1, -1), (4L, -1, 0))
+      .toDF("doc_id", "x", "y")
+    val voted = WeakLabels.majorityVote(d, lfs)
+    val m = WeakLabels.agreementMatrix(voted, lfs.map(_._1))
+      .select("lf_a", "lf_b", "n_both", "n_agree", "n_conflict", "agree_permille")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // a vs b co-vote on docs 1,2,3 (doc 4's b abstains): agree 1,2; conflict 3
+    assert(m(("lf_a", "lf_b")) === ((3L, 2L, 1L, 666L)))
+    // lf_c always abstains → zero co-votes, guarded 0 permille
+    assert(m(("lf_a", "lf_c")) === ((0L, 0L, 0L, 0L)))
+    assert(m(("lf_b", "lf_c")) === ((0L, 0L, 0L, 0L)))
+  }
+}
