@@ -45,15 +45,23 @@ object KCore {
         .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
       val deg = aliveEdges.groupBy(col("u").as("id"))
         .agg(count(lit(1)).as("__d"))
-      val withDeg = alive.join(deg, Seq("id"), "left")
-        .withColumn("__d", coalesce(col("__d"), lit(0L)))
+      // `withDeg` is consumed twice per round (peeled + survivors) and
+      // `alive`/`trace` feed the NEXT round — without a landed boundary
+      // every reference re-derives all prior rounds and the lineage cost
+      // compounds geometrically (measured: 43 s → 2 s at sf0.1 with the
+      // pin). The frames are node-id-sized, the [[graft.relational.Stages
+      // .pin]] class; same discipline as the connected-components rounds.
+      val withDeg = graft.relational.Stages.pin(
+        alive.join(deg, Seq("id"), "left")
+          .withColumn("__d", coalesce(col("__d"), lit(0L))))
       val peeled = withDeg.filter(col("__d") < k).select(col("id"))
-      trace = trace.join(peeled.withColumn("__p", lit(r.toLong)),
-        Seq("id"), "left")
-        .withColumn("peel_round",
-          when(col("peel_round") === 0L && col("__p").isNotNull, col("__p"))
-            .otherwise(col("peel_round")))
-        .drop("__p")
+      trace = graft.relational.Stages.pin(
+        trace.join(peeled.withColumn("__p", lit(r.toLong)),
+          Seq("id"), "left")
+          .withColumn("peel_round",
+            when(col("peel_round") === 0L && col("__p").isNotNull, col("__p"))
+              .otherwise(col("peel_round")))
+          .drop("__p"))
       alive = withDeg.filter(col("__d") >= k).select(col("id"))
     }
     val survivorEdges = sym

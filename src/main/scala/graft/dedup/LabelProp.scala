@@ -44,8 +44,12 @@ object LabelProp {
       val best = graft.relational.TopK.perGroup(
         votes, Seq("id"), Seq(("c", false), ("lab", true)), 1)
         .select(col("id"), col("lab").as("__new"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+      // land each round: `labels` feeds the next round TWICE (vote join +
+      // fallback coalesce), so unpinned lineage re-derives all prior
+      // rounds geometrically (the k-core lesson, same node-id-sized class)
+      labels = graft.relational.Stages.pin(
+        labels.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__new"), col("lab")).as("lab")))
     }
     labels.select(col("id"), col("lab").as("community"))
   }
