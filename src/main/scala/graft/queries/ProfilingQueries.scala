@@ -309,6 +309,91 @@ object ProfilingQueries {
         ) ORDER BY lf_a, lf_b"""
       }),
 
+    // ---- O59: sessionized trajectory assembly -----------------------------
+    // The behavioral-cloning / agent-training data shape: per (user,
+    // session) the ORDERED event-type trajectory string, duration, and an
+    // integer-exact value total. Sessionization is the events_sessions gap
+    // rule (30 min on event_id order); the trajectory is assembled from a
+    // sorted struct list — deterministic because event_id is unique — and
+    // DuckDB replays it with ordered string_agg.
+    DeclaredQuery("session_episodes",
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))
+        val frame = byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val flagged = events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(frame))
+        flagged.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+              .as("duration_sec"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("trajectory"),
+            sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_id, event_type, ts, value,
+            LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+          FROM events),
+        g AS (SELECT *,
+            CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_sess FROM l),
+        sx AS (SELECT user_id, event_id, event_type, ts, value,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+          CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+          string_agg(event_type, '>' ORDER BY event_id) AS trajectory,
+          CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM sx GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- O60: span-corruption planning (T5/UL2 denoising prep) ------------
+    // Deterministic md5-seeded mask-span starts (rate 1/10, span 3), island-
+    // merged coverage, corruption permille — the denoising-objective layout
+    // audit, portable-hash reproducible in both engines.
+    DeclaredQuery("span_corruption_plan",
+      (s, dir) => graft.text.SpanCorruption
+        .plan(tbl(s, dir, "documents"), "doc_id", "text",
+          spanLen = 3, rate = 10)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+          SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          FROM documents),
+        tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY 1),
+        st AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM tk
+               WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0),
+        brk AS (SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 2
+                      THEN 0 ELSE 1 END AS b
+               FROM st),
+        isl AS (SELECT doc_id, pos,
+                 SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+               FROM brk),
+        pi AS (SELECT doc_id, i, MIN(pos) AS p0, MAX(pos) AS p1, COUNT(*) AS ns
+               FROM isl GROUP BY 1, 2),
+        pd AS (SELECT pi.doc_id, CAST(SUM(ns) AS BIGINT) AS n_starts,
+                 COUNT(*) AS n_spans,
+                 CAST(SUM(LEAST(p1 + 3, n_tokens) - p0) AS BIGINT) AS masked_tokens
+               FROM pi JOIN tot USING (doc_id) GROUP BY 1)
+        SELECT tot.doc_id, CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+          COALESCE(pd.n_starts, 0) AS n_starts,
+          COALESCE(pd.n_spans, 0) AS n_spans,
+          COALESCE(pd.masked_tokens, 0) AS masked_tokens,
+          (1000 * COALESCE(pd.masked_tokens, 0)) // tot.n_tokens AS corruption_permille
+        FROM tot LEFT JOIN pd USING (doc_id) ORDER BY tot.doc_id""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =
