@@ -43,7 +43,9 @@ object Bench {
         "curation_pipeline_e2e", "minhash_portable_pairs", "sparse_cosine_pairs",
         "prefix_jaccard_pairs", "heavy_hitters_bigrams", "kinesis_roundtrip_route",
         "bpe_token_stats", "ccnet_quality_buckets", "dsir_importance_topk",
-        "minhash_fastpath_containment", "source_overlap_matrix")
+        "minhash_fastpath_containment", "source_overlap_matrix",
+        "knn_kcore_peeling", "knn_lpa_communities", "knn_pagerank_centrality",
+        "span_corruption_plan", "nb_pr_sweep")
         .foreach { n =>
           // log, don't swallow: a warmup OOM/misconfig is a signal the
           // measured run is about to be wrong, not noise

@@ -41,6 +41,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 3, s"ivf assignment shuffle regression ($shuffles exchanges):\n$plan")
   }
 
+  test("kNN-graph queries build edges through IVF — no full-side broadcast NL") {
+    // the round-6 weak rows: bruteForceTopK edge builds broadcast the whole
+    // embedding side under a nested loop; the IVF build must keep every
+    // join equi-keyed (cell id / node id)
+    Seq("knn_pagerank_centrality", "knn_triangle_count", "knn_kcore_peeling",
+      "knn_lpa_communities").foreach { q =>
+      val plan = run(q)
+      assert(count(plan, "BroadcastNestedLoop") === 0,
+        s"$q regressed to a brute-force edge build:\n$plan")
+      assert(count(plan, "CartesianProduct") === 0, s"$q plans a cartesian:\n$plan")
+    }
+  }
+
   test("star joins broadcast their dimension sides") {
     val plan = run("q5_region_revenue")
     assert(count(plan, "BroadcastHashJoin") >= 4, s"q5 dims must broadcast:\n$plan")
