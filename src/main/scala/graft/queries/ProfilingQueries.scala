@@ -394,6 +394,55 @@ object ProfilingQueries {
           (1000 * COALESCE(pd.masked_tokens, 0)) // tot.n_tokens AS corruption_permille
         FROM tot LEFT JOIN pd USING (doc_id) ORDER BY tot.doc_id""")),
 
+    // ---- O61: median/MAD robust outlier gate ------------------------------
+    // Heavy-tail-safe value sanity per event type: |x − med| > 3·MAD with
+    // exact-midpoint percentiles (IEEE-identical to quantile_cont) and a
+    // multiply-not-divide rule, so verdicts hash-match.
+    DeclaredQuery("robust_value_outliers",
+      (s, dir) => graft.relational.RobustStats
+        .madOutliers(events(s, dir), "event_type", "value", k = 3.0)
+        .orderBy(col("event_type")),
+      Some("""WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events),
+        med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+        wa AS (SELECT v.grp, v.v, med.med, abs(v.v - med.med) AS ad
+               FROM v JOIN med USING (grp)),
+        mad AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM wa GROUP BY 1)
+        SELECT wa.grp AS event_type, COUNT(*) AS n,
+          MAX(wa.med) AS med, MAX(mad.mad) AS mad,
+          CAST(SUM(CASE WHEN wa.ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers,
+          CAST((1000 * SUM(CASE WHEN wa.ad > 3.0 * mad.mad THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS outlier_permille
+        FROM wa JOIN mad USING (grp)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O62: pseudonymization audit --------------------------------------
+    // GDPR-style re-keying that must preserve join structure: user_id →
+    // salted md5-prefix pseudonym; per event type the pseudonym-keyed
+    // distinct count must equal the original (collision ledger — the
+    // released dataset joins exactly like the internal one, unlinkably).
+    DeclaredQuery("pseudonymize_users",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("pseud",
+          graft.text.Redact.pseudonymizeKey(col("user_id"), "rel2026"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("pseud")).as("n_pseudonyms"),
+            min(col("pseud")).as("first_pseudonym"))
+          .withColumn("collision_free", col("n_users") === col("n_pseudonyms"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH p AS (SELECT event_type, user_id,
+                 substring(md5('rel2026:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseud
+               FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS n_users,
+          COUNT(DISTINCT pseud) AS n_pseudonyms,
+          MIN(pseud) AS first_pseudonym,
+          COUNT(DISTINCT user_id) = COUNT(DISTINCT pseud) AS collision_free
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =

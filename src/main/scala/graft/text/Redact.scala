@@ -67,4 +67,15 @@ object Redact {
   def piiDensityPer100(c: Column): Column =
     piiMatchCount(c).cast("double") * lit(100.0) /
       size(split(c, " ")).cast("double")
+
+  /** Deterministic pseudonymization of a join key: a salted md5-prefix hex
+    * pseudonym — the GDPR-style re-keying that preserves join structure
+    * (same input ⇒ same pseudonym; different salt ⇒ unlinkable across
+    * releases) without a lookup table to protect. 64 hex bits; callers
+    * audit collisions with a countDistinct compare (see the
+    * pseudonymize_users query), the same bounded-risk discipline as the
+    * fingerprint family.
+    */
+  def pseudonymizeKey(c: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), c.cast("string"))), 1, 16)
 }

@@ -1,0 +1,38 @@
+package graft.relational
+
+import graft.SparkSpec
+
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed median/MAD and outlier flags") {
+    // group g: values 1..9 plus 1000 → med = 5.5, residuals
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD = 2.5,
+    // threshold 7.5 → only 1000 flagged
+    val d = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 1000.0)))
+      .toDF("k", "v")
+    val out = RobustStats.madOutliers(d, "k", "v")
+      .select("n", "med", "mad", "n_outliers", "outlier_permille")
+      .as[(Long, Double, Double, Long, Long)].head()
+    assert(out === ((10L, 5.5, 2.5, 1L, 100L)))
+  }
+
+  test("mean-based z-score would mask what MAD catches (breakdown)") {
+    // two huge outliers drag the mean/stddev so far that a 3-sigma rule
+    // misses them both being "only" ~1.3 sigma away; MAD flags both
+    val vals = (1 to 20).map(_.toDouble % 5) ++ Seq(1e6, 1e6)
+    val d = vals.map(("g", _)).toDF("k", "v")
+    val out = RobustStats.madOutliers(d, "k", "v")
+      .select("n_outliers").as[Long].head()
+    assert(out === 2L)
+  }
+
+  test("constant column: MAD 0 flags any deviation, none when truly constant") {
+    val const = Seq(("g", 7.0), ("g", 7.0), ("g", 7.0)).toDF("k", "v")
+    assert(RobustStats.madOutliers(const, "k", "v")
+      .select("n_outliers").as[Long].head() === 0L)
+    val nearly = Seq(("g", 7.0), ("g", 7.0), ("g", 7.0001)).toDF("k", "v")
+    assert(RobustStats.madOutliers(nearly, "k", "v")
+      .select("n_outliers").as[Long].head() === 1L)
+  }
+}
