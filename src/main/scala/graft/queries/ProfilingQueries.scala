@@ -443,6 +443,62 @@ object ProfilingQueries {
           COUNT(DISTINCT user_id) = COUNT(DISTINCT pseud) AS collision_free
         FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O63: Heaps'-law vocabulary growth --------------------------------
+    // Distinct vocabulary vs corpus fraction in doc-id order: new terms
+    // attributed to their first-occurrence doc's decile (order-free min),
+    // cumulatives via the two-phase prefix sum — the "is more data still
+    // adding vocabulary" corpus report.
+    DeclaredQuery("vocab_growth_curve",
+      (s, dir) => graft.text.CorpusStats
+        .vocabGrowth(tbl(s, dir, "documents"), "doc_id", "text", nBuckets = 10)
+        .orderBy(col("bucket")),
+      Some {
+        val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
+        val bucketSql = (1 to 9)
+          .map(i => s"CASE WHEN {0} > cs[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        def b(c: String) = bucketSql.replace("{0}", c) + " + 1"
+        s"""WITH cuts AS (SELECT quantile_cont(doc_id, [$qs]) AS cs FROM documents),
+        pd AS (SELECT CAST(${b("doc_id")} AS BIGINT) AS bucket,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents CROSS JOIN cuts GROUP BY 1),
+        fd AS (SELECT t, MIN(doc_id) AS fd FROM (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+               GROUP BY 1),
+        nt AS (SELECT CAST(${b("fd")} AS BIGINT) AS bucket, COUNT(*) AS new_terms
+               FROM fd CROSS JOIN cuts GROUP BY 1),
+        m AS (SELECT pd.bucket, pd.n_docs, pd.n_tokens,
+                COALESCE(nt.new_terms, 0) AS new_terms
+              FROM pd LEFT JOIN nt USING (bucket))
+        SELECT bucket, n_docs, n_tokens, new_terms,
+          CAST(SUM(new_terms) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab,
+          CAST(SUM(n_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM m ORDER BY bucket"""
+      }),
+
+    // ---- O64: Church–Gale term burstiness ---------------------------------
+    // Terms concentrating in few docs (high tf/df) vs evenly-spread glue:
+    // exact permille ratio + integer-bits idf, TakeOrdered top-20 at
+    // support ≥ 20 occurrences.
+    DeclaredQuery("term_burstiness",
+      (s, dir) => graft.text.CorpusStats
+        .burstiness(tbl(s, dir, "documents"), "doc_id", "text",
+          minTf = 20L, topK = 20)
+        .orderBy(desc("burst_permille"), col("term")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        st AS (SELECT t, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+               FROM toks GROUP BY 1 HAVING COUNT(*) >= 20),
+        n AS (SELECT COUNT(*) AS nd FROM documents)
+        SELECT t AS term, tf, df,
+          (1000 * tf) // df AS burst_permille,
+          CAST(length(bin(nd // df)) - 1 AS BIGINT) AS idf_bits
+        FROM st CROSS JOIN n
+        ORDER BY burst_permille DESC, term LIMIT 20""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =

@@ -1,0 +1,41 @@
+package graft.text
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocab growth: new terms land in their first-occurrence bucket") {
+    // 4 docs, 2 buckets: doc 1-2 in bucket 1, 3-4 in bucket 2;
+    // "b" first appears in doc 1 → bucket 1 even though doc 3 repeats it
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, "b d"), (4L, "d e"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowth(d, "doc_id", "text", nBuckets = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 4L, 3L, 3L, 4L)))  // a, b, c new
+    assert(out(1) === ((2L, 2L, 4L, 2L, 5L, 8L)))  // d, e new
+  }
+
+  test("cumulative vocab ends at the corpus distinct-term count") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusStats.vocabGrowth(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 10)
+    val totalVocab = d.selectExpr("explode(split(text, ' ')) AS t")
+      .distinct().count()
+    assert(out.last._5 === totalVocab)
+    // cumulatives are non-decreasing and growth increments match
+    assert(out.map(_._5).toSeq === out.map(_._4).scanLeft(0L)(_ + _).drop(1))
+  }
+
+  test("burstiness: a concentrated term outranks an evenly spread one") {
+    // "x" occurs 20 times in ONE doc (tf/df = 20); "y" once in each of 20
+    // docs (tf/df = 1)
+    val docs = ((1L, ("x " * 20).trim) +: (2L to 21L).map(i => (i, "y filler")))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.burstiness(docs, "doc_id", "text", minTf = 20L, topK = 5)
+      .select("term", "burst_permille").as[(String, Long)].collect()
+    assert(out.head === (("x", 20000L)))
+    assert(out.find(_._1 == "y").get._2 === 1000L)
+  }
+}
