@@ -499,6 +499,96 @@ object ProfilingQueries {
         FROM st CROSS JOIN n
         ORDER BY burst_permille DESC, term LIMIT 20""")),
 
+    // ---- O65: exact quantile-rank normalization ---------------------------
+    // NB margins to permille ranks (strictly-below CDF): distinct-value
+    // frame + two-phase prefix sum + broadcast CDF join back — the
+    // scale-free calibration that makes heterogeneous signals mixable.
+    DeclaredQuery("quantile_normalize_margins",
+      (s, dir) => {
+        val scored = graft.text.QualityClassifier
+          .score(tbl(s, dir, "documents"), "doc_id", "text",
+            isPositive = col("lang") === "en")
+          .select(col("doc_id"), col("margin_bits"))
+        graft.relational.QuantileRank
+          .permilleRank(scored, "margin_bits", "rank_permille")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id, CAST(SUM(cnt * bn) AS BIGINT) - CAST(SUM(cnt * bp) AS BIGINT)
+                 AS margin_bits
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS total FROM sc),
+        cdf AS (SELECT margin_bits,
+                 CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY margin_bits
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS below
+               FROM sc GROUP BY margin_bits)
+        SELECT sc.doc_id, sc.margin_bits,
+          (1000 * cdf.below) // n.total AS rank_permille
+        FROM sc JOIN cdf USING (margin_bits) CROSS JOIN n
+        ORDER BY sc.doc_id""")),
+
+    // ---- O51 streaming twin: per-window hot-key watch ---------------------
+    // SkewProfile's production pairing: per-hour hottest keys computed IN
+    // the stream (watermarked tumbling windows, state bounded by the
+    // watermark), top-3 + share/uniform-multiple post-processed on the
+    // drained answer-sized (hours × keys) frame — the live skew monitor
+    // that tells an operator a hot key emerged BEFORE the batch job falls
+    // over on it.
+    DeclaredQuery("stream_hot_keys",
+      (s, dir) => {
+        val stream = s.readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load()
+        val evs = Dsl.normalizeTs(stream)
+        val counts = graft.streaming.StreamingRouter.windowedCounts(
+          evs, "ts", watermark = "2 hours", size = "1 hour", slide = "1 hour",
+          "user_id")
+        val name = "stream_hotkeys_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = counts.writeStream.format("memory").queryName(name)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val hourly = graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
+          .select(col("window.start").cast("timestamp_ntz").as("hour"),
+            col("user_id"), col("n"))
+        val tot = hourly.groupBy(col("hour"))
+          .agg(sum(col("n")).as("__t"), count(lit(1)).as("__nk"))
+        graft.relational.TopK.perGroup(hourly, Seq("hour"),
+          Seq(("n", false), ("user_id", true)), 3)
+          .join(tot, Seq("hour"))
+          .select(col("hour"), col("user_id"), col("n"),
+            expr("(1000L * n) div __t").as("share_permille"),
+            expr("(1000L * n * __nk) div __t").as("uniform_x_permille"))
+          .orderBy(col("hour"), desc("n"), col("user_id"))
+      },
+      Some("""WITH c AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                 user_id, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+        t AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS tt, COUNT(*) AS nk
+              FROM c GROUP BY 1),
+        r AS (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY hour
+                ORDER BY n DESC, user_id) AS rk FROM c)
+        SELECT r.hour, r.user_id, r.n,
+          (1000 * r.n) // t.tt AS share_permille,
+          (1000 * r.n * t.nk) // t.tt AS uniform_x_permille
+        FROM r JOIN t USING (hour) WHERE rk <= 3
+        ORDER BY r.hour, r.n DESC, r.user_id""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =
