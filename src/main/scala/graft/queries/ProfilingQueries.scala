@@ -589,6 +589,85 @@ object ProfilingQueries {
         FROM r JOIN t USING (hour) WHERE rk <= 3
         ORDER BY r.hour, r.n DESC, r.user_id""")),
 
+    // ---- O66: sliding-window burst/rate audit -----------------------------
+    // Bot/abuse gate: per-user peak event count in any trailing 60 s window
+    // (exact per-key RANGE window over epoch seconds), verdict at > 5
+    // events/minute — scripted traffic flagged before its events become
+    // engagement labels.
+    DeclaredQuery("rate_limit_audit",
+      (s, dir) => graft.relational.RateAudit
+        .peakRates(events(s, dir), "user_id", "ts",
+          windowSec = 60L, maxPerWindow = 5L)
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events),
+        w AS (SELECT user_id,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                  RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS inwin
+              FROM e)
+        SELECT user_id, COUNT(*) AS n_events,
+          CAST(MAX(inwin) AS BIGINT) AS peak_in_window,
+          MAX(inwin) > 5 AS limited
+        FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O67: Cohen's kappa between classifiers ---------------------------
+    // Chance-corrected agreement between the NB quality filter's 'pos'
+    // verdict and the n-gram language-ID's 'en' verdict — the
+    // inter-annotator statistic raw agreement flatters; exact integer
+    // permille throughout.
+    DeclaredQuery("classifier_kappa",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        graft.text.WeakLabels.cohenKappa(scored,
+          col("predicted") === "pos",
+          graft.text.TextFunctions.langId(col("text")) === "en")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id,
+                 CAST(SUM(cnt * bp) AS BIGINT) AS bits_pos,
+                 CAST(SUM(cnt * bn) AS BIGINT) AS bits_neg
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        lid AS (SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'es'))) AS s_es,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'de', 'et', 'est'))) AS s_fr,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de,
+                 len(list_filter(string_split(text, ' '), t -> t IN ('的', '是', '在', '了', '和'))) AS s_zh
+               FROM documents),
+        r AS (SELECT sc.doc_id,
+                sc.bits_pos < sc.bits_neg AS ra,
+                greatest(s_en, s_es, s_fr, s_de, s_zh) > 0
+                  AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AS rb
+              FROM sc JOIN lid USING (doc_id)),
+        agg AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a_yes,
+                 CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b_yes,
+                 CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+               FROM r),
+        p AS (SELECT *, (1000 * n_agree) // n AS po_permille,
+                (1000 * (a_yes * b_yes + (n - a_yes) * (n - b_yes))) // (n * n)
+                  AS pe_permille
+              FROM agg)
+        SELECT n, a_yes, b_yes, n_agree, po_permille, pe_permille,
+          CAST(CASE WHEN pe_permille = 1000 THEN 0
+               ELSE (1000 * (po_permille - pe_permille)) // (1000 - pe_permille)
+               END AS BIGINT) AS kappa_permille
+        FROM p""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =

@@ -45,6 +45,30 @@ object WeakLabels {
           .otherwise("abstain"))
   }
 
+  /** Cohen's kappa between two BOOLEAN raters — chance-corrected agreement
+    * (raw agreement flatters raters that both say "yes" to everything; the
+    * [[agreementMatrix]] gives raw co-vote agreement, this corrects it).
+    * All arithmetic is exact integer permille: po = 1000·agree/n, pe from
+    * the marginals over n², kappa = 1000·(po − pe)/(1000 − pe); a
+    * degenerate pe = 1000 (both raters constant) reports kappa 0.
+    * One conditional-aggregation pass, 1-row output.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a, 1L).otherwise(0L)).as("a_yes"),
+      sum(when(b, 1L).otherwise(0L)).as("b_yes"),
+      sum(when(a === b, 1L).otherwise(0L)).as("n_agree"))
+    agg
+      .withColumn("po_permille", expr("(1000L * n_agree) div n"))
+      .withColumn("pe_permille",
+        expr("(1000L * (a_yes * b_yes + (n - a_yes) * (n - b_yes))) div (n * n)"))
+      .withColumn("kappa_permille",
+        when(col("pe_permille") === 1000L, lit(0L))
+          .otherwise(expr(
+            "(1000L * (po_permille - pe_permille)) div (1000L - pe_permille)")))
+  }
+
   /** Pairwise LF audit over a [[majorityVote]] frame: for each unordered LF
     * pair (lf_a < lf_b by name): n_both (both voted), n_agree, n_conflict,
     * agree_permille (of n_both; 0 when neither ever co-votes), plus each
