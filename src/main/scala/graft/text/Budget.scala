@@ -38,6 +38,9 @@ object Budget {
       .collect()
     var remaining = budget
     val out = rows.zipWithIndex.map { case (r, i) =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"waterFill needs non-null source/tokens/quality (row $i: $r) — " +
+          "null quality would silently sort last under desc, not fail")
       val (src, n, q) = (r.getString(0), r.getLong(1), r.getLong(2))
       val alloc = math.min(n, math.max(0L, remaining))
       remaining -= alloc

@@ -59,10 +59,15 @@ object WeakLabels {
       sum(when(a, 1L).otherwise(0L)).as("a_yes"),
       sum(when(b, 1L).otherwise(0L)).as("b_yes"),
       sum(when(a === b, 1L).otherwise(0L)).as("n_agree"))
+    // empty-frame guard: n = 0 would raise DIVIDE_BY_ZERO under ANSI —
+    // report the degenerate all-zero row instead of failing the audit
     agg
-      .withColumn("po_permille", expr("(1000L * n_agree) div n"))
+      .withColumn("po_permille",
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr("(1000L * n_agree) div n")))
       .withColumn("pe_permille",
-        expr("(1000L * (a_yes * b_yes + (n - a_yes) * (n - b_yes))) div (n * n)"))
+        when(col("n") === 0, lit(0L)).otherwise(
+          expr("(1000L * (a_yes * b_yes + (n - a_yes) * (n - b_yes))) div (n * n)")))
       .withColumn("kappa_permille",
         when(col("pe_permille") === 1000L, lit(0L))
           .otherwise(expr(

@@ -28,6 +28,21 @@ class WeakLabelsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 1L, 2L, "neg")))
   }
 
+  test("cohen kappa: hand-computed, and empty frame reports zeros") {
+    // raters: a = {T,T,F,F}, b = {T,F,F,F} → agree 3 → po = 750‰
+    // pe = (2·1 + 2·3)/16 = 500‰ → kappa = 1000·250/500 = 500‰
+    val d = Seq((true, true), (true, false), (false, false), (false, false))
+      .toDF("a", "b")
+    val out = WeakLabels.cohenKappa(d, col("a"), col("b"))
+      .select("n", "po_permille", "pe_permille", "kappa_permille")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out === ((4L, 750L, 500L, 500L)))
+    val empty = WeakLabels.cohenKappa(
+      Seq.empty[(Boolean, Boolean)].toDF("a", "b"), col("a"), col("b"))
+      .select("po_permille", "kappa_permille").as[(Long, Long)].head()
+    assert(empty === ((0L, 0L)))
+  }
+
   test("agreement matrix counts co-votes only; all-abstain pair reports 0") {
     val d = Seq((1L, 1, 1), (2L, -1, -1), (3L, 1, -1), (4L, -1, 0))
       .toDF("doc_id", "x", "y")
