@@ -668,6 +668,56 @@ object ProfilingQueries {
                END AS BIGINT) AS kappa_permille
         FROM p""")),
 
+    // ---- O68: per-source embedding dispersion -----------------------------
+    // Diversity monitor: total pairwise squared distance per label WITHOUT
+    // a pair join (the Σ_d(n·Q − S²) identity); shrinking dispersion at
+    // constant n = mode collapse. Exact HUGEINT-scale values ride as
+    // decimal strings (the only lossless cross-engine rendering).
+    DeclaredQuery("embedding_dispersion",
+      (s, dir) => graft.vector.Dispersion
+        .perGroup(tbl(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label")),
+      Some("""WITH e AS (
+          SELECT label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+          FROM embeddings),
+        s AS (SELECT label, dim, CAST(SUM(qv) AS HUGEINT) AS sm,
+                CAST(SUM(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS q2,
+                COUNT(*) AS n
+              FROM e GROUP BY 1, 2)
+        SELECT CAST(label AS BIGINT) AS label, MAX(n) AS n,
+          CAST(CAST(SUM(n * q2 - sm * sm) AS HUGEINT) AS VARCHAR) AS dispersion
+        FROM s GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O69: embedding batch drift ---------------------------------------
+    // "Did the new crawl move the distribution": (n1·n2)²-scaled squared
+    // distance between the two halves' mean vectors from per-dim sums only
+    // — centroids never materialize as floats. Halves split at the id
+    // median (old ids = old batch).
+    DeclaredQuery("embedding_batch_drift",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val mid = emb.agg(expr("percentile(vec_id, 0.5)").as("__m"))
+        graft.vector.Dispersion.halfDrift(
+          emb.crossJoin(broadcast(mid)),
+          "embedding", col("vec_id").cast("double") <= col("__m"))
+      },
+      Some("""WITH m AS (SELECT quantile_cont(vec_id, 0.5) AS mid FROM embeddings),
+        e AS (SELECT CAST(vec_id AS DOUBLE) <= m.mid AS h1,
+                generate_subscripts(embedding, 1) AS dim,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+              FROM embeddings CROSS JOIN m),
+        s AS (SELECT dim,
+                CAST(SUM(CASE WHEN h1 THEN qv ELSE 0 END) AS HUGEINT) AS s1,
+                CAST(SUM(CASE WHEN h1 THEN 0 ELSE qv END) AS HUGEINT) AS s2,
+                CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN h1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+              FROM e GROUP BY 1)
+        SELECT MAX(n1) AS n_first, MAX(n2) AS n_second,
+          CAST(CAST(SUM((n2 * s1 - n1 * s2) * (n2 * s1 - n1 * s2)) AS HUGEINT)
+            AS VARCHAR) AS shift2_scaled
+        FROM s""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =
