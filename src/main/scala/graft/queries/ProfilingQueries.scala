@@ -718,6 +718,44 @@ object ProfilingQueries {
             AS VARCHAR) AS shift2_scaled
         FROM s""")),
 
+    // ---- O70: dedup savings ledger ----------------------------------------
+    // The number every dedup report leads with: per source, docs/tokens
+    // before vs after exact dedup (min-doc_id survivor per md5 fingerprint,
+    // corpus-wide so cross-source duplicates count once) and the permille
+    // savings. One fingerprint aggregation + one keyed join — no pair work.
+    DeclaredQuery("dedup_token_ledger",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"),
+            md5(col("text")).as("fp"))
+        val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+        docs.join(keep, Seq("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_before"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .as("docs_after"),
+            sum(col("nt")).as("tokens_before"),
+            sum(when(col("doc_id") === col("keep_id"), col("nt")).otherwise(0L))
+              .as("tokens_after"))
+          .withColumn("savings_permille",
+            expr("(1000L * (tokens_before - tokens_after)) div tokens_before"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                 md5(text) AS fp
+               FROM documents),
+        k AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+        SELECT source, COUNT(*) AS docs_before,
+          CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+          CAST(SUM(nt) AS BIGINT) AS tokens_before,
+          CAST(SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END) AS BIGINT) AS tokens_after,
+          CAST((1000 * (SUM(nt) - SUM(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END)))
+            // SUM(nt) AS BIGINT) AS savings_permille
+        FROM d JOIN k USING (fp)
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =
