@@ -756,6 +756,41 @@ object ProfilingQueries {
         FROM d JOIN k USING (fp)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O71: vocabulary-coverage planning --------------------------------
+    // "How big must the vocab be": corpus-token coverage of the top-K
+    // frequency-ranked word types at K ∈ {100, 500, 2000} — the
+    // tokenizer-budget planning curve. Ranks live on the vocabulary-sized
+    // frequency frame (bounded top-K via TakeOrdered per K, ties freq
+    // desc / term asc); coverage in exact permille.
+    DeclaredQuery("vocab_coverage",
+      (s, dir) => {
+        val freq = tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum(col("c")).as("__tot"))
+        Seq(100, 500, 2000).map { k =>
+          freq.orderBy(desc("c"), col("t")).limit(k)
+            .agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("covered"))
+            .select(lit(k.toLong).as("k"), col("vocab_size"), col("covered"))
+        }.reduce(_.union(_))
+          .crossJoin(broadcast(total))
+          .withColumn("coverage_permille", expr("(1000L * covered) div __tot"))
+          .drop("__tot")
+          .orderBy(col("k"))
+      },
+      Some("""WITH f AS (SELECT t, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM f),
+        r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM f),
+        ks AS (SELECT unnest([100, 500, 2000]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+          CAST(COUNT(*) AS BIGINT) AS vocab_size,
+          CAST(SUM(r.c) AS BIGINT) AS covered,
+          CAST((1000 * SUM(r.c)) // MAX(tot.tt) AS BIGINT) AS coverage_permille
+        FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
+        GROUP BY ks.k ORDER BY 1""")),
+
     // ---- O55: unigram-entropy quality signal ------------------------------
     // The compressibility axis of quality filtering in integer bits
     // (libm-free, hash-identical): low = repetition/boilerplate, high =
