@@ -599,7 +599,7 @@ object ProfilingQueries {
         .peakRates(events(s, dir), "user_id", "ts",
           windowSec = 60L, maxPerWindow = 5L)
         .orderBy(col("user_id")),
-      Some("""WITH e AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec FROM events),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         w AS (SELECT user_id,
                 COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
                   RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS inwin

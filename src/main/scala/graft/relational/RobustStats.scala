@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * Scale: two grouped percentile passes (the second over the residuals)
   * with category-sized results broadcast back; one conditional-aggregation
   * rollup. No windows, no non-broadcast joins.
+  *
+  * BOUNDED-GROUP CONTRACT: both the median and the MAD frames broadcast,
+  * so `groupCol` must be category-like (event types, sources, quality
+  * tiers), not key-like. `maxGroups` enforces it with a bounded probe
+  * (the [[graft.vector.ClusterQuality]] `requireBoundedClasses`
+  * precedent) — a user_id column fails loudly, not at the broadcast.
   */
 object RobustStats {
 
@@ -25,7 +31,13 @@ object RobustStats {
     * (mad = 0) flags any deviation — the conventional MAD edge case.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  k: Double = 3.0): DataFrame = {
+                  k: Double = 3.0, maxGroups: Int = 4096): DataFrame = {
+    val probe = df.select(col(groupCol)).distinct().limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"madOutliers is a category-statistics operator: its two percentile " +
+        s"frames broadcast, which needs a bounded group domain, but " +
+        s"'$groupCol' has > $maxGroups distinct values — this is a key, " +
+        "not a category (or raise maxGroups deliberately)")
     val v = df.select(col(groupCol).as("grp"), col(valCol).cast("double").as("v"))
     val med = v.groupBy(col("grp")).agg(expr("percentile(v, 0.5)").as("med"))
     val withAd = v.join(broadcast(med), Seq("grp"))

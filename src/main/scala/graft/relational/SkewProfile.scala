@@ -41,11 +41,18 @@ object SkewProfile {
     perKey
       .orderBy(desc("cnt"), col("key")).limit(topK)
       .crossJoin(broadcast(stats))
+      // products in DECIMAL(38,0): at the 100 TB scale this pre-flight is
+      // FOR (cnt ~1e9 on ~1e8 keys) 1000·cnt·n_keys and __mx·n_keys pass
+      // 2^63 and a long plan would ANSI-overflow in the diagnosis itself;
+      // `div` (IntegralDivide) takes decimal operands and returns BIGINT,
+      // so the emitted schema is unchanged
       .select(col("key"), col("cnt"),
-        expr("(1000L * cnt) div total").as("share_permille"),
-        expr("(1000L * cnt * n_keys) div total").as("uniform_x_permille"),
+        expr("(1000L * CAST(cnt AS DECIMAL(38,0))) div total").as("share_permille"),
+        expr("(1000L * CAST(cnt AS DECIMAL(38,0)) * n_keys) div total")
+          .as("uniform_x_permille"),
         col("n_keys"), col("total"), col("p50_cnt"), col("p99_cnt"),
         // ceil division in exact integers: (a + b - 1) div b
-        expr("(__mx * n_keys + total - 1L) div total").as("salt_factor"))
+        expr("(CAST(__mx AS DECIMAL(38,0)) * n_keys + total - 1L) div total")
+          .as("salt_factor"))
   }
 }

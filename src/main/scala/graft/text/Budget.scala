@@ -27,15 +27,25 @@ object Budget {
     * (higher = better); `budget` the global token budget.
     */
   def waterFill(perSource: DataFrame, sourceCol: String, tokensCol: String,
-                qualityCol: String, budget: Long): DataFrame = {
+                qualityCol: String, budget: Long,
+                maxSources: Int = 100000): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val spark = perSource.sparkSession
+    // limit(cap+1) keeps the driver read bounded whatever the caller passed:
+    // a per-DOCUMENT frame handed in by mistake fails this require loudly
+    // instead of OOMing the driver mid-collect (the probeDictionary rule)
     val rows = perSource
       .select(col(sourceCol).cast("string").as("source"),
         col(tokensCol).cast("long").as("n_tokens"),
         col(qualityCol).cast("long").as("quality_permille"))
       .orderBy(desc("quality_permille"), col("source"))
+      .limit(maxSources + 1)
       .collect()
+    require(rows.length <= maxSources,
+      s"waterFill: more than $maxSources input rows — this operator " +
+        "collects the PER-SOURCE frame (dimension-sized by contract); a " +
+        "per-document frame does not belong here. Aggregate to sources " +
+        "first, or raise maxSources deliberately")
     var remaining = budget
     val out = rows.zipWithIndex.map { case (r, i) =>
       require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),

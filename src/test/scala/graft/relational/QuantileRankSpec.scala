@@ -25,4 +25,21 @@ class QuantileRankSpec extends SparkSpec {
     val sorted = out.sortBy(_._1)
     assert(sorted.map(_._2).toSeq === sorted.map(_._2).sorted)
   }
+
+  test("NULL values fail loudly instead of vanishing from the output") {
+    val d = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      QuantileRank.permilleRank(d, "v", "r")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("a continuous (unbounded-distinct) domain fails the broadcast guard") {
+    val d = (1L to 50L).map(i => (i, i * 1.000001)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      QuantileRank.permilleRank(d, "v", "r", maxDistinct = 10)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }

@@ -35,4 +35,12 @@ class RobustStatsSpec extends SparkSpec {
     assert(RobustStats.madOutliers(nearly, "k", "v")
       .select("n_outliers").as[Long].head() === 1L)
   }
+
+  test("a key-like group column fails the bounded-group guard loudly") {
+    val d = (1L to 30L).map(i => (s"user_$i", i.toDouble)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      RobustStats.madOutliers(d, "k", "v", maxGroups = 8)
+    }
+    assert(e.getMessage.contains("category"))
+  }
 }

@@ -31,4 +31,13 @@ class BudgetSpec extends SparkSpec {
     val none = run(0L, ("x", 10L, 1L))
     assert(none.head._5 === 0L && !none.head._6)
   }
+
+  test("a per-document frame fails the bounded-collect guard loudly") {
+    val docs = (1L to 40L).map(i => (s"doc_$i", i, 500L))
+    val e = intercept[IllegalArgumentException] {
+      Budget.waterFill(ps(docs: _*), "source", "n_tokens", "q",
+        budget = 100L, maxSources = 10)
+    }
+    assert(e.getMessage.contains("PER-SOURCE"))
+  }
 }
