@@ -288,12 +288,8 @@ object CorpusQueries {
     DeclaredQuery("knn_triangle_count",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.ivfTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
-          nlist = 16, nprobe = 4)
-        val und = knn.select(
-          least(col("qid"), col("cid")).as("a"),
-          greatest(col("qid"), col("cid")).as("b")).distinct()
+        // shared landed undirected-edge stage (Dsl.knnUndirected)
+        val und = knnUndirected(s, dir)
         val tri = und.as("e1")
           .join(und.as("e2"), col("e1.b") === col("e2.a"))
           .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))

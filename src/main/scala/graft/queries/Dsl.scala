@@ -55,6 +55,39 @@ object Dsl {
   def events(s: SparkSession, dir: String): DataFrame =
     normalizeTs(tbl(s, dir, "events"))
 
+  /** The ONE k=3 IVF kNN edge frame every graph query consumes — PageRank,
+    * triangle census, k-core peeling, LPA communities. Built via
+    * `Similarity.ivfTopK` (equi-keyed cell join, no O(n²) stage) and landed
+    * once per session through `Stages.materialize`: the memo key is the
+    * canonicalized plan, so four queries calling this helper share ONE
+    * index build + candidate join, and each graph kernel starts from a
+    * compact parquet scan of the (qid, cid) edges — the shape a warehouse
+    * pipeline has (an `edges` stage table written once per snapshot, read
+    * by every downstream graph job), and 4× less work than the per-query
+    * rebuild it replaces.
+    */
+  def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    graft.relational.Stages.materialize(
+      graft.vector.Similarity.ivfTopK(
+        emb, "vec_id", emb, "vec_id", "embedding", k = 3,
+        nlist = 16, nprobe = 4),
+      "knn_edges")
+  }
+
+  /** Symmetrized-distinct view of [[knnEdges]] (a < b canonical order) —
+    * the undirected graph the triangle/k-core/LPA kernels run on. Also
+    * landed (its input is the landed edge scan, so the distinct runs over
+    * parquet, and its own memo entry makes the three consumers share one
+    * dedup pass).
+    */
+  def knnUndirected(s: SparkSession, dir: String): DataFrame =
+    graft.relational.Stages.materialize(
+      knnEdges(s, dir).select(
+        least(col("qid"), col("cid")).as("a"),
+        greatest(col("qid"), col("cid")).as("b")).distinct(),
+      "knn_und")
+
   /** The `ts`-normalization above for ANY frame carrying a raw fixture `ts`
     * (the streaming replay source reads the same parquet footers, so its
     * frames need the identical conversion).

@@ -984,10 +984,10 @@ object PipelineQueries {
     DeclaredQuery("knn_pagerank_centrality",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.ivfTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
-          nlist = 16, nprobe = 4)
-        val edges = knn.select(col("qid").as("src"), col("cid").as("dst"))
+        // shared landed edge stage (Dsl.knnEdges): one IVF build feeds all
+        // four kNN-graph queries in a session
+        val edges = knnEdges(s, dir)
+          .select(col("qid").as("src"), col("cid").as("dst"))
         val nodes = emb.select(col("vec_id").as("id"))
         var ranks = nodes.withColumn("r", lit(1000000L))
         for (_ <- 1 to 4) {

@@ -161,14 +161,8 @@ object ProfilingQueries {
     DeclaredQuery("knn_kcore_peeling",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.ivfTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
-          nlist = 16, nprobe = 4)
-        val und = graft.relational.Stages.materialize(
-          knn.select(
-            least(col("qid"), col("cid")).as("a"),
-            greatest(col("qid"), col("cid")).as("b")).distinct(),
-          "kcore_edges")
+        // shared landed undirected-edge stage (Dsl.knnUndirected)
+        val und = knnUndirected(s, dir)
         graft.dedup.KCore.peelingTrace(
           emb.select(col("vec_id")), "vec_id", und, "a", "b",
           k = 2, rounds = 4)
@@ -208,14 +202,8 @@ object ProfilingQueries {
     DeclaredQuery("knn_lpa_communities",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val knn = graft.vector.Similarity.ivfTopK(
-          emb, "vec_id", emb, "vec_id", "embedding", k = 3,
-          nlist = 16, nprobe = 4)
-        val und = graft.relational.Stages.materialize(
-          knn.select(
-            least(col("qid"), col("cid")).as("a"),
-            greatest(col("qid"), col("cid")).as("b")).distinct(),
-          "lpa_edges")
+        // shared landed undirected-edge stage (Dsl.knnUndirected)
+        val und = knnUndirected(s, dir)
         val lab = graft.dedup.LabelProp.communities(
           emb.select(col("vec_id")), "vec_id", und, "a", "b", rounds = 4)
         val sizes = lab.groupBy(col("community")).agg(count(lit(1)).as("comm_size"))
