@@ -237,6 +237,63 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- the reference's ACTUAL registration API shape: draft-04 JSON
+    // DOCUMENTS compiled to the constraint bundle. Every other route query
+    // hand-builds Constraint lists; here the schemas are the artifact an
+    // AJV user ships — a JSON document with self {vendor,name,version}
+    // (makeSchemaId, reference lib/kinesisHandler.js:15-17) registered via
+    // registerSchemaMethodPair (lib/kinesisHandler.js:91-99) — run through
+    // Draft4Schema.compile: $ref into definitions (→ Rebase at the 'k'
+    // property), boolean exclusiveMaximum, and a nested property pattern
+    // all arrive via the compiled path. data.schema carries the full
+    // vendor/name/version id, exactly the reference's two-level shape.
+    DeclaredQuery("route_draft4_document",
+      (s, dir) => {
+        def doc(name: String): String =
+          s"""{
+            "$$schema": "http://json-schema.org/draft-04/schema#",
+            "self": {"vendor": "com.graft", "name": "$name", "version": "1-0-0"},
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+              "k": {"$$ref": "#/definitions/smallCount"},
+              "tag": {"type": "string", "pattern": "^t[0-9]+$$"}
+            },
+            "definitions": {
+              "smallCount": {"type": "integer", "minimum": 0,
+                             "maximum": 91, "exclusiveMaximum": true}
+            }
+          }"""
+        val compiledRegistry = registeredTypes.map { t =>
+          val c = Draft4Schema.compile(doc(t))
+          c.id -> Router.Registration(c.registeredSchema,
+            identity[org.apache.spark.sql.DataFrame])
+        }.toMap
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val evs = events(s, dir)
+          .withColumn("event", struct(
+            lit(envelopeId).as("schema"),
+            struct(
+              concat(lit("com.graft/"), col("event_type"), lit("/1-0-0"))
+                .as("schema"),
+              k.as("k"),
+              when(pmod(k, lit(19)) === 0, concat(lit("x"), k))
+                .otherwise(concat(lit("t"), k)).as("tag")).as("data")))
+        val config = Router.Config(envelopeId,
+          RegisteredSchema(envelopeId, Nil), compiledRegistry)
+        Router.tag(evs, config)
+          .groupBy(col(Router.TagCol).as("route"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("route"))
+      },
+      Some("""SELECT CASE
+          WHEN event_type NOT IN ('click', 'purchase', 'signup') THEN 'skipped'
+          WHEN k IS NULL OR k >= 91 OR k % 19 = 0 THEN 'badmsg'
+          ELSE 'branch:com.graft/' || event_type || '/1-0-0' END AS route,
+          COUNT(*) AS n
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The

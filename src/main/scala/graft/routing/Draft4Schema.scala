@@ -108,6 +108,22 @@ object Draft4Schema {
     if (opt("minLength").nonEmpty || opt("maxLength").nonEmpty)
       out += StrLength(path, opt("minLength").map(_.asInt),
         opt("maxLength").map(_.asInt))
+    // draft-04 exclusiveMinimum/Maximum are BOOLEAN modifiers of minimum/
+    // maximum; the draft-06 numeric form would silently compile to no
+    // constraint at all (asBoolean on a number is false, and absent
+    // minimum emits no NumRange) — refuse it loudly instead
+    Seq("exclusiveMinimum" -> "minimum", "exclusiveMaximum" -> "maximum")
+      .foreach { case (ex, base) =>
+        opt(ex).foreach { n =>
+          require(n.isBoolean,
+            s"'$ex' must be a draft-04 BOOLEAN (got ${n.getNodeType}) — " +
+              "the numeric draft-06 form would compile to a silently " +
+              s"weaker validator; write {\"$base\": x, \"$ex\": true}")
+          require(opt(base).nonEmpty,
+            s"'$ex' without '$base' is vacuous in draft-04 — remove it or " +
+              s"add '$base'")
+        }
+      }
     if (opt("minimum").nonEmpty || opt("maximum").nonEmpty)
       out += NumRange(path,
         opt("minimum").map(_.asDouble), opt("maximum").map(_.asDouble),

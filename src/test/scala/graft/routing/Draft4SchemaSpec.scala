@@ -135,4 +135,28 @@ class Draft4SchemaSpec extends SparkSpec {
       .select("name", "ok", "want").as[(String, Boolean, Boolean)].collect()
     got.foreach { case (name, ok, want) => assert(ok === want, s"case: $name") }
   }
+
+  test("draft-06 numeric exclusiveMinimum/Maximum refuse to compile") {
+    // the numeric form would compile to NO constraint at all (asBoolean on
+    // a number is false; absent minimum emits no NumRange) — a silently
+    // weaker validator, which the compiler's own rule forbids
+    def doc(body: String) =
+      s"""{"self": {"vendor": "v", "name": "n", "version": "1"},
+           "properties": {"k": $body}}"""
+    val numeric = intercept[IllegalArgumentException] {
+      Draft4Schema.compile(doc("""{"exclusiveMinimum": 5}"""))
+    }
+    assert(numeric.getMessage.contains("BOOLEAN"))
+    val orphan = intercept[IllegalArgumentException] {
+      Draft4Schema.compile(doc("""{"exclusiveMaximum": true}"""))
+    }
+    assert(orphan.getMessage.contains("vacuous"))
+    // the draft-04 boolean form still compiles and binds strictly
+    val ok = Draft4Schema.compile(
+      doc("""{"minimum": 0, "maximum": 10, "exclusiveMaximum": true}"""))
+    assert(ok.constraints.exists {
+      case NumRange("k", _, Some(10.0), false, true) => true
+      case _ => false
+    })
+  }
 }
