@@ -201,13 +201,22 @@ object Dedup {
   }
 
   /** Inverted shingle-index rows (id, key): key fuses block columns + the
-    * word n-gram into one 64-bit join key, so self-joins shuffle a single
+    * word n-gram into one 60-bit join key, so self-joins shuffle a single
     * long column instead of strings — and block equality rides along free.
+    * The key is the md5-prefix (`conv(substring(md5(...), 1, 15), 16, 10)`,
+    * the house portable-key discipline): the DuckDB oracle derives the
+    * IDENTICAL key, so even a cross-shingle collision (≈|union|²/2⁶⁰,
+    * negligible) perturbs both engines the same way instead of silently
+    * shifting only the Spark-side jaccard — closing the last
+    * oracle-value-bearing xxhash64 compare (xxhash64 remains only where
+    * hashed contents never reach a result: Bloom/Count-Min sketches and
+    * the seeded fast paths whose gates are subset-style).
     * Shingles are built ROW-LOCALLY (split once, slice per ordinal): forming
-    * n-grams is pure per-document math and costs no exchange, where the
-    * previous lead()-window shape shuffled and sorted every word in the
-    * corpus first. Deduplicated at the (id, key) level since Jaccard counts
-    * distinct shingles.
+    * n-grams is pure per-document math and costs no exchange. Deduplicated
+    * at the KEY level (hash inside the transform, distinct before explode)
+    * since Jaccard counts distinct shingles — the same dedup level the
+    * oracle's list_distinct-over-keys applies, so the two engines agree
+    * even on a within-document collision.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, blockCols: Seq[String]): DataFrame =
@@ -215,17 +224,20 @@ object Dedup {
       .select(col(idCol).as("id") +: blockCols.map(col) :+
         split(col(textCol), " ").as("__ws"): _*)
       .filter(size(col("__ws")) >= shingleN)
-      .select(col("id") +: blockCols.map(col) :+
+      .select(col("id"),
         explode(array_distinct(transform(
           sequence(lit(1L), (size(col("__ws")) - lit(shingleN - 1)).cast("long"), lit(1L)),
-          i => array_join(slice(col("__ws"), i.cast("int"), lit(shingleN)), " "))))
-          .as("s"): _*)
-      .select(col("id"), xxhash64(blockCols.map(col) :+ col("s"): _*).as("key"))
+          i => conv(substring(md5(concat_ws("\u001f",
+            blockCols.map(col) :+
+              array_join(slice(col("__ws"), i.cast("int"), lit(shingleN)), " "): _*)),
+            1, 15), 16, 10).cast("long"))))
+          .as("key"))
 
   /** Exact word-n-gram Jaccard similarity for all pairs within blocks, via
     * the inverted shingle index (no array ops, no cross products). Shingles
-    * are compared by 64-bit hash — collision probability within one pair's
-    * union is ~|union|²/2⁶⁴, negligible at any realistic document size.
+    * are compared by the PORTABLE 60-bit md5-prefix key (see
+    * [[shingleIndex]]): a collision (~|union|²/2⁶⁰, negligible) perturbs
+    * Spark and the DuckDB oracle identically, never one-sidedly.
     *
     * @param blockCols blocking columns (pairs only form within equal blocks)
     * @param minJaccard result threshold (also prunes the pair-count output)

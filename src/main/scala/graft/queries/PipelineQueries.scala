@@ -788,9 +788,14 @@ object PipelineQueries {
       (s, dir) => Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, blockCols = Seq("source", "lang"), minJaccard = 0.1)
         .orderBy(col("id1"), col("id2")),
+      // the oracle derives the IDENTICAL 60-bit md5-prefix shingle key the
+      // Spark index joins on (block cols fused with chr(31)), so the two
+      // engines agree even under a hash collision — the portable-key rule
       Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
         sh AS (SELECT doc_id, source, lang,
-            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+            list_distinct(list_transform(range(1, len(ts) - 1),
+              i -> CAST(('0x' || substring(md5(source || chr(31) || lang || chr(31) ||
+                   array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
           FROM tk WHERE len(ts) >= 3),
         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
@@ -810,7 +815,9 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2")),
       Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
         sh AS (SELECT doc_id, source, lang,
-            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+            list_distinct(list_transform(range(1, len(ts) - 1),
+              i -> CAST(('0x' || substring(md5(source || chr(31) || lang || chr(31) ||
+                   array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
           FROM tk WHERE len(ts) >= 3),
         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
@@ -848,7 +855,9 @@ object PipelineQueries {
       },
       Some("""WITH tk AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ts FROM documents),
         sh AS (SELECT doc_id, source, lang,
-            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+            list_distinct(list_transform(range(1, len(ts) - 1),
+              i -> CAST(('0x' || substring(md5(lang || chr(31) ||
+                   array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
           FROM tk WHERE len(ts) >= 3),
         p AS (SELECT a.source AS sa, b.source AS sb,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
