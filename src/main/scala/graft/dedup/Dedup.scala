@@ -217,9 +217,23 @@ object Dedup {
     * since Jaccard counts distinct shingles — the same dedup level the
     * oracle's list_distinct-over-keys applies, so the two engines agree
     * even on a within-document collision.
+    *
+    * LANDED ([[graft.relational.Stages.materialize]]): three consumers read
+    * the index (both self-join sides + the per-doc sizes), and best-effort
+    * ReuseExchange is defeated by per-consumer column pruning (the
+    * sparseFromTf lesson, measured 6.7×) — so the corpus tokenize + md5
+    * would otherwise run three times per query. Same (shingleN, blockCols)
+    * across queries additionally share ONE landing per session (memo key =
+    * canonical plan): the jaccard and containment queries over the same
+    * blocks read the same files.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, blockCols: Seq[String]): DataFrame =
+    graft.relational.Stages.materialize(shingleIndexPlan(
+      docs, idCol, textCol, shingleN, blockCols), "shingle_index")
+
+  private def shingleIndexPlan(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, blockCols: Seq[String]): DataFrame =
     docs
       .select(col(idCol).as("id") +: blockCols.map(col) :+
         split(col(textCol), " ").as("__ws"): _*)

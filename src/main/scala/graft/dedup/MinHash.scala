@@ -221,13 +221,19 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, numBands: Int = 16,
                    maxBucket: Int = 1000): DataFrame = {
-    val hs = distinctHashes(docs, idCol, textCol, shingleN)
+    // LANDED like the portable twin: four consumers (signature mins, both
+    // verify sides, sizes) prune columns differently, which breaks the
+    // exchange-subtree identity ReuseExchange matches on — the corpus
+    // tokenize + shingle hash re-derived per consumer (measured on the
+    // containment gate row: 3.7 → 2.1 s warm at sf0.1 once landed).
+    val hs = graft.relational.Stages.materialize(
+      distinctHashes(docs, idCol, textCol, shingleN), "minhash_hs")
     val mins = signatureColsFromHashes(hs, numHashes)
     val banded = bandKeys(mins, numHashes, numBands)
     // Exact verify runs on distinct shingle-HASH sets via the inverted
     // index (xxhash64 collisions are the only divergence from string-set
-    // jaccard — negligible at 2^-64); `hs` is the same frame the signatures
-    // consumed, so the exchange is shared (ReuseExchange).
+    // jaccard — negligible at 2^-64); `hs` is the landed frame the
+    // signatures consumed.
     verifyJaccard(hs, candidatePairs(banded, maxBucket))
   }
 }
