@@ -55,6 +55,12 @@ def main(argv):
 
     tp, tc = sum(prev.values()), sum(new.values())
     print(f"\ntotal: {tp:.1f} -> {tc:.1f} s over {len(prev)} -> {len(new)} queries")
+    # streaming/batch split: the stream_* rows carry fixed trigger/state
+    # constants (see BASELINE.md) — a 2x-style gate against a batch-only
+    # baseline must read the batch split, so report both separately
+    sp = sum(v for k, v in prev.items() if k.startswith("stream_"))
+    sc = sum(v for k, v in new.items() if k.startswith("stream_"))
+    print(f"  streaming: {sp:.1f} -> {sc:.1f} s | batch: {tp - sp:.1f} -> {tc - sc:.1f} s")
     if regressions:
         print(f"{len(regressions)} regression(s) beyond {ratio}x + {floor}s "
               "— add a SCALE.md note or fix before round close-out")

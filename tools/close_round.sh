@@ -71,4 +71,9 @@ if [ -n "${PREV}" ]; then
 fi
 cp bench_out.json "bench_history/r${ROUND}_close.json" 2>/dev/null || true
 
+echo "== close_round: stamping measured numbers into ROUND_STATS.md =="
+# round-7 lesson: prose carried three different hand-transcribed timings;
+# totals now flow from the close artifacts through one tool
+python3 tools/round_stats.py "${ROUND}"
+
 echo "== close_round r${ROUND}: ALL GATES GREEN =="
