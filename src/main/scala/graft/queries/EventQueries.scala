@@ -294,6 +294,45 @@ object EventQueries {
         FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- validate_json_schema as ONE droppable expression ----------------
+    // SURVEY §4's deferred ergonomic, gated: the full P1–P4 conjunction for
+    // a compiled draft-04 document as a single boolean Column — no Router,
+    // no registry, just `validateJsonSchema(doc, payload)` in a
+    // conditional aggregation. The per-type validity matrix is the shape a
+    // porter embeds in any quality dashboard; the oracle recomputes the
+    // document's verdict arithmetic (required k, minimum 5, tag pattern).
+    DeclaredQuery("schema_validity_matrix",
+      (s, dir) => {
+        val doc =
+          """{
+            "self": {"vendor": "com.graft", "name": "payload", "version": "1-0-0"},
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+              "k": {"type": "integer", "minimum": 5},
+              "tag": {"type": "string", "pattern": "^t[0-9]+$"}
+            }
+          }"""
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val ok = Draft4Schema.validateJsonSchema(doc,
+          struct(k.as("k"),
+            when(pmod(k, lit(7)) === 0, concat(lit("u"), k))
+              .otherwise(concat(lit("t"), k)).as("tag")))
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(ok, 1L).otherwise(0L)).as("n_valid"))
+          .withColumn("valid_permille", expr("(1000L * n_valid) div n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN k IS NOT NULL AND k >= 5 AND k % 7 <> 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+          CAST((1000 * SUM(CASE WHEN k IS NOT NULL AND k >= 5 AND k % 7 <> 0
+                   THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS valid_permille
+        FROM (SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) e
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- S3/S4: full wire-format round trip through the codec ------------
     // Encodes each event as a base64 JSON Kinesis-style payload, then runs
     // the real decode path (unbase64 → from_json → validate → route). The

@@ -121,6 +121,39 @@ object ProfilingQueries {
           CAST((mx * n_keys + total - 1) // total AS BIGINT) AS salt_factor
         FROM top CROSS JOIN st ORDER BY cnt DESC, key""")),
 
+    // ---- O51b: diagnosis→remedy composition — the profiler DRIVES the
+    // salted join. key_skew_profile's salt_factor is the library's own
+    // advertised prescription; this row closes the loop end to end: run the
+    // diagnosis (one keyed agg + 1-row stats — the bounded-model-collect
+    // class), take its salt_factor as the bucket count, and execute
+    // Skew.saltedJoin with it. Salting never changes RESULTS (each big-side
+    // row still matches its dim row exactly once, any bucket count), so the
+    // oracle is the plain join PLUS the replayed salt-factor arithmetic —
+    // proving both the remedy's correctness and the diagnosis value
+    // actually used.
+    DeclaredQuery("skew_salted_join_auto",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("custkey", (col("user_id") + 1).cast("long"))
+        val buckets = graft.relational.SkewProfile
+          .hotKeys(ev, "custkey", topK = 1)
+          .select(col("salt_factor")).head().getLong(0).toInt
+        val dim = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.relational.Skew.saltedJoin(ev, "custkey", dim, "c_custkey",
+          spreadCol = col("event_id"), saltBuckets = buckets)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("salt_buckets", lit(buckets.toLong))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH pk AS (SELECT user_id + 1 AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+        st AS (SELECT CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT) AS sf
+               FROM pk)
+        SELECT c.c_mktsegment, COUNT(*) AS n_events, st.sf AS salt_buckets
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1 CROSS JOIN st
+        GROUP BY 1, 3 ORDER BY 1""")),
+
     // ---- O52: quality-ordered token-budget water-fill ---------------------
     // "Which sources make the cut for a half-corpus run": per-source token
     // counts + en-share quality, filled highest-quality-first until the

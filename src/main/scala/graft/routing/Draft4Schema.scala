@@ -34,6 +34,18 @@ object Draft4Schema {
     def registeredSchema: RegisteredSchema = RegisteredSchema(id, constraints)
   }
 
+  /** SURVEY §4's `validate_json_schema` ergonomic: document string in,
+    * ONE boolean Column out — the full P1–P4 constraint conjunction for a
+    * registered draft-04 document, droppable into any pipeline
+    * (`df.filter(validateJsonSchema(doc, col("payload")))`). Compilation
+    * happens once at plan-build; the returned expression is pure built-in
+    * Catalyst (codegen'd predicates), no UDF.
+    */
+  def validateJsonSchema(schemaJson: String,
+                         root: org.apache.spark.sql.Column,
+                         rawPath: Option[String] = None): org.apache.spark.sql.Column =
+    compile(schemaJson, rawPath).registeredSchema.valid(root)
+
   private val mapper = new ObjectMapper()
 
   /** Compile a draft-04 document. `rawPath` is the dotted path (relative to
