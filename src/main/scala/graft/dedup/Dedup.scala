@@ -247,6 +247,27 @@ object Dedup {
             1, 15), 16, 10).cast("long"))))
           .as("key"))
 
+  /** Raw shared-shingle counts for all (id1 < id2) pairs sharing at least
+    * `minShared` distinct n-grams — the un-normalized primitive under the
+    * Jaccard/containment family, exposed for consumers that threshold on
+    * ABSOLUTE overlap (cross-lingual contamination mining, quote detection)
+    * rather than a ratio: a 10-shingle overlap is the same evidence whether
+    * the documents are 50 or 50 000 shingles long, which every
+    * size-normalized score washes out. Same landed blockless index and
+    * answer-sized aggregation as [[ngramJaccardPairs]]; the count threshold
+    * prunes in the aggregate, so only qualifying pairs survive the shuffle.
+    */
+  def sharedShingleCounts(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int, minShared: Long): DataFrame = {
+    val index = shingleIndex(docs, idCol, textCol, shingleN, Nil)
+    index.select(col("id").as("id1"), col("key"))
+      .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact word-n-gram Jaccard similarity for all pairs within blocks, via
     * the inverted shingle index (no array ops, no cross products). Shingles
     * are compared by the PORTABLE 60-bit md5-prefix key (see

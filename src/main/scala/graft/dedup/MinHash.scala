@@ -162,6 +162,25 @@ object MinHash {
                            shingleN: Int = 3, numHashes: Int = 16,
                            numBands: Int = 8, minJaccard: Double = 0.5,
                            maxBucket: Int = 1000): DataFrame = {
+    val (hs, banded) = portableIndex(docs, idCol, textCol, shingleN,
+      numHashes, numBands)
+    verifyJaccard(hs, candidatePairs(banded, maxBucket))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The portable pipeline's banded rows (id, band, band_key) — exposed for
+    * index DIAGNOSTICS (bucket-size distributions, collision budgets) that
+    * read the banding itself rather than the pairs it produces.
+    */
+  def portableBandKeys(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, numHashes: Int = 16,
+                       numBands: Int = 8): DataFrame =
+    portableIndex(docs, idCol, textCol, shingleN, numHashes, numBands)._2
+
+  /** Shared build of the portable (distinct-hash, banded) frames. */
+  private def portableIndex(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, numHashes: Int,
+                            numBands: Int): (DataFrame, DataFrame) = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val r = numHashes / numBands
     def fp60(c: Column): Column =
@@ -213,8 +232,7 @@ object MinHash {
             (j * r until (j + 1) * r).map(i => col(s"m$i").cast("string")): _*)).as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_key"))
-    verifyJaccard(hs, candidatePairs(banded, maxBucket))
-      .filter(col("jaccard") >= minJaccard)
+    (hs, banded)
   }
 
   /** Candidate near-dup pairs (id1 < id2) with exact Jaccard attached. */

@@ -359,7 +359,11 @@ object PipelineQueries {
     * hex-prefix base hashes, seed mixes, band keys, candidate join, and
     * inverted-index Jaccard verify (word-3-gram shingles).
     */
-  private def portableMinhashOracleSql(k: Int, b: Int, minJaccard: Double): String = {
+  /** WITH-chain through the banded rows `bk(id, band, band_key)` — shared
+    * by the portable pair oracle and the band-diagnostics oracle so both
+    * replay the IDENTICAL md5-derived banding.
+    */
+  private def portableBandCtes(k: Int, b: Int): String = {
     val r = k / b
     // mirrors the Spark side: digest g = md5("g:" || h), mins 2g and 2g+1
     // slice hex chars 1-15 and 16-30 of the same digest
@@ -380,7 +384,11 @@ object PipelineQueries {
        |hs AS (SELECT DISTINCT id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
        |mins AS (SELECT id, $minsSql FROM hs GROUP BY id),
        |bands AS (SELECT id, $bandSql FROM mins),
-       |bk AS ($bandUnion),
+       |bk AS ($bandUnion)""".stripMargin
+  }
+
+  private def portableMinhashOracleSql(k: Int, b: Int, minJaccard: Double): String = {
+    s"""${portableBandCtes(k, b)},
        |cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
        |         FROM bk a JOIN bk c USING (band, band_key) WHERE a.id < c.id),
        |sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
@@ -870,6 +878,39 @@ object PipelineQueries {
           CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong,
           MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
         FROM j GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- O73: cross-lingual duplicate candidates ---------------------------
+    // Translated/mirrored content mining: doc pairs in DIFFERENT languages
+    // sharing >= 5 distinct 3-grams — the contamination a per-lang dedup
+    // (source_overlap_matrix blocks by lang, so its pairs never cross a
+    // language) structurally cannot see, and the candidate set a bitext-
+    // mining pipeline seeds from. Thresholds on ABSOLUTE shared-shingle
+    // count (Dedup.sharedShingleCounts): a 10-shingle overlap is the same
+    // evidence at any document length, which jaccard washes out for
+    // asymmetric sizes. Rides the SAME landed blockless shingle index as
+    // the fastpath containment gate (memo hit — no extra corpus scan).
+    DeclaredQuery("crosslingual_dup_candidates",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.sharedShingleCounts(docs, "doc_id", "text",
+          shingleN = 3, minShared = 5L)
+        val lng = docs.select(col("doc_id"), col("lang"))
+        pairs
+          .join(lng.select(col("doc_id").as("id1"), col("lang").as("lang1")), "id1")
+          .join(lng.select(col("doc_id").as("id2"), col("lang").as("lang2")), "id2")
+          .filter(col("lang1") =!= col("lang2"))
+          .select(col("id1"), col("id2"), col("lang1"), col("lang2"), col("n_shared"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(ts) - 1),
+            i -> CAST(('0x' || substring(md5(array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang AS lang1, b.lang AS lang2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id1, id2, lang1, lang2, n_shared FROM p
+        WHERE n_shared >= 5 AND lang1 <> lang2 ORDER BY id1, id2""")),
 
     // Prefix-filtered exact Jaccard (PPJoin-style): only each doc's rarest
     // shingles generate candidates (lossless for J >= t by the prefix-filter
@@ -1729,6 +1770,40 @@ object PipelineQueries {
         .orderBy(col("id1"), col("id2")),
       Some(portableMinhashOracleSql(k = 16, b = 8, minJaccard = 0.5))),
 
+    // ---- O72: LSH band diagnostics ----------------------------------------
+    // The index-tuning view of the SAME banding the portable pair query
+    // runs on (shared CTE chain; on the Spark side the banded frame rides
+    // the landed distinct-hash stage): per band, bucket count, the largest
+    // bucket, the candidate-pair budget Σ sz·(sz−1)/2 — the number the
+    // (bands × rows) recall/cost trade-off is tuned against — and the
+    // singleton share. key_skew_profile's role, played for the LSH index:
+    // a band whose max bucket explodes needs a bucket cap or more bands
+    // BEFORE the candidate join runs, not after it OOMs.
+    DeclaredQuery("lsh_band_stats",
+      (s, dir) => {
+        val banded = MinHash.portableBandKeys(tbl(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, numHashes = 16, numBands = 8)
+        banded.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("band").cast("long").as("band"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("sz")).as("max_bucket"),
+            sum(expr("sz * (sz - 1L) div 2")).as("n_candidate_pairs"),
+            sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_singletons"))
+          .withColumn("singleton_permille",
+            expr("(1000L * n_singletons) div n_buckets"))
+          .orderBy(col("band"))
+      },
+      Some(s"""${portableBandCtes(16, 8)},
+        sz AS (SELECT band, band_key, COUNT(*) AS sz FROM bk GROUP BY 1, 2)
+        SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets,
+          CAST(MAX(sz) AS BIGINT) AS max_bucket,
+          CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+          CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+          CAST((1000 * SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+            AS singleton_permille
+        FROM sz GROUP BY 1 ORDER BY 1""")),
+
     // SimHash fast-path gate: the banded pipeline must EQUAL the brute-force
     // hamming filter over the same seeded fingerprints — banding 64 bits
     // into 4 blocks is lossless for hamming ≤ 3 by pigeonhole, so the
@@ -2052,6 +2127,75 @@ object PipelineQueries {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
           FROM scored)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // ---- O74: IVF recall audit ---------------------------------------------
+    // The serving-quality number an ANN index ships with: exact recall@3 of
+    // ivf_topk (nlist=16, nprobe=4) against the brute-force top-3, per
+    // query, in exact permille. The gated twins prove each pipeline is
+    // CORRECTLY COMPUTED; this row measures what the approximation COSTS —
+    // the number that decides nprobe at rollout. Both sides are the
+    // existing deterministic pipelines; the oracle replays both CTE chains
+    // and joins them, so even the misses are hash-checked.
+    DeclaredQuery("ivf_recall_audit",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id",
+          "embedding", k = 3).select(col("qid"), col("cid"))
+        val approx = Similarity.ivfTopK(q, "vec_id", emb, "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4)
+          .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall_permille", expr("(1000L * n_hits) div k"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        xsc AS (SELECT qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        xt AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM xsc) t WHERE rk <= 3),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv2, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv2, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s WHERE e.vec_id < 10) t WHERE rn <= 4),
+        isc AS (
+          SELECT DISTINCT q2.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q2.qv2, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q2.qv2, q2.qv2), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM qass q2 JOIN cass c USING (sid) WHERE c.vec_id <> q2.qid),
+        it AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM isc) t WHERE rk <= 3)
+        SELECT xt.qid, COUNT(*) AS k,
+          CAST(SUM(CASE WHEN it.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+          CAST((1000 * SUM(CASE WHEN it.cid IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+            AS recall_permille
+        FROM xt LEFT JOIN it ON it.qid = xt.qid AND it.cid = xt.cid
+        GROUP BY 1 ORDER BY 1""")),
 
     DeclaredQuery("embedding_neardup_pairs",
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",

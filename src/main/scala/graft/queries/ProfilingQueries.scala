@@ -330,6 +330,40 @@ object ProfilingQueries {
         ) ORDER BY lf_a, lf_b"""
       }),
 
+    // ---- O58c: Fleiss' kappa of the full committee -------------------------
+    // The committee-level chance-corrected agreement (Fleiss 1971) over the
+    // same three labeling functions: pairwise matrices can look fine while
+    // the committee as a whole is chance-level. Categories {+1,−1,abstain};
+    // exact rational arithmetic in DECIMAL(38,0), truncating-division
+    // permille (the classifier_kappa discipline; negative kappas included).
+    DeclaredQuery("fleiss_kappa",
+      (s, dir) => graft.text.WeakLabels.fleissKappa(
+        graft.text.WeakLabels.majorityVote(lfInput(s, dir), lfVoteCols), k = 3),
+      Some(s"""$lfVoteCtes,
+        v AS (SELECT doc_id,
+                CAST((CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_quality = 1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_entropy = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS np,
+                CAST((CASE WHEN lf_lang = -1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_quality = -1 THEN 1 ELSE 0 END +
+                      CASE WHEN lf_entropy = -1 THEN 1 ELSE 0 END) AS HUGEINT) AS nn
+              FROM lf),
+        w AS (SELECT doc_id, np, nn, 3 - np - nn AS na FROM v),
+        a AS (SELECT COUNT(*) AS n_docs,
+                CAST(SUM(np * np + nn * nn + na * na) AS HUGEINT) - 3 * COUNT(*) AS aa,
+                CAST(SUM(np) AS HUGEINT) AS sp, CAST(SUM(nn) AS HUGEINT) AS sn,
+                CAST(SUM(na) AS HUGEINT) AS sa
+              FROM w)
+        SELECT n_docs, CAST(3 AS BIGINT) AS n_raters,
+          CAST((1000 * aa) // (n_docs * 6) AS BIGINT) AS pbar_permille,
+          CAST((1000 * (sp * sp + sn * sn + sa * sa)) // (n_docs * 3 * n_docs * 3) AS BIGINT)
+            AS pe_permille,
+          CAST(CASE WHEN n_docs * 3 * n_docs * 3 = sp * sp + sn * sn + sa * sa THEN 0
+            ELSE (1000 * (aa * (n_docs * 3 * n_docs * 3) - (n_docs * 6) * (sp * sp + sn * sn + sa * sa)))
+                 // ((n_docs * 6) * (n_docs * 3 * n_docs * 3 - (sp * sp + sn * sn + sa * sa))) END
+            AS BIGINT) AS kappa_permille
+        FROM a""")),
+
     // ---- O59: sessionized trajectory assembly -----------------------------
     // The behavioral-cloning / agent-training data shape: per (user,
     // session) the ORDERED event-type trajectory string, duration, and an

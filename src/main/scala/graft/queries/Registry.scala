@@ -9,7 +9,8 @@ object Registry {
     RelationalQueries.queries ++ ExtendedQueries.queries ++ ScalarQueries.queries ++
       EventQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
       MaintenanceQueries.queries ++ TokenizerQueries.queries ++ QualityQueries.queries ++
-      CorpusQueries.queries ++ AnalyticsQueries.queries ++ ProfilingQueries.queries
+      CorpusQueries.queries ++ AnalyticsQueries.queries ++ ProfilingQueries.queries ++
+      AuditQueries.queries
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

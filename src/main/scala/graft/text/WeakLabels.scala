@@ -74,6 +74,66 @@ object WeakLabels {
             "(1000L * (po_permille - pe_permille)) div (1000L - pe_permille)")))
   }
 
+  /** Fleiss' kappa over a [[majorityVote]] frame — the MULTI-rater
+    * generalization of [[cohenKappa]] (Fleiss 1971): chance-corrected
+    * agreement of ALL k labeling functions at once over the three
+    * categories {+1, −1, abstain}, the one number that says whether the
+    * committee agrees more than its marginal vote rates would produce by
+    * chance. Pairwise matrices (the [[agreementMatrix]]) can look fine
+    * while the committee as a whole is chance-level; Fleiss is the
+    * committee-level verdict.
+    *
+    * Exact integer arithmetic end to end: with n_ic the per-doc category
+    * counts (votes_pos, votes_neg, n_abstain — they sum to k),
+    * A = Σ_i(Σ_c n_ic² − k) gives P̄ = A/(N·k(k−1)); S_c = Σ_i n_ic and
+    * T = N·k give P̄e = ΣS_c²/T²; kappa = (A·T² − Nk(k−1)·ΣS_c²) /
+    * (Nk(k−1)·(T² − ΣS_c²)) — one rational with integer terms, emitted in
+    * truncating-division permille (negative kappas included, the
+    * [[cohenKappa]] discipline). Products run in DECIMAL(38,0): A·T² ≤
+    * N³k⁴ passes 2⁶³ near N ≈ 10⁶ docs, far below any real corpus.
+    * One aggregation pass, 1-row output; degenerate P̄e = 1 (every rater
+    * constant and unanimous) reports 0 like Cohen's.
+    */
+  def fleissKappa(voted: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "Fleiss' kappa needs at least two raters")
+    val sumsq = col("votes_pos") * col("votes_pos") +
+      col("votes_neg") * col("votes_neg") +
+      col("n_abstain") * col("n_abstain")
+    val agg = voted.agg(
+      count(lit(1)).as("n_docs"),
+      sum(sumsq).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__sq"),
+      sum(col("votes_pos")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__sp"),
+      sum(col("votes_neg")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__sn"),
+      sum(col("n_abstain")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__sa"))
+    agg
+      .withColumn("n_raters", lit(k.toLong))
+      .withColumn("__a", col("__sq") - col("n_docs") * lit(k.toLong))
+      // T² squares in DECIMAL — (Nk)² passes 2⁶³ already at N ≈ 10⁹ long
+      .withColumn("__t2", {
+        val t = (col("n_docs") * lit(k.toLong))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        t * t
+      })
+      .withColumn("__ss",
+        col("__sp") * col("__sp") + col("__sn") * col("__sn") +
+          col("__sa") * col("__sa"))
+      .withColumn("__m",
+        (col("n_docs") * lit((k * (k - 1)).toLong))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .withColumn("pbar_permille",
+        when(col("n_docs") === 0, lit(0L))
+          .otherwise(expr("(1000 * __a) div __m")))
+      .withColumn("pe_permille",
+        when(col("n_docs") === 0, lit(0L))
+          .otherwise(expr("(1000 * __ss) div __t2")))
+      .withColumn("kappa_permille",
+        when(col("n_docs") === 0 || col("__t2") === col("__ss"), lit(0L))
+          .otherwise(expr(
+            "(1000 * (__a * __t2 - __m * __ss)) div (__m * (__t2 - __ss))")))
+      .select(col("n_docs"), col("n_raters"), col("pbar_permille"),
+        col("pe_permille"), col("kappa_permille"))
+  }
+
   /** Pairwise LF audit over a [[majorityVote]] frame: for each unordered LF
     * pair (lf_a < lf_b by name): n_both (both voted), n_agree, n_conflict,
     * agree_permille (of n_both; 0 when neither ever co-votes), plus each

@@ -225,4 +225,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(swar === reference)
   }
+
+  test("sharedShingleCounts equals the direct intersect cardinality") {
+    val direct = {
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .crossJoin(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")))
+        .filter(col("id1") < col("id2"))
+        .withColumn("n", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .filter(col("n") >= 3L)
+        .select(col("id1"), col("id2"), col("n"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val got = Dedup.sharedShingleCounts(corpus, "doc_id", "text",
+      shingleN = 3, minShared = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === direct)
+    assert(got.exists { case (a, b, _) => (a, b) == ((1L, 4L)) }) // exact dup pair
+  }
+
+  test("portableBandKeys emits numBands rows per doc with shingles") {
+    val bk = MinHash.portableBandKeys(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 16, numBands = 8)
+    val perDoc = bk.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.size === 5 && perDoc.values.forall(_ == 8L))
+    // identical docs band identically in every band; the banding is what
+    // nearDupPairsPortable candidates ride, so this is its soundness floor
+    val keys = bk.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(keys(1L) === keys(4L))
+  }
 }

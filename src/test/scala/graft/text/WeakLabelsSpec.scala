@@ -57,4 +57,33 @@ class WeakLabelsSpec extends SparkSpec {
     assert(m(("lf_a", "lf_c")) === ((0L, 0L, 0L, 0L)))
     assert(m(("lf_b", "lf_c")) === ((0L, 0L, 0L, 0L)))
   }
+
+  test("fleiss kappa: unanimity across categories scores 1000") {
+    // d1 all-pos (3,0,0), d2 all-neg (0,3,0): P̄ = 1, P̄e = 1/2 → κ = 1
+    val d = Seq((3L, 0L, 0L), (0L, 3L, 0L))
+      .toDF("votes_pos", "votes_neg", "n_abstain")
+    val out = WeakLabels.fleissKappa(d, k = 3)
+      .select("n_docs", "n_raters", "pbar_permille", "pe_permille", "kappa_permille")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((2L, 3L, 1000L, 500L, 1000L)))
+  }
+
+  test("fleiss kappa: hand-computed mixed case is exactly -125 permille") {
+    // docs (2,1,0), (1,1,1), (3,0,0): A = 8, M = 18 → P̄ = 444‰;
+    // S = (6,2,1), T² = 81, ΣS² = 41 → P̄e = 506‰;
+    // κ = (8·81 − 18·41)/(18·40) = −90/720 → −125‰ exact (negative kappa)
+    val d = Seq((2L, 1L, 0L), (1L, 1L, 1L), (3L, 0L, 0L))
+      .toDF("votes_pos", "votes_neg", "n_abstain")
+    val out = WeakLabels.fleissKappa(d, k = 3)
+      .select("pbar_permille", "pe_permille", "kappa_permille")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((444L, 506L, -125L)))
+  }
+
+  test("fleiss kappa: degenerate unanimous-single-category guards to 0") {
+    val d = Seq((3L, 0L, 0L), (3L, 0L, 0L))
+      .toDF("votes_pos", "votes_neg", "n_abstain")
+    assert(WeakLabels.fleissKappa(d, k = 3)
+      .select("kappa_permille").as[Long].head() === 0L)
+  }
 }

@@ -1,0 +1,36 @@
+package graft.vector
+
+import graft.SparkSpec
+
+class GramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed upper-triangle Gram on two 3-dim vectors") {
+    // q rows at scale 1e4: (10000, 20000, -10000), (0, 10000, 30000)
+    // G00 = 1e8 + 0 = 1e8; G01 = 2e8 + 0 = 2e8; G02 = -1e8 + 0 = -1e8
+    // G11 = 4e8 + 1e8 = 5e8; G12 = -2e8 + 3e8 = 1e8; G22 = 1e8 + 9e8 = 1e9
+    val d = Seq((1L, Seq(1.0f, 2.0f, -1.0f)), (2L, Seq(0.0f, 1.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Gram.upperTriangle(d, "embedding")
+      .select("dim_i", "dim_j", "n", "gram")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.size === 6)
+    assert(out((0L, 0L)) === ((2L, "100000000")))
+    assert(out((0L, 1L)) === ((2L, "200000000")))
+    assert(out((0L, 2L)) === ((2L, "-100000000")))
+    assert(out((1L, 1L)) === ((2L, "500000000")))
+    assert(out((1L, 2L)) === ((2L, "100000000")))
+    assert(out((2L, 2L)) === ((2L, "1000000000")))
+  }
+
+  test("fixture: d(d+1)/2 cells, diagonal positive, symmetric pairs absent") {
+    val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Gram.upperTriangle(d, "embedding")
+      .select("dim_i", "dim_j", "gram").as[(Long, Long, String)].collect()
+    assert(out.length === 64 * 65 / 2)
+    assert(out.forall { case (i, j, _) => i <= j })
+    assert(out.filter { case (i, j, _) => i == j }
+      .forall { case (_, _, g) => BigInt(g) > 0 })
+  }
+}
