@@ -97,6 +97,27 @@ object ProfilingQueries {
           FROM scored) t WHERE rk <= 3),
       und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn)"""
 
+  /** IVF kNN chain + symmetrized edges + the 4 deterministic LPA rounds
+    * through `l4(id, lab)` — shared by the communities oracle and the
+    * modularity oracle so both replay the IDENTICAL partition.
+    */
+  private def lpaChainCtes: String = {
+    val roundCtes = (1 to 4).map { r =>
+      val prev = s"l${r - 1}"
+      s"""v$r AS (SELECT sym.v AS id, $prev.lab, COUNT(*) AS c
+           FROM sym JOIN $prev ON $prev.id = sym.u GROUP BY 1, 2),
+      b$r AS (SELECT id, lab FROM (
+           SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+           FROM v$r) t WHERE rn = 1),
+      l$r AS (SELECT $prev.id, COALESCE(b$r.lab, $prev.lab) AS lab
+           FROM $prev LEFT JOIN b$r USING (id))"""
+    }.mkString(",\n        ")
+    s"""$ivfKnnCtes,
+        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        l0 AS (SELECT vec_id AS id, vec_id AS lab FROM e),
+        $roundCtes"""
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     // ---- O51: key-skew profiler -------------------------------------------
@@ -244,26 +265,48 @@ object ProfilingQueries {
           .select(col("id"), col("community"), col("comm_size"))
           .orderBy(col("id"))
       },
-      Some {
-        val roundCtes = (1 to 4).map { r =>
-          val prev = s"l${r - 1}"
-          s"""v$r AS (SELECT sym.v AS id, $prev.lab, COUNT(*) AS c
-               FROM sym JOIN $prev ON $prev.id = sym.u GROUP BY 1, 2),
-          b$r AS (SELECT id, lab FROM (
-               SELECT id, lab, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
-               FROM v$r) t WHERE rn = 1),
-          l$r AS (SELECT $prev.id, COALESCE(b$r.lab, $prev.lab) AS lab
-               FROM $prev LEFT JOIN b$r USING (id))"""
-        }.mkString(",\n        ")
-        s"""$ivfKnnCtes,
-        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
-        l0 AS (SELECT vec_id AS id, vec_id AS lab FROM e),
-        $roundCtes,
+      Some(s"""$lpaChainCtes,
         cs AS (SELECT lab, COUNT(*) AS n FROM l4 GROUP BY 1)
         SELECT l4.id, l4.lab AS community, cs.n AS comm_size
         FROM l4 JOIN cs USING (lab)
-        ORDER BY l4.id"""
-      }),
+        ORDER BY l4.id""")),
+
+    // ---- O77: modularity of the LPA partition ------------------------------
+    // The acceptance check for the community structure itself: Newman
+    // modularity Q = Σ_c[e_c/m − (d_c/2m)²] of the 4-round LPA labels over
+    // the SAME landed kNN edges, as the exact micro-scaled rational
+    // 10⁶·Σ(4m·e_c − d_c²) div 4m² — "is this partition better than
+    // chance", per community and in total, negatives included. The oracle
+    // replays the full IVF+LPA chain and the identical integer arithmetic.
+    DeclaredQuery("lpa_modularity",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val und = knnUndirected(s, dir)
+        val lab = graft.dedup.LabelProp.communities(
+          emb.select(col("vec_id")), "vec_id", und, "a", "b", rounds = 4)
+        graft.dedup.GraphMetrics.modularity(lab, "id", "community",
+          und, "a", "b")
+          .orderBy(col("community"))
+      },
+      Some(s"""$lpaChainCtes,
+        deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+        dc AS (SELECT l4.lab AS community, COUNT(*) AS n_nodes,
+                 CAST(SUM(COALESCE(deg.d, 0)) AS HUGEINT) AS d_c
+               FROM l4 LEFT JOIN deg USING (id) GROUP BY 1),
+        ec AS (SELECT la.lab AS community, CAST(COUNT(*) AS HUGEINT) AS e_c
+               FROM und JOIN l4 la ON la.id = und.a JOIN l4 lb ON lb.id = und.b
+               WHERE la.lab = lb.lab GROUP BY 1),
+        mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+        per AS (SELECT dc.community, dc.n_nodes, COALESCE(ec.e_c, 0) AS e_c,
+                  dc.d_c, 4 * m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c AS term, m
+                FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm),
+        tot AS (SELECT CAST(SUM(term) AS HUGEINT) AS num, MAX(m) AS m2 FROM per)
+        SELECT community, n_nodes, CAST(e_c AS BIGINT) AS internal_edges,
+          CAST(d_c AS BIGINT) AS degree_sum,
+          CAST((1000000 * term) // (4 * m * m) AS BIGINT) AS q_contrib_micro,
+          CAST((1000000 * num) // (4 * m2 * m2) AS BIGINT) AS modularity_micro
+        FROM per CROSS JOIN tot
+        ORDER BY community""")),
 
     // ---- O58: weak-supervision majority vote ------------------------------
     // The Snorkel-shaped quality committee: three LFs (lang, quality score,
