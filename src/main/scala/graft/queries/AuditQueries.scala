@@ -58,6 +58,85 @@ object AuditQueries {
         FROM b JOIN u ux ON ux.t = b.x JOIN u uy ON uy.t = b.y
         CROSS JOIN tu CROSS JOIN tb
         WHERE c_xy >= 5
-        ORDER BY lift_permille DESC, c_xy DESC, x, y LIMIT 20"""))
+        ORDER BY lift_permille DESC, c_xy DESC, x, y LIMIT 20""")),
+
+    // ---- O78: incremental IVF cell assignment ------------------------------
+    // Index MAINTENANCE, not rebuild: freeze the cells of the id<250
+    // snapshot (Similarity.lowestIdSeeds — the same deterministic coarse
+    // quantizer ivf_topk uses) and assign the NEW batch to them with the
+    // standalone assignCells (shuffle-free literal-seed cosines). Emits the
+    // per-cell occupancy ledger old vs new plus the proportional-growth
+    // multiple (1000 = the cell grew exactly in line with the batch) — the
+    // drift signal that decides when re-training the quantizer is due.
+    DeclaredQuery("ivf_incremental_assign",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val seeds = graft.vector.Similarity.lowestIdSeeds(
+          emb.filter(col("vec_id") < 250), "vec_id", "embedding", nlist = 16)
+        val assigned = graft.vector.Similarity.assignCells(
+          emb.withColumn("is_old", col("vec_id") < 250), "embedding", seeds)
+        val per = assigned.groupBy(col("cell"))
+          .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+            sum(when(col("is_old"), 0L).otherwise(1L)).as("n_new"))
+        val totals = broadcast(per.agg(
+          sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new")))
+        per.crossJoin(totals)
+          .withColumn("growth_x_permille",
+            expr("(1000L * CAST(n_new AS DECIMAL(38,0)) * t_old) div (n_old * t_new)"))
+          .select(col("cell"), col("n_old"), col("n_new"), col("growth_x_permille"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 250
+                  ORDER BY vec_id LIMIT 16),
+        ass AS (SELECT vec_id, sid, is_old FROM (
+            SELECT e.vec_id, s.sid, e.vec_id < 250 AS is_old,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        per AS (SELECT sid AS cell,
+                  CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS HUGEINT) AS n_old,
+                  CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS HUGEINT) AS n_new
+                FROM ass GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_old) AS HUGEINT) AS t_old,
+                  CAST(SUM(n_new) AS HUGEINT) AS t_new FROM per)
+        SELECT cell, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+          CAST((1000 * n_new * t_old) // (n_old * t_new) AS BIGINT) AS growth_x_permille
+        FROM per CROSS JOIN tot ORDER BY cell""")),
+
+    // ---- O79: tokenizer OOV audit ------------------------------------------
+    // The vocabulary-budget planning twin of vocab_coverage, read per
+    // LANGUAGE: with the top-16 frequency-ranked types as the vocabulary,
+    // what token share per language falls out-of-vocabulary — the number
+    // that says which languages a shared tokenizer budget is starving.
+    // Vocabulary frame is TakeOrdered + broadcast; one corpus-tokenize
+    // join with map-side-combined per-lang aggregation.
+    DeclaredQuery("tokenizer_oov_audit",
+      (s, dir) => {
+        val toks = tbl(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("t")).limit(16)
+          .select(col("t"), lit(1L).as("__in"))
+        toks.join(broadcast(vocab), Seq("t"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("(1000L * n_oov) div n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        v AS (SELECT t, 1 AS inv FROM (
+            SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, t LIMIT 16))
+        SELECT lang, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST((1000 * SUM(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+            AS oov_permille
+        FROM tok LEFT JOIN v USING (t)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

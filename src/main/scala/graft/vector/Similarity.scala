@@ -115,6 +115,37 @@ object Similarity {
     * work drops to ~nprobe/nlist of brute force. Seeds are data rows, so no
     * RNG and the index is reproducible.
     */
+  /** The nlist lowest-id vectors as literal IVF seeds — the deterministic
+    * untrained coarse quantizer [[ivfTopK]] defaults to, exposed so index
+    * MAINTENANCE jobs can freeze yesterday's cells and re-use them.
+    * Bounded collect: an IVF centroid table is nlist rows at any scale.
+    */
+  def lowestIdSeeds(candidates: DataFrame, cidCol: String, vecCol: String,
+                    nlist: Int): Seq[(Long, Seq[Double])] =
+    candidates
+      .select(col(cidCol).cast("long").as("sid"),
+        col(vecCol).cast("array<double>").as("svec"))
+      .orderBy(col("sid")).limit(nlist).collect()
+      .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Standalone nearest-cell assignment against literal seeds — the IVF
+    * coarse quantizer as its own operator, for incremental index
+    * maintenance: assign a new ingest batch to an EXISTING snapshot's
+    * cells (no rebuild, no shuffle — nlist codegen'd cosines + one bounded
+    * array_sort per row) and compare occupancy. Ordering matches
+    * [[ivfTopK]]'s assignment exactly (cosine desc, sid asc tiebreak).
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+                  seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val perSeed = seeds.map { case (sid, svec) =>
+      struct((-VectorFunctions.cosine(col(vecCol), array(svec.map(lit): _*))).as("nscore"),
+        lit(sid).as("sid"))
+    }
+    df.withColumn("cell",
+      element_at(array_sort(array(perSeed: _*)), 1).getField("sid"))
+  }
+
   def ivfTopK(queries: DataFrame, qidCol: String,
               candidates: DataFrame, cidCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int,

@@ -133,4 +133,25 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < 64))
     assert(buckets.distinct.length > 1, "vectors should spread over buckets")
   }
+
+  test("assignCells matches a local argmax-cosine reference; seeds self-assign") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seeds = Similarity.lowestIdSeeds(emb, "vec_id", "embedding", nlist = 8)
+    assert(seeds.map(_._1) === (0L until 8L))
+    val got = Similarity.assignCells(emb, "embedding", seeds)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    // every seed's best cell is itself (cosine 1 with itself, ties by sid)
+    seeds.foreach { case (sid, _) => assert(got(sid) === sid) }
+    // reference: local argmax over the same cosine with sid tiebreak
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).as[(Long, Seq[Double])].collect()
+    vecs.foreach { case (id, v) =>
+      val best = seeds.map { case (sid, sv) => (-cos(v, sv), sid) }.min._2
+      assert(got(id) === best, s"vec $id")
+    }
+  }
 }
