@@ -15,22 +15,23 @@ object AuditQueries {
     // The sufficient statistic every spectral feature audit starts from
     // (PCA/whitening input; covariance = (n·G − s·sᵀ)/n² with the per-dim
     // sums the dispersion family already emits; dead dims = zero diagonal,
-    // redundant dims = off-diagonal mass). Upper-triangle partial products
-    // form ROW-LOCALLY (nested HOF — no join, no posexplode self-join);
-    // the single shuffle carries ≤ d²/2 partials per partition whatever the
-    // row count — the shape that survives 100 TB. Quantized-exact
-    // (floor(x·10⁴) longs, DECIMAL(38,0) sums) so every cell hash-matches.
+    // redundant dims = off-diagonal mass). A custom typed Aggregator
+    // accumulates all d(d+1)/2 upper-triangle sums in one flat long buffer
+    // per partition (fused multiply-adds, no per-cell explode) — the only
+    // shuffled state is a d²/2-long array per partition whatever the row
+    // count. Quantized-exact (floor(x·10⁴) longs) so every cell
+    // hash-matches.
     DeclaredQuery("embedding_gram_matrix",
       (s, dir) => graft.vector.Gram
-        .upperTriangle(tbl(s, dir, "embeddings"), "embedding")
+        .upperTriangle(tbl(s, dir, "embeddings"), "embedding", dim = 64)
         .orderBy(col("dim_i"), col("dim_j")),
       Some("""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
                  x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
         pos AS (SELECT unnest(range(1, 65)) AS i),
-        p AS (SELECT a.i AS i, b.i AS j, CAST(q[a.i] AS HUGEINT) * q[b.i] AS prod
+        p AS (SELECT a.i AS i, b.i AS j, q[a.i] * q[b.i] AS prod
               FROM e CROSS JOIN pos a CROSS JOIN pos b WHERE a.i <= b.i)
         SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
-          COUNT(*) AS n, CAST(CAST(SUM(prod) AS HUGEINT) AS VARCHAR) AS gram
+          COUNT(*) AS n, CAST(SUM(prod) AS BIGINT) AS gram
         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- O76: PMI collocation mining ----------------------------------------

@@ -11,26 +11,26 @@ class GramSpec extends SparkSpec {
     // G11 = 4e8 + 1e8 = 5e8; G12 = -2e8 + 3e8 = 1e8; G22 = 1e8 + 9e8 = 1e9
     val d = Seq((1L, Seq(1.0f, 2.0f, -1.0f)), (2L, Seq(0.0f, 1.0f, 3.0f)))
       .toDF("vec_id", "embedding")
-    val out = Gram.upperTriangle(d, "embedding")
+    val out = Gram.upperTriangle(d, "embedding", dim = 3)
       .select("dim_i", "dim_j", "n", "gram")
-      .as[(Long, Long, Long, String)].collect()
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     assert(out.size === 6)
-    assert(out((0L, 0L)) === ((2L, "100000000")))
-    assert(out((0L, 1L)) === ((2L, "200000000")))
-    assert(out((0L, 2L)) === ((2L, "-100000000")))
-    assert(out((1L, 1L)) === ((2L, "500000000")))
-    assert(out((1L, 2L)) === ((2L, "100000000")))
-    assert(out((2L, 2L)) === ((2L, "1000000000")))
+    assert(out((0L, 0L)) === ((2L, 100000000L)))
+    assert(out((0L, 1L)) === ((2L, 200000000L)))
+    assert(out((0L, 2L)) === ((2L, -100000000L)))
+    assert(out((1L, 1L)) === ((2L, 500000000L)))
+    assert(out((1L, 2L)) === ((2L, 100000000L)))
+    assert(out((2L, 2L)) === ((2L, 1000000000L)))
   }
 
   test("fixture: d(d+1)/2 cells, diagonal positive, symmetric pairs absent") {
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val out = Gram.upperTriangle(d, "embedding")
-      .select("dim_i", "dim_j", "gram").as[(Long, Long, String)].collect()
+    val out = Gram.upperTriangle(d, "embedding", dim = 64)
+      .select("dim_i", "dim_j", "gram").as[(Long, Long, Long)].collect()
     assert(out.length === 64 * 65 / 2)
     assert(out.forall { case (i, j, _) => i <= j })
     assert(out.filter { case (i, j, _) => i == j }
-      .forall { case (_, _, g) => BigInt(g) > 0 })
+      .forall { case (_, _, g) => g > 0L })
   }
 }
