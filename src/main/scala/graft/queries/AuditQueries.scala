@@ -34,6 +34,42 @@ object AuditQueries {
           COUNT(*) AS n, CAST(SUM(prod) AS BIGINT) AS gram
         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- O75b: dominant principal direction by integer power iteration -----
+    // PCA's first step over the SAME landed Gram stage: 4 power-iteration
+    // rounds in exact integer arithmetic (BigInt matrix-vector on the
+    // driver over the collected d²-cell matrix — the bounded-model-collect
+    // class; truncating 10⁶·w div max|w| rescale each round), so the
+    // direction estimate is engine-replayable digit for digit. The oracle
+    // replays all four rounds as chained CTEs in HUGEINT.
+    DeclaredQuery("gram_power_iteration",
+      (s, dir) => graft.vector.Gram
+        .powerIteration(tbl(s, dir, "embeddings"), "embedding", dim = 64,
+          rounds = 4)
+        .orderBy(col("dim")),
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = s"v${r - 1}"
+          s"""w$r AS (SELECT gf.gi AS i, CAST(SUM(g * v.v) AS HUGEINT) AS w
+               FROM gf JOIN $prev v ON v.i = gf.gj GROUP BY 1),
+          m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+          v$r AS (SELECT i, (1000000 * w) // m AS v FROM w$r CROSS JOIN m$r)"""
+        }.mkString(",\n        ")
+        s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
+        pos AS (SELECT unnest(range(1, 65)) AS i),
+        p AS (SELECT a.i AS i, b.i AS j, q[a.i] * q[b.i] AS prod
+              FROM e CROSS JOIN pos a CROSS JOIN pos b WHERE a.i <= b.i),
+        gc AS (SELECT i - 1 AS gi, j - 1 AS gj, CAST(SUM(prod) AS HUGEINT) AS g
+               FROM p GROUP BY 1, 2),
+        gf AS (SELECT gi, gj, g FROM gc
+               UNION ALL SELECT gj, gi, g FROM gc WHERE gi <> gj),
+        v0 AS (SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS HUGEINT) AS v),
+        $roundCtes
+        SELECT CAST(v4.i AS BIGINT) AS dim, CAST(v4.v AS BIGINT) AS v_micro,
+          CAST(m4.m AS VARCHAR) AS growth
+        FROM v4 CROSS JOIN m4 ORDER BY dim"""
+      }),
+
     // ---- O76: PMI collocation mining ----------------------------------------
     // Church–Hanks pointwise mutual information over bigrams, ranked by the
     // exact-integer lift permille (1000 = independence) with a support

@@ -73,10 +73,19 @@ object Gram {
 
   /** Upper-triangle (dim_i ≤ dim_j, 0-based) exact Gram entries:
     * (dim_i, dim_j, n, gram) — exact longs. Vectors whose length ≠ `dim`
-    * are skipped (n counts the included rows).
+    * are skipped (n counts the included rows). LANDED per session
+    * (`Stages.materialize`): the Gram is the shared input of every
+    * spectral consumer (the matrix query, power iteration, …), and its
+    * d²/2-row output costs nothing to keep while the corpus aggregation
+    * it replaces is the expensive part.
     */
   def upperTriangle(df: DataFrame, vecCol: String, dim: Int,
-                    quantScale: Double = 10000.0): DataFrame = {
+                    quantScale: Double = 10000.0): DataFrame =
+    graft.relational.Stages.materialize(
+      upperTrianglePlan(df, vecCol, dim, quantScale), "gram")
+
+  private def upperTrianglePlan(df: DataFrame, vecCol: String, dim: Int,
+                                quantScale: Double): DataFrame = {
     val agg = udaf(new GramAgg(dim, quantScale))
     val buf = df.select(col(vecCol).cast("array<float>").as("v"))
       .agg(agg(col("v")).as("b"))
@@ -95,5 +104,49 @@ object Gram {
         (col("c") - element_at(typedLit(rowStarts), col("dim_i").cast("int") + 1)
           + col("dim_i")).cast("long"))
       .select(col("dim_i"), col("dim_j"), col("n"), col("gram"))
+  }
+
+  /** Dominant principal direction by POWER ITERATION over the landed Gram
+    * — PCA's first step, in exact integer arithmetic: v₀ = all-ones
+    * (10⁶ micro-units); each round computes w = G·v exactly in BigInt
+    * (arbitrary precision — no overflow at any corpus size) and rescales
+    * v' = 10⁶·w div max|w| with truncating division, so every round is an
+    * engine-replayable integer map. Fixed `rounds` (no float convergence
+    * test); the returned frame carries the final direction in micro-units
+    * plus the last rescale magnitude `growth` (the eigenvalue proxy,
+    * decimal string).
+    *
+    * Scale: the distributed work is the Gram aggregation (shared via the
+    * landed stage); the iteration itself runs on the collected d²-cell
+    * matrix — the bounded-model-collect class (an IVF-centroid-sized
+    * object), NOT a data-path collect.
+    */
+  def powerIteration(df: DataFrame, vecCol: String, dim: Int,
+                     rounds: Int = 4, quantScale: Double = 10000.0): DataFrame = {
+    require(rounds >= 1)
+    val spark = df.sparkSession
+    val cells = upperTriangle(df, vecCol, dim, quantScale)
+      .select(col("dim_i"), col("dim_j"), col("gram"))
+      .collect()
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) = BigInt(0)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2)))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(dim)(BigInt(1000000))
+    var growth = BigInt(0)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0) {
+        growth = m
+        v = w.map(x => x * 1000000 / m)
+      }
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong, growth.toString) }
+      .toSeq.toDF("dim", "v_micro", "growth")
   }
 }

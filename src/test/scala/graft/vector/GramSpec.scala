@@ -24,6 +24,18 @@ class GramSpec extends SparkSpec {
     assert(out((2L, 2L)) === ((2L, 1000000000L)))
   }
 
+  test("power iteration converges to the dominant axis of a diagonal Gram") {
+    // G = diag(8e8, 1e8): v stays (1e6, x) with x shrinking 8x per round —
+    // after 4 rounds x = 1e6/8^4 = 244 (truncated), growth = 8e8·1e6
+    val d = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Gram.powerIteration(d, "embedding", dim = 2, rounds = 4)
+      .select("dim", "v_micro", "growth")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 1000000L, "800000000000000")))
+    assert(out(1)._2 === 244L)
+  }
+
   test("fixture: d(d+1)/2 cells, diagonal positive, symmetric pairs absent") {
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Gram.upperTriangle(d, "embedding", dim = 64)
