@@ -32,3 +32,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ephemeral scratch (streaming temp checkpoints + WAL, parquet drain
+// sinks, landed-stage files, shuffle spills) goes to tmpfs when the host
+// has one: the AvailableNow micro-batch drains are fsync-bound, and on a
+// throttled virtio disk their per-trigger commit latency dominated the
+// stream_* bench rows with up to 4x run-to-run wobble (the r7-close vs
+// r7-driver bench disagreement). tmpfs makes those fsyncs memcpys. This
+// is the single-JVM LOCAL harness only — production deployments pass
+// durable checkpoint locations explicitly (drainRoutedToParquet's
+// checkpointDir) and configure cluster local dirs.
+javaOptions ++= {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft-tmp")
+    d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}

@@ -55,6 +55,26 @@ object Dsl {
   def events(s: SparkSession, dir: String): DataFrame =
     normalizeTs(tbl(s, dir, "events"))
 
+  /** Session CLONE for bounded micro-batch drains, with state-store-sized
+    * shuffle partitioning. Stateful streaming operators create one state
+    * store per shuffle partition and commit EVERY store on EVERY trigger —
+    * at the harness's batch-tuned setting (32) a bounded AvailableNow
+    * replay pays 32 store snapshot/commits per micro-batch for a few
+    * thousand rows, which measured as the dominant cost of every stream_*
+    * bench row (~2-4 s of pure per-trigger constants). A clone via
+    * `newSession()` shares the SparkContext but carries its own SQLConf,
+    * so the caller's session is NOT mutated (the house rule); 8 stores is
+    * right-sized for replay volumes while keeping multi-core trigger
+    * parallelism. Production streams size this to sustained per-trigger
+    * volume, not to the batch shuffle setting.
+    */
+  def streamSession(s: SparkSession, parts: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    graft.functions.GraftFunctions.register(ss)
+    ss
+  }
+
   /** The ONE k=3 IVF kNN edge frame every graph query consumes — PageRank,
     * triangle census, k-core peeling, LPA communities. Built via
     * `Similarity.ivfTopK` (equi-keyed cell join, no O(n²) stage) and landed

@@ -379,7 +379,7 @@ object EventQueries {
     // so sink-level aggregation equals the all-at-once batch answer.
     DeclaredQuery("stream_windowed_route_counts",
       (s, dir) => {
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
@@ -423,7 +423,7 @@ object EventQueries {
     // specs run a query repeatedly in one session).
     DeclaredQuery("stream_hourly_counts",
       (s, dir) => {
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
@@ -456,7 +456,7 @@ object EventQueries {
     // answer-sized frame. An alerting consumer thresholds delta_permille.
     DeclaredQuery("stream_drift_windows",
       (s, dir) => {
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
@@ -577,7 +577,7 @@ object EventQueries {
     DeclaredQuery("stream_union_effectively_once",
       (s, dir) => {
         import s.implicits._
-        def replay() = s.readStream
+        def replay() = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "2")
@@ -611,7 +611,7 @@ object EventQueries {
     DeclaredQuery("stream_dedup_firstseen",
       (s, dir) => {
         import s.implicits._
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/documents.parquet")
           .option("numBatches", "4")
@@ -639,7 +639,7 @@ object EventQueries {
 
     DeclaredQuery("stream_attribution_join",
       (s, dir) => {
-        def replay(tp: String) = Dsl.normalizeTs(s.readStream
+        def replay(tp: String) = Dsl.normalizeTs(streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "2")
@@ -681,7 +681,7 @@ object EventQueries {
     // replay is the same partition (bounded keys: users).
     DeclaredQuery("stream_session_counts",
       (s, dir) => {
-        val stream = Dsl.normalizeTs(s.readStream
+        val stream = Dsl.normalizeTs(streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
@@ -732,7 +732,7 @@ object EventQueries {
     // construction at any corpus scale).
     DeclaredQuery("stream_static_enrichment",
       (s, dir) => {
-        val stream = Dsl.normalizeTs(s.readStream
+        val stream = Dsl.normalizeTs(streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
@@ -773,7 +773,7 @@ object EventQueries {
     DeclaredQuery("stream_observed_batches",
       (s, dir) => {
         import s.implicits._
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("batchSize", "8000")

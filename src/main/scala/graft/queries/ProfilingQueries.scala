@@ -647,7 +647,7 @@ object ProfilingQueries {
     // over on it.
     DeclaredQuery("stream_hot_keys",
       (s, dir) => {
-        val stream = s.readStream
+        val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
           .option("numBatches", "4")
