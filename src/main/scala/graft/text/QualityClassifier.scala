@@ -74,14 +74,21 @@ object QualityClassifier {
       .agg(count(lit(1)).as("cnt"))
     val model = graft.relational.Stages.materialize(
       classCounts(docs, idCol, textCol, isPositive), "nb_class_counts")
-    tf.join(tokenBits(model), Seq("t"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * col("bp")).as("bits_pos"),
-        sum(col("cnt") * col("bn")).as("bits_neg"))
-      .withColumn("margin_bits", col("bits_neg") - col("bits_pos"))
-      .withColumn("predicted",
-        when(col("bits_pos") < col("bits_neg"), lit("pos")).otherwise(lit("neg")))
+    // the scored frame itself lands too: five gated consumers (rank
+    // normalization + its probe, PR sweep, calibration bins, kappa) each
+    // read it 1-3 times, and the tokenize+join upstream would re-derive
+    // per consumer read — one compact doc-sized landing per (docs,
+    // isPositive) instead
+    graft.relational.Stages.materialize(
+      tf.join(tokenBits(model), Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("bp")).as("bits_pos"),
+          sum(col("cnt") * col("bn")).as("bits_neg"))
+        .withColumn("margin_bits", col("bits_neg") - col("bits_pos"))
+        .withColumn("predicted",
+          when(col("bits_pos") < col("bits_neg"), lit("pos")).otherwise(lit("neg"))),
+      "nb_scores")
   }
 
   /** Reliability table over [[score]] margins — the calibration audit a
