@@ -79,4 +79,36 @@ class GraphParitySpec extends SparkSpec {
       assert(got === want, s"trial $trial: LPA diverged")
     }
   }
+
+  test("modularity ledger matches a sequential BigInt reference on random partitions") {
+    for (trial <- 1 to 4) {
+      val (nodes, edges) = randomGraph(n = 20 + trial * 10, m = 40 + trial * 15)
+      // random ≤5-community partition
+      val labels = nodes.map(n => n -> (rnd.nextInt(5).toLong + 1L))
+      val m = BigInt(edges.size)
+      val deg = nodes.map(n => n ->
+        edges.count(e => e._1 == n || e._2 == n)).toMap
+      val byComm = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val labOf = labels.toMap
+      val terms = byComm.map { case (c, members) =>
+        val dC = BigInt(members.map(deg).sum)
+        val eC = BigInt(edges.count(e => labOf(e._1) == c && labOf(e._2) == c))
+        c -> (members.size.toLong, eC, dC, 4 * m * eC - dC * dC)
+      }
+      val num = terms.values.map(_._4).sum
+      val wantQ = (1000000 * num / (4 * m * m)).toLong
+      val got = GraphMetrics.modularity(
+        labels.toDF("id", "community"), "id", "community",
+        edges.toDF("a", "b"), "a", "b")
+        .select("community", "n_nodes", "internal_edges", "degree_sum",
+          "q_contrib_micro", "modularity_micro")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      got.foreach { case (c, nn, ec, dc, qc, q) =>
+        val (wn, wec, wdc, wterm) = terms(c)
+        assert((nn, ec, dc) === ((wn, wec.toLong, wdc.toLong)), s"trial $trial comm $c")
+        assert(qc === (1000000 * wterm / (4 * m * m)).toLong, s"trial $trial contrib $c")
+        assert(q === wantQ, s"trial $trial total")
+      }
+    }
+  }
 }

@@ -86,4 +86,33 @@ class WeakLabelsSpec extends SparkSpec {
     assert(WeakLabels.fleissKappa(d, k = 3)
       .select("kappa_permille").as[Long].head() === 0L)
   }
+
+  test("fleiss kappa parity vs a sequential BigInt rational on random votes") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val k = 2 + trial // raters 3..6
+      val rows = (1 to 50).map { _ =>
+        val np = rnd.nextInt(k + 1)
+        val nn = rnd.nextInt(k - np + 1)
+        (np.toLong, nn.toLong, (k - np - nn).toLong)
+      }
+      val n = BigInt(rows.size)
+      val a = rows.map { case (p, q, r) => BigInt(p * p + q * q + r * r - k) }.sum
+      val sp = BigInt(rows.map(_._1).sum)
+      val sn = BigInt(rows.map(_._2).sum)
+      val sa = BigInt(rows.map(_._3).sum)
+      val t2 = (n * k) * (n * k)
+      val ss = sp * sp + sn * sn + sa * sa
+      val m = n * k * (k - 1)
+      val want = (
+        (1000 * a / m).toLong,
+        (1000 * ss / t2).toLong,
+        if (t2 == ss) 0L else (1000 * (a * t2 - m * ss) / (m * (t2 - ss))).toLong)
+      val got = WeakLabels.fleissKappa(
+        rows.toDF("votes_pos", "votes_neg", "n_abstain"), k)
+        .select("pbar_permille", "pe_permille", "kappa_permille")
+        .as[(Long, Long, Long)].head()
+      assert(got === want, s"trial $trial (k=$k)")
+    }
+  }
 }

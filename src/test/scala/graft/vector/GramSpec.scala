@@ -24,6 +24,23 @@ class GramSpec extends SparkSpec {
     assert(out((2L, 2L)) === ((2L, 1000000000L)))
   }
 
+  test("random-vector parity: every cell equals the local quantized product sum") {
+    val rnd = new scala.util.Random(20260814L)
+    val dim = 5
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val want = {
+      val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 10000.0).toLong))
+      (for (i <- 0 until dim; j <- i until dim) yield
+        (i.toLong, j.toLong) -> q.map(v => v(i) * v(j)).sum).toMap
+    }
+    val got = Gram.upperTriangle(vecs.toDF("vec_id", "embedding"), "embedding",
+      dim = dim)
+      .select("dim_i", "dim_j", "gram").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === want)
+  }
+
   test("power iteration converges to the dominant axis of a diagonal Gram") {
     // G = diag(8e8, 1e8): v stays (1e6, x) with x shrinking 8x per round —
     // after 4 rounds x = 1e6/8^4 = 244 (truncated), growth = 8e8·1e6
