@@ -294,6 +294,61 @@ object Components {
     connectedComponents(allNodes, idCol, allEdges, srcCol, dstCol, maxIters)
   }
 
+  /** INCREMENTAL component maintenance: merge a new ingest batch into an
+    * EXISTING labeling without touching the old edge graph — the
+    * daily-snapshot shape of a 100 TB dedup pipeline, where yesterday's
+    * clustering is a landed table and recomputing CC over the full
+    * historical pair set per batch is exactly the cost this avoids.
+    *
+    * Correctness (equals the full recompute EXACTLY, not approximately):
+    * with min-id labels (the [[connectedComponents]] contract), every old
+    * component contracts to one SUPERNODE named by its comp id — its
+    * members are already mutually connected, so any union-graph path
+    * between old nodes factors through components — and the delta edges'
+    * old endpoints rewrite to their comp. CC over (supernodes ∪ new nodes,
+    * rewritten delta edges) then yields per merged cluster the min over
+    * {old comp ids, new ids} = the global min id, and old members inherit
+    * it through their supernode. The gated query proves the equivalence:
+    * its oracle is the FULL-graph recursive closure.
+    *
+    * Scale: every frame touched is delta- or label-sized — the rewrite is
+    * two keyed joins of the delta edges against the label table, the CC
+    * runs on the contracted graph (|delta| edges), and old labels join
+    * once against the component-count-sized relabel map. Cost ∝ batch,
+    * not corpus.
+    *
+    * @param oldLabels (id, comp) from a prior [[connectedComponents]] run
+    * @param newNodes  the batch's node ids (`idCol`)
+    * @param newEdges  delta pairs touching ≥1 new node (new-new / new-old)
+    * @return (id, comp) over old ∪ new nodes — identical to a full rerun
+    */
+  def incrementalComponents(oldLabels: DataFrame,
+                            newNodes: DataFrame, idCol: String,
+                            newEdges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("comp"))
+    val contracted = newEdges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .join(lab.select(col("id").as("a"), col("comp").as("__ca")), Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("comp").as("__cb")), Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("src"),
+        coalesce(col("__cb"), col("b")).as("dst"))
+    val superNodes = lab.select(col("comp").as("id")).distinct()
+      .union(newNodes.select(col(idCol).as("id")))
+      .distinct()
+    val merged = connectedComponents(superNodes, "id", contracted, "src", "dst")
+    val oldOut = lab.as("l")
+      .join(merged.select(col("id").as("__sn"), col("comp").as("__nc")),
+        col("l.comp") === col("__sn"))
+      .select(col("l.id").as("id"), col("__nc").as("comp"))
+    val newOut = merged
+      .join(newNodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("comp"))
+    // a new id that ALSO appears in oldLabels (caller re-ingesting) would
+    // duplicate — keep the old row's relabel, which is identical anyway
+    oldOut.union(newOut.join(lab.select(col("id")), Seq("id"), "left_anti"))
+  }
+
   /** Per-component rollup of [[connectedComponents]]: size and id checksum,
     * multi-member components only (the actual duplicate sets).
     */

@@ -359,6 +359,37 @@ object PipelineQueries {
     * hex-prefix base hashes, seed mixes, band keys, candidate join, and
     * inverted-index Jaccard verify (word-3-gram shingles).
     */
+  /** Full-graph component summary closure — shared by dedup_components AND
+    * the incremental-merge gate (whose whole claim is that the incremental
+    * path reproduces THIS full recompute row for row).
+    */
+  private val fullCcSummaryOracleSql =
+    """WITH tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1, 2),
+      p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
+      dots AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
+        FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
+      pairs AS (
+        SELECT id1, id2 FROM dots
+        JOIN norms n1 ON n1.doc_id = id1
+        JOIN norms n2 ON n2.doc_id = id2
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+      r AS (
+        WITH RECURSIVE rr(id, reach) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+        SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
+      SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
+      FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp"""
+
   /** WITH-chain through the banded rows `bk(id, band, band_key)` — shared
     * by the portable pair oracle and the band-diagnostics oracle so both
     * replay the IDENTICAL md5-derived banding.
@@ -1943,31 +1974,32 @@ object PipelineQueries {
         graft.dedup.Components.componentSummary(labels)
           .orderBy(col("comp"))
       },
-      Some("""WITH tf AS (
-          SELECT doc_id, t, COUNT(*) AS tf FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-          GROUP BY 1, 2),
-        p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
-        dots AS (
-          SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.tf * b.tf) AS dot
-          FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
-        pairs AS (
-          SELECT id1, id2 FROM dots
-          JOIN norms n1 ON n1.doc_id = id1
-          JOIN norms n2 ON n2.doc_id = id2
-          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE)) * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
-        edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                  UNION ALL SELECT id2, id1 FROM pairs),
-        nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
-        r AS (
-          WITH RECURSIVE rr(id, reach) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
-          SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
-        SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
-        FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""")),
+      Some(fullCcSummaryOracleSql)),
+
+    // ---- O80: incremental component maintenance ----------------------------
+    // The daily-snapshot dedup shape: yesterday's labels are a landed
+    // table; today's batch (doc_id >= 250) merges in through
+    // Components.incrementalComponents — old components contract to
+    // supernodes, only the DELTA pairs are clustered, old members relabel
+    // through the component-count-sized map. The gate is the strongest
+    // claim an incremental operator can make: its oracle is the FULL-graph
+    // recursive closure, so incremental == batch recompute is hash-checked
+    // row for row (same output as dedup_components by construction).
+    DeclaredQuery("components_incremental_merge",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val oldLabels = graft.dedup.Components.connectedComponents(
+          docs.filter(col("doc_id") < 250).select(col("doc_id")), "doc_id",
+          pairs.filter(col("id1") < 250 && col("id2") < 250), "id1", "id2")
+        val merged = graft.dedup.Components.incrementalComponents(
+          oldLabels,
+          docs.filter(col("doc_id") >= 250).select(col("doc_id")), "doc_id",
+          pairs.filter(col("id1") >= 250 || col("id2") >= 250), "id1", "id2")
+        graft.dedup.Components.componentSummary(merged)
+          .orderBy(col("comp"))
+      },
+      Some(fullCcSummaryOracleSql)),
 
     // ---- O33: leakage-safe train/eval split -------------------------------
     // The eval-contamination guard every dedup-aware pipeline needs: the

@@ -92,4 +92,29 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 3L, 2L, 9L), (4L, 2L, 4L, 7L)))
   }
+
+  test("incremental merge equals the full recompute on random graph splits") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 10
+      val nodes = (1L to n.toLong).toSeq
+      val edges = Iterator.continually {
+        val a = rnd.nextInt(n).toLong + 1L
+        val b = rnd.nextInt(n).toLong + 1L
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).take(n * 3).toSeq.distinct
+      val cut = n / 2 + rnd.nextInt(5) // old = ids <= cut, new = rest
+      val full = Components.connectedComponents(
+        nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val oldLabels = Components.connectedComponents(
+        nodes.filter(_ <= cut).toDF("id"), "id",
+        edges.filter(e => e._1 <= cut && e._2 <= cut).toDF("a", "b"), "a", "b")
+      val merged = Components.incrementalComponents(
+        oldLabels, nodes.filter(_ > cut).toDF("id"), "id",
+        edges.filter(e => e._1 > cut || e._2 > cut).toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(merged === full, s"trial $trial (cut $cut)")
+    }
+  }
 }
