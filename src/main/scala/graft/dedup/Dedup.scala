@@ -83,8 +83,11 @@ object Dedup {
     // cross-term collision (≈vocab²/2⁶⁰) produces the same result in both
     // engines instead of a silent one-sided perturbation (the accepted-risk
     // class the earlier xxhash64 key carried).
+    graft.functions.GraftFunctions.register(tf.sparkSession)
+    // native fused slice (functions.Md5Bits60): same value as
+    // conv(substring(md5(t),1,15),16,10) with no hex-string intermediate
     val postings0 = tf.select(col("id"),
-      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("tk"),
+      graft.functions.HashFunctions.md5Bits60(col("t")).as("tk"),
       col("tf"))
     val postings = maxDf match {
       case Some(cap) =>
@@ -228,9 +231,11 @@ object Dedup {
     * blocks read the same files.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int, blockCols: Seq[String]): DataFrame =
+                           shingleN: Int, blockCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     graft.relational.Stages.materialize(shingleIndexPlan(
       docs, idCol, textCol, shingleN, blockCols), "shingle_index")
+  }
 
   private def shingleIndexPlan(docs: DataFrame, idCol: String, textCol: String,
                                shingleN: Int, blockCols: Seq[String]): DataFrame =
@@ -241,10 +246,9 @@ object Dedup {
       .select(col("id"),
         explode(array_distinct(transform(
           sequence(lit(1L), (size(col("__ws")) - lit(shingleN - 1)).cast("long"), lit(1L)),
-          i => conv(substring(md5(concat_ws("\u001f",
+          i => graft.functions.HashFunctions.md5Bits60(concat_ws("\u001f",
             blockCols.map(col) :+
-              array_join(slice(col("__ws"), i.cast("int"), lit(shingleN)), " "): _*)),
-            1, 15), 16, 10).cast("long"))))
+              array_join(slice(col("__ws"), i.cast("int"), lit(shingleN)), " "): _*)))))
           .as("key"))
 
   /** Raw shared-shingle counts for all (id1 < id2) pairs sharing at least

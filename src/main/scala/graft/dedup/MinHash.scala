@@ -183,8 +183,12 @@ object MinHash {
                             numBands: Int): (DataFrame, DataFrame) = {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val r = numHashes / numBands
-    def fp60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // single-slice keys use the NATIVE fused digest slice (same value as
+    // conv(substring(md5,1,15),16,10), no hex-string intermediate); the
+    // signature mixes below keep the shared-hex form — they read BOTH
+    // slices of one digest, which the hex materializes once
+    def fp60(c: Column): Column = graft.functions.HashFunctions.md5Bits60(c)
     require(numHashes % 2 == 0, "numHashes must be even (two 60-bit mins per md5 digest)")
     // Window-lead shingle assembly (codegen'd), measured faster here than
     // row-local HOF slicing: this path md5-hashes every shingle STRING for

@@ -72,8 +72,8 @@ object SimHash {
     * SimHashSpec's SWAR-vs-64-column test.
     */
   def fingerprintsPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def fp60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def fp60(c: Column): Column = graft.functions.HashFunctions.md5Bits60(c)
     val hashed = docs.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
       .select(col("id"), fp60(col("t")).as("h"))

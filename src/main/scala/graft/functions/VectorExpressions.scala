@@ -165,6 +165,8 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("md5_bits60",
+      exprs => Md5Bits60(exprs(0), exprs(1)), "built-in")
     if (!spark.experimental.extraOptimizations.contains(FuseVectorFolds)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseVectorFolds
@@ -186,6 +188,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("md5_bits60"),
+      new ExpressionInfo(classOf[Md5Bits60].getName, "md5_bits60"),
+      (exprs: Seq[Expression]) => Md5Bits60(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => FuseVectorFolds)
   }
 }

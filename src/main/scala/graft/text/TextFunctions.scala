@@ -115,7 +115,7 @@ object TextFunctions {
     * across engines (md5 is md5 everywhere), sortable, join-safe.
     */
   def fingerprint60(text: Column): Column =
-    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5Bits60(text)
 
   /** Hashing-trick feature index for a token: 32 uniform bits from the md5
     * hex prefix, folded into [0, dim). Engine-portable (md5 everywhere), so
