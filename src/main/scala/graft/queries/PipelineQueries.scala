@@ -1245,6 +1245,43 @@ object PipelineQueries {
           CAST(MAX(width) AS BIGINT) AS max_width, CAST(SUM(n_frames) AS BIGINT) AS total_frames
         FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O5b: the full multimodal prep chain under the oracle -------------
+    // decode → aspect-preserving resize to the 224-box → stride-10 frame
+    // sampling, chained end to end: the batch-shaping plan a GPU decode
+    // stage consumes (frames per format = the decode workload, resized
+    // dims = the tensor shape). Every step is the stub's deterministic
+    // integer/IEEE arithmetic (floor-of-double-division matches Spark's
+    // int cast for positive values), so the whole chain hash-checks —
+    // a codec-backed decoder swaps in behind identical signatures.
+    DeclaredQuery("multimodal_frame_plan",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          Multimodal.resizeStub(
+            Multimodal.decodeStub(
+              Multimodal.attachBinary(tbl(s, dir, "documents"), "text")),
+            maxW = 224, maxH = 224),
+          stride = 10)
+        frames
+          .groupBy(col("meta.format").as("format"))
+          .agg(count(lit(1)).as("n_sampled_frames"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max(col("meta.width")).cast("long").as("max_w"),
+            max(col("meta.height")).cast("long").as("max_h"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        d AS (SELECT doc_id,
+            CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+            n % 640 + 1 AS w, (n * 7) % 480 + 1 AS h, n % 30 + 1 AS nf
+          FROM m),
+        r AS (SELECT doc_id, format, nf,
+            GREATEST(CAST(floor(CAST(w * LEAST(224 * h, 224 * w) AS DOUBLE) / (w * h)) AS BIGINT), 1) AS w2,
+            GREATEST(CAST(floor(CAST(h * LEAST(224 * h, 224 * w) AS DOUBLE) / (w * h)) AS BIGINT), 1) AS h2
+          FROM d)
+        SELECT format, CAST(SUM((nf - 1) // 10 + 1) AS BIGINT) AS n_sampled_frames,
+          COUNT(*) AS n_docs, MAX(w2) AS max_w, MAX(h2) AS max_h
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
     // ---- incremental dedup: new batch vs existing corpus ------------------
     // The production shape of corpus growth: fingerprint the incoming batch,
     // anti-join against the existing fingerprint set, admit only novel docs.
