@@ -519,5 +519,46 @@ object RelationalQueries {
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
-        FROM lineitem GROUP BY 1 ORDER BY 1""")))
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ---- J1b: co-located fact-fact join over BUCKETED tables --------------
+    // The pre-shuffled warehouse layout: lineitem and orders land once as
+    // bucketBy(8, orderkey).sortBy catalog tables, and the join reads
+    // co-located pre-sorted buckets — the plan's join has ZERO exchanges
+    // (the shuffle a 100 TB lineitem⋈orders pays per query moves to write
+    // time, amortized over every downstream join; PlanAudit shows the
+    // only remaining exchange is the final aggregation's). Results are
+    // identical to the plain join — the oracle is the plain SQL.
+    DeclaredQuery("bucketed_join_revenue",
+      (s, dir) => {
+        // a session CLONE with auto-broadcast off: at test scale Spark
+        // would broadcast the orders side and the bucket layout would sit
+        // unused — at 100 TB NEITHER fact side broadcasts, and this clone
+        // realizes exactly that plan (sort-merge over co-located pre-sorted
+        // buckets, zero join-input exchanges) without mutating the caller's
+        // session (the streamSession discipline)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.functions.GraftFunctions.register(ss)
+        graft.relational.Bucketing.ensureBucketed(
+          tbl(ss, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "graft_li_bucketed", dir, "l_orderkey", buckets = 8)
+        graft.relational.Bucketing.ensureBucketed(
+          tbl(ss, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "graft_ord_bucketed", dir, "o_orderkey", buckets = 8)
+        ss.table("graft_li_bucketed")
+          .join(ss.table("graft_ord_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1 ORDER BY 1""")))
 }

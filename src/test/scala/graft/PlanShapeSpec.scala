@@ -232,6 +232,20 @@ class PlanShapeSpec extends SparkSpec {
       s"embedding_outliers sort-merges a dim-bounded model join:\n$o")
   }
 
+  test("bucketed fact-fact join reads co-located buckets — no join-input exchange") {
+    val plan = run("bucketed_join_revenue")
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, "bucketed join must plan a sort-merge join")
+    // the subtree below the join must contain NO hash exchange on the join
+    // key: the bucket layout IS the partitioning; only the post-join
+    // aggregation/order exchanges may appear (they sit above the join)
+    val below = plan.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning(l_orderkey") &&
+      !below.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join re-shuffled its inputs — bucket layout unused")
+    assert(below.contains("Bucketed: true"), "scan did not use the bucket layout")
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan
