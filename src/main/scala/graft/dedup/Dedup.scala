@@ -260,10 +260,25 @@ object Dedup {
     * size-normalized score washes out. Same landed blockless index and
     * answer-sized aggregation as [[ngramJaccardPairs]]; the count threshold
     * prunes in the aggregate, so only qualifying pairs survive the shuffle.
+    *
+    * Scale knob: the self-join fan-out per shingle is df² (the
+    * [[sparseCosinePairs]] Zipf-head hazard) — `maxDf` drops shingles
+    * hotter than the cap from pair GENERATION before the join, the same
+    * recall-conservative pruning as the postings plan: a capped run loses
+    * only pairs whose entire overlap is ultra-common boilerplate shingles,
+    * which are the pairs an absolute-overlap miner wants least. `None` is
+    * exact (fixture scale); set a cap at corpus scale.
     */
   def sharedShingleCounts(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int, minShared: Long): DataFrame = {
-    val index = shingleIndex(docs, idCol, textCol, shingleN, Nil)
+                          shingleN: Int, minShared: Long,
+                          maxDf: Option[Long] = None): DataFrame = {
+    val index0 = shingleIndex(docs, idCol, textCol, shingleN, Nil)
+    val index = maxDf match {
+      case Some(cap) =>
+        val df_ = index0.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+        index0.join(broadcast(df_.filter(col("__df") <= cap)), "key").drop("__df")
+      case None => index0
+    }
     index.select(col("id").as("id1"), col("key"))
       .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
       .filter(col("id1") < col("id2"))

@@ -540,16 +540,16 @@ object RelationalQueries {
         val ss = s.newSession()
         ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         graft.functions.GraftFunctions.register(ss)
-        graft.relational.Bucketing.ensureBucketed(
+        val liT = graft.relational.Bucketing.ensureBucketed(
           tbl(ss, dir, "lineitem")
             .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
           "graft_li_bucketed", dir, "l_orderkey", buckets = 8)
-        graft.relational.Bucketing.ensureBucketed(
+        val ordT = graft.relational.Bucketing.ensureBucketed(
           tbl(ss, dir, "orders")
             .select(col("o_orderkey"), col("o_orderpriority")),
           "graft_ord_bucketed", dir, "o_orderkey", buckets = 8)
-        ss.table("graft_li_bucketed")
-          .join(ss.table("graft_ord_bucketed"),
+        ss.table(liT)
+          .join(ss.table(ordT),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),

@@ -23,17 +23,27 @@ object Bucketing {
   private val written = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
-  /** Write `df` as a bucketed+sorted catalog table once per
-    * (session, table, tag); later calls are free. Overwrites on first call
-    * per session so stale files from a previous JVM never leak in.
+  /** The tag-qualified physical table name: distinct source dirs get
+    * DISTINCT tables, so a session that touches two scale factors can
+    * never read one dir's data under the other's name (the memo alone
+    * would skip the re-write and serve stale rows).
     */
-  def ensureBucketed(df: DataFrame, table: String, tag: String,
-                     key: String, buckets: Int): Unit = {
+  def tableFor(base: String, tag: String): String =
+    base + "_" + java.lang.Integer.toHexString(tag.hashCode)
+
+  /** Write `df` as a bucketed+sorted catalog table once per
+    * (context, table, tag); later calls are free. Overwrites on first call
+    * per context so stale files from a previous JVM never leak in.
+    * Returns the tag-qualified table name to read.
+    */
+  def ensureBucketed(df: DataFrame, baseTable: String, tag: String,
+                     key: String, buckets: Int): String = {
+    val table = tableFor(baseTable, tag)
     // memo at the CONTEXT level: managed tables live in the SharedState
     // catalog, which session clones share — a per-session key would
     // re-write on every clone
     val memoKey =
-      s"${System.identityHashCode(df.sparkSession.sparkContext)}:$table:$tag"
+      s"${System.identityHashCode(df.sparkSession.sparkContext)}:$table"
     if (written.add(memoKey)) {
       val spark = df.sparkSession
       // a previous JVM's files may survive in the warehouse dir while this
@@ -48,6 +58,7 @@ object Bucketing {
         .bucketBy(buckets, key).sortBy(key)
         .saveAsTable(table)
     }
+    table
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

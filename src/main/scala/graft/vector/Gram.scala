@@ -34,6 +34,13 @@ object Gram {
 
   private final class GramAgg(dim: Int, quantScale: Double)
       extends Aggregator[Array[Float], Buf, Buf] {
+    // buffer = d(d+1)/2 longs PER PARTITION and per merge message: 4096
+    // dims = 64 MB each — past that the flat-buffer shape stops being the
+    // cheap one and a blocked Gram (per-dim-range shards summed as
+    // partials) is the right plan; refuse loudly rather than OOM quietly
+    require(dim >= 1 && dim <= 4096,
+      s"Gram aggregator holds d(d+1)/2 longs per partition buffer; dim=$dim " +
+        "exceeds the 4096 cap — shard the Gram over dim ranges instead")
     private val cells = dim * (dim + 1) / 2
 
     override def zero: Buf = Buf(new Array[Long](cells), 0L)
@@ -124,6 +131,11 @@ object Gram {
   def powerIteration(df: DataFrame, vecCol: String, dim: Int,
                      rounds: Int = 4, quantScale: Double = 10000.0): DataFrame = {
     require(rounds >= 1)
+    // the driver holds the d×d BigInt matrix: 2048 dims ≈ 4M entries is
+    // the sensible ceiling for the bounded-model-collect class
+    require(dim <= 2048,
+      s"powerIteration collects the d² Gram to the driver; dim=$dim > 2048 " +
+        "— run a blocked/distributed eigensolver instead")
     val spark = df.sparkSession
     val cells = upperTriangle(df, vecCol, dim, quantScale)
       .select(col("dim_i"), col("dim_j"), col("gram"))
