@@ -3,47 +3,32 @@ package graft.relational
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Bucketing = the pre-shuffle: persist both fact tables hash-bucketed on
-  * the join key and the join needs NO exchange at read time — at 100 TB this
-  * converts every recurring lineitem⋈orders join from a full-data shuffle
-  * into co-located map-side work. Local demo with plan assertions.
-  */
 class BucketingSpec extends SparkSpec {
+  import spark.implicits._
 
-  test("join of co-bucketed tables plans without a shuffle exchange") {
-    val wh = java.nio.file.Files.createTempDirectory("bucket_wh").toString
-    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
-    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+  test("bucketed table lands once per (context, tag); dirs get distinct tables") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("k", "v")
+    val t1 = Bucketing.ensureBucketed(df, "graft_test_bk", "tagA", "k", 4)
+    val rows1 = spark.table(t1).count()
+    assert(rows1 === 100L)
+    // second call with the same tag is a memo hit: different data must NOT
+    // overwrite (the landed snapshot is the contract)
+    val df2 = (1L to 5L).map(i => (i, i)).toDF("k", "v")
+    val t1b = Bucketing.ensureBucketed(df2, "graft_test_bk", "tagA", "k", 4)
+    assert(t1b === t1 && spark.table(t1).count() === 100L)
+    // a DIFFERENT tag gets its own table — no cross-dir aliasing
+    val t2 = Bucketing.ensureBucketed(df2, "graft_test_bk", "tagB", "k", 4)
+    assert(t2 !== t1)
+    assert(spark.table(t2).count() === 5L)
+    assert(spark.table(t1).count() === 100L)
+  }
 
-    li.write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/li_b").saveAsTable("li_bucketed")
-    ord.write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/ord_b").saveAsTable("ord_bucketed")
-
-    // force a sort-merge join so the exchange question is real
-    val joined = spark.table("li_bucketed").hint("merge")
-      .join(spark.table("ord_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-
-    val plan = joined.queryExecution.executedPlan.toString
-    val shufflesBeforeAgg = "ShuffleExchange|Exchange hashpartitioning\\(l_orderkey".r
-      .findAllIn(plan).length
-    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
-      !plan.contains("Exchange hashpartitioning(o_orderkey"),
-      s"bucketed join must not re-shuffle the join keys:\n$plan")
-
-    // and it still returns the right answer
-    val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val direct = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(viaBuckets === direct)
-
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+  test("streamSession clone carries its own conf; caller session untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = graft.queries.Dsl.streamSession(spark, parts = 8)
+    assert(ss.conf.get("spark.sql.shuffle.partitions") === "8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    // clones share the context (one JVM scheduler, shared catalog)
+    assert(ss.sparkContext eq spark.sparkContext)
   }
 }
