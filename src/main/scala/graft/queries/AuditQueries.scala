@@ -144,6 +144,37 @@ object AuditQueries {
           CAST((1000 * n_new * t_old) // (n_old * t_new) AS BIGINT) AS growth_x_permille
         FROM per CROSS JOIN tot ORDER BY cell""")),
 
+    // ---- O82: SQ8 quantization distortion audit ----------------------------
+    // The storage-path twin of ivf_recall_audit: recall audits what the
+    // INDEX approximation costs, this audits what the int8 STORAGE
+    // quantization costs — per-vector reconstruction error on the exact
+    // 10⁴ grid ((code·M) div 127 round-trip), worst-10 shortlist + the
+    // corpus-wide ppm. Map-only row-local folds; global totals in
+    // DECIMAL(38,0) (long crosses 2⁶³ near 10⁹ rows).
+    DeclaredQuery("sq8_distortion_audit",
+      (s, dir) => graft.vector.QuantError
+        .sq8Distortion(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          topK = 10),
+      Some("""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
+        m AS (SELECT vec_id, q, list_max(list_transform(q, x -> abs(x))) AS mx
+              FROM e),
+        d AS (SELECT vec_id,
+                list_transform(q, x -> x - (((127 * x) // mx) * mx) // 127) AS dl,
+                q
+              FROM m WHERE mx > 0),
+        per AS (SELECT vec_id,
+                  list_reduce(list_transform(dl, t -> t * t), (a, b) -> a + b) AS err,
+                  list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS energy
+                FROM d),
+        tot AS (SELECT CAST(SUM(err) AS HUGEINT) AS te,
+                  CAST(SUM(energy) AS HUGEINT) AS tn FROM per)
+        SELECT vec_id, err, energy,
+          CAST((1000000 * err) // energy AS BIGINT) AS dist_ppm,
+          CAST((1000000 * te) // tn AS BIGINT) AS global_ppm
+        FROM per CROSS JOIN tot
+        ORDER BY dist_ppm DESC, vec_id LIMIT 10""")),
+
     // ---- O79: tokenizer OOV audit ------------------------------------------
     // The vocabulary-budget planning twin of vocab_coverage, read per
     // LANGUAGE: with the top-16 frequency-ranked types as the vocabulary,

@@ -308,6 +308,32 @@ object ProfilingQueries {
         FROM per CROSS JOIN tot
         ORDER BY community""")),
 
+    // ---- O81: link prediction over the kNN graph ---------------------------
+    // Which similar-doc edge is the dedup graph about to grow: for non-edge
+    // pairs sharing neighbors on the SAME landed kNN edges, common-neighbor
+    // count + the Adamic–Adar score with the integer-bits weight
+    // 10⁶ div ⌊log₂ d_z⌋ — near-dup candidates the k-cut of the kNN build
+    // itself missed, and the recommendation primitive over the doc graph.
+    // One equi-keyed wedge self-join (the triangle census bound), an
+    // anti-join against existing edges, a TakeOrdered shortlist.
+    DeclaredQuery("knn_link_prediction",
+      (s, dir) => graft.dedup.GraphMetrics
+        .linkPrediction(knnUndirected(s, dir), "a", "b", topK = 20),
+      Some(s"""$ivfKnnCtes,
+        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+        wedge AS (SELECT s1.u AS x, s2.v AS y, s1.v AS z
+                  FROM sym s1 JOIN sym s2 ON s2.u = s1.v
+                  WHERE s1.u < s2.v),
+        non AS (SELECT w.x, w.y, w.z FROM wedge w
+                LEFT JOIN und ON und.a = w.x AND und.b = w.y
+                WHERE und.a IS NULL),
+        sc AS (SELECT x AS a, y AS b, COUNT(*) AS common_neighbors,
+                 CAST(SUM(1000000 // (length(bin(d)) - 1)) AS BIGINT) AS aa_micro
+               FROM non JOIN deg ON deg.id = non.z GROUP BY 1, 2)
+        SELECT a, b, common_neighbors, aa_micro FROM sc
+        ORDER BY common_neighbors DESC, aa_micro DESC, a, b LIMIT 20""")),
+
     // ---- O58: weak-supervision majority vote ------------------------------
     // The Snorkel-shaped quality committee: three LFs (lang, quality score,
     // entropy band) vote {−1, 0, +1}; docs get the deterministic majority
