@@ -24,6 +24,34 @@ class GraphMetricsSpec extends SparkSpec {
       (4L, 3L, 3L, 7L, 178571L, 357142L)))
   }
 
+  test("link prediction: hand-computed CN/AA, edges excluded, topK honored") {
+    // square 1-2-3-4 plus pendant triangle edges (1,5),(3,5):
+    // degrees 1:3, 2:2, 3:3, 4:2, 5:2. Non-edge pairs:
+    //   (1,3): z ∈ {2,4,5}, all d=2 → bits=1 → cn=3, aa=3·10⁶
+    //   (2,4)/(2,5)/(4,5): z ∈ {1,3} (d=3 → bits=1) → cn=2, aa=2·10⁶
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L), (3L, 5L))
+      .toDF("a", "b")
+    val top = GraphMetrics.linkPrediction(und, "a", "b", topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top === Seq((1L, 3L, 3L, 3000000L), (2L, 4L, 2L, 2000000L),
+      (2L, 5L, 2L, 2000000L)))
+    val all = GraphMetrics.linkPrediction(und, "a", "b", topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(all.size === 4 && all.last === ((4L, 5L, 2L, 2000000L)))
+  }
+
+  test("link prediction AA weight halves through a degree-4 hub; edges never surface") {
+    // star: hub 10 — {1,2,3,4}, plus edge (1,2). d_hub=4 → bits=2 →
+    // each wedge through the hub contributes 500000; the (1,2) pair has a
+    // common neighbor but IS an edge, so it must not appear.
+    val und = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (1L, 2L))
+      .toDF("a", "b")
+    val out = GraphMetrics.linkPrediction(und, "a", "b", topK = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1L, 500000L), (1L, 4L, 1L, 500000L),
+      (2L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L), (3L, 4L, 1L, 500000L)))
+  }
+
   test("single-community partition scores zero; worse-than-chance goes negative") {
     val und = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
     // everything in one community: e = m, d = 2m → Q = 1 − 1 = 0
