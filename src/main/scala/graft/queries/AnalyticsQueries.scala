@@ -94,6 +94,61 @@ object AnalyticsQueries {
         FROM g JOIN t USING (from_type)
         ORDER BY g.from_type, g.to_type""")),
 
+    // ---- O84: Bradley–Terry preference strengths ---------------------------
+    // The pairwise-preference fit behind reward-model data: the SAME
+    // per-user transition pairs as O42 read as revealed preference (the
+    // later event's type beats the earlier — progression as choice), fitted
+    // with 4 Zermelo fixed-point rounds in exact BigInt micro units over
+    // the 5×5 wins matrix (bounded-model collect; the heavy pair count is
+    // distributed). The oracle replays all 4 rounds as chained CTEs —
+    // truncating division makes every round engine-identical.
+    DeclaredQuery("bt_preference_strength",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pairs = events(s, dir)
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull && col("nxt") =!= col("event_type"))
+          .select(col("nxt").as("winner"), col("event_type").as("loser"))
+        graft.relational.BradleyTerry.strengths(pairs, "winner", "loser",
+          rounds = 4, maxItems = 64)
+      },
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = s"p${r - 1}"
+          s"""den$r AS (SELECT n.i,
+                 CAST(SUM((1000000 * n.n) // (pi.p + pj.p)) AS HUGEINT) AS den
+               FROM n JOIN $prev pi ON pi.i = n.i JOIN $prev pj ON pj.i = n.j
+               GROUP BY 1),
+          raw$r AS (SELECT ww.i,
+                 CASE WHEN d.den > 0 THEN (1000000 * ww.wins) // d.den
+                      ELSE CAST(0 AS HUGEINT) END AS rw
+               FROM ww JOIN den$r d ON d.i = ww.i),
+          mx$r AS (SELECT MAX(rw) AS m FROM raw$r),
+          p$r AS (SELECT i, (1000000 * rw) // m AS p FROM raw$r CROSS JOIN mx$r)"""
+        }.mkString(",\n        ")
+        s"""WITH s AS (SELECT user_id, event_type AS t,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS nxt
+             FROM events),
+        w AS (SELECT nxt AS i, t AS j, CAST(COUNT(*) AS HUGEINT) AS w
+              FROM s WHERE nxt IS NOT NULL AND nxt <> t GROUP BY 1, 2),
+        dd AS (SELECT i, j, CAST(SUM(w) AS HUGEINT) AS w FROM (
+                 SELECT i, j, w FROM w
+                 UNION ALL SELECT j AS i, i AS j, CAST(0 AS HUGEINT) AS w FROM w)
+               GROUP BY 1, 2),
+        n AS (SELECT a.i, a.j, a.w + b.w AS n
+              FROM dd a JOIN dd b ON b.i = a.j AND b.j = a.i),
+        ww AS (SELECT i, CAST(SUM(w) AS HUGEINT) AS wins FROM dd GROUP BY 1),
+        cm AS (SELECT i, CAST(SUM(n) AS HUGEINT) AS cmp FROM n GROUP BY 1),
+        p0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS p FROM ww),
+        $roundCtes
+        SELECT ww.i AS item, CAST(ww.wins AS BIGINT) AS wins,
+          CAST(cm.cmp AS BIGINT) AS comparisons,
+          CAST(p4.p AS BIGINT) AS strength_micro
+        FROM ww JOIN cm ON cm.i = ww.i JOIN p4 ON p4.i = ww.i
+        ORDER BY strength_micro DESC, item"""
+      }),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).
