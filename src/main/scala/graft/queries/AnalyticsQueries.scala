@@ -149,6 +149,73 @@ object AnalyticsQueries {
         ORDER BY strength_micro DESC, item"""
       }),
 
+    // ---- O85: Spearman signal-agreement audit ------------------------------
+    // Do two curation signals ORDER the corpus the same way? Rank correlation
+    // between char length and whitespace token count per document — the
+    // doubled tie-averaged ranks and all five S-sums are exact integers
+    // (DECIMAL(38,0)); ρ is ONE double expression with identical
+    // parenthesization in the oracle. Token count = #spaces + 1 on both
+    // sides (Spark split(' ') keeps empty fields), so the signal itself is
+    // engine-identical.
+    DeclaredQuery("signal_rank_correlation",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").select(
+          col("n_chars").cast("long").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        graft.relational.Correlation.spearman(d, "x", "y")
+      },
+      Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                 AS BIGINT) AS y
+             FROM documents),
+        gx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        rx AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+               FROM gx),
+        gy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        ry AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+               FROM gy),
+        j AS (SELECT rx.r2 AS rx, ry.r2 AS ry FROM d
+              JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+        a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(rx) AS HUGEINT) AS sx,
+                CAST(SUM(ry) AS HUGEINT) AS sy,
+                CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+                CAST(SUM(ry * ry) AS HUGEINT) AS syy,
+                CAST(SUM(rx * ry) AS HUGEINT) AS sxy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+        FROM a""")),
+
+    // ---- O87: A-Priori frequent pairs --------------------------------------
+    // Co-purchase mining on lineitem baskets: the frequent-item cut runs
+    // before the basket self-join, lift in exact permille via
+    // DECIMAL(38,0) integral division (the 2⁶³ overflow class).
+    DeclaredQuery("copurchase_frequent_pairs",
+      (s, dir) => graft.relational.FrequentPairs.mine(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 5L, minPairSupport = 3L)
+        .orderBy(desc("support"), col("item_a"), col("item_b")),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+        ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b
+               GROUP BY 1 HAVING COUNT(*) >= 5),
+        f AS (SELECT b.bk, b.it FROM b JOIN ic ON ic.it = b.it),
+        p AS (SELECT l.it AS item_a, r.it AS item_b,
+                CAST(COUNT(*) AS BIGINT) AS support
+              FROM f l JOIN f r ON l.bk = r.bk AND l.it < r.it
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM b)
+        SELECT p.item_a, p.item_b, p.support,
+          CAST((CAST(1000 AS HUGEINT) * p.support * nb.n) //
+            (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_permille
+        FROM p JOIN ic ca ON ca.it = p.item_a
+               JOIN ic cb ON cb.it = p.item_b
+               CROSS JOIN nb
+        ORDER BY p.support DESC, p.item_a, p.item_b""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).
