@@ -157,6 +157,35 @@ object MaintenanceQueries {
         FROM files
         ORDER BY 1, 2""")),
 
+    // ---- O86: rendezvous-hash rebalance audit ----------------------------
+    // HRW shard movement matrix for growing orders' key space 8 → 12
+    // shards: the resharding pre-flight. Assignment is a stateless per-row
+    // expression (md5-prefix weights, argmax folded into one integer —
+    // see Rendezvous scaladoc); the matrix agg is ≤ 8·12 rows.
+    DeclaredQuery("shard_rebalance_matrix",
+      (s, dir) => graft.relational.Rendezvous
+        .rebalanceMatrix(tbl(s, dir, "orders"), "o_orderkey", 8, 12)
+        .orderBy(col("shard_old"), col("shard_new")),
+      Some {
+        def shardExpr(n: Int): String = (0 until n).map { sh =>
+          s"((CAST(('0x' || substring(md5(k || ':$sh'), 1, 15)) AS BIGINT)" +
+            s" // 16) * 16 + $sh)"
+        }.mkString("greatest(", ", ", ") % 16")
+        s"""WITH k AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+               FROM orders WHERE o_orderkey IS NOT NULL),
+          a AS (SELECT ${shardExpr(8)} AS shard_old,
+                  ${shardExpr(12)} AS shard_new FROM k),
+          m AS (SELECT shard_old, shard_new,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys
+                FROM a GROUP BY 1, 2),
+          t AS (SELECT CAST(SUM(n_keys) AS BIGINT) AS t FROM m)
+          SELECT shard_old, shard_new, n_keys,
+            shard_old <> shard_new AS moved,
+            (1000 * n_keys) // t.t AS share_permille
+          FROM m CROSS JOIN t
+          ORDER BY shard_old, shard_new"""
+      }),
+
     // ---- temperature-weighted source mixing ------------------------------
     // Allocation n_s ∝ N_s^0.5 over a 1000-doc budget, computed in exact
     // integer arithmetic: w = floor(sqrt(N)·10⁶) (sqrt is IEEE
