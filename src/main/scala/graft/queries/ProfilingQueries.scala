@@ -933,6 +933,37 @@ object ProfilingQueries {
                FROM tf JOIN tot USING (doc_id) GROUP BY 1)
         SELECT tot.doc_id, tot.n_tokens, tot.n_distinct, en.entropy_bits,
           (1000 * en.entropy_bits) // tot.n_tokens AS millibits_per_token
-        FROM tot JOIN en USING (doc_id) ORDER BY tot.doc_id"""))
+        FROM tot JOIN en USING (doc_id) ORDER BY tot.doc_id""")),
+
+    // ---- O88: per-source unigram KL from the corpus mixture ---------------
+    // Integer-bits KL(source ‖ pool) = floor-log₂ cross-entropy minus own
+    // entropy (see DomainDivergence scaladoc — a ranking signal; the
+    // separate floors can dip a hair below zero for a source that matches
+    // the mixture).
+    DeclaredQuery("source_unigram_kl",
+      (s, dir) => graft.text.DomainDivergence
+        .perSourceKl(tbl(s, dir, "documents"), "source", "text")
+        .orderBy(col("source")),
+      Some("""WITH tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                     FROM documents)
+               GROUP BY 1, 2),
+        ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+                 COUNT(*) AS n_terms FROM tf GROUP BY 1),
+        tg AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cg FROM tf GROUP BY 1),
+        nn AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM tg),
+        e AS (SELECT tf.source,
+                CAST(SUM(c * (length(bin(nn.n // cg)) - 1)) AS BIGINT)
+                  AS cross_entropy_bits,
+                CAST(SUM(c * (length(bin(n_s // c)) - 1)) AS BIGINT)
+                  AS entropy_bits
+              FROM tf JOIN tg USING (t) JOIN ts USING (source)
+                   CROSS JOIN nn
+              GROUP BY 1)
+        SELECT ts.source, ts.n_s AS n_tokens, ts.n_terms,
+          e.cross_entropy_bits, e.entropy_bits,
+          (1000 * (e.cross_entropy_bits - e.entropy_bits)) // ts.n_s
+            AS kl_millibits_per_token
+        FROM ts JOIN e USING (source) ORDER BY ts.source"""))
   )
 }
