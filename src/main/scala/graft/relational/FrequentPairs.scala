@@ -34,9 +34,12 @@ object FrequentPairs {
            minItemSupport: Long, minPairSupport: Long,
            maxBasketSize: Int = 10000): DataFrame = {
     require(minItemSupport >= 1 && minPairSupport >= 1)
-    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+    // b feeds four consumers (the size guard, item counts, the filtered
+    // join spine, and the basket total) — land the distinct once
+    val b = Stages.materialize(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull)
+        .distinct(), "fp_baskets")
     val biggest = b.groupBy(col("__b")).agg(count(lit(1)).as("k"))
       .agg(max(col("k"))).head()
     if (biggest.isNullAt(0)) return emptyResult(df, itemCol)

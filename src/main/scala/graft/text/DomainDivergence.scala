@@ -31,11 +31,15 @@ object DomainDivergence {
     * kl_millibits_per_token) per distinct `srcCol` value.
     */
   def perSourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val tfS = docs
+    // tfS feeds FOUR consumers (the join spine, per-source totals, the
+    // corpus term table, and the grand total) — without landing, each
+    // re-runs the explode+count over the full corpus (the ReuseExchange
+    // defeat the house Stages discipline exists for)
+    val tfS = graft.relational.Stages.materialize(docs
       .select(col(srcCol).as("source"),
         explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("source"), col("t"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")), "domdiv_tf")
     val totS = tfS.groupBy(col("source"))
       .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_terms"))
     val tfG = tfS.groupBy(col("t")).agg(sum(col("c")).as("cg"))
