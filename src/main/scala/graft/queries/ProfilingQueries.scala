@@ -964,6 +964,77 @@ object ProfilingQueries {
           e.cross_entropy_bits, e.entropy_bits,
           (1000 * (e.cross_entropy_bits - e.entropy_bits)) // ts.n_s
             AS kl_millibits_per_token
-        FROM ts JOIN e USING (source) ORDER BY ts.source"""))
+        FROM ts JOIN e USING (source) ORDER BY ts.source""")),
+
+    // ---- O89: Wilson lower-bound quality ranking --------------------------
+    // Per-source pass rate of a length gate, ranked by the z=2 Wilson
+    // lower bound so thin evidence sinks (see Wilson scaladoc — one IEEE
+    // expression over exact longs, exact floor to micro).
+    DeclaredQuery("source_quality_wilson",
+      (s, dir) => graft.relational.Wilson.lowerBound(
+        tbl(s, dir, "documents"), "source", col("n_chars") >= 250)
+        .orderBy(desc("wilson_lower_micro"), col("source")),
+      Some("""WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS k
+             FROM documents GROUP BY 1),
+        d AS (SELECT source, n, k, CAST(n AS DOUBLE) AS nd,
+                CAST(k AS DOUBLE) AS kd FROM g)
+        SELECT source, n, k, (1000 * k) // n AS pass_permille,
+          CAST(FLOOR(1e6 * ((kd + 2.0 - 2.0 *
+            sqrt(kd * (nd - kd) / nd + 1.0)) / (nd + 4.0))) AS BIGINT)
+            AS wilson_lower_micro
+        FROM d ORDER BY wilson_lower_micro DESC, source""")),
+
+    // ---- O90: Zipf rank-octave curve + slope ------------------------------
+    // The log-log Zipf plot at octave resolution with an exact-power-sums
+    // OLS slope — all integer-bits, no libm log (see CorpusStats
+    // .zipfOctaves scaladoc); ranks never materialize per term.
+    DeclaredQuery("zipf_octave_curve",
+      (s, dir) => graft.text.CorpusStats
+        .zipfOctaves(tbl(s, dir, "documents"), "text")
+        .orderBy(col("octave")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+        cls AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS m FROM tf GROUP BY 1),
+        rk AS (SELECT f, m,
+                 CAST(SUM(m) OVER (ORDER BY f DESC) AS BIGINT) - m AS r0
+               FROM cls),
+        sp AS (SELECT f, m, r0,
+                 unnest(generate_series(length(bin(r0 + 1)) - 1,
+                   length(bin(r0 + m)) - 1)) AS o
+               FROM rk),
+        ov AS (SELECT o, f,
+                 least(r0 + m, (CAST(1 AS BIGINT) << (o + 1)) - 1)
+                   - greatest(r0 + 1, CAST(1 AS BIGINT) << o) + 1 AS cnt
+               FROM sp),
+        oc AS (SELECT o AS octave, CAST(SUM(cnt) AS BIGINT) AS n_terms,
+                 CAST(SUM(cnt * f) AS BIGINT) AS total_count,
+                 CAST(SUM(cnt * (length(bin(f)) - 1)) AS BIGINT) AS sb
+               FROM ov GROUP BY 1),
+        oc2 AS (SELECT octave, n_terms, total_count,
+                 (1000 * sb) // n_terms AS mean_freq_millibits FROM oc),
+        s AS (SELECT COUNT(*) AS n, CAST(SUM(octave) AS BIGINT) AS sx,
+                CAST(SUM(mean_freq_millibits) AS BIGINT) AS sy,
+                CAST(SUM(octave * octave) AS BIGINT) AS sxx,
+                CAST(SUM(mean_freq_millibits * mean_freq_millibits)
+                  AS BIGINT) AS syy,
+                CAST(SUM(octave * mean_freq_millibits) AS BIGINT) AS sxy
+              FROM oc2),
+        d AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+                CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+                CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+              FROM s)
+        SELECT oc2.octave, oc2.n_terms, oc2.total_count,
+          oc2.mean_freq_millibits,
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0
+            THEN NULL ELSE
+            (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+          CASE WHEN (nd * sxx - sx * sx) = 0 OR (nd * syy - sy * sy) = 0
+            THEN NULL ELSE
+            (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) *
+              sqrt(nd * syy - sy * sy)) END AS corr
+        FROM oc2 CROSS JOIN d ORDER BY oc2.octave"""))
   )
 }

@@ -80,4 +80,65 @@ object CorpusStats {
         (length(bin(expr("__n div df"))) - 1).cast("long").as("idf_bits"))
       .orderBy(desc("burst_permille"), col("term")).limit(topK)
   }
+
+  /** Zipf rank-octave curve + fitted slope — does the corpus follow the
+    * power law a natural-language corpus should (slope ≈ −1000 millibits
+    * of frequency per rank octave), or is it distorted by boilerplate
+    * (too flat at the head) or token soup (too heavy a tail)? The log-log
+    * Zipf plot binned at octave resolution, libm-free: both axes use the
+    * integer-bits discipline (bits(x) = ⌊log₂ x⌋), so no `log` call whose
+    * rounding could differ across engines ever touches a compared value.
+    *
+    * The per-term rank is never materialized: terms are grouped into
+    * FREQUENCY CLASSES (f, m = #terms at f); descending-frequency class
+    * ranks occupy the contiguous block [r0+1, r0+m] (r0 = exclusive
+    * prefix of m in f-desc order, via the two-phase [[graft.relational
+    * .PrefixSum]] on id = −f — no global window), and the block's overlap
+    * with each rank octave [2^o, 2^(o+1)−1] is counted arithmetically.
+    * Work is distinct-frequency-sized (≈√(corpus tokens) classes), not
+    * vocabulary-sized, after the one tf aggregation.
+    *
+    * Output: one row per occupied octave (octave, n_terms, total_count,
+    * mean_freq_millibits) with the corpus-level OLS slope/corr of
+    * mean_freq_millibits vs octave (computed by [[graft.relational
+    * .Profile.groupedRegression]]'s exact-power-sums form) repeated on
+    * each row.
+    */
+  def zipfOctaves(docs: DataFrame, textCol: String): DataFrame = {
+    def bits(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - lit(1)).cast("long")
+    val tf = docs
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    // classes feeds PrefixSum's two driver actions plus the span plan —
+    // land it so the tf explode runs once, not once per action
+    val classes = graft.relational.Stages.materialize(
+      tf.groupBy(col("f")).agg(count(lit(1)).as("m")), "zipf_classes")
+    val (cum, _) = graft.relational.PrefixSum.runningSum(
+      classes.withColumn("__id", -col("f")), "__id", "m", "__cum")
+    val spans = cum
+      .withColumn("r0", col("__cum") - col("m"))
+      .withColumn("o", explode(sequence(bits(col("r0") + 1),
+        bits(col("r0") + col("m")))))
+      // block [r0+1, r0+m] ∩ octave [2^o, 2^(o+1)−1], never empty by the
+      // sequence bounds
+      .withColumn("cnt",
+        least(col("r0") + col("m"),
+          expr("shiftleft(1L, CAST(o + 1 AS INT))") - 1) -
+          greatest(col("r0") + 1, expr("shiftleft(1L, CAST(o AS INT))")) + 1)
+    // oct feeds both the regression and the output rows
+    val oct = graft.relational.Stages.materialize(
+      spans.groupBy(col("o").as("octave"))
+      .agg(sum(col("cnt")).as("n_terms"),
+        sum(col("cnt") * col("f")).as("total_count"),
+        sum(col("cnt") * bits(col("f"))).as("__sb"))
+      .withColumn("mean_freq_millibits",
+        expr("(1000L * __sb) div n_terms"))
+      .drop("__sb"), "zipf_octaves")
+    val reg = graft.relational.Profile.groupedRegression(
+      oct.withColumn("__g", lit("corpus")), "__g",
+      col("octave"), col("mean_freq_millibits"))
+      .select(col("slope"), col("corr"))
+    oct.crossJoin(broadcast(reg))
+  }
 }

@@ -38,4 +38,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.head === (("x", 20000L)))
     assert(out.find(_._1 == "y").get._2 === 1000L)
   }
+
+  test("zipf octaves: hand-checked curve and exact OLS slope") {
+    // f(A)=8 → rank 1 (octave 0); f(B)=f(C)=4 → ranks 2-3 (octave 1);
+    // f(D..G)=1 → ranks 4-7 (octave 2). mean bits per octave: 3000, 2000,
+    // 0 millibits. OLS over (0,3000),(1,2000),(2,0): slope = -9000/6.
+    val docs = Seq((1L, ("A " * 8 + "B " * 4 + "C " * 4 + "D E F G").trim))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.zipfOctaves(docs, "text")
+      .orderBy("octave")
+      .select("octave", "n_terms", "total_count", "mean_freq_millibits",
+        "slope")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ===
+      Seq((0L, 1L, 8L, 3000L), (1L, 2L, 8L, 2000L), (2L, 4L, 4L, 0L)))
+    assert(out.forall(r => math.abs(r._5 - (-1500.0)) < 1e-9))
+  }
+
+  test("zipf octaves: a frequency class spanning octaves splits its block") {
+    // f(A)=4 → rank 1. Five singleton terms occupy ranks 2-6: the ONE
+    // class must contribute 2 terms to octave 1 (ranks 2-3) and 3 to
+    // octave 2 (ranks 4-6) via block-overlap arithmetic.
+    val docs = Seq((1L, "A A A A B C D E F")).toDF("doc_id", "text")
+    val out = CorpusStats.zipfOctaves(docs, "text")
+      .orderBy("octave").select("octave", "n_terms", "total_count")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L, 4L), (1L, 2L, 2L), (2L, 3L, 3L)))
+  }
 }
