@@ -216,6 +216,53 @@ object AnalyticsQueries {
                CROSS JOIN nb
         ORDER BY p.support DESC, p.item_a, p.item_b""")),
 
+    // ---- O91: CUSUM changepoint alarm -------------------------------------
+    // Page's one-sided CUSUM over per-type daily counts via the closed
+    // form S = P − min(0, running-min P) — two per-key windows, no
+    // recurrence (see Changepoint scaladoc). Integer allowance/threshold.
+    DeclaredQuery("cusum_event_drift",
+      (s, dir) => graft.relational.Changepoint
+        .cusumDaily(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type,
+                 CAST(SUM(n_events) AS BIGINT) // COUNT(*) AS k
+               FROM daily GROUP BY 1),
+        p AS (SELECT d.event_type, d.day, d.n_events, st.k,
+                CAST(SUM(d.n_events - st.k) OVER (PARTITION BY d.event_type
+                  ORDER BY d.day) AS BIGINT) AS pp
+              FROM daily d JOIN st USING (event_type)),
+        c AS (SELECT event_type, day, n_events, k,
+                pp - least(CAST(MIN(pp) OVER (PARTITION BY event_type
+                  ORDER BY day) AS BIGINT), 0) AS cusum
+              FROM p)
+        SELECT event_type, day, n_events, k, cusum,
+          cusum > 4 * k AS alarm
+        FROM c ORDER BY event_type, day""")),
+
+    // ---- O92: half-life decayed engagement --------------------------------
+    // Power-of-two decay: one bit per elapsed half-life (7 days), exact
+    // cents, shift clamped at 62 (see Decay scaladoc).
+    DeclaredQuery("halflife_engagement",
+      (s, dir) => graft.relational.Decay
+        .halfLifeScores(events(s, dir), "user_id", "ts", "value", 7)
+        .orderBy(desc("decayed_cents"), col("user_id")),
+      Some("""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             FROM events),
+        mx AS (SELECT MAX(d) AS mxd FROM b),
+        k AS (SELECT user_id, cents,
+                least(date_diff('day', d, mxd) // 7, 62) AS kk
+              FROM b CROSS JOIN mx)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(cents) AS BIGINT) AS raw_cents,
+          CAST(SUM(cents // (CAST(1 AS BIGINT) << kk)) AS BIGINT)
+            AS decayed_cents
+        FROM k GROUP BY 1
+        ORDER BY decayed_cents DESC, user_id""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).

@@ -2266,6 +2266,71 @@ object PipelineQueries {
         FROM xt LEFT JOIN it ON it.qid = xt.qid AND it.cid = xt.cid
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O93: Matryoshka prefix-dimension recall audit ---------------------
+    // Can the first 8 / 16 of 64 dims serve retrieval (the MRL question —
+    // Kusupati et al. 2022)? recall@3 of prefix-sliced exact top-k vs the
+    // full-width exact top-k, per query and prefix width, exact permille.
+    // Both sides reuse bruteForceTopK (10-query broadcast side); the full
+    // ground truth lands once and feeds both widths.
+    DeclaredQuery("mrl_prefix_recall",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = graft.relational.Stages.materialize(
+          Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id",
+            "embedding", k = 3).select(col("qid"), col("cid")), "mrl_exact")
+        Seq(8, 16).map { d =>
+          val qp = q.withColumn("embedding", slice(col("embedding"), 1, d))
+          val cp = emb.withColumn("embedding", slice(col("embedding"), 1, d))
+          val approx = Similarity.bruteForceTopK(qp, "vec_id", cp, "vec_id",
+            "embedding", k = 3)
+            .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+          exact.join(approx, Seq("qid", "cid"), "left")
+            .groupBy(col("qid"))
+            .agg(count(lit(1)).as("k"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+            .withColumn("prefix_dims", lit(d.toLong))
+        }.reduce(_ unionByName _)
+          .withColumn("recall_permille", expr("(1000L * n_hits) div k"))
+          .select(col("qid"), col("prefix_dims"), col("k"), col("n_hits"),
+            col("recall_permille"))
+          .orderBy(col("qid"), col("prefix_dims"))
+      },
+      Some {
+        def cos(a: String, b: String): String =
+          s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (y, z) -> y + z)" +
+            s" / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (y, z) -> y + z))" +
+            s" * sqrt(list_reduce(list_transform(list_zip($b, $b), x -> x[1] * x[2]), (y, z) -> y + z)))"
+        def top3(d: Option[Int]): String = {
+          val (qv, cv) = d match {
+            case Some(w) => (s"qv[1:$w]", s"v[1:$w]")
+            case None => ("qv", "v")
+          }
+          s"""SELECT qid, cid FROM (
+              SELECT qid, e.vec_id AS cid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                  ${cos(qv, cv)} DESC, e.vec_id) AS rk
+              FROM e CROSS JOIN q WHERE e.vec_id <> qid) t WHERE rk <= 3"""
+        }
+        def recallRow(w: Int): String =
+          s"""SELECT xt.qid, CAST($w AS BIGINT) AS prefix_dims,
+              CAST(COUNT(*) AS BIGINT) AS k,
+              CAST(SUM(CASE WHEN t$w.cid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+            FROM xt LEFT JOIN t$w ON t$w.qid = xt.qid AND t$w.cid = xt.cid
+            GROUP BY 1"""
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          xt AS (${top3(None)}),
+          t8 AS (${top3(Some(8))}),
+          t16 AS (${top3(Some(16))}),
+          r AS (${recallRow(8)} UNION ALL ${recallRow(16)})
+          SELECT qid, prefix_dims, k, n_hits,
+            (1000 * n_hits) // k AS recall_permille
+          FROM r ORDER BY qid, prefix_dims"""
+      }),
+
     DeclaredQuery("embedding_neardup_pairs",
       (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45, numPlanes = 4, dim = 64)

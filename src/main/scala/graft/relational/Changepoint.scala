@@ -1,0 +1,43 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Page's CUSUM (Page 1954) over per-key daily event counts — the
+  * changepoint alarm for ingest monitoring: a sustained upward shift in a
+  * key's daily volume (a new producer, a bot, a backfill) accumulates in
+  * the one-sided statistic long before any single day looks anomalous.
+  *
+  * Exactness: everything is integer. The allowance k is the key's mean
+  * daily count by truncating division; the textbook clamp recurrence
+  * S_t = max(0, S_{t−1} + x_t − k) is NOT window-expressible, but its
+  * closed form is — S_t = P_t − min(0, min_{j≤t} P_j) with P the running
+  * sum of (x − k) — so two per-key windows compute it with no recurrence
+  * and no driver loop. Alarm fires at S_t > 4k (four allowances of
+  * accumulated excess), an integer threshold.
+  *
+  * Scale: one (key, day) aggregation (map-side combined), a key-sized
+  * stats join (plain equi-join — keys may be high-cardinality, so no
+  * broadcast), and two windows PARTITIONED BY KEY whose partition size is
+  * the day span, not the row count. Days with zero events do not appear
+  * (compose with GapFill first if absence itself should alarm).
+  */
+object Changepoint {
+
+  /** (key, day, n_events, k, cusum, alarm) per observed (key, day). */
+  def cusumDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(expr("sum(n_events) div count(1)").as("k"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(stats, Seq(keyCol))
+      .withColumn("__p", sum(col("n_events") - col("k")).over(w))
+      .withColumn("cusum", col("__p") - least(min(col("__p")).over(w), lit(0L)))
+      .select(col(keyCol), col("day"), col("n_events"), col("k"),
+        col("cusum"), (col("cusum") > lit(4L) * col("k")).as("alarm"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsFor(counts: Seq[(String, Int, Int)]) =
+    // (key, dayOfMonth, n) → n rows on 2024-01-<day>
+    counts.flatMap { case (k, d, n) =>
+      Seq.fill(n)((k, f"2024-01-$d%02d 12:00:00"))
+    }.toDF("key", "tss").withColumn("ts", to_timestamp(col("tss")))
+
+  test("closed form equals the textbook clamp recurrence") {
+    // counts (5,5,20,20), k = 50 div 4 = 12, d = (-7,-7,8,8):
+    // recurrence S = max(0, S+d) → (0,0,8,16); closed form
+    // P = (-7,-14,-6,2), S = P − min(0, runmin P) = (0,0,8,16).
+    val df = eventsFor(Seq(("a", 1, 5), ("a", 2, 5), ("a", 3, 20), ("a", 4, 20)))
+    val out = Changepoint.cusumDaily(df, "key", "ts")
+      .orderBy("day").select("n_events", "k", "cusum")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((5L, 12L, 0L), (5L, 12L, 0L),
+      (20L, 12L, 8L), (20L, 12L, 16L)))
+  }
+
+  test("a sustained level shift fires the alarm, single spikes do not") {
+    // 10/day for 10 days then 30/day for 5: k = 250 div 15 = 16,
+    // S accumulates 14/day after the shift and crosses 4k = 64 only on
+    // the final day (42, 56, 70).
+    val df = eventsFor((1 to 10).map(d => ("a", d, 10)) ++
+      (11 to 15).map(d => ("a", d, 30)))
+    val out = Changepoint.cusumDaily(df, "key", "ts")
+      .orderBy("day").select("day", "cusum", "alarm")
+      .as[(java.sql.Date, Long, Boolean)].collect().toSeq
+    assert(out.count(_._3) === 1)
+    assert(out.last._2 === 70L && out.last._3)
+    // steady-state days never alarm
+    assert(out.take(10).forall(r => r._2 === 0L && !r._3))
+  }
+
+  test("keys are independent: a quiet key stays quiet beside a noisy one") {
+    val df = eventsFor(Seq(("quiet", 1, 3), ("quiet", 2, 3),
+      ("noisy", 1, 1), ("noisy", 2, 100)))
+    val out = Changepoint.cusumDaily(df, "key", "ts")
+      .filter(col("key") === "quiet")
+      .select("cusum").as[Long].collect().toSeq
+    assert(out === Seq(0L, 0L))
+  }
+}
