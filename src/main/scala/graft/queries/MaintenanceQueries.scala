@@ -210,6 +210,69 @@ object MaintenanceQueries {
         FROM bys CROSS JOIN tot
         ORDER BY 1""")),
 
+    // ---- O94: Benford first-digit audit -----------------------------------
+    // Fabricated-data screen on price cents: observed first-digit mix vs
+    // the published permille table, signed deviations + integer L1 (see
+    // Benford scaladoc — no logarithm anywhere).
+    DeclaredQuery("benford_price_audit",
+      (s, dir) => graft.relational.Benford.firstDigitAudit(
+        tbl(s, dir, "lineitem"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .orderBy(col("digit")),
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * 100 AS BIGINT) AS c FROM lineitem),
+        d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM v WHERE c > 0 GROUP BY 1),
+        e AS (SELECT CAST(digit AS BIGINT) AS digit,
+                CAST(exp_permille AS BIGINT) AS exp_permille
+              FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                (6, 67), (7, 58), (8, 51), (9, 46)) t(digit, exp_permille)),
+        j AS (SELECT e.digit, COALESCE(d.n, 0) AS n, e.exp_permille
+              FROM e LEFT JOIN d ON d.digit = e.digit),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM j),
+        sc AS (SELECT digit, n, (1000 * n) // tt AS obs_permille,
+                exp_permille, (1000 * n) // tt - exp_permille AS dev_permille
+              FROM j CROSS JOIN t),
+        l AS (SELECT CAST(SUM(abs(dev_permille)) AS BIGINT) AS l1_permille
+              FROM sc)
+        SELECT digit, n, obs_permille, exp_permille, dev_permille,
+          l1_permille
+        FROM sc CROSS JOIN l ORDER BY digit""")),
+
+    // ---- O95: k-anonymity release audit -----------------------------------
+    // Re-identification exposure of (user, type, day) quasi-identifiers at
+    // k = 2/5/10: one landed QI group-size frame, 1-row aggregates per k
+    // (see Privacy scaladoc).
+    DeclaredQuery("k_anonymity_audit",
+      (s, dir) => graft.relational.Privacy.kAnonymity(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "event_type", "day"), Seq(2, 5, 10))
+        .orderBy(col("k")),
+      Some("""WITH g AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS sz
+             FROM events GROUP BY 1, 2, 3),
+        a AS (
+          SELECT CAST(2 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS groups_at_risk,
+            CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT)
+              AS rows_at_risk,
+            CAST(SUM(sz) AS BIGINT) AS total FROM g
+          UNION ALL
+          SELECT 5, COUNT(*),
+            CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+            CAST(SUM(sz) AS BIGINT) FROM g
+          UNION ALL
+          SELECT 10, COUNT(*),
+            CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT),
+            CAST(SUM(sz) AS BIGINT) FROM g)
+        SELECT k, n_groups, groups_at_risk, rows_at_risk,
+          (1000 * rows_at_risk) // total AS rows_at_risk_permille
+        FROM a ORDER BY k""")),
+
     // ---- data-quality constraint audit -----------------------------------
     // The write-gate report a healthy pipeline runs before publishing a
     // snapshot. All row-local constraints (nulls, ranges, domains,

@@ -966,6 +966,29 @@ object ProfilingQueries {
             AS kl_millibits_per_token
         FROM ts JOIN e USING (source) ORDER BY ts.source""")),
 
+    // ---- O96: join-cardinality pre-flight ----------------------------------
+    // Price |events ⋈ events on user_id| exactly BEFORE running it — the
+    // session-explosion check; Σ c_A·c_B in DECIMAL(38,0), unbounded
+    // outputs as decimal strings, worst-key share by the overflow-safe
+    // branch (see JoinPreflight scaladoc).
+    DeclaredQuery("join_cardinality_preflight",
+      (s, dir) => {
+        val e = events(s, dir)
+        graft.relational.JoinPreflight.cardinality(e, "user_id", e, "user_id")
+      },
+      Some("""WITH ca AS (SELECT user_id AS k, CAST(COUNT(*) AS HUGEINT) AS c
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        j AS (SELECT a.c * b.c AS p FROM ca a JOIN ca b USING (k)),
+        s AS (SELECT CAST(SUM(p) AS HUGEINT) AS est,
+                CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+                CAST(MAX(p) AS HUGEINT) AS mx FROM j)
+        SELECT CAST(est AS VARCHAR) AS est_rows_str, n_matched_keys,
+          CAST(mx AS VARCHAR) AS max_key_product_str,
+          CAST(CASE WHEN est >= 1000 THEN mx // (est // 1000)
+               ELSE (1000 * mx) // est END AS BIGINT)
+            AS top_key_share_permille
+        FROM s""")),
+
     // ---- O89: Wilson lower-bound quality ranking --------------------------
     // Per-source pass rate of a length gate, ranked by the z=2 Wilson
     // lower bound so thin evidence sinks (see Wilson scaladoc — one IEEE
