@@ -49,7 +49,11 @@ object FrequentPairs {
         "pairs into a single task; cap or pre-filter baskets")
     val itemCounts = b.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minItemSupport)
-    val filtered = b.join(itemCounts.select("__i"), Seq("__i"), "left_semi")
+    // both sides of the self-join read this frame; landing it lets the
+    // join's basket-key exchange be the only shuffle it pays
+    val filtered = Stages.materialize(
+      b.join(itemCounts.select("__i"), Seq("__i"), "left_semi"),
+      "fp_filtered")
     val pairs = filtered.as("l")
       .join(filtered.as("r"), col("l.__b") === col("r.__b") &&
         col("l.__i") < col("r.__i"))
