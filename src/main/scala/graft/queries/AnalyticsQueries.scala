@@ -263,6 +263,86 @@ object AnalyticsQueries {
         FROM k GROUP BY 1
         ORDER BY decayed_cents DESC, user_id""")),
 
+    // ---- O97: temporal split leakage audit ---------------------------------
+    // Split events at a time cutoff for train/val: users with activity on
+    // BOTH sides are the leakage surface (their future conditions their
+    // past in training). One grouped conditional agg, cohort rollup,
+    // 1-row total broadcast.
+    DeclaredQuery("temporal_split_audit",
+      (s, dir) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        // high-value interactions only: the split whose leakage matters,
+        // and the one sparse enough that all three cohorts exist
+        val per = events(s, dir).filter(col("value") > 200)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("na"))
+        val g = per
+          .withColumn("cohort",
+            when(col("na") === 0, "train_only")
+              .when(col("nb") === 0, "val_only")
+              .otherwise("straddle"))
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("nb") + col("na")).as("n_events"))
+        val t = g.agg(sum(col("n_users")).as("__tu"))
+        g.crossJoin(broadcast(t))
+          .select(col("cohort"), col("n_users"), col("n_events"),
+            expr("(1000L * n_users) div __tu").as("users_permille"))
+          .orderBy(col("cohort"))
+      },
+      Some("""WITH p AS (SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                 AS nb,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                 AS na
+             FROM events WHERE value > 200 GROUP BY 1),
+        c AS (SELECT CASE WHEN na = 0 THEN 'train_only'
+                WHEN nb = 0 THEN 'val_only'
+                ELSE 'straddle' END AS cohort, nb + na AS ne FROM p),
+        g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+                CAST(SUM(ne) AS BIGINT) AS n_events FROM c GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu FROM g)
+        SELECT cohort, n_users, n_events, (1000 * n_users) // tu
+          AS users_permille
+        FROM g CROSS JOIN t ORDER BY cohort""")),
+
+    // ---- O98: double-fire idempotency audit --------------------------------
+    // Same (user, type) emitting an equal value within 5 s = a suspected
+    // duplicate delivery (retry without idempotency key). Per-key lag
+    // window, exact epoch-µs arithmetic.
+    DeclaredQuery("double_fire_audit",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("__pus", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("__pv", lag(col("value"), 1).over(w))
+          .withColumn("__dbl",
+            col("__pus").isNotNull &&
+              unix_micros(col("ts")) - col("__pus") <= 5000000L &&
+              col("value") === col("__pv"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("__dbl"), 1L).otherwise(0L)).as("n_double"))
+          .withColumn("double_permille",
+            expr("(1000L * n_double) div n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH x AS (SELECT event_type, value, epoch_us(ts) AS us,
+               LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS pus,
+               LAG(value, 1) OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS pv
+             FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CASE WHEN pus IS NOT NULL AND us - pus <= 5000000
+            AND value = pv THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+          CAST((1000 * SUM(CASE WHEN pus IS NOT NULL AND us - pus <= 5000000
+            AND value = pv THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+            AS double_permille
+        FROM x GROUP BY 1 ORDER BY 1""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).

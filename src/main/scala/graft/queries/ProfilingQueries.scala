@@ -966,6 +966,39 @@ object ProfilingQueries {
             AS kl_millibits_per_token
         FROM ts JOIN e USING (source) ORDER BY ts.source""")),
 
+    // ---- O99: token-ownership Gini ------------------------------------------
+    // Corpus-balance audit: Gini of per-doc token counts + top-decile
+    // share, exact via tie-averaged doubled ranks over the bounded
+    // weight-class table (see Concentration scaladoc).
+    DeclaredQuery("token_gini_concentration",
+      (s, dir) => graft.relational.Concentration.gini(
+        tbl(s, dir, "documents"),
+        size(split(col("text"), " ")).cast("long")),
+      Some("""WITH wts AS (SELECT CAST(length(text) -
+               length(replace(text, ' ', '')) + 1 AS BIGINT) AS w
+             FROM documents),
+        cls AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wts GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(w * c) AS BIGINT) AS t FROM cls),
+        rk AS (SELECT w, c,
+                 2 * (SUM(c) OVER (ORDER BY w) - c) + c + 1 AS r2 FROM cls),
+        srw AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * w * c) AS HUGEINT)
+                 AS s FROM rk),
+        cum AS (SELECT w, c,
+                 CAST(SUM(c) OVER (ORDER BY w DESC) AS BIGINT) AS cc,
+                 CAST(SUM(w * c) OVER (ORDER BY w DESC) AS BIGINT) AS ct
+               FROM cls),
+        kk AS (SELECT (n + 9) // 10 AS k, t FROM tot),
+        dec AS (SELECT (1000 * (ct - (cc - k) * w)) // t AS share
+                FROM cum CROSS JOIN kk WHERE cc >= k
+                ORDER BY cc LIMIT 1)
+        SELECT tot.n AS n_rows, tot.t AS total_weight,
+          CAST((CAST(1000000 AS HUGEINT) * (srw.s -
+            CAST(tot.n + 1 AS HUGEINT) * tot.t)) //
+            (CAST(tot.n AS HUGEINT) * tot.t) AS BIGINT) AS gini_micro,
+          CAST(dec.share AS BIGINT) AS top_decile_share_permille
+        FROM tot CROSS JOIN srw CROSS JOIN dec""")),
+
     // ---- O96: join-cardinality pre-flight ----------------------------------
     // Price |events ⋈ events on user_id| exactly BEFORE running it — the
     // session-explosion check; Σ c_A·c_B in DECIMAL(38,0), unbounded
