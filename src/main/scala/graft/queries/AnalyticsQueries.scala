@@ -343,6 +343,37 @@ object AnalyticsQueries {
             AS double_permille
         FROM x GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O101: Theil–Sen robust daily trend --------------------------------
+    // Median of pairwise slopes per event type — the outlier-immune trend
+    // beside OLS (stats_regression) and the CUSUM alarm (see TheilSen
+    // scaladoc; lower median at a defined rank, day-span-bounded pairs).
+    DeclaredQuery("theilsen_daily_trend",
+      (s, dir) => graft.relational.TheilSen
+        .dailyTrend(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        dx AS (SELECT event_type, y,
+                CAST(day - MIN(day) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS x
+              FROM daily),
+        sl AS (SELECT a.event_type,
+                (1000000 * (b.y - a.y)) // (b.x - a.x) AS s,
+                a.x AS x1, b.x AS x2
+              FROM dx a JOIN dx b ON a.event_type = b.event_type
+                AND a.x < b.x),
+        r AS (SELECT event_type, s,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY s, x1, x2) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS m
+              FROM sl),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT r.event_type, nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+          CAST(r.s AS BIGINT) AS median_slope_micro_per_day
+        FROM r JOIN nd USING (event_type) WHERE rn = (m + 1) // 2
+        ORDER BY r.event_type""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).

@@ -491,5 +491,26 @@ object CurationQueries {
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(CASE WHEN cw <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           CAST(SUM(CASE WHEN cw <= 500 THEN n ELSE 0 END) AS BIGINT) AS tokens_kept
-        FROM c GROUP BY 1 ORDER BY 1""")))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O100: block-and-verify edit similarity ----------------------------
+    // Prefix-blocked candidate pairs scored with exact Levenshtein
+    // similarity permille — the verify stage appended to any blocker
+    // (see EditVerify scaladoc; hot-block quadratic guarded loudly).
+    DeclaredQuery("blocked_edit_similarity",
+      (s, dir) => graft.dedup.EditVerify.blockedEditSimilarity(
+        tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id1"), col("id2")),
+      Some("""WITH b AS (SELECT doc_id, substring(text, 1, 40) AS blk,
+               substring(text, 1, 2000) AS t
+             FROM documents WHERE doc_id IS NOT NULL),
+        p AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist,
+                CAST(greatest(length(a.t), length(c.t)) AS BIGINT) AS max_len
+              FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id)
+        SELECT id1, id2, dist, max_len,
+          CAST(CASE WHEN max_len = 0 THEN 1000
+            ELSE (1000 * (max_len - dist)) // max_len END AS BIGINT)
+            AS sim_permille
+        FROM p ORDER BY id1, id2""")))
 }
