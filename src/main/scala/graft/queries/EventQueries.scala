@@ -770,6 +770,50 @@ object EventQueries {
     // then the remainder), so the oracle computes them from COUNT(*) alone:
     // the metrics must agree with arithmetic over the table, proving the
     // progress stream neither drops nor double-counts rows.
+    // ---- O91s: streaming CUSUM — the changepoint alarm IN the stream ------
+    // Page's sequential test as flatMapGroupsWithState: O(1) state per
+    // routing key (running excess sum + its min), per-trigger volumes
+    // against a fixed reference rate of 450 rows/batch; the bounded
+    // replay's 5 deterministic row-range batches make every emitted
+    // (key, seq, x, cusum) row batch-SQL-replayable (file order is
+    // (ts, event_id) order, so the oracle rebuilds the batch slicing
+    // with one row_number).
+    DeclaredQuery("stream_cusum_alarm",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "5")
+          .load()
+        val ds = stream.select(col("event_type")).as[String]
+        val out = graft.streaming.StatefulOps.cusumPerBatch(ds, 450L)(identity)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "n_events", "cusum"), "cusum")
+          .withColumn("alarm", col("cusum") > 1800L)
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        c AS (SELECT event_type, rn // ((nn + 4) // 5) AS batch,
+                CAST(COUNT(*) AS BIGINT) AS x
+              FROM o CROSS JOIN n GROUP BY 1, 2),
+        p AS (SELECT event_type, batch, x,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY batch) AS BIGINT) AS seq,
+                CAST(SUM(x - 450) OVER (PARTITION BY event_type
+                  ORDER BY batch) AS BIGINT) AS pp
+              FROM c),
+        s AS (SELECT event_type, seq, x, pp -
+                least(CAST(MIN(pp) OVER (PARTITION BY event_type
+                  ORDER BY batch) AS BIGINT), 0) AS cusum
+              FROM p)
+        SELECT event_type, seq, x AS n_events, cusum,
+          cusum > 1800 AS alarm
+        FROM s ORDER BY event_type, seq""")),
+
     DeclaredQuery("stream_observed_batches",
       (s, dir) => {
         import s.implicits._

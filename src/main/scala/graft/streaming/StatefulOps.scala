@@ -82,6 +82,40 @@ object StatefulOps {
           }
       }
 
+  /** Per-key streaming CUSUM over micro-batch volumes — the
+    * [[graft.relational.Changepoint]] alarm running INSIDE the stream,
+    * exactly as Page intended it (a sequential test): state per key is
+    * the running excess sum P and its minimum, three longs, and each
+    * trigger folds that batch's count in and emits (key, seq, n_events,
+    * cusum) — S = P − min(0, min P), the same closed form the batch twin
+    * uses, so a bounded replay's output is batch-SQL-replayable row for
+    * row. `allowance` is the expected per-batch rate (the textbook
+    * streaming CUSUM runs against a FIXED reference rate — there is no
+    * "global mean" in an unbounded stream).
+    *
+    * State is O(1) per key forever — no TTL needed; keys are enum-like
+    * routing types in the gated use.
+    */
+  def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
+      key: T => String): Dataset[(String, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[T], state: GroupState[(Long, Long, Long)]) =>
+          val x = rows.size.toLong
+          val (seq0, p0, m0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val p = p0 + x - allowance
+          val m = math.min(m0, p)
+          state.update((seq0 + 1L, p, m))
+          Iterator.single((k, seq0 + 1L, x, p - math.min(m, 0L)))
+      }
+  }
+
   /** Per-key running counters across micro-batches (`mapGroupsWithState`):
     * emits (key, totalSoFar) once per batch per active key.
     */

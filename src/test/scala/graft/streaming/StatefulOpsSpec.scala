@@ -46,6 +46,29 @@ class StatefulOpsSpec extends SparkSpec {
       "winner is the in-batch minimum of the FIRST batch carrying the key")
   }
 
+
+  test("streaming CUSUM matches the batch closed form across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // per-batch counts for key "a": 5, 5, 20 with allowance 12 →
+    // d = (-7, -7, 8), P = (-7, -14, -6), S = P − min(0, runmin P) =
+    // (0, 0, 8) — the ChangepointSpec recurrence, per trigger.
+    val out = StatefulOps.cusumPerBatch(input.toDS(), 12L)(identity)
+
+    val q = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(Seq.fill(5)("a"): _*); q.processAllAvailable()
+    input.addData(Seq.fill(5)("a"): _*); q.processAllAvailable()
+    input.addData(Seq.fill(20)("a"): _*); q.processAllAvailable()
+    val got = spark.table("cusum_out").as[(String, Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    q.stop()
+
+    assert(got === Seq(("a", 1L, 5L, 0L), ("a", 2L, 5L, 0L),
+      ("a", 3L, 20L, 8L)))
+  }
+
   test("running counts accumulate state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
