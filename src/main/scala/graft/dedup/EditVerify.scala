@@ -60,4 +60,55 @@ object EditVerify {
         when(col("max_len") === 0, 1000L)
           .otherwise(expr("(1000L * (max_len - dist)) div max_len")))
   }
+
+  /** Cluster-cohesion audit: per multi-member dedup component, the edit
+    * similarity of EVERY intra-cluster pair — did the transitive closure
+    * glue together documents that are not actually light edits of each
+    * other? (The classic failure: A≈B and B≈C chain A and C into one
+    * cluster at sim(A,C) ≈ 0, and a canonical-pick then silently drops a
+    * distinct document.) The min similarity is the verdict column; a low
+    * min flags a chained cluster for review before the drop ships.
+    *
+    * `labels` is (id, comp) from [[Components.connectedComponents]].
+    * Clusters are near-dup-sized (a handful of members); a giant cluster
+    * means the threshold is wrong, and the quadratic intra-pair join
+    * refuses it loudly via `maxClusterSize` rather than stalling.
+    */
+  def clusterCohesion(labels: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String, verifyWindow: Int = 2000,
+                      maxClusterSize: Int = 1000): DataFrame = {
+    val lab = graft.relational.Stages.materialize(
+      labels.select(col("id"), col("comp")), "cohesion_labels")
+    val biggest = lab.groupBy(col("comp")).agg(count(lit(1)).as("k"))
+      .agg(max(col("k"))).head()
+    if (!biggest.isNullAt(0)) {
+      require(biggest.getLong(0) <= maxClusterSize,
+        s"clusterCohesion: a component holds ${biggest.getLong(0)} docs > " +
+          s"maxClusterSize=$maxClusterSize — the intra-cluster pair join " +
+          "is quadratic per cluster; the dedup threshold is too loose")
+    }
+    val tx = docs.select(col(idCol).as("__tid"),
+      substring(col(textCol), 1, verifyWindow).as("__t"))
+    val sims = lab.as("a").join(lab.as("b"),
+      col("a.comp") === col("b.comp") && col("a.id") < col("b.id"))
+      .select(col("a.comp").as("comp"), col("a.id").as("id1"),
+        col("b.id").as("id2"))
+      .join(tx.select(col("__tid").as("id1"), col("__t").as("__t1")), Seq("id1"))
+      .join(tx.select(col("__tid").as("id2"), col("__t").as("__t2")), Seq("id2"))
+      .withColumn("__ml",
+        greatest(length(col("__t1")), length(col("__t2"))).cast("long"))
+      .withColumn("__sim",
+        when(col("__ml") === 0, 1000L)
+          .otherwise(expr(
+            "(1000L * (__ml - CAST(levenshtein(__t1, __t2) AS BIGINT))) div __ml")))
+    sims.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("__sim")).as("min_sim_permille"),
+        sum(col("__sim")).as("__ss"))
+      .join(lab.groupBy(col("comp")).agg(count(lit(1)).as("n_members")),
+        Seq("comp"))
+      .select(col("comp"), col("n_members"), col("n_pairs"),
+        col("min_sim_permille"),
+        expr("__ss div n_pairs").as("mean_sim_permille"))
+  }
 }

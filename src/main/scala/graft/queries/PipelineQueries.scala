@@ -363,7 +363,11 @@ object PipelineQueries {
     * the incremental-merge gate (whose whole claim is that the incremental
     * path reproduces THIS full recompute row for row).
     */
-  private val fullCcSummaryOracleSql =
+  /** CTE prefix ending in labels `r(id, comp)` for the 0.9-cosine dedup
+    * graph — shared by the component summary, the incremental-merge gate,
+    * and the cluster-cohesion audit so all replay IDENTICAL clustering.
+    */
+  private val ccLabelsCtes =
     """WITH tf AS (
         SELECT doc_id, t, COUNT(*) AS tf FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -386,7 +390,10 @@ object PipelineQueries {
           SELECT id, id FROM nodes
           UNION
           SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
-        SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
+        SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)"""
+
+  private val fullCcSummaryOracleSql =
+    s"""$ccLabelsCtes
       SELECT comp, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_checksum
       FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp"""
 
@@ -2012,6 +2019,43 @@ object PipelineQueries {
           .orderBy(col("comp"))
       },
       Some(fullCcSummaryOracleSql)),
+
+    // ---- O102: cluster cohesion audit --------------------------------------
+    // Per dedup component, edit similarity of every intra-cluster pair —
+    // the transitive-chaining check before a canonical-pick ships (see
+    // EditVerify.clusterCohesion scaladoc). Same clustering CTEs as
+    // dedup_components, so the audit grades exactly the clusters the
+    // pipeline would act on.
+    DeclaredQuery("cluster_cohesion_audit",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val labels = graft.dedup.Components.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
+        graft.dedup.EditVerify.clusterCohesion(labels, docs, "doc_id", "text")
+          .orderBy(col("comp"))
+      },
+      Some(s"""$ccLabelsCtes,
+        tx AS (SELECT doc_id, substring(text, 1, 2000) AS t FROM documents),
+        ip AS (SELECT a.comp, a.id AS id1, b.id AS id2
+               FROM r a JOIN r b ON a.comp = b.comp AND a.id < b.id),
+        sc AS (SELECT ip.comp,
+                 CAST(levenshtein(t1.t, t2.t) AS BIGINT) AS dist,
+                 CAST(greatest(length(t1.t), length(t2.t)) AS BIGINT) AS ml
+               FROM ip JOIN tx t1 ON t1.doc_id = ip.id1
+                       JOIN tx t2 ON t2.doc_id = ip.id2),
+        ss AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(MIN(CASE WHEN ml = 0 THEN 1000
+                   ELSE (1000 * (ml - dist)) // ml END) AS BIGINT)
+                   AS min_sim_permille,
+                 CAST(SUM(CASE WHEN ml = 0 THEN 1000
+                   ELSE (1000 * (ml - dist)) // ml END) AS BIGINT) AS sim_sum
+               FROM sc GROUP BY 1),
+        nm AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM r GROUP BY 1)
+        SELECT ss.comp, nm.n_members, ss.n_pairs, ss.min_sim_permille,
+          ss.sim_sum // ss.n_pairs AS mean_sim_permille
+        FROM ss JOIN nm USING (comp) ORDER BY ss.comp""")),
 
     // ---- O80: incremental component maintenance ----------------------------
     // The daily-snapshot dedup shape: yesterday's labels are a landed

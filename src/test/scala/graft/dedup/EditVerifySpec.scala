@@ -36,4 +36,29 @@ class EditVerifySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBlockSize"))
   }
+
+  test("cluster cohesion flags transitive chains via the min similarity") {
+    // One component of 3 docs where 1≈2 and 2≈3 but 1 vs 3 drifted: the
+    // min column carries the verdict while the mean still looks healthy.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "comp")
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"), (2L, "aaaaaaaabb"), (3L, "aaaaaabbbb"),
+      (9L, "unrelated"))
+      .toDF("doc_id", "text")
+    val out = EditVerify.clusterCohesion(labels, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // pairs: (1,2) dist 2 → 800, (1,3) dist 4 → 600, (2,3) dist 2 → 800
+    assert(out === Seq((1L, 3L, 3L, 600L, 733L)))
+  }
+
+  test("a giant cluster fails loudly instead of joining quadratically") {
+    val labels = (1L to 5L).map(i => (i, 1L)).toDF("id", "comp")
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      EditVerify.clusterCohesion(labels, docs, "doc_id", "text",
+        maxClusterSize = 3)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+  }
 }
