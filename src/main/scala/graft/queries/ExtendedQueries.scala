@@ -286,5 +286,88 @@ object ExtendedQueries {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-        FROM documents GROUP BY 1 ORDER BY 1""")))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q18 shape: large-volume customer (HAVING subquery) ----------
+    // The big-orders semi-join: the HAVING aggregate runs once over
+    // lineitem, survives as a semi-join key list, and the detail join
+    // re-aggregates only qualifying orders.
+    DeclaredQuery("q18_large_volume",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("__sq"))
+          .filter(col("__sq") > 300).select("l_orderkey")
+        li.join(big, Seq("l_orderkey"), "left_semi")
+          .join(tbl(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), dec2(col("o_totalprice")).as("o_totalprice"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+          SELECT l_orderkey FROM lineitem GROUP BY 1
+          HAVING SUM(l_quantity) > 300)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+          CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        JOIN big USING (l_orderkey)
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100""")),
+
+    // ---- TPC-H Q21 shape: sole late supplier (EXISTS + NOT EXISTS) --------
+    // Adapted to the fixture's columns: "late" = shipped > 90 days after
+    // the order date of a finished ('F') order. A supplier is counted for
+    // each late item where the order had OTHER suppliers (semi-join) and
+    // NONE of them were late (anti-join) — blame isolates to one party.
+    DeclaredQuery("q21_sole_late_supplier",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val fLate = li
+          .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val other = li.select(col("l_orderkey").as("__o2"),
+          col("l_suppkey").as("__s2"))
+        val otherLate = fLate.select(col("l_orderkey").as("__o3"),
+          col("l_suppkey").as("__s3"))
+        fLate
+          .join(other, col("l_orderkey") === col("__o2") &&
+            col("l_suppkey") =!= col("__s2"), "left_semi")
+          .join(otherLate, col("l_orderkey") === col("__o3") &&
+            col("l_suppkey") =!= col("__s3"), "left_anti")
+          .join(tbl(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH flate AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM flate l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM flate l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")))
 }
