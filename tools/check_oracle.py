@@ -27,16 +27,30 @@ def _kind_class(dtype):
         return "datetime"
     return "obj"
 
-def main(sfdir, outdir):
+def _connect(sfdir):
+    """Fresh connection with the fixture views, a spill directory, and a
+    bounded memory limit. One shared connection accumulated buffer-pool
+    memory across 200+ oracle replays at sf0.1 until late queries died
+    with DuckDB OOM ("failed to allocate 16 KB") — errors of the HARNESS,
+    not the answers. Per-query connections keep each replay's footprint
+    its own; the spill dir lets the heavy pair CTEs go out-of-core."""
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sfdir, outdir):
+    con = _connect(sfdir)
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        con.close()
+        con = _connect(sfdir)
         spark_dir = os.path.join(outdir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
