@@ -48,7 +48,16 @@ def main(sfdir, outdir):
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    # ORACLE_SKIP: comma-separated names to skip — used for the handful of
+    # pairwise oracles whose single-node DuckDB replay at sf0.1 spills
+    # beyond the disk (the hot-token postings self-join has no cost-based
+    # fallback there); the driver's gate runs everything at sf0.01.
+    skip = set(filter(None,
+        os.environ.get("ORACLE_SKIP", "").split(",")))
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name} (ORACLE_SKIP)")
+            continue
         con.close()
         con = _connect(sfdir)
         spark_dir = os.path.join(outdir, name)
