@@ -483,6 +483,185 @@ object AnalyticsQueries {
           CAST((rk - 1) * (SELECT n FROM ns) + s.src_idx AS BIGINT) AS global_pos
         FROM r JOIN s USING (source)
         WHERE (rk - 1) * (SELECT n FROM ns) + s.src_idx < 100
-        ORDER BY global_pos"""))
+        ORDER BY global_pos""")),
+
+    // ---- O103: interval-union activity coverage ----------------------------
+    // Sweep-line union of 30-minute activity halos per user (see
+    // IntervalUnion scaladoc — window-expressible merge, per-key only).
+    DeclaredQuery("user_active_coverage",
+      (s, dir) => graft.relational.IntervalUnion
+        .coverage(events(s, dir), "user_id", "ts", 1800L)
+        .orderBy(col("user_id")),
+      Some("""WITH base AS (SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e FROM events),
+        sg AS (SELECT user_id, s, e,
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM base),
+        sg2 AS (SELECT user_id, s, e,
+                 SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+               FROM sg),
+        gs AS (SELECT user_id, seg, COUNT(*) AS n, MIN(s) AS a, MAX(e) AS b
+               FROM sg2 GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+          CAST(COUNT(*) AS BIGINT) AS n_segments,
+          CAST(SUM(b - a) AS BIGINT) AS covered_sec,
+          CAST(MAX(b) - MIN(a) AS BIGINT) AS span_sec,
+          CAST((1000 * SUM(b - a)) // (MAX(b) - MIN(a)) AS BIGINT)
+            AS covered_permille
+        FROM gs GROUP BY 1 ORDER BY user_id""")),
+
+    // ---- O104: inter-arrival burstiness ------------------------------------
+    // Squared coefficient of variation of per-type inter-arrival gaps in
+    // permille — CV² = 1000‰ is a Poisson process, higher is bursty
+    // (the point-process reading of burstiness, vs term_burstiness's
+    // Church–Gale document clumping). Exact: gaps in epoch-µs, squared
+    // sums in DECIMAL(38,0) / HUGEINT — bounds documented: with gap ≤
+    // span ≤ ~3e14 µs (a decade) and n ≤ 1e9 gaps per type, n·Σg² ≤
+    // ~1e35 < 10³⁸. One per-key lag window + one map-side-combined agg.
+    DeclaredQuery("interarrival_burstiness",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("__g", unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("__g").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("__g").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("__sg"),
+            sum((col("__g").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("__g")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("__ss"))
+          .select(col("event_type"), col("n_gaps"),
+            expr("CAST(__sg div n_gaps AS BIGINT)").as("mean_gap_us"),
+            expr("CAST(((n_gaps * __ss - __sg * __sg) * 1000) div (__sg * __sg) AS BIGINT)")
+              .as("cv2_permille"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)
+                 AS HUGEINT) AS gap
+             FROM events)
+        SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+          CAST(SUM(gap) // COUNT(gap) AS BIGINT) AS mean_gap_us,
+          CAST(((COUNT(gap) * SUM(gap * gap) - SUM(gap) * SUM(gap)) * 1000)
+            // (SUM(gap) * SUM(gap)) AS BIGINT) AS cv2_permille
+        FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O105: Kaplan–Meier retention curve --------------------------------
+    // Product-limit customer survival over order lifetimes, 90-day
+    // censoring horizon (see Survival scaladoc — truncating permille
+    // recurrence, day-table bounded collect, oracle replays the same
+    // recurrence as a RECURSIVE CTE).
+    DeclaredQuery("km_retention_curve",
+      (s, dir) => graft.relational.Survival
+        .retention(s, tbl(s, dir, "orders"), "o_custkey", "o_orderdate",
+          horizonDays = 90, maxDays = 4096)
+        .orderBy(col("day")),
+      Some("""WITH RECURSIVE per AS (
+          SELECT o_custkey, MIN(o_orderdate) AS a, MAX(o_orderdate) AS b
+          FROM orders GROUP BY 1),
+        mx AS (SELECT MAX(b) AS m FROM per),
+        life AS (SELECT CAST(CAST(b AS DATE) - CAST(a AS DATE) AS BIGINT) AS d,
+            CASE WHEN b > m - INTERVAL 90 DAY THEN 0 ELSE 1 END AS death
+          FROM per, mx),
+        days AS (SELECT d, CAST(SUM(death) AS BIGINT) AS deaths,
+            CAST(COUNT(*) AS BIGINT) AS ended
+          FROM life GROUP BY 1),
+        o AS (SELECT d, deaths, ended,
+            ROW_NUMBER() OVER (ORDER BY d) AS rn,
+            (SELECT COUNT(*) FROM life) - COALESCE(SUM(ended) OVER (
+              ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS at_risk
+          FROM days),
+        km AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(1000 AS BIGINT) AS s
+          UNION ALL
+          SELECT o.rn, CASE WHEN o.deaths > 0
+              THEN (km.s * (o.at_risk - o.deaths)) // o.at_risk
+              ELSE km.s END
+          FROM km JOIN o ON o.rn = km.rn + 1)
+        SELECT o.d AS day, CAST(o.at_risk AS BIGINT) AS at_risk, o.deaths,
+          km.s AS survival_permille
+        FROM km JOIN o USING (rn) WHERE o.deaths > 0 ORDER BY day""")),
+
+    // ---- O106: Fellegi–Sunter record-linkage scores ------------------------
+    // Probabilistic match weights over (nation, segment)-blocked customer
+    // pairs, compared on balance band / order-count band / first-order
+    // year (see Linkage scaladoc — exact rational likelihood ratio,
+    // data-estimated u, hot-block refusal). Top 20 by evidence.
+    DeclaredQuery("fs_linkage_scores",
+      (s, dir) => {
+        val ord = tbl(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(year(col("o_orderdate"))).cast("long").as("first_year"))
+        val rec = tbl(s, dir, "customer")
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey").as("rid"), col("c_nationkey"),
+            col("c_mktsegment"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100000")
+              .as("bal_band"),
+            expr("n_orders div 5").as("ord_band"), col("first_year"))
+        graft.relational.Linkage
+          .scorePairs(rec, "rid", Seq("c_nationkey", "c_mktsegment"),
+            Seq("bal_band", "ord_band", "first_year"))
+          .orderBy(col("ratio_permille").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""WITH ord AS (SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS fy
+             FROM orders GROUP BY 1),
+        rec AS (SELECT c_custkey AS rid, c_nationkey, c_mktsegment,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000
+              AS bal_band,
+            n_orders // 5 AS ord_band, fy AS first_year
+          FROM customer JOIN ord ON c_custkey = o_custkey),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rec),
+        u1 AS (SELECT LEAST(999, GREATEST(1, (1000 * SUM(c * c)) // (n * n)))
+                 AS u
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec
+                     GROUP BY bal_band), nn GROUP BY n),
+        u2 AS (SELECT LEAST(999, GREATEST(1, (1000 * SUM(c * c)) // (n * n)))
+                 AS u
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec
+                     GROUP BY ord_band), nn GROUP BY n),
+        u3 AS (SELECT LEAST(999, GREATEST(1, (1000 * SUM(c * c)) // (n * n)))
+                 AS u
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM rec
+                     GROUP BY first_year), nn GROUP BY n),
+        pairs AS (SELECT a.rid AS id_a, b.rid AS id_b,
+            CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS g1,
+            CASE WHEN a.ord_band = b.ord_band THEN 1 ELSE 0 END AS g2,
+            CASE WHEN a.first_year = b.first_year THEN 1 ELSE 0 END AS g3
+          FROM rec a JOIN rec b
+            ON a.c_nationkey = b.c_nationkey
+            AND a.c_mktsegment = b.c_mktsegment AND a.rid < b.rid),
+        scored AS (SELECT id_a, id_b,
+            CAST(g1 AS BIGINT) AS agree_bal_band,
+            CAST(g2 AS BIGINT) AS agree_ord_band,
+            CAST(g3 AS BIGINT) AS agree_first_year,
+            CAST((CASE WHEN g1 = 1 THEN 950 ELSE 50 END)
+              * (CASE WHEN g2 = 1 THEN 950 ELSE 50 END)
+              * (CASE WHEN g3 = 1 THEN 950 ELSE 50 END) AS BIGINT)
+              AS score_num,
+            CAST((CASE WHEN g1 = 1 THEN (SELECT u FROM u1)
+                ELSE 1000 - (SELECT u FROM u1) END)
+              * (CASE WHEN g2 = 1 THEN (SELECT u FROM u2)
+                ELSE 1000 - (SELECT u FROM u2) END)
+              * (CASE WHEN g3 = 1 THEN (SELECT u FROM u3)
+                ELSE 1000 - (SELECT u FROM u3) END) AS BIGINT) AS score_den
+          FROM pairs)
+        SELECT id_a, id_b, agree_bal_band, agree_ord_band, agree_first_year,
+          score_num, score_den,
+          CAST((1000 * score_num) // score_den AS BIGINT) AS ratio_permille
+        FROM scored
+        ORDER BY ratio_permille DESC, id_a, id_b LIMIT 20"""))
   )
 }

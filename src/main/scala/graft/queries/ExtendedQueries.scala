@@ -369,5 +369,230 @@ object ExtendedQueries {
                   AND l3.l_suppkey <> l1.l_suppkey)
         GROUP BY 1
         ORDER BY numwait DESC, s_name
-        LIMIT 100""")))
+        LIMIT 100""")),
+
+    // ---- TPC-H Q2 shape: minimum-cost supplier per part in a region -------
+    // The correlated-min idiom across a dimension chain: per-(part,supplier)
+    // cost facts are restricted to one region via supplier→nation→region
+    // (both dims broadcast), the per-part minimum is an answer-sized
+    // aggregate, and the join-back on DECIMAL equality is exact. The
+    // fixture has no partsupp table, so "cost" is the cheapest observed
+    // lineitem price for that (part, supplier) — same query shape.
+    DeclaredQuery("q2_min_cost_supplier",
+      (s, dir) => {
+        val region = broadcast(tbl(s, dir, "region")
+          .filter(col("r_name") === "EUROPE"))
+        val nation = broadcast(tbl(s, dir, "nation"))
+        val supp = tbl(s, dir, "supplier")
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val costs = tbl(s, dir, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        val mn = costs.groupBy(col("l_partkey").as("__mp"))
+          .agg(min(col("cost")).as("__mc"))
+        costs
+          .join(mn, col("l_partkey") === col("__mp") && col("cost") === col("__mc"))
+          .join(broadcast(tbl(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY" && col("p_size") < 10)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("cost"))
+          .orderBy(col("cost"), col("p_partkey"), col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        costs AS (
+          SELECT l_partkey, s_name, s_acctbal, n_name,
+                 MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+          FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+          GROUP BY 1, 2, 3, 4),
+        mn AS (SELECT l_partkey, MIN(cost) AS mc FROM costs GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        FROM costs JOIN mn USING (l_partkey)
+        JOIN part ON l_partkey = p_partkey
+        WHERE cost = mc AND p_type = 'ECONOMY' AND p_size < 10
+        ORDER BY cost, p_partkey, s_name
+        LIMIT 100""")),
+
+    // ---- TPC-H Q9 shape: product profit by supplier nation and year --------
+    // The wide star: fact joined to part (filter pushed into the broadcast
+    // build side), supplier→nation for the grouping dim, orders only for
+    // the year column. Grouped by (nation, year) — answer-sized output.
+    DeclaredQuery("q9_product_profit",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part")
+            .filter(col("p_name").contains("red")).select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(tbl(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(tbl(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+          CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
+
+    // ---- TPC-H Q11 shape: revenue share vs a global scalar subquery --------
+    // HAVING against a whole-table aggregate: Catalyst plans the scalar
+    // subquery as a 1-row broadcast, the comparison stays in exact
+    // DECIMAL (share ‰ via integer cross-multiplication, never a float
+    // fraction of the total).
+    DeclaredQuery("q11_revenue_share",
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+        s.sql("""SELECT l_partkey, COUNT(*) AS n,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_rev
+          FROM q11_lineitem
+          GROUP BY l_partkey
+          HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1800 >
+            (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+             FROM q11_lineitem)
+          ORDER BY part_rev DESC, l_partkey""")
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_rev
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1800 >
+          (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem)
+        ORDER BY part_rev DESC, l_partkey""")),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution ----------------
+    // Outer join with a filter on the NULL-supplying side (kept in the join
+    // condition, not a WHERE — the classic outer-join trap), then a second
+    // aggregation over the first's output. Both aggs are keyed; the
+    // histogram is answer-sized.
+    DeclaredQuery("q13_order_distribution",
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        tbl(s, dir, "customer")
+          .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH co AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- TPC-H Q20 shape: suppliers dominating a part's volume -------------
+    // Nested quantified predicate: a supplier qualifies when its shipped
+    // quantity of some ECONOMY part exceeds 12.5% of that part's total. Both
+    // quantity rollups share one fact pass shape; the dominance compare is
+    // exact (integral-valued doubles sum exactly below 2^53); the final
+    // semi-join keeps supplier output answer-sized.
+    DeclaredQuery("q20_dominant_supplier",
+      (s, dir) => {
+        val eco = tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+        val perPs = eco.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("q"))
+        val perP = eco.groupBy(col("l_partkey").as("__p"))
+          .agg(sum(col("l_quantity")).as("tq"))
+        val dominant = perPs
+          .join(perP, col("l_partkey") === col("__p"))
+          .filter(col("q") * 8 > col("tq"))
+          .select(col("l_suppkey")).distinct()
+        tbl(s, dir, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH eco AS (
+          SELECT l_partkey, l_suppkey, l_quantity
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY'),
+        per_ps AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+          FROM eco GROUP BY 1, 2),
+        per_p AS (
+          SELECT l_partkey, SUM(l_quantity) AS tq FROM eco GROUP BY 1)
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+          WHERE q * 8 > tq)
+        ORDER BY s_suppkey""")),
+
+    // ---- TPC-H Q22 shape: idle above-average-balance customers -------------
+    // Scalar-subquery threshold + anti join. The above-average test is the
+    // exact cross-multiplication bal·n > Σbal in cents (a float average
+    // would make the cutoff summation-order-dependent); "idle" is a
+    // left-anti against orders placed in the dataset's final 90 days
+    // (every fixture customer has SOME order — recency is the live
+    // question). Output is nation-sized.
+    DeclaredQuery("q22_idle_rich_customers",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer")
+          .withColumn("bal_cents", (dec2(col("c_acctbal")) * 100).cast("long"))
+        val stats = cust.filter(col("bal_cents") > 0)
+          .agg(count(lit(1)).as("__n"), sum(col("bal_cents")).as("__tot"))
+        val cutoff = tbl(s, dir, "orders")
+          .agg((max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("__co"))
+        val rich = cust
+          .join(broadcast(stats))
+          .filter(col("bal_cents") * col("__n") > col("__tot"))
+        val recent = tbl(s, dir, "orders")
+          .join(broadcast(cutoff))
+          .filter(col("o_orderdate") > col("__co"))
+          .select(col("o_custkey"))
+        val idleRich = rich
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        idleRich
+          .join(broadcast(tbl(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_cents")).as("total_cents"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+          FROM customer),
+        st AS (
+          SELECT COUNT(*) AS n, SUM(bal_cents) AS tot
+          FROM cust WHERE bal_cents > 0),
+        cutoff AS (
+          SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS co FROM orders)
+        SELECT n_name AS nation, COUNT(*) AS numcust,
+          CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        FROM cust, st, cutoff
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_cents * n > tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderdate > co)
+        GROUP BY 1 ORDER BY 1""")))
 }

@@ -1,0 +1,91 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, JASA) over
+  * blocked candidate pairs — the probabilistic "are these two records the
+  * same entity?" weight, kept fully rational so the oracle can replay it:
+  * a pair's match evidence is the likelihood RATIO
+  *
+  *     R = Π_f (m_f / u_f)^{agree_f} · ((1−m_f)/(1−u_f))^{1−agree_f}
+  *
+  * and instead of summing log-weights (floats) we carry the numerator and
+  * denominator as exact integer products of permille factors: with F
+  * comparison fields each factor ≤ 1000, so num,den ≤ 1000^F — within
+  * int64 for F ≤ 6 (loudly required). The ranking value is the truncating
+  * 1000·num div den.
+  *
+  * u-probabilities (chance agreement between NON-matches) are estimated
+  * from the data itself, exactly: u_f = Σ_v (cnt_v/N)² in permille via
+  * integer cross-multiplication (Σ cnt² · 1000) div N² — the standard
+  * frequency-based estimate (random pairs agree when both draw the same
+  * value). m (agreement between true matches) is a fixed documented
+  * permille constant — without labeled matches the EM refinement has no
+  * data, and a shared m keeps field weights comparable.
+  *
+  * Scale: u estimation is one value-frequency aggregation per field
+  * (map-side combined, value-cardinality-sized); candidate pairs come from
+  * an equi-join on the block key, never all-pairs, and a bounded probe
+  * REFUSES hot blocks past `maxBlock` (quadratic blow-up must be a loud
+  * re-blocking decision, not an OOM — the EditVerify discipline). The F
+  * per-field u scalars are a fields-sized driver collect (bounded by the
+  * argument list itself).
+  */
+object Linkage {
+
+  /** Candidate pairs (id_a, id_b, per-field agree bits, score_num,
+    * score_den, ratio_permille) for records blocked on `blockCols`,
+    * compared on `fieldCols`. u floors/ceils at [1, 999]‰ so both
+    * likelihood factors stay positive.
+    */
+  def scorePairs(records: DataFrame, idCol: String,
+                 blockCols: Seq[String], fieldCols: Seq[String],
+                 mPermille: Long = 950L, maxBlock: Int = 4096): DataFrame = {
+    require(fieldCols.nonEmpty && fieldCols.size <= 6,
+      s"1..6 comparison fields keep num/den within int64; got ${fieldCols.size}")
+    require(mPermille >= 1 && mPermille <= 999,
+      s"mPermille must be in [1,999], got $mPermille")
+    val n = records.count()
+    require(n > 1, "linkage needs at least two records")
+
+    // Exact frequency-based u per field, clamped to [1, 999] permille.
+    val u: Map[String, Long] = fieldCols.map { f =>
+      val sumSq = records.groupBy(col(f)).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c") * col("__c")).as("__ss"))
+        .collect()(0).getLong(0)
+      f -> math.min(999L, math.max(1L, (1000L * sumSq) / (n * n)))
+    }.toMap
+
+    // Hot-block guard: the largest block bounds the per-block pair count.
+    val hottest = records.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).collect()(0).getLong(0)
+    require(hottest <= maxBlock,
+      s"hottest block has $hottest records (> $maxBlock): re-block on finer " +
+        "keys before pairing — refusing a quadratic blow-up")
+
+    val a = records.as("a")
+    val b = records.as("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    val pairs = a.join(b, blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
+
+    val agreeCols = fieldCols.map { f =>
+      when(col(s"a.$f") <=> col(s"b.$f"), 1L).otherwise(0L).as(s"agree_$f")
+    }
+    val num = fieldCols.map { f =>
+      when(col(s"agree_$f") === 1L, lit(mPermille))
+        .otherwise(lit(1000L - mPermille))
+    }.reduce(_ * _)
+    val den = fieldCols.map { f =>
+      when(col(s"agree_$f") === 1L, lit(u(f))).otherwise(lit(1000L - u(f)))
+    }.reduce(_ * _)
+
+    pairs
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        agreeCols: _*)
+      .withColumn("score_num", num)
+      .withColumn("score_den", den)
+      .withColumn("ratio_permille", expr("(1000L * score_num) div score_den"))
+  }
+}
