@@ -205,6 +205,212 @@ object AuditQueries {
           CAST((1000 * SUM(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
             AS oov_permille
         FROM tok LEFT JOIN v USING (t)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O107: two-hop reach on the kNN graph ------------------------------
+    // Friends-of-friends audit: unique nodes exactly two hops away
+    // (excluding self and direct neighbors) per node — the expansion
+    // signal that says whether the neighborhood graph mixes (low reach =
+    // isolated clumps, the semdedup blind spot). Degree-bounded: the
+    // 2-hop join fans out ≤ deg² per node over the landed undirected
+    // edges; every join is equi-keyed.
+    DeclaredQuery("knn_two_hop_reach",
+      (s, dir) => {
+        val und = knnUndirected(s, dir)
+        val adj = und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v")))
+        val two = adj.as("x").join(adj.as("y"), col("x.v") === col("y.u"))
+          .select(col("x.u").as("id"), col("y.v").as("w"))
+          .filter(col("id") =!= col("w")).distinct()
+        val reach2 = two
+          .join(adj.select(col("u").as("id"), col("v").as("w")),
+            Seq("id", "w"), "left_anti")
+          .groupBy(col("id")).agg(count(lit(1)).as("r2"))
+        val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+        tbl(s, dir, "embeddings").select(col("vec_id").as("id"))
+          .join(deg, Seq("id"), "left")
+          .join(reach2, Seq("id"), "left")
+          .select(col("id"), coalesce(col("d"), lit(0L)).as("degree"),
+            coalesce(col("r2"), lit(0L)).as("two_hop_reach"))
+          .orderBy(col("id"))
+      },
+      Some(s"""WITH ${Dsl.knnUndCte},
+        adj AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        two AS (SELECT DISTINCT x.u AS id, y.v AS w
+                FROM adj x JOIN adj y ON x.v = y.u WHERE x.u <> y.v),
+        r2 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS c FROM two
+               WHERE NOT EXISTS (SELECT 1 FROM adj
+                 WHERE adj.u = two.id AND adj.v = two.w)
+               GROUP BY 1),
+        deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1)
+        SELECT e.vec_id AS id, COALESCE(deg.d, 0) AS degree,
+          COALESCE(r2.c, 0) AS two_hop_reach
+        FROM e LEFT JOIN deg ON e.vec_id = deg.id
+        LEFT JOIN r2 ON e.vec_id = r2.id
+        ORDER BY id""")),
+
+    // ---- O108: degree assortativity of the kNN graph -----------------------
+    // Spearman rank correlation between endpoint degrees across directed
+    // edge slots (Newman 2002's mixing question asked with the engine's
+    // exact rank machinery): positive = hubs link hubs. Degrees are small
+    // integers — exactly the bounded discrete domain Correlation.spearman
+    // contracts for.
+    DeclaredQuery("knn_degree_assortativity",
+      (s, dir) => {
+        val und = knnUndirected(s, dir)
+        val adj = und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v")))
+        val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+        val pairs = adj
+          .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+          .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+          .select(col("du"), col("dv"))
+        graft.relational.Correlation.spearman(pairs, "du", "dv")
+      },
+      Some(s"""WITH ${Dsl.knnUndCte},
+        adj AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY 1),
+        d AS (SELECT da.d AS x, db.d AS y
+              FROM adj JOIN deg da ON adj.u = da.id
+              JOIN deg db ON adj.v = db.id),
+        gx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        rx AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+               FROM gx),
+        gy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        ry AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+               FROM gy),
+        j AS (SELECT rx.r2 AS rx, ry.r2 AS ry FROM d
+              JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+        a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(rx) AS HUGEINT) AS sx,
+                CAST(SUM(ry) AS HUGEINT) AS sy,
+                CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+                CAST(SUM(ry * ry) AS HUGEINT) AS syy,
+                CAST(SUM(rx * ry) AS HUGEINT) AS sxy
+              FROM j)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+        FROM a""")),
+
+    // ---- O109: chi-square independence audit -------------------------------
+    // Pearson's χ² (1900) between event type and ISO weekday — the
+    // "is traffic mix day-dependent?" gate. Per-cell contributions in
+    // exact milli-units: ((N·o − rt·ct)²·1000) div (N·rt·ct) over the
+    // FULL type×weekday cross (absent cells audit as obs = 0). The
+    // squared term bounds the contract at N ≤ 5·10⁸ rows per audited
+    // window (then (N·o)²·1000 crosses 10³⁸ in both engines) — loudly
+    // documented; χ² at that N is decided long before precision matters.
+    // The margin frames are answer-sized (types × weekdays ≤ dozens), so
+    // their broadcast cross is bounded by construction.
+    DeclaredQuery("independence_chi2",
+      (s, dir) => {
+        // obs feeds four consumers (rt/ct/N/cells) — land it so the
+        // events scan+aggregation runs once (house landing discipline).
+        val obs = graft.relational.Stages.materialize(events(s, dir)
+          .groupBy(col("event_type"),
+            (weekday(col("ts")) + 1).cast("long").as("isodow"))
+          .agg(count(lit(1)).as("o")), "chi2_obs")
+        val rt = obs.groupBy(col("event_type"))
+          .agg(sum(col("o")).as("rt"))
+        val ct = obs.groupBy(col("isodow")).agg(sum(col("o")).as("ct"))
+        val n = obs.agg(sum(col("o")).as("N"))
+        rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+          .join(obs, Seq("event_type", "isodow"), "left")
+          .withColumn("obs", coalesce(col("o"), lit(0L)))
+          .select(col("event_type"), col("isodow"), col("obs"),
+            expr("(1000L * rt * ct) div N").as("expected_milli"),
+            expr("""CAST(((CAST(N AS DECIMAL(38,0)) * obs - CAST(rt AS DECIMAL(38,0)) * ct)
+                 * (CAST(N AS DECIMAL(38,0)) * obs - CAST(rt AS DECIMAL(38,0)) * ct)
+                 * 1000) div (CAST(N AS DECIMAL(38,0)) * rt * ct) AS BIGINT)""")
+              .as("contrib_milli"))
+          .orderBy(col("event_type"), col("isodow"))
+      },
+      Some("""WITH obs AS (SELECT event_type, CAST(isodow(ts) AS BIGINT)
+               AS isodow, CAST(COUNT(*) AS BIGINT) AS o
+             FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+        ct AS (SELECT isodow, SUM(o) AS ct FROM obs GROUP BY 1),
+        nn AS (SELECT SUM(o) AS N FROM obs),
+        cells AS (SELECT rt.event_type, ct.isodow, rt.rt, ct.ct, nn.N,
+            COALESCE(obs.o, 0) AS obs
+          FROM rt CROSS JOIN ct CROSS JOIN nn
+          LEFT JOIN obs ON obs.event_type = rt.event_type
+            AND obs.isodow = ct.isodow)
+        SELECT event_type, isodow, obs,
+          CAST((1000 * rt * ct) // N AS BIGINT) AS expected_milli,
+          CAST(((CAST(N AS HUGEINT) * obs - CAST(rt AS HUGEINT) * ct)
+            * (CAST(N AS HUGEINT) * obs - CAST(rt AS HUGEINT) * ct)
+            * 1000) // (CAST(N AS HUGEINT) * rt * ct) AS BIGINT)
+            AS contrib_milli
+        FROM cells ORDER BY event_type, isodow""")),
+
+    // ---- O110: dedup threshold sweep ---------------------------------------
+    // The savings curve behind the dedup knob: for each Jaccard cutoff,
+    // how many verified pairs survive, how many docs the keep-lowest-id
+    // greedy drops, and the token budget recovered. Reuses the PPJoin
+    // verified pairs (lossless for J ≥ 0.5); the sweep is a row-local
+    // explode — no joins multiply, thresholds restore by equi-join from
+    // a literal 5-row frame.
+    DeclaredQuery("dedup_threshold_sweep",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        // the verified pair frame feeds both the pair counter and the
+        // drop ledger — land it so PPJoin runs once.
+        val pairs = graft.relational.Stages.materialize(
+          graft.dedup.Dedup.prefixJaccardPairs(
+            docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5),
+          "sweep_pairs")
+        val f = pairs
+          .withColumn("thr",
+            explode(array(Seq(500, 600, 700, 800, 900).map(lit): _*)))
+          .filter(col("jaccard") >= col("thr").cast("double") / 1000.0)
+        val np = f.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+        val ds = f.select(col("thr"), col("id2")).distinct()
+          .join(docs.select(col("doc_id").as("id2"),
+            size(split(col("text"), " ")).cast("long").as("tok")), Seq("id2"))
+          .groupBy(col("thr"))
+          .agg(count(lit(1)).as("docs_dropped"),
+            sum(col("tok")).as("tokens_saved"))
+        s.range(5, 10).select((col("id") * 100).cast("int").as("thr"))
+          .join(np, Seq("thr"), "left").join(ds, Seq("thr"), "left")
+          .select(col("thr").cast("long").as("threshold_permille"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("docs_dropped"), lit(0L)).as("docs_dropped"),
+            coalesce(col("tokens_saved"), lit(0L)).as("tokens_saved"))
+          .orderBy(col("threshold_permille"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pj AS (SELECT id1, id2, inter / (na + nb - inter) AS j FROM p
+               WHERE inter / (na + nb - inter) >= 0.5),
+        thr AS (SELECT 500 + 100 * i AS t FROM range(5) r(i)),
+        f AS (SELECT t, id1, id2 FROM thr JOIN pj
+              ON j >= CAST(t AS DOUBLE) / 1000),
+        np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+        dr AS (SELECT DISTINCT t, id2 FROM f),
+        tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS tok FROM documents),
+        ds AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+                 CAST(SUM(tok) AS BIGINT) AS tokens_saved
+               FROM dr JOIN tok ON id2 = doc_id GROUP BY 1)
+        SELECT CAST(thr.t AS BIGINT) AS threshold_permille,
+          COALESCE(np.n_pairs, 0) AS n_pairs,
+          COALESCE(ds.docs_dropped, 0) AS docs_dropped,
+          COALESCE(ds.tokens_saved, 0) AS tokens_saved
+        FROM thr LEFT JOIN np ON thr.t = np.t
+        LEFT JOIN ds ON thr.t = ds.t
+        ORDER BY threshold_permille"""))
   )
 }

@@ -108,6 +108,43 @@ object Dsl {
         greatest(col("qid"), col("cid")).as("b")).distinct(),
       "knn_und")
 
+  /** DuckDB CTE chain replaying [[knnUndirected]] (IVF nlist=16 nprobe=4
+    * k=3, cosine, symmetrized-distinct) — the shared oracle prefix for
+    * graph-metric queries over the kNN graph. Interpolate as
+    * `s"WITH ${Dsl.knnUndCte}, ..."`; it ends with the `und(a, b)` CTE.
+    */
+  val knnUndCte: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
+        scored AS (
+          SELECT DISTINCT q.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
+        knn AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM scored) t WHERE rk <= 3),
+        und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn)"""
+
   /** The `ts`-normalization above for ANY frame carrying a raw fixture `ts`
     * (the streaming replay source reads the same parquet footers, so its
     * frames need the identical conversion).
