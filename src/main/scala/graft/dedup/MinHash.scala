@@ -178,18 +178,44 @@ object MinHash {
     portableIndex(docs, idCol, textCol, shingleN, numHashes, numBands)._2
 
   /** Shared build of the portable (distinct-hash, banded) frames. */
-  private def portableIndex(docs: DataFrame, idCol: String, textCol: String,
-                            shingleN: Int, numHashes: Int,
-                            numBands: Int): (DataFrame, DataFrame) = {
-    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
-    val r = numHashes / numBands
+  /** Portable md5-derived minhash mins m0..m(k-1) per id from the distinct
+    * 60-bit shingle-hash frame. One md5 digest is 128 bits = TWO
+    * independent 60-bit mixes (hex chars 1-15 and 16-30), so k mins cost
+    * k/2 digests per distinct shingle hash. Digests are projected per row
+    * ONCE; the min aggregates then slice them (no reliance on CSE inside
+    * aggregate update expressions).
+    */
+  private def portableMins(hs: DataFrame, numHashes: Int): DataFrame = {
+    val withDigests = hs.select(col("id") +: (0 until numHashes / 2).map(g =>
+      md5(concat(lit(s"$g:"), col("h").cast("string"))).as(s"d$g")): _*)
+    val aggs = (0 until numHashes).map { i =>
+      val (g, off) = (i / 2, 1 + 15 * (i % 2))
+      min(conv(substring(col(s"d$g"), off, 15), 16, 10).cast("long")).as(s"m$i")
+    }
+    withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The portable pipeline's signature frame (id, m0..m(k-1)) — exposed for
+    * sketch CALIBRATION audits that compare the signature's Jaccard
+    * ESTIMATE (matching components / k) against the exact verify on the
+    * same pairs. Rides the same landed distinct-hash stage as
+    * [[nearDupPairsPortable]] (identical memo key), so a query using both
+    * tokenizes the corpus once.
+    */
+  def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    portableMins(portableHashes(docs, idCol, textCol, shingleN), numHashes)
+
+  /** Landed distinct (id, 60-bit md5 shingle hash) frame of the portable
+    * pipeline (see the landing rationale below — four consumers with
+    * different column pruning defeat ReuseExchange).
+    */
+  private def portableHashes(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // single-slice keys use the NATIVE fused digest slice (same value as
-    // conv(substring(md5,1,15),16,10), no hex-string intermediate); the
-    // signature mixes below keep the shared-hex form — they read BOTH
-    // slices of one digest, which the hex materializes once
+    // conv(substring(md5,1,15),16,10), no hex-string intermediate)
     def fp60(c: Column): Column = graft.functions.HashFunctions.md5Bits60(c)
-    require(numHashes % 2 == 0, "numHashes must be even (two 60-bit mins per md5 digest)")
     // Window-lead shingle assembly (codegen'd), measured faster here than
     // row-local HOF slicing: this path md5-hashes every shingle STRING for
     // oracle portability, and the interpreted transform/array_join lambdas
@@ -201,7 +227,7 @@ object MinHash {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    val hs = graft.relational.Stages.materialize(
+    graft.relational.Stages.materialize(
       docs
         .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
         .select(col("id"), concat_ws(" ", leads: _*).as("s"), leads.last.isNotNull.as("full"))
@@ -209,6 +235,16 @@ object MinHash {
         .select(col("id"), fp60(col("s")).as("h"))
         .distinct(),
       "minhash_portable_hs")
+  }
+
+  private def portableIndex(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, numHashes: Int,
+                            numBands: Int): (DataFrame, DataFrame) = {
+    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+    require(numHashes % 2 == 0, "numHashes must be even (two 60-bit mins per md5 digest)")
+    val r = numHashes / numBands
+    def fp60(c: Column): Column = graft.functions.HashFunctions.md5Bits60(c)
+    val hs = portableHashes(docs, idCol, textCol, shingleN)
     // FOUR consumers (digest mins, both verify sides, sizes) read this
     // frame, so it is LANDED durably ([[graft.relational.Stages
     // .materialize]]) rather than left to best-effort ReuseExchange: the
@@ -219,17 +255,7 @@ object MinHash {
     // slowest batch row at sf0.1, shuf=12). Landing the compact (id, h)
     // output once is exactly the tokenize-job → similarity-job boundary a
     // production pipeline has.
-    // one md5 digest is 128 bits = TWO independent 60-bit mixes (hex chars
-    // 1-15 and 16-30), so k mins cost k/2 digests per distinct shingle hash.
-    // Digests are projected per row ONCE; the min aggregates then slice them
-    // (no reliance on CSE inside aggregate update expressions).
-    val withDigests = hs.select(col("id") +: (0 until numHashes / 2).map(g =>
-      md5(concat(lit(s"$g:"), col("h").cast("string"))).as(s"d$g")): _*)
-    val aggs = (0 until numHashes).map { i =>
-      val (g, off) = (i / 2, 1 + 15 * (i % 2))
-      min(conv(substring(col(s"d$g"), off, 15), 16, 10).cast("long")).as(s"m$i")
-    }
-    val mins = withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val mins = portableMins(hs, numHashes)
     val banded = mins.select(col("id"), explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
           fp60(concat_ws(":",

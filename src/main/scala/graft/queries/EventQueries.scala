@@ -814,6 +814,59 @@ object EventQueries {
           cusum > 1800 AS alarm
         FROM s ORDER BY event_type, seq""")),
 
+    // ---- O103s: streaming interval-union coverage (O103 twin) --------------
+    // Live per-user activity coverage with O(1) state (see
+    // StatefulOps.coveragePerBatch — ordered-replay contract, running
+    // snapshot per batch; the final snapshot equals the batch sweep-line
+    // answer). The oracle replays every per-batch snapshot as prefix
+    // restrictions of the batch segment assignment.
+    DeclaredQuery("stream_active_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "4")
+          .load()
+        val evs = Dsl.normalizeTs(stream)
+          .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
+          .as[(Long, Long)]
+        val out = graft.streaming.StatefulOps.coveragePerBatch(evs, 1800L)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("user_id", "seq", "n_events", "n_segments", "covered_sec"),
+          "cov")
+          .orderBy(col("user_id"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        r AS (SELECT user_id, s, s + 1800 AS e, rn // ((nn + 3) // 4) AS batch
+              FROM o CROSS JOIN n),
+        sg AS (SELECT user_id, s, e, batch,
+                MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM r),
+        sg2 AS (SELECT user_id, s, e, batch,
+                 SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+               FROM sg),
+        x AS (SELECT DISTINCT user_id, batch FROM r),
+        pre AS (SELECT x.user_id, x.batch, p.s, p.e, p.seg
+                FROM x JOIN sg2 p ON p.user_id = x.user_id
+                  AND p.batch <= x.batch),
+        ps AS (SELECT user_id, batch, seg, COUNT(*) AS n,
+                 MIN(s) AS a, MAX(e) AS b
+               FROM pre GROUP BY 1, 2, 3)
+        SELECT user_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch)
+            AS BIGINT) AS seq,
+          CAST(SUM(n) AS BIGINT) AS n_events,
+          CAST(COUNT(*) AS BIGINT) AS n_segments,
+          CAST(SUM(b - a) AS BIGINT) AS covered_sec
+        FROM ps GROUP BY user_id, batch ORDER BY user_id, seq""")),
+
     DeclaredQuery("stream_observed_batches",
       (s, dir) => {
         import s.implicits._

@@ -441,6 +441,35 @@ object PipelineQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Sketch-calibration oracle: the portable pair set (same CTEs as
+    * [[portableMinhashOracleSql]]) with the signature ESTIMATE
+    * (matching mins / k) set beside the exact verify.
+    */
+  private def minhashCalibrationOracleSql(k: Int, b: Int,
+                                          minJaccard: Double): String = {
+    val matchSum = (0 until k)
+      .map(i => s"CASE WHEN a.m$i = c.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${portableBandCtes(k, b)},
+       |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
+       |         FROM bk x JOIN bk y USING (band, band_key) WHERE x.id < y.id),
+       |sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+       |inter AS (SELECT cand.id1, cand.id2, COUNT(*) AS i FROM cand
+       |  JOIN hs h1 ON h1.id = cand.id1
+       |  JOIN hs h2 ON h2.id = cand.id2 AND h2.h = h1.h
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT id1, id2,
+       |    CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS j
+       |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+       |  WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= $minJaccard),
+       |est AS (SELECT e.id1, e.id2, e.j, ($matchSum) AS matches
+       |  FROM ex e JOIN mins a ON a.id = e.id1 JOIN mins c ON c.id = e.id2)
+       |SELECT id1, id2,
+       |  CAST(floor(j * 1000) AS BIGINT) AS exact_permille,
+       |  CAST((1000 * matches) // $k AS BIGINT) AS est_permille,
+       |  CAST((1000 * matches) // $k - floor(j * 1000) AS BIGINT) AS err_permille
+       |FROM est ORDER BY id1, id2""".stripMargin
+  }
+
   private def lshPairsOracleSql(numPlanes: Int, dim: Int, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
@@ -1878,6 +1907,38 @@ object PipelineQueries {
           CAST((1000 * SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
             AS singleton_permille
         FROM sz GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O111: minhash calibration audit -----------------------------------
+    // Sketch-vs-truth on the SAME verified pairs the dedup gate ships:
+    // signature estimate (matching mins / k) beside the exact Jaccard,
+    // signed error in permille — the audit that says whether k = 16 mins
+    // is enough before anyone trusts the estimate in a threshold. Both
+    // the signature frame and the verify ride the one landed distinct-
+    // shingle stage (identical memo key — the corpus tokenizes once).
+    DeclaredQuery("minhash_jaccard_calibration",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = MinHash.nearDupPairsPortable(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+        val sig = MinHash.portableSignatures(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16)
+        val a = sig.select(col("id").as("id1") +:
+          (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+        val b = sig.select(col("id").as("id2") +:
+          (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs.join(a, "id1").join(b, "id2")
+          .withColumn("matches", matches)
+          .select(col("id1"), col("id2"),
+            floor(col("jaccard") * 1000).cast("long").as("exact_permille"),
+            expr("(1000L * matches) div 16").as("est_permille"))
+          .withColumn("err_permille",
+            col("est_permille") - col("exact_permille"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(minhashCalibrationOracleSql(k = 16, b = 8, minJaccard = 0.5))),
 
     // SimHash fast-path gate: the banded pipeline must EQUAL the brute-force
     // hamming filter over the same seeded fingerprints — banding 64 bits

@@ -116,6 +116,68 @@ object StatefulOps {
       }
   }
 
+  /** Streaming interval-union coverage — the O103 sweep-line operator's
+    * streaming twin: per key, the running union of [sec, sec+lenSec)
+    * activity halos with O(1) state forever — (seq, nEvents, nSegments,
+    * coveredClosed, openStart, openEnd). A live coverage dashboard needs
+    * exactly this: "how active has this user been, counted in wall-clock,
+    * as of now" without retaining the event history.
+    *
+    * ORDER CONTRACT: per-key instants must be non-decreasing ACROSS
+    * micro-batches (the replay source batches on global (ts, event_id)
+    * order, so every key's subsequence arrives in order — the T3/T5
+    * ordered-mode class); within a batch the group's rows are sorted here
+    * (the shuffle into `groupByKey` drops intra-batch order). An
+    * out-of-order instant BEFORE the open segment would require the full
+    * segment list (unbounded state) to merge correctly — this operator
+    * refuses it loudly rather than under-counting.
+    *
+    * Emits one running snapshot per key per batch it appears in; covered
+    * includes the open segment, so the final snapshot equals the batch
+    * operator's answer.
+    */
+  def coveragePerBatch(ds: Dataset[(Long, Long)], lenSec: Long)
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    require(lenSec > 0, s"interval length must be positive, got $lenSec")
+    implicit val outEnc: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Long, Long, Long, Long, (Long, Long))] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, (Long, Long)),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, (Long, Long))]) =>
+          val xs = rows.map(_._2).toArray
+          java.util.Arrays.sort(xs)
+          var (seq, n, nSeg, cov, open) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, (0L, Long.MinValue)))
+          var (s0, e0) = open
+          xs.foreach { sec =>
+            n += 1
+            if (e0 == Long.MinValue) { nSeg += 1; s0 = sec; e0 = sec + lenSec }
+            else if (sec > e0) {
+              cov += e0 - s0; nSeg += 1; s0 = sec; e0 = sec + lenSec
+            } else {
+              require(sec >= s0,
+                s"out-of-order instant $sec before open segment start $s0 " +
+                  s"for key $k — the O(1)-state contract needs per-key " +
+                  "arrival order (use the batch IntervalUnion for " +
+                  "unordered history)")
+              if (sec + lenSec > e0) e0 = sec + lenSec
+            }
+          }
+          seq += 1
+          state.update((seq, n, nSeg, cov, (s0, e0)))
+          Iterator.single((k, seq, n, nSeg,
+            cov + (if (e0 == Long.MinValue) 0L else e0 - s0)))
+      }
+  }
+
   /** Per-key running counters across micro-batches (`mapGroupsWithState`):
     * emits (key, totalSoFar) once per batch per active key.
     */

@@ -88,4 +88,45 @@ class StatefulOpsSpec extends SparkSpec {
 
     assert(got === Map("u1" -> 3L, "u2" -> 1L))
   }
+
+  test("streaming coverage merges across batches and snapshots equal the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val cov = StatefulOps.coveragePerBatch(input.toDS(), 10L)
+
+    val q = cov.writeStream.format("memory").queryName("cov_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: key 1 at 0 and 5 (overlap -> one segment [0,15), covered 15)
+    input.addData((1L, 5L), (1L, 0L))   // unsorted within batch on purpose
+    q.processAllAvailable()
+    // batch 2: key 1 at 12 (extends open seg to [0,22)) and 100 (new seg)
+    input.addData((1L, 12L), (1L, 100L), (2L, 7L))
+    q.processAllAvailable()
+    val got = spark.table("cov_out")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+
+    assert(got === Set(
+      (1L, 1L, 2L, 1L, 15L),          // after batch 1: one open segment
+      (1L, 2L, 4L, 2L, 32L),          // [0,22) closed-by-extension + [100,110)
+      (2L, 1L, 1L, 1L, 10L)))         // key 2 first appears in batch 2
+  }
+
+  test("streaming coverage refuses an out-of-order instant loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val cov = StatefulOps.coveragePerBatch(input.toDS(), 10L)
+    val q = cov.writeStream.format("memory").queryName("cov_ooo")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, 100L))
+    q.processAllAvailable()
+    input.addData((1L, 95L))  // before the open segment start
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("out-of-order") ||
+      Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
 }
