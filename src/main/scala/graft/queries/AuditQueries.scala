@@ -411,6 +411,153 @@ object AuditQueries {
           COALESCE(ds.tokens_saved, 0) AS tokens_saved
         FROM thr LEFT JOIN np ON thr.t = np.t
         LEFT JOIN ds ON thr.t = ds.t
-        ORDER BY threshold_permille"""))
+        ORDER BY threshold_permille""")),
+
+    // ---- O113: trimmed mean beside the raw mean ----------------------------
+    // 5%-per-tail trimmed value mean per event type in exact cents (see
+    // RobustStats.trimmedMean — the gap to the raw mean is the tail
+    // influence).
+    DeclaredQuery("trimmed_mean_values",
+      (s, dir) => graft.relational.RobustStats
+        .trimmedMean(events(s, dir), "event_type", "value", "event_id",
+          trimPermille = 50L)
+        .orderBy(col("event_type")),
+      Some("""WITH c AS (SELECT event_type, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             FROM events),
+        r AS (SELECT event_type, cents,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY cents, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+        t AS (SELECT event_type, cents, rn, n, (n * 50) // 1000 AS tr FROM r)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+          CAST(MAX(tr) AS BIGINT) AS n_trimmed_each,
+          CAST(SUM(CASE WHEN rn > tr AND rn <= n - tr THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_n,
+          CAST(SUM(CASE WHEN rn > tr AND rn <= n - tr THEN cents ELSE 0 END)
+            // SUM(CASE WHEN rn > tr AND rn <= n - tr THEN 1 ELSE 0 END)
+            AS BIGINT) AS trimmed_mean_cents,
+          CAST(SUM(cents) // MAX(n) AS BIGINT) AS raw_mean_cents
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O114: attribution model comparison --------------------------------
+    // First-touch, last-touch, and linear credit per channel for the SAME
+    // conversions, side by side — the report that shows how much the
+    // model choice (not the data) moves the answer. Conversion = the
+    // user's first purchase; touches = view/click/signup strictly before
+    // it; linear credit in truncating milli-units of 1000 per conversion.
+    // Per-user windows only; channel rollup is answer-sized.
+    DeclaredQuery("attribution_models_compare",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("__u"))
+          .agg(min(col("ts")).as("__cts"))
+        val touches = ev
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .join(conv, col("user_id") === col("__u") && col("ts") < col("__cts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        val t = touches
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__rf", row_number().over(
+            w.orderBy(col("ts"), col("event_id"))))
+          .withColumn("__rl", row_number().over(
+            w.orderBy(col("ts").desc, col("event_id").desc)))
+        t.groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(when(col("__rf") === 1, 1L).otherwise(0L)).as("first_credits"),
+            sum(when(col("__rl") === 1, 1L).otherwise(0L)).as("last_credits"),
+            sum(expr("1000L div __n")).as("linear_credit_milli"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH conv AS (SELECT user_id AS u, MIN(ts) AS cts
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t0 AS (SELECT e.event_type, e.user_id, e.ts, e.event_id
+               FROM events e JOIN conv ON e.user_id = conv.u
+                 AND e.ts < conv.cts
+               WHERE e.event_type IN ('view', 'click', 'signup')),
+        t AS (SELECT event_type,
+                COUNT(*) OVER (PARTITION BY user_id) AS n,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rf,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rl
+              FROM t0)
+        SELECT event_type AS channel, COUNT(*) AS n_touches,
+          CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS first_credits,
+          CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS last_credits,
+          CAST(SUM(1000 // n) AS BIGINT) AS linear_credit_milli
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O115: zone-map prune audit ----------------------------------------
+    // Does the z-order layout actually buy data skipping? Simulate
+    // 500-row row-groups under the natural (ingest) order and the
+    // z-order, record each chunk's (min, max) user_id zone map, and
+    // count chunks a point predicate can skip. LAYOUT SIMULATION at
+    // fixture scale: the global row_number stands in for physical file
+    // position — a real table reads chunk ids from file metadata
+    // instead; the audit's output is the layout DECISION, which is
+    // size-independent.
+    DeclaredQuery("zonemap_prune_audit",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value")).cast("long").as("vbin"))
+          .withColumn("z",
+            graft.relational.Layout.zValue(col("user_id"), col("vbin"),
+              bits = 11))
+        val natural = ev.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))))
+          .withColumn("layout", lit("natural"))
+        val zord = ev.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("z"), col("event_id"))))
+          .withColumn("layout", lit("zorder"))
+        val zone = natural.unionByName(zord)
+          .withColumn("__chunk", expr("(__rn - 1) div 500"))
+          .groupBy(col("layout"), col("__chunk"))
+          .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+        zone
+          .withColumn("probe",
+            explode(array(lit(10L), lit(75L), lit(140L))))
+          .groupBy(col("layout"), col("probe"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("probe") < col("mn") || col("probe") > col("mx"),
+              1L).otherwise(0L)).as("chunks_pruned"))
+          .withColumn("chunks_scanned", col("n_chunks") - col("chunks_pruned"))
+          .withColumn("prune_permille",
+            expr("(1000L * chunks_pruned) div n_chunks"))
+          .orderBy(col("layout"), col("probe"))
+      },
+      Some(s"""WITH b AS (SELECT event_id, user_id,
+               CAST(floor(value) AS BIGINT) AS vbin FROM events),
+        z AS (SELECT event_id, user_id, vbin,
+          ${(0 until 11).map(i =>
+            s"(((user_id >> $i) & 1) << ${2 * i}) + (((vbin >> $i) & 1) << ${2 * i + 1})")
+            .mkString(" + ")} AS z
+          FROM b),
+        nat AS (SELECT 'natural' AS layout, user_id,
+                 ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM z),
+        zo AS (SELECT 'zorder' AS layout, user_id,
+                ROW_NUMBER() OVER (ORDER BY z, event_id) AS rn FROM z),
+        u AS (SELECT * FROM nat UNION ALL SELECT * FROM zo),
+        zone AS (SELECT layout, (rn - 1) // 500 AS chunk,
+                  MIN(user_id) AS mn, MAX(user_id) AS mx
+                FROM u GROUP BY 1, 2),
+        probes AS (SELECT unnest([10, 75, 140]) AS probe)
+        SELECT layout, CAST(probe AS BIGINT) AS probe,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN probe < mn OR probe > mx THEN 1 ELSE 0 END)
+            AS BIGINT) AS chunks_pruned,
+          CAST(COUNT(*) - SUM(CASE WHEN probe < mn OR probe > mx
+            THEN 1 ELSE 0 END) AS BIGINT) AS chunks_scanned,
+          CAST((1000 * SUM(CASE WHEN probe < mn OR probe > mx THEN 1 ELSE 0
+            END)) // COUNT(*) AS BIGINT) AS prune_permille
+        FROM zone CROSS JOIN probes
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -53,4 +53,47 @@ object RobustStats {
       .withColumn("outlier_permille", expr("(1000L * n_outliers) div n"))
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** Per-group trimmed mean in exact cents — the robust location estimate
+    * between the mean (0 % breakdown) and the median (throws away all
+    * order information): drop `trimPermille` of the ROWS from each tail
+    * by (value, tie) rank, average the rest. Reported beside the raw mean
+    * so the gap IS the tail influence — the "how much were we being
+    * lied to by outliers" number.
+    *
+    * Exactness: values in cents (DECIMAL(12,2)·100), the per-tail drop
+    * count is the truncating (n·trim) div 1000, ranks are row_number over
+    * the caller's total order (`tieCol` must make it total — enforced
+    * nowhere cheaper than the caller), and both means are truncating
+    * integer division.
+    *
+    * Scale: one per-group window (rank) + one keyed aggregation; group
+    * cardinality is the OUTPUT size, so no bounded-group contract is
+    * needed — nothing broadcasts.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  tieCol: String, trimPermille: Long = 50L): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille must be in [0, 500), got $trimPermille")
+    // rank on the cents projection (monotone in the value) + the tie
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__c"), col(tieCol))
+    df.select(col(groupCol),
+        (col(valCol).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").as("__c"), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__t", expr(s"(__n * ${trimPermille}L) div 1000"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_rows"), max(col("__t")).as("n_trimmed_each"),
+        sum(when(col("__rn") > col("__t") && col("__rn") <= col("__n") - col("__t"),
+          1L).otherwise(0L)).as("kept_n"),
+        sum(when(col("__rn") > col("__t") && col("__rn") <= col("__n") - col("__t"),
+          col("__c")).otherwise(0L)).as("__ks"),
+        sum(col("__c")).as("__ts"))
+      .select(col(groupCol), col("n_rows"), col("n_trimmed_each"), col("kept_n"),
+        expr("__ks div kept_n").as("trimmed_mean_cents"),
+        expr("__ts div n_rows").as("raw_mean_cents"))
+  }
 }

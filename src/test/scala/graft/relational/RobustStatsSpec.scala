@@ -43,4 +43,32 @@ class RobustStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("category"))
   }
+
+  test("trimmed mean drops exactly (n*trim) div 1000 rows per tail") {
+    // 20 rows: 1..18 plus outliers -1000 and +1000; trim 50 permille ->
+    // t = (20*50) div 1000 = 1 per tail -> keeps 1..18: mean = 9.5 ->
+    // 950 cents. Raw mean = (171) * 100 div 20 = 855 cents.
+    val d = ((1 to 18).map(_.toDouble) ++ Seq(-1000.0, 1000.0))
+      .zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("k", "v", "tie")
+    val out = RobustStats.trimmedMean(d, "k", "v", "tie", 50L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(out === (("g", 20L, 1L, 18L, 950L, 855L)))
+  }
+
+  test("zero trim reduces to the raw mean") {
+    val d = Seq(("g", 1.0, 1L), ("g", 2.0, 2L), ("g", 4.0, 3L))
+      .toDF("k", "v", "tie")
+    val out = RobustStats.trimmedMean(d, "k", "v", "tie", 0L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // mean = 7/3 -> 233 cents truncating
+    assert(out === (("g", 3L, 0L, 3L, 233L, 233L)))
+  }
+
+  test("a trim of 500 permille or more is refused") {
+    val d = Seq(("g", 1.0, 1L)).toDF("k", "v", "tie")
+    intercept[IllegalArgumentException] {
+      RobustStats.trimmedMean(d, "k", "v", "tie", 500L)
+    }
+  }
 }
