@@ -558,6 +558,87 @@ object AuditQueries {
           CAST((1000 * SUM(CASE WHEN probe < mn OR probe > mx THEN 1 ELSE 0
             END)) // COUNT(*) AS BIGINT) AS prune_permille
         FROM zone CROSS JOIN probes
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- O116: exact Shapley attribution -----------------------------------
+    // The coalition-game answer to "which channel actually earns the
+    // conversion credit": v(S) = conversions reachable using only the
+    // channels in S (user's pre-conversion channel set ⊆ S), and each
+    // channel's Shapley value over the 3-channel game — EXACT, carried
+    // in sixths (for n = 3 the weights |S|!·(2−|S|)!/3! are 2/6, 1/6,
+    // 2/6, so 6·φ is an integer; Shapley 1953). Per-user mask is one
+    // keyed aggregation; everything after runs on ≤ 8 coalition rows
+    // (subset test m | S = S, bounded self-join for the marginals) —
+    // the whole game frame is answer-sized at any data scale.
+    DeclaredQuery("shapley_attribution",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("__u"))
+          .agg(min(col("ts")).as("__cts"))
+        val touches = ev
+          .filter(col("event_type").isin("view", "click", "signup"))
+          .join(conv, col("user_id") === col("__u") && col("ts") < col("__cts"))
+        val masks = touches.groupBy(col("user_id"))
+          .agg((max(when(col("event_type") === "view", 1L).otherwise(0L))
+            + max(when(col("event_type") === "click", 2L).otherwise(0L))
+            + max(when(col("event_type") === "signup", 4L).otherwise(0L)))
+            .as("m"))
+          .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+        val vS = s.range(8).select(col("id").as("S"))
+          .join(broadcast(masks), expr("(m | S) = S"), "left")
+          .groupBy(col("S"))
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+        val channels = s.range(3)
+          .select((lit(1L) * expr("CAST(pow(2, id) AS BIGINT)")).as("cbit"),
+            element_at(array(lit("view"), lit("click"), lit("signup")),
+              (col("id") + 1).cast("int")).as("channel"))
+        // pairs (S without c, S ∪ {c}) with the n=3 sixth-weights by |S|
+        val a = vS.select(col("S").as("S0"), col("v").as("v0"))
+        val b = vS.select(col("S").as("S1"), col("v").as("v1"))
+        channels
+          .join(broadcast(a), expr("(S0 & cbit) = 0"))
+          .join(broadcast(b), expr("S1 = (S0 | cbit)"))
+          .withColumn("w", expr(
+            "CASE bit_count(S0) WHEN 0 THEN 2L WHEN 1 THEN 1L ELSE 2L END"))
+          .groupBy(col("channel"))
+          .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_sixths"))
+          .join(broadcast(vS.filter(col("S") === 7)
+            .select(col("v").as("__vc"))))
+          .select(col("channel"), col("phi_sixths"),
+            expr("(1000L * phi_sixths) div (6L * __vc)").as("share_milli"),
+            col("__vc").as("conversions"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH conv AS (SELECT user_id AS u, MIN(ts) AS cts
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (SELECT e.user_id, e.event_type
+              FROM events e JOIN conv ON e.user_id = conv.u
+                AND e.ts < conv.cts
+              WHERE e.event_type IN ('view', 'click', 'signup')),
+        mk AS (SELECT user_id,
+                MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+                + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS m
+              FROM t GROUP BY 1),
+        mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM mk GROUP BY 1),
+        co AS (SELECT unnest(range(8)) AS S),
+        vS AS (SELECT S, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+               FROM co LEFT JOIN mc ON (mc.m | co.S) = co.S GROUP BY 1),
+        ch AS (SELECT 1 AS cbit, 'view' AS channel
+               UNION ALL SELECT 2, 'click' UNION ALL SELECT 4, 'signup'),
+        marg AS (SELECT ch.channel, a.S AS S0, a.v AS v0, b.v AS v1,
+                  CASE bit_count(a.S) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+                    AS w
+                FROM ch JOIN vS a ON (a.S & ch.cbit) = 0
+                JOIN vS b ON b.S = (a.S | ch.cbit)),
+        phi AS (SELECT channel, CAST(SUM(w * (v1 - v0)) AS BIGINT)
+                  AS phi_sixths
+                FROM marg GROUP BY 1),
+        vc AS (SELECT v AS vc FROM vS WHERE S = 7)
+        SELECT channel, phi_sixths,
+          CAST((1000 * phi_sixths) // (6 * vc) AS BIGINT) AS share_milli,
+          vc AS conversions
+        FROM phi CROSS JOIN vc ORDER BY channel"""))
   )
 }
