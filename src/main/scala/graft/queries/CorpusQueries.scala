@@ -330,16 +330,16 @@ object CorpusQueries {
                  * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
                 DESC, s.sid) AS rn
             FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT DISTINCT q.qid, c.vec_id AS cid,
             list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
             / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
           FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
-        knn AS (SELECT qid, cid FROM (
+        knn AS MATERIALIZED (SELECT qid, cid FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
             FROM scored) t WHERE rk <= 3),
-        und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn),
+        und AS MATERIALIZED (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn),
         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
                 FROM und e1 JOIN und e2 ON e2.a = e1.b
                 WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = e1.a AND u.b = e2.b)),

@@ -1138,13 +1138,13 @@ object PipelineQueries {
                  * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
                 DESC, s.sid) AS rn
             FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT DISTINCT q.qid, c.vec_id AS cid,
             list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
             / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
              * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
           FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
-        knn AS (SELECT qid, cid FROM (
+        knn AS MATERIALIZED (SELECT qid, cid FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
             FROM scored) t WHERE rk <= 3),
         n AS (SELECT vec_id AS id FROM e),
@@ -2291,7 +2291,7 @@ object PipelineQueries {
                  * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
                 DESC, s.sid) AS rn
             FROM e CROSS JOIN seeds s WHERE e.vec_id < 10) t WHERE rn <= 4),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT DISTINCT q.qid, c.vec_id AS cid,
             list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
             / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))

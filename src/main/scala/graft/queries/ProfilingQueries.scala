@@ -86,16 +86,16 @@ object ProfilingQueries {
                * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
               DESC, s.sid) AS rn
           FROM e CROSS JOIN seeds s) t WHERE rn <= 4),
-      scored AS (
+      scored AS MATERIALIZED (
         SELECT DISTINCT q.qid, c.vec_id AS cid,
           list_reduce(list_transform(list_zip(q.qv, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
           / (sqrt(list_reduce(list_transform(list_zip(q.qv, q.qv), x -> x[1] * x[2]), (a, b) -> a + b))
            * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
         FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
-      knn AS (SELECT qid, cid FROM (
+      knn AS MATERIALIZED (SELECT qid, cid FROM (
           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
           FROM scored) t WHERE rk <= 3),
-      und AS (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn)"""
+      und AS MATERIALIZED (SELECT DISTINCT LEAST(qid, cid) AS a, GREATEST(qid, cid) AS b FROM knn)"""
 
   /** IVF kNN chain + symmetrized edges + the 4 deterministic LPA rounds
     * through `l4(id, lab)` — shared by the communities oracle and the
@@ -113,7 +113,7 @@ object ProfilingQueries {
            FROM $prev LEFT JOIN b$r USING (id))"""
     }.mkString(",\n        ")
     s"""$ivfKnnCtes,
-        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
         l0 AS (SELECT vec_id AS id, vec_id AS lab FROM e),
         $roundCtes"""
   }
@@ -231,7 +231,7 @@ object ProfilingQueries {
           a$r AS (SELECT $prev.id FROM $prev LEFT JOIN dg$r USING (id) WHERE COALESCE(d, 0) >= 2)"""
         }.mkString(",\n        ")
         s"""$ivfKnnCtes,
-        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
         a0 AS (SELECT vec_id AS id FROM e),
         $roundCtes,
         fd AS (SELECT u AS id, COUNT(*) AS d FROM sym
@@ -320,7 +320,7 @@ object ProfilingQueries {
       (s, dir) => graft.dedup.GraphMetrics
         .linkPrediction(knnUndirected(s, dir), "a", "b", topK = 20),
       Some(s"""$ivfKnnCtes,
-        sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
         deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY 1),
         wedge AS (SELECT s1.u AS x, s2.v AS y, s1.v AS z
                   FROM sym s1 JOIN sym s2 ON s2.u = s1.v
