@@ -639,6 +639,271 @@ object AuditQueries {
         SELECT channel, phi_sixths,
           CAST((1000 * phi_sixths) // (6 * vc) AS BIGINT) AS share_milli,
           vc AS conversions
-        FROM phi CROSS JOIN vc ORDER BY channel"""))
+        FROM phi CROSS JOIN vc ORDER BY channel""")),
+
+    // ---- O117: Markov removal-effect attribution ---------------------------
+    // The data-driven member of the attribution family (Anderl et al.
+    // 2014): journeys as a first-order chain (start)→channel→…→(conv)/
+    // (null); each channel's credit is how much the (start)→(conv)
+    // absorption probability DROPS when journeys can no longer pass
+    // through it. Two per-user windows + one (src,dst) count reach the
+    // driver as the bounded transition matrix; the 12 value-iteration
+    // rounds (BigInt micro, truncating) replay as chained CTEs per
+    // scenario.
+    DeclaredQuery("markov_attribution",
+      (s, dir) => {
+        val trans = graft.relational.MarkovAttribution.transitions(
+          events(s, dir), "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click", "signup"), "purchase")
+        graft.relational.MarkovAttribution.attribution(
+          trans, Seq("view", "click", "signup"), rounds = 12)
+      },
+      Some(markovOracle(Seq("view", "click", "signup"), rounds = 12))),
+
+    // ---- O118: daily-count autocorrelation (ACF) ---------------------------
+    // Is there a CYCLE in arrivals (weekly cadence → ρ spike at lag 7;
+    // trend → slow decay; noise → immediate ≈0) — the third time-series
+    // question beside CUSUM's "did the level jump" and Theil–Sen's "what
+    // is the trend". One day aggregation, lag pairs by row-local explode
+    // + equi-join, DECIMAL(38,0) S-sums, ρ as the one shared IEEE
+    // expression (the Correlation discipline).
+    DeclaredQuery("daily_count_acf",
+      (s, dir) => graft.relational.Autocorr
+        .dailyAcf(events(s, dir), "ts", maxLag = 7),
+      Some("""WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events),
+        c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        lg AS (SELECT l.i AS lag, a.day + l.i AS dk, a.c AS x
+               FROM c a CROSS JOIN range(1, 8) l(i)),
+        p AS (SELECT lag, x, b.c AS y FROM lg JOIN c b ON b.day = lg.dk),
+        s AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                CAST(SUM(y * y) AS HUGEINT) AS syy,
+                CAST(SUM(x * y) AS HUGEINT) AS sxy
+              FROM p GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+            CAST(n * sxy - sx * sy AS DOUBLE) /
+              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          ELSE NULL END AS acf
+        FROM s ORDER BY lag""")),
+
+    // ---- O119: hash-weight bootstrap CI ------------------------------------
+    // Per-type mean order value WITH its uncertainty band: the Poisson
+    // bootstrap of Chamandy et al. 2012 made deterministic — replicate
+    // weight = md5(event_id:b) mod 3 (mean exactly 1), 32 replicates in
+    // one row-local explode + keyed agg, band = exact order statistics
+    // of the replicate means. No RNG state anywhere; any engine
+    // reproduces the same band from the data alone.
+    DeclaredQuery("bootstrap_value_ci",
+      (s, dir) => graft.relational.Bootstrap.meanCi(
+        events(s, dir), "event_type", "event_id", col("value"),
+        replicates = 32),
+      Some("""WITH base AS (SELECT event_type AS g,
+                 CAST(event_id AS VARCHAR) AS id,
+                 CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+               FROM events),
+        reps AS (SELECT g, c, r.i AS b,
+                 CAST(('0x' || substring(md5(id || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS w
+               FROM base CROSS JOIN range(32) r(i)),
+        cell AS (SELECT g, b, CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(w * c) AS BIGINT) AS swc
+                 FROM reps GROUP BY 1, 2),
+        means AS (SELECT g, b,
+                    (CAST(10000 AS HUGEINT) * swc) // sw AS m FROM cell),
+        rk AS (SELECT g, m, ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY m, b) AS rn FROM means),
+        band AS (SELECT g, MAX(CASE WHEN rn = 2 THEN m END) AS lo,
+                   MAX(CASE WHEN rn = 31 THEN m END) AS hi
+                 FROM rk GROUP BY 1),
+        f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                (CAST(10000 AS HUGEINT) * SUM(c)) // COUNT(*) AS mean
+              FROM base GROUP BY 1)
+        SELECT f.g AS event_type, n_rows, CAST(mean AS BIGINT) AS mean_micro,
+          CAST(lo AS BIGINT) AS boot_lo_micro,
+          CAST(hi AS BIGINT) AS boot_hi_micro,
+          CAST(hi - lo AS BIGINT) AS boot_spread_micro
+        FROM f JOIN band USING (g) ORDER BY event_type""")),
+
+    // ---- O120: NDCG ranking-quality audit of the IVF index -----------------
+    // recall asks "did the right items come back"; NDCG asks "in the
+    // right ORDER, near the top" — an index returning all ten exact hits
+    // reversed scores 1000‰ recall but visibly lower NDCG. Graded rel =
+    // 11 − exact_rank, integer-bits discount 10⁶ div floor(log₂(pos+1))
+    // (the Adamic–Adar discipline) — exact longs end to end.
+    DeclaredQuery("ann_ndcg_audit",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = graft.vector.Similarity.bruteForceTopK(
+          q, "vec_id", emb, "vec_id", "embedding", k = 10)
+          .select(col("qid").cast("long").as("qid"), col("cid"), col("rank"))
+        val approx = graft.vector.Similarity.ivfTopK(
+          q, "vec_id", emb, "vec_id", "embedding", k = 10,
+          nlist = 16, nprobe = 4)
+          .select(col("qid").cast("long").as("qid"), col("cid"), col("rank"))
+        graft.vector.RankEval.ndcg(exact, approx, k = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        xsc AS (SELECT qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM e CROSS JOIN q WHERE e.vec_id <> qid),
+        xt AS MATERIALIZED (SELECT qid, cid, rk FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM xsc) t WHERE rk <= 10),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        cass AS (
+          SELECT vec_id, v, sid FROM (
+            SELECT e.vec_id, e.v, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+        qass AS (
+          SELECT qid, qv2, sid FROM (
+            SELECT e.vec_id AS qid, e.v AS qv2, s.sid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_reduce(list_transform(list_zip(e.v, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), x -> x[1] * x[2]), (a, b) -> a + b))
+                 * sqrt(list_reduce(list_transform(list_zip(s.sv, s.sv), x -> x[1] * x[2]), (a, b) -> a + b)))
+                DESC, s.sid) AS rn
+            FROM e CROSS JOIN seeds s WHERE e.vec_id < 10) t WHERE rn <= 4),
+        isc AS (
+          SELECT DISTINCT q2.qid, c.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q2.qv2, c.v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(q2.qv2, q2.qv2), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(c.v, c.v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM qass q2 JOIN cass c USING (sid) WHERE c.vec_id <> q2.qid),
+        it AS (SELECT qid, cid, rk FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM isc) t WHERE rk <= 10),
+        j AS (SELECT it.qid, it.rk AS pos, COALESCE(11 - xt.rk, 0) AS rel
+              FROM it LEFT JOIN xt ON xt.qid = it.qid AND xt.cid = it.cid),
+        dc AS (SELECT qid,
+                 CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                 CAST(SUM(rel * (1000000 // (length(bin(pos + 1)) - 1))) AS BIGINT) AS dcg_micro
+               FROM j GROUP BY 1),
+        ic AS (SELECT qid,
+                 CAST(SUM((11 - rk) * (1000000 // (length(bin(rk + 1)) - 1))) AS BIGINT) AS idcg_micro
+               FROM xt GROUP BY 1)
+        SELECT dc.qid, n_hits, dcg_micro, idcg_micro,
+          CAST((1000 * dcg_micro) // idcg_micro AS BIGINT) AS ndcg_permille
+        FROM dc JOIN ic USING (qid) ORDER BY qid""")),
+
+    // ---- O121: analytic LSH S-curve design table ---------------------------
+    // The banding trade-off BEFORE a 100 TB run commits: P(candidate |
+    // jaccard = s) = 1 − (1 − s^r)^b for every factorization of the
+    // 16-hash budget. The curve is one SQL expression string (left-assoc
+    // multiply chains, no pow) that the oracle receives VERBATIM, so both
+    // engines run the identical IEEE sequence and the doubles hash-match.
+    DeclaredQuery("lsh_scurve_plan",
+      (s, dir) => graft.dedup.LshPlan.sCurve(s),
+      Some(s"""WITH cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8)) c(bands, rpb)),
+        sg AS (SELECT 50 + 50 * r.i AS s_permille FROM range(19) r(i)),
+        d AS (SELECT bands, rpb, s_permille,
+                CAST(s_permille AS DOUBLE) / 1000.0 AS sd
+              FROM cfg CROSS JOIN sg),
+        x AS (SELECT *, ${graft.dedup.LshPlan.srCaseSql(Seq(1, 2, 4, 8))} AS sr FROM d),
+        y AS (SELECT *, 1.0 - sr AS tq FROM x),
+        z AS (SELECT *, ${graft.dedup.LshPlan.tbCaseSql(Seq(16, 8, 4, 2))} AS tb FROM y)
+        SELECT CAST(bands AS BIGINT) AS bands, CAST(rpb AS BIGINT) AS rows_per_band,
+          CAST(s_permille AS BIGINT) AS s_permille,
+          1.0 - tb AS collision_prob,
+          CAST(floor((1.0 - tb) * 1000.0) AS BIGINT) AS collision_permille
+        FROM z ORDER BY rows_per_band, s_permille"""))
   )
+
+  /** DuckDB replay of [[graft.relational.MarkovAttribution]]: journeys →
+    * exact transition counts → `rounds` pinned value-iteration rounds per
+    * scenario (base + one per removed channel), each round digit-identical
+    * to the driver BigInt arithmetic ((Σ cnt·val) // out, truncating).
+    * tr/outc and the per-scenario transition tables are MATERIALIZED —
+    * each is referenced once per round and DuckDB would otherwise inline
+    * the whole journey derivation into every reference.
+    */
+  private def markovOracle(channels: Seq[String], rounds: Int): String = {
+    val inList = channels.map(c => s"'$c'").mkString(", ")
+    val scen: Seq[(String, Option[String])] =
+      ("base", None) +: channels.sorted.map(c => (c, Some(c)))
+    val trCtes = scen.map {
+      case (nm, None) =>
+        s"tr_$nm AS MATERIALIZED (SELECT src, dst, cnt FROM tr)"
+      case (nm, Some(c)) =>
+        s"""tr_$nm AS MATERIALIZED (SELECT src,
+             CASE WHEN dst = '$c' THEN '(null)' ELSE dst END AS dst,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+           FROM tr WHERE src <> '$c' GROUP BY 1, 2)"""
+    }
+    val pCtes = scen.flatMap { case (nm, rem) =>
+      val p0 = rem match {
+        case None =>
+          s"p_${nm}_0 AS (SELECT src AS st, CAST(0 AS HUGEINT) AS v FROM outc)"
+        case Some(c) =>
+          s"p_${nm}_0 AS (SELECT src AS st, CAST(0 AS HUGEINT) AS v " +
+            s"FROM outc WHERE src <> '$c')"
+      }
+      val rks = (1 to rounds).map { k =>
+        s"""p_${nm}_$k AS (SELECT t.src AS st,
+             CAST(SUM(t.cnt * (CASE WHEN t.dst = '(conv)' THEN 1000000
+                  WHEN t.dst = '(null)' THEN 0
+                  ELSE COALESCE(p.v, 0) END)) // MAX(o.o) AS HUGEINT) AS v
+           FROM tr_$nm t JOIN outc o ON o.src = t.src
+           LEFT JOIN p_${nm}_${k - 1} p ON p.st = t.dst
+           GROUP BY t.src)"""
+      }
+      p0 +: rks
+    }
+    val resRows = channels.sorted.map { c =>
+      s"""SELECT '$c' AS channel,
+           (SELECT v FROM p_base_$rounds WHERE st = '(start)') AS base_v,
+           (SELECT v FROM p_${c}_$rounds WHERE st = '(start)') AS rem_v"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH conv AS (SELECT user_id AS u, MIN(ts) AS cts FROM events
+             WHERE event_type = 'purchase' GROUP BY 1),
+        tch AS (SELECT e.user_id AS u, e.event_type AS ch, e.ts, e.event_id,
+                  conv.cts
+                FROM events e LEFT JOIN conv ON e.user_id = conv.u
+                WHERE e.event_type IN ($inList)
+                  AND (conv.cts IS NULL OR e.ts < conv.cts)),
+        sq AS (SELECT u, ch, cts,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY u) AS n,
+                 LAG(ch) OVER (PARTITION BY u ORDER BY ts, event_id) AS prev
+               FROM tch),
+        e1 AS (SELECT COALESCE(prev, '(start)') AS src, ch AS dst FROM sq),
+        e2 AS (SELECT ch AS src,
+                 CASE WHEN cts IS NULL THEN '(null)' ELSE '(conv)' END AS dst
+               FROM sq WHERE rn = n),
+        us AS (SELECT DISTINCT user_id AS u FROM events),
+        tu AS (SELECT DISTINCT u FROM tch),
+        e3 AS (SELECT '(start)' AS src,
+                 CASE WHEN conv.cts IS NULL THEN '(null)' ELSE '(conv)' END AS dst
+               FROM us LEFT JOIN tu ON us.u = tu.u
+               LEFT JOIN conv ON us.u = conv.u
+               WHERE tu.u IS NULL),
+        tr AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM e2
+                    UNION ALL SELECT src, dst FROM e3) uall GROUP BY 1, 2),
+        outc AS MATERIALIZED (SELECT src, CAST(SUM(cnt) AS BIGINT) AS o
+               FROM tr GROUP BY 1),
+        ${trCtes.mkString(",\n        ")},
+        ${pCtes.mkString(",\n        ")},
+        res AS ($resRows),
+        eff AS (SELECT channel, base_v, rem_v,
+                  GREATEST(CAST(0 AS HUGEINT), base_v - rem_v) AS ef FROM res),
+        tot AS (SELECT CAST(SUM(ef) AS HUGEINT) AS te FROM eff)
+        SELECT channel, CAST(base_v AS BIGINT) AS base_conv_micro,
+          CAST(rem_v AS BIGINT) AS removal_conv_micro,
+          CAST(ef AS BIGINT) AS removal_effect_micro,
+          CASE WHEN te > 0 THEN CAST((1000 * ef) // te AS BIGINT) ELSE NULL END
+            AS attribution_permille
+        FROM eff CROSS JOIN tot ORDER BY channel"""
+  }
 }

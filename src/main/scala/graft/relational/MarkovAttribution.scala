@@ -1,0 +1,139 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Markov-chain (removal-effect) attribution over touch journeys (Anderl,
+  * Becker, von Wangenheim & Schumann 2014) — the data-driven member of the
+  * attribution family: model user journeys as a first-order chain
+  * (start) → channel → … → (conv)/(null), and credit each channel by how
+  * much the conversion probability DROPS when journeys can no longer pass
+  * through it. Where first/last/linear/Shapley (O114/O116) hand out credit
+  * by position or coalition, the removal effect prices each channel's
+  * structural role in the observed transition graph.
+  *
+  * Exactness: transition counts are exact longs; the absorption
+  * probability iterates in BigInt micro units — each of the pinned rounds
+  * computes p'(s) = (Σ_t cnt(s,t)·val(t)) div out(s) with val((conv)) =
+  * 10⁶, val((null)) = 0, truncating division (the [[BradleyTerry]] round
+  * discipline) — so the DuckDB oracle replays every round digit for digit
+  * as chained CTEs. Value iteration to K rounds scores exactly the paths
+  * of length ≤ K; K is part of the operator contract, not a convergence
+  * heuristic.
+  *
+  * Scale: the corpus pays two per-user windows (lag + last-touch — both
+  * keyed on the user, never global) and ONE map-side-combined (src, dst)
+  * count; what reaches the driver is the (channels+3)²-bounded transition
+  * matrix (bounded-model-collect class, capped probe + loud require). The
+  * per-channel removal chains are driver arithmetic over that matrix.
+  */
+object MarkovAttribution {
+
+  val Start = "(start)"
+  val Conv = "(conv)"
+  val Null_ = "(null)"
+
+  /** Distributed journey extraction → exact transition counts
+    * (src, dst, cnt). Touches are `channels`-typed events strictly before
+    * the user's FIRST `convType` event (all touches, for non-converters);
+    * each journey contributes (start)→t₁, tᵢ→tᵢ₊₁, t_last→(conv)/(null).
+    * Users with no touches at all still contribute (start)→(conv)/(null),
+    * so direct conversions carry their weight.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String, channels: Seq[String],
+                  convType: String): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType),
+      "markov: channels must be non-empty and exclude the conversion type")
+    require(channels.intersect(Seq(Start, Conv, Null_)).isEmpty,
+      "markov: channel names collide with the reserved state names")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+    val conv = ev.filter(col("__t") === convType)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__cts"))
+    val touches = ev.filter(col("__t").isin(channels: _*))
+      .join(conv, Seq("__u"), "left")
+      .filter(col("__cts").isNull || col("__ts") < col("__cts"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val seq = touches
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__u"))))
+    val steps = seq.select(
+      coalesce(col("__prev"), lit(Start)).as("src"), col("__t").as("dst"))
+    val terminal = seq.filter(col("__rn") === col("__n"))
+      .select(col("__t").as("src"),
+        when(col("__cts").isNotNull, lit(Conv)).otherwise(lit(Null_)).as("dst"))
+    val direct = ev.select(col("__u")).distinct()
+      .join(touches.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .join(conv, Seq("__u"), "left")
+      .select(lit(Start).as("src"),
+        when(col("__cts").isNotNull, lit(Conv)).otherwise(lit(Null_)).as("dst"))
+    steps.unionByName(terminal).unionByName(direct)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Removal-effect attribution over a bounded transition frame: one row
+    * per channel — (channel, base_conv_micro, removal_conv_micro,
+    * removal_effect_micro, attribution_permille), channel order. Negative
+    * micro-truncation residue clamps to 0 (removing a channel cannot truly
+    * raise conversion); attribution is NULL when every effect is 0.
+    */
+  def attribution(trans: DataFrame, channels: Seq[String],
+                  rounds: Int = 12, maxStates: Int = 16): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"markov: rounds=$rounds outside 1..64")
+    require(channels.size <= maxStates,
+      s"markov: ${channels.size} channels > maxStates=$maxStates")
+    val spark = trans.sparkSession
+    val cap = (maxStates + 3) * (maxStates + 3)
+    val rows = trans.select(col("src"), col("dst"), col("cnt").cast("long"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"markov: > $cap transition cells — the state universe is not " +
+        "bounded; aggregate to a bounded channel key first")
+    val cnt = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcs = cnt.keys.map(_._1).toSeq.distinct
+    require(srcs.contains(Start), "markov: no (start) transitions — empty journey set")
+    val out = srcs.map(s => s -> cnt.collect { case ((a, _), c) if a == s => c }.sum).toMap
+    require(out.values.forall(_ > 0L), "markov: a state with zero out-degree")
+
+    val M = BigInt(1000000)
+    // absorption probability of (conv) from (start) after `rounds` steps of
+    // value iteration, with `removed` unreachable (its inbound mass → null)
+    def absorb(removed: Option[String]): BigInt = {
+      val transient = srcs.filterNot(removed.contains)
+      var p: Map[String, BigInt] = transient.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to rounds) {
+        p = transient.map { s =>
+          val num = cnt.collect { case ((a, d0), c) if a == s =>
+            val d = if (removed.contains(d0)) Null_ else d0
+            val v =
+              if (d == Conv) M
+              else if (d == Null_) BigInt(0)
+              else p.getOrElse(d, BigInt(0))
+            BigInt(c) * v
+          }.sum
+          s -> num / BigInt(out(s))
+        }.toMap
+      }
+      p(Start)
+    }
+
+    val base = absorb(None)
+    val effs = channels.sorted.map { c =>
+      val rem = absorb(Some(c))
+      (c, rem, (base - rem).max(BigInt(0)))
+    }
+    val total = effs.map(_._3).sum
+    val outRows = effs.map { case (c, rem, eff) =>
+      val share: Option[Long] =
+        if (total > 0) Some(((BigInt(1000) * eff) / total).toLong) else None
+      (c, base.toLong, rem.toLong, eff.toLong, share)
+    }
+    import spark.implicits._
+    outRows.toDF("channel", "base_conv_micro", "removal_conv_micro",
+      "removal_effect_micro", "attribution_permille")
+      .orderBy(col("channel"))
+  }
+}
