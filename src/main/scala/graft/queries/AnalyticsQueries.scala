@@ -662,6 +662,80 @@ object AnalyticsQueries {
           score_num, score_den,
           CAST((1000 * score_num) // score_den AS BIGINT) AS ratio_permille
         FROM scored
-        ORDER BY ratio_permille DESC, id_a, id_b LIMIT 20"""))
+        ORDER BY ratio_permille DESC, id_a, id_b LIMIT 20""")),
+
+    // ---- O122: lead–lag cross-correlation ----------------------------------
+    // Does click LEAD purchase, and by how many days — the funnel-latency
+    // question asked of the whole daily series (dailyAcf's cross-series
+    // sibling). One conditional day aggregation, row-local ±7-lag explode,
+    // equi-join, DECIMAL(38,0) S-sums, shared IEEE ρ; positive lag peaking
+    // = click leads.
+    DeclaredQuery("leadlag_click_purchase",
+      (s, dir) => graft.relational.Autocorr.dailyXcf(
+        events(s, dir), "ts", "event_type", "click", "purchase", maxLag = 7),
+      Some("""WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 event_type AS t
+               FROM events WHERE event_type IN ('click', 'purchase')),
+        c AS (SELECT day,
+                CAST(SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+              FROM d GROUP BY 1),
+        lg AS (SELECT l.i AS lag, cc.day + l.i AS dk, cc.a AS x
+               FROM c cc CROSS JOIN range(-7, 8) l(i)),
+        p AS (SELECT lag, x, b2.b AS y FROM lg JOIN c b2 ON b2.day = lg.dk),
+        s AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+                CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+                CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                CAST(SUM(y * y) AS HUGEINT) AS syy,
+                CAST(SUM(x * y) AS HUGEINT) AS sxy
+              FROM p GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+            CAST(n * sxy - sx * sy AS DOUBLE) /
+              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          ELSE NULL END AS xcf
+        FROM s ORDER BY lag""")),
+
+    // ---- O123: Kendall τ-b signal agreement --------------------------------
+    // The third correlation: Pearson asks "linear", Spearman "same order",
+    // Kendall "what FRACTION of pairs agree" — on the same signal pair the
+    // Spearman row audits (16-char length buckets vs token count), so the
+    // two statistics are directly comparable. One joint cell count reaches
+    // the driver (bounded probe); τ is the one shared IEEE expression.
+    DeclaredQuery("signal_kendall_tau",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents").select(
+          expr("CAST(n_chars AS BIGINT) div 16").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        graft.relational.Correlation.kendallTau(d, "x", "y")
+      },
+      Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) // 16 AS x,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                   AS BIGINT) AS y
+               FROM documents),
+        cells AS MATERIALIZED (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+        pc AS (SELECT
+            CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                 OR (a.x > b.x AND a.y > b.y) THEN a.c * b.c ELSE 0 END)
+              AS HUGEINT) // 2 AS conc,
+            CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                 OR (a.x > b.x AND a.y < b.y) THEN a.c * b.c ELSE 0 END)
+              AS HUGEINT) // 2 AS disc
+          FROM cells a CROSS JOIN cells b),
+        nn AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+        tx AS (SELECT CAST(SUM(cx * (cx - 1) // 2) AS HUGEINT) AS n1
+               FROM (SELECT CAST(SUM(c) AS HUGEINT) AS cx
+                     FROM cells GROUP BY x) t),
+        ty AS (SELECT CAST(SUM(cy * (cy - 1) // 2) AS HUGEINT) AS n2
+               FROM (SELECT CAST(SUM(c) AS HUGEINT) AS cy
+                     FROM cells GROUP BY y) t)
+        SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS concordant,
+          CAST(disc AS BIGINT) AS discordant,
+          CAST(conc - disc AS DOUBLE) /
+            (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) *
+              sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))) AS kendall_tau_b
+        FROM pc CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty"""))
   )
 }

@@ -817,7 +817,35 @@ object AuditQueries {
           CAST(s_permille AS BIGINT) AS s_permille,
           1.0 - tb AS collision_prob,
           CAST(floor((1.0 - tb) * 1000.0) AS BIGINT) AS collision_permille
-        FROM z ORDER BY rows_per_band, s_permille"""))
+        FROM z ORDER BY rows_per_band, s_permille""")),
+
+    // ---- O124: KMV distinct sketch with accuracy audit ---------------------
+    // The PORTABLE cardinality sketch beside the built-in HLL++ row: state
+    // is "the k smallest 60-bit md5 values" (mergeable by construction,
+    // replayable in any engine), estimate = (k−1)·2⁶⁰ div h₍ₖ₎. One
+    // distinct agg + bounded-heap TopK; the audit reports the estimate
+    // beside the exact distinct-hash count with signed permille error.
+    DeclaredQuery("kmv_distinct_estimate",
+      (s, dir) => graft.relational.Kmv.distinctAudit(
+        events(s, dir), "event_type", "user_id", k = 64),
+      Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+        rk AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+               FROM h),
+        tk AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth_min
+               FROM rk WHERE rn <= 64 GROUP BY 1),
+        ex AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+               FROM h GROUP BY 1),
+        est AS (SELECT ex.g, exact_distinct, kth_min,
+                  CASE WHEN m < 64 THEN m
+                       ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // kth_min AS BIGINT)
+                  END AS kmv_estimate
+                FROM ex JOIN tk USING (g))
+        SELECT g AS event_type, exact_distinct, kth_min, kmv_estimate,
+          CAST((1000 * (kmv_estimate - exact_distinct)) // exact_distinct AS BIGINT)
+            AS err_permille
+        FROM est ORDER BY event_type"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovAttribution]]: journeys →

@@ -92,4 +92,79 @@ object Correlation {
             sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double"))))
           .as("spearman_rho"))
   }
+
+  /** Kendall τ-b between two discrete signals (Kendall 1938; τ-b ties
+    * correction) — the third member of the correlation family: Pearson
+    * asks "linear", Spearman asks "same order overall", Kendall asks
+    * "what FRACTION of pairs agree" — a probability, directly readable
+    * and more robust to a few wild ranks than ρ.
+    *
+    * Exactness: concordant/discordant/tie counts are exact BigInt sums
+    * over the joint value-frequency table; τ-b is ONE IEEE expression
+    * (C−D)/(√(n₀−n₁)·√(n₀−n₂)) over the exact integers, identical
+    * parenthesization in the oracle.
+    *
+    * Scale: the corpus pays ONE (x, y) cell count (map-side combined);
+    * the driver walks the ≤ `maxCells`² cell pairs (bounded-model class,
+    * capped probe + loud require — 4096² ≈ 1.7·10⁷ driver comparisons).
+    * One row comes back. The cell table, not the row count, bounds the
+    * work — the same contract as [[spearman]], squared, which is why the
+    * cap is tighter.
+    */
+  def kendallTau(df0: DataFrame, xCol: String, yCol: String,
+                 maxCells: Int = 4096): DataFrame = {
+    val spark = df0.sparkSession
+    import spark.implicits._
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df0.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(integral,
+        s"kendallTau: '$c' must be an integral discrete score column " +
+          s"(got $dt) — bucketize first")
+    }
+    val cells = df0
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c"))
+      .limit(maxCells + 1).collect()
+    require(!cells.exists(r => r.isNullAt(0) || r.isNullAt(1)),
+      "kendallTau: signals contain NULLs — filter or impute first")
+    require(cells.length <= maxCells,
+      s"kendallTau: > $maxCells joint (x, y) cells — the pair walk is " +
+        "bounded only for discrete score domains; bucketize first")
+    val cs = cells.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = BigInt(cs.map(_._3).sum)
+    require(n >= 2, "kendallTau: fewer than two rows")
+    var conc = BigInt(0); var disc = BigInt(0)
+    var i = 0
+    while (i < cs.length) {
+      var j = i + 1
+      while (j < cs.length) {
+        val (xi, yi, ci) = cs(i); val (xj, yj, cj) = cs(j)
+        val prod = BigInt(ci) * BigInt(cj)
+        if ((xi < xj && yi < yj) || (xi > xj && yi > yj)) conc += prod
+        else if ((xi < xj && yi > yj) || (xi > xj && yi < yj)) disc += prod
+        j += 1
+      }
+      i += 1
+    }
+    def tiePairs(marginal: Map[Long, Long]): BigInt =
+      marginal.values.map(c => BigInt(c) * BigInt(c - 1) / 2).sum
+    val n1 = tiePairs(cs.groupBy(_._1).map { case (v, g) => v -> g.map(_._3).sum })
+    val n2 = tiePairs(cs.groupBy(_._2).map { case (v, g) => v -> g.map(_._3).sum })
+    val n0 = n * (n - 1) / 2
+    require(n0 > n1 && n0 > n2,
+      "kendallTau: a constant signal — every pair is tied, τ undefined")
+    spark.createDataFrame(Seq((n.toLong, conc.toString, disc.toString,
+      (n0 - n1).toString, (n0 - n2).toString)))
+      .toDF("n", "__c", "__d", "__dx", "__dy")
+      .select(col("n"),
+        col("__c").cast(DecimalType(38, 0)).cast("long").as("concordant"),
+        col("__d").cast(DecimalType(38, 0)).cast("long").as("discordant"),
+        ((col("__c").cast(DecimalType(38, 0)) -
+          col("__d").cast(DecimalType(38, 0))).cast("double") /
+          (sqrt(col("__dx").cast(DecimalType(38, 0)).cast("double")) *
+            sqrt(col("__dy").cast(DecimalType(38, 0)).cast("double"))))
+          .as("kendall_tau_b"))
+  }
 }

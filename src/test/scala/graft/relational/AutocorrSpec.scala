@@ -41,4 +41,27 @@ class AutocorrSpec extends SparkSpec {
     intercept[IllegalArgumentException](Autocorr.dailyAcf(df, "sec"))
     intercept[IllegalArgumentException](Autocorr.dailyAcf(df, "ts", maxLag = 0))
   }
+
+  private def typedEventsFor(counts: Seq[(String, Int, Int)]) =
+    counts.flatMap { case (t, d, n) =>
+      Seq.fill(n)((t, f"2024-01-$d%02d 12:00:00"))
+    }.toDF("t", "tss").withColumn("ts", to_timestamp(col("tss")))
+
+  test("xcf: a series shifted one day forward peaks at lag +1") {
+    // b on day d+1 copies a on day d → ρ = +1 at lag 1, −1 at lag 0
+    val a = (1 to 10).map(d => ("a", d, if (d % 2 == 1) 5 else 15))
+    val b = (1 to 10).map(d => ("b", d + 1, if (d % 2 == 1) 5 else 15))
+    val out = Autocorr.dailyXcf(typedEventsFor(a ++ b), "ts", "t", "a", "b",
+      maxLag = 1).select("lag", "xcf")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(out(1L).get - 1.0) < 1e-12)
+    // the unshifted alignment is nowhere near (edge zeros break ±1)
+    assert(out(0L).get < 0.5)
+  }
+
+  test("xcf misuse fails loudly: identical types") {
+    val df = typedEventsFor(Seq(("a", 1, 1)))
+    intercept[IllegalArgumentException](
+      Autocorr.dailyXcf(df, "ts", "t", "a", "a"))
+  }
 }
