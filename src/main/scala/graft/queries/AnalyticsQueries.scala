@@ -736,6 +736,278 @@ object AnalyticsQueries {
           CAST(conc - disc AS DOUBLE) /
             (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) *
               sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))) AS kendall_tau_b
-        FROM pc CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty"""))
+        FROM pc CROSS JOIN nn CROSS JOIN tx CROSS JOIN ty""")),
+
+    // ---- O125: stationary mix of the event chain ---------------------------
+    // The ergodic companion to markov_attribution: π = πP of the
+    // consecutive-event chain vs the marginal mix observed — disagreement
+    // means the transition structure pushes toward a different regime
+    // than today's snapshot (a LEADING drift signal where drift_event_mix
+    // trails). Same passes as event_transition_matrix; 12 BigInt micro
+    // rounds on the bounded matrix, oracle-replayed as chained CTEs.
+    DeclaredQuery("transition_stationary_mix",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = events(s, dir)
+        val trans = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val marginal = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.relational.MarkovChain.stationaryMix(trans, marginal,
+          rounds = 12)
+      },
+      Some(stationaryOracle(rounds = 12))),
+
+    // ---- O126: DSIR effective sample size ----------------------------------
+    // Is the importance-weighted pool actually diverse, or do a few huge
+    // weights own it? Kish ESS = (Σw)²/Σw² over the DSIR scores — the
+    // standard health check before sampling by importance (ESS ≈ n means
+    // weights are flat; ESS ≪ n means the resample collapses onto a few
+    // docs). One aggregate over the existing score pass.
+    DeclaredQuery("dsir_ess_audit",
+      (s, dir) => {
+        val scores = graft.text.Importance.importanceScores(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source") === "src0", buckets = 1024)
+          .filter(!col("is_target"))
+        scores.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("score").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("__sw"),
+          sum((col("score") * col("score"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sww"))
+          .select(col("n_docs"),
+            expr("(__sw * __sw) div __sww").as("ess_docs"),
+            expr("(1000L * __sw * __sw) div (n_docs * __sww)")
+              .as("ess_permille"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        bg AS (
+          SELECT a.doc_id, a.source = 'src0' AS t,
+                 CAST(('0x' || substring(md5(a.word || ' ' || b.word), 1, 8)) AS BIGINT) % 1024 AS b
+          FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        cw AS (
+          SELECT b, ((SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1) * 1000000)
+                    // (SUM(CASE WHEN t THEN 0 ELSE 1 END) + 1) AS wgt
+          FROM bg GROUP BY 1),
+        sc AS (
+          SELECT bg.doc_id, CAST(SUM(cw.wgt) AS BIGINT) AS score
+          FROM bg JOIN cw USING (b) WHERE NOT bg.t GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST((CAST(SUM(score) AS HUGEINT) * SUM(score))
+               // SUM(CAST(score AS HUGEINT) * score) AS BIGINT) AS ess_docs,
+          CAST((1000 * CAST(SUM(score) AS HUGEINT) * SUM(score))
+               // (COUNT(*) * SUM(CAST(score AS HUGEINT) * score)) AS BIGINT)
+            AS ess_permille
+        FROM sc""")),
+
+    // ---- O128: directional association rules --------------------------------
+    // copurchase_frequent_pairs' directional sibling: each frequent pair
+    // unfolds into both rules a→b / b→a with confidence beside lift, plus
+    // the two set-similarity views of the same counts (cosine² in micro —
+    // squared keeps the division integer-exact, no sqrt — and jaccard in
+    // permille). Row-local explode on the answer-sized pair frame; zero
+    // passes beyond the shared A-Priori pipeline.
+    DeclaredQuery("basket_rule_strengths",
+      (s, dir) => graft.relational.FrequentPairs.ruleStrengths(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 5L, minPairSupport = 3L),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+        ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b
+               GROUP BY 1 HAVING COUNT(*) >= 5),
+        f AS (SELECT b.bk, b.it FROM b JOIN ic ON ic.it = b.it),
+        p AS (SELECT l.it AS ia, r.it AS ib, CAST(COUNT(*) AS BIGINT) AS support
+              FROM f l JOIN f r ON l.bk = r.bk AND l.it < r.it
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM b),
+        e AS (SELECT p.ia, p.ib, p.support, ca.c AS cca, cb.c AS ccb,
+                CAST((CAST(1000 AS HUGEINT) * p.support * nb.n) //
+                  (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_permille
+              FROM p JOIN ic ca ON ca.it = p.ia
+                     JOIN ic cb ON cb.it = p.ib CROSS JOIN nb),
+        r2 AS (SELECT ia AS antecedent, ib AS consequent, support,
+                 cca AS cant, cca, ccb, lift_permille FROM e
+               UNION ALL
+               SELECT ib, ia, support, ccb AS cant, cca, ccb, lift_permille
+               FROM e)
+        SELECT antecedent, consequent, support,
+          CAST((1000 * support) // cant AS BIGINT) AS confidence_permille,
+          lift_permille,
+          CAST((CAST(1000000 AS HUGEINT) * support * support) //
+            (CAST(cca AS HUGEINT) * ccb) AS BIGINT) AS cosine2_micro,
+          CAST((1000 * support) // (cca + ccb - support) AS BIGINT)
+            AS jaccard_permille
+        FROM r2 ORDER BY antecedent, consequent""")),
+
+    // ---- O129: RFM segmentation via windowless exact ntile -------------------
+    // The classic recency/frequency/monetary quintile grid (Hughes 1994) —
+    // and the gate for GlobalRank: exact global ranks with NO
+    // single-partition window (two-phase value-cell offsets, the PrefixSum
+    // discipline), quintiles from the rank via the closed-form
+    // remainder-first ntile both engines share. R=5 most recent, F/M=5
+    // top; segment = 100R+10F+M, rolled up to segment counts + spend.
+    DeclaredQuery("rfm_segments",
+      (s, dir) => {
+        val base = tbl(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("monetary_cents"))
+        val mx = base.agg(max(col("last_order")).as("mxd"))
+        // feeds three byValue passes (2 driver actions each) + the final
+        // aggregate — land once
+        val withRec = graft.relational.Stages.materialize(
+          base.crossJoin(broadcast(mx))
+            .withColumn("recency_days",
+              datediff(col("mxd"), col("last_order")).cast("long"))
+            .drop("mxd", "last_order"), "rfm_base")
+        import graft.relational.GlobalRank
+        val (r1, n) = GlobalRank.byValue(withRec, "recency_days", "c", "__rr")
+        val l1 = graft.relational.Stages.materialize(r1, "rfm_r")
+        val (r2, _) = GlobalRank.byValue(l1, "frequency", "c", "__rf")
+        val l2 = graft.relational.Stages.materialize(r2, "rfm_f")
+        val (r3, _) = GlobalRank.byValue(l2, "monetary_cents", "c", "__rm")
+        r3.select(
+          ((lit(6L) - GlobalRank.ntileFromRank("__rr", n, 5)) * 100L +
+            GlobalRank.ntileFromRank("__rf", n, 5) * 10L +
+            GlobalRank.ntileFromRank("__rm", n, 5)).as("segment"),
+          col("monetary_cents"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_cents")).as("total_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH base AS (SELECT o_custkey AS c,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS monetary_cents
+             FROM orders GROUP BY 1),
+        mx AS (SELECT MAX(last_order) AS mxd FROM base),
+        b2 AS (SELECT c, CAST(date_diff('day', last_order, mxd) AS BIGINT)
+                 AS recency_days, frequency, monetary_cents
+               FROM base CROSS JOIN mx),
+        sc AS (SELECT c, monetary_cents,
+                 6 - ntile(5) OVER (ORDER BY recency_days, c) AS r_score,
+                 ntile(5) OVER (ORDER BY frequency, c) AS f_score,
+                 ntile(5) OVER (ORDER BY monetary_cents, c) AS m_score
+               FROM b2)
+        SELECT CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS segment,
+          CAST(COUNT(*) AS BIGINT) AS n_customers,
+          CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+        FROM sc GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O131: funnel time-to-convert quantiles ------------------------------
+    // How LONG each funnel transition takes, not just how many make it —
+    // exact p50/p90 latency seconds per adjacent stage pair, as LOWER
+    // order statistics at rank ceil(n·p/1000) (the TheilSen defined-rank
+    // discipline, no interpolation). Frontiers ride Funnel.frontierTimes
+    // (the same per-user min-ts chain the gated funnel uses, landed once);
+    // ranks come from GlobalRank — per-pair frames, NO single-partition
+    // window — and the quantile picks are one conditional agg each.
+    // Seconds truncate identically on both sides (ts.cast(long) ↔
+    // floor(epoch(ts)), the rate_limit_audit precedent).
+    DeclaredQuery("funnel_latency_quantiles",
+      (s, dir) => {
+        import graft.relational.{Funnel, GlobalRank}
+        val ft = graft.relational.Stages.materialize(
+          Funnel.frontierTimes(events(s, dir), "user_id", "event_type",
+            "ts", Seq("view", "click", "purchase")), "funnel_fronts")
+        def pairStats(i: Int, from: String, to: String) = {
+          val a = ft.filter(col("stage_idx") === i.toLong)
+            .select(col("user"), col("frontier_ts").as("t0"))
+          val b = ft.filter(col("stage_idx") === (i + 1).toLong)
+            .select(col("user"), col("frontier_ts").as("t1"))
+          val lat = a.join(b, "user")
+            .select(col("user"),
+              (col("t1").cast("long") - col("t0").cast("long")).as("lat"))
+          val (ranked, n) = GlobalRank.byValue(lat, "lat", "user", "__r")
+          val (r50, r90) = ((n * 500 + 999) / 1000, (n * 900 + 999) / 1000)
+          ranked.agg(count(lit(1)).as("n_users"),
+            max(when(col("__r") === r50, col("lat"))).as("p50_sec"),
+            max(when(col("__r") === r90, col("lat"))).as("p90_sec"))
+            .select(lit(s"$from->$to").as("transition"), col("n_users"),
+              col("p50_sec"), col("p90_sec"))
+        }
+        pairStats(1, "view", "click")
+          .unionByName(pairStats(2, "click", "purchase"))
+          .orderBy(col("transition"))
+      },
+      Some("""WITH f1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+               JOIN f1 ON e.user_id = f1.u
+               WHERE e.event_type = 'click' AND e.ts >= f1.t GROUP BY 1),
+        f3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+               JOIN f2 ON e.user_id = f2.u
+               WHERE e.event_type = 'purchase' AND e.ts >= f2.t GROUP BY 1),
+        l AS (SELECT 'view->click' AS transition, f1.u,
+                CAST(floor(epoch(f2.t)) AS BIGINT) -
+                  CAST(floor(epoch(f1.t)) AS BIGINT) AS lat
+              FROM f1 JOIN f2 ON f1.u = f2.u
+              UNION ALL
+              SELECT 'click->purchase', f2.u,
+                CAST(floor(epoch(f3.t)) AS BIGINT) -
+                  CAST(floor(epoch(f2.t)) AS BIGINT)
+              FROM f2 JOIN f3 ON f2.u = f3.u),
+        r AS (SELECT transition, lat,
+                ROW_NUMBER() OVER (PARTITION BY transition
+                  ORDER BY lat, u) AS rn,
+                COUNT(*) OVER (PARTITION BY transition) AS n
+              FROM l)
+        SELECT transition, CAST(MAX(n) AS BIGINT) AS n_users,
+          MAX(CASE WHEN rn = (n * 500 + 999) // 1000 THEN lat END) AS p50_sec,
+          MAX(CASE WHEN rn = (n * 900 + 999) // 1000 THEN lat END) AS p90_sec
+        FROM r GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** DuckDB replay of [[graft.relational.MarkovChain.stationaryMix]] over
+    * the consecutive-event chain: transitions via the same LEAD window,
+    * then `rounds` π-iterations — per-edge truncating (π·n)//out, window
+    * renormalization 10⁶·raw // Σraw — digit-identical to the driver
+    * BigInt rounds.
+    */
+  private def stationaryOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""r$k AS (SELECT g.to_type AS stt,
+           CAST(SUM((p.v * g.n) // t.rt) AS HUGEINT) AS raw
+         FROM g JOIN pi${k - 1} p ON p.stt = g.from_type
+         JOIN t ON t.from_type = g.from_type GROUP BY 1),
+      pi$k AS (SELECT stt,
+           CAST((1000000 * raw) // SUM(raw) OVER () AS HUGEINT) AS v
+         FROM r$k)"""
+    }.mkString(",\n        ")
+    s"""WITH p AS (SELECT event_type AS from_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        g AS MATERIALIZED (SELECT from_type, to_type,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS MATERIALIZED (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rt
+            FROM g GROUP BY 1),
+        stl AS MATERIALIZED (SELECT DISTINCT from_type AS s FROM g
+            UNION SELECT DISTINCT to_type FROM g),
+        pi0 AS (SELECT s AS stt,
+            CAST(1000000 // (SELECT COUNT(*) FROM stl) AS HUGEINT) AS v
+          FROM stl),
+        $roundCtes,
+        m AS MATERIALIZED (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1)
+        SELECT m.event_type, n_events,
+          CAST((1000 * n_events) // (SELECT SUM(n_events) FROM m) AS BIGINT)
+            AS empirical_permille,
+          CAST(COALESCE(fin.v // 1000, 0) AS BIGINT) AS stationary_permille
+        FROM m LEFT JOIN pi$rounds fin ON fin.stt = m.event_type
+        ORDER BY m.event_type"""
+  }
 }

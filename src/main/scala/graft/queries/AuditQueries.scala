@@ -845,6 +845,44 @@ object AuditQueries {
         SELECT g AS event_type, exact_distinct, kth_min, kmv_estimate,
           CAST((1000 * (kmv_estimate - exact_distinct)) // exact_distinct AS BIGINT)
             AS err_permille
+        FROM est ORDER BY event_type""")),
+
+    // ---- O127: HLL register sketch with accuracy audit ----------------------
+    // The REGISTER cardinality sketch beside KMV's bottom-k values: 64
+    // five-bit maxima, merged by cellwise MAX (no distinct pass — max
+    // absorbs duplicates map-side), rank = leading zeros via length(bin(w))
+    // (minimal binary string in BOTH engines — never floor(log2)), harmonic
+    // sum exactly dyadic at scale 2⁵⁵, α₆₄ = 709/1000 exact rational. The
+    // linear-counting branch is intentionally NOT folded in (ln is not
+    // portably exact) — its ingredients (empty_registers, small_range) are
+    // emitted for the caller; see Hll scaladoc.
+    DeclaredQuery("hll_distinct_estimate",
+      (s, dir) => graft.relational.Hll.distinctAudit(
+        events(s, dir), "event_type", "user_id"),
+      Some("""WITH h AS (SELECT event_type AS g,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+        rg AS (SELECT g, h // 18014398509481984 AS r,
+                 h % 18014398509481984 AS w
+               FROM h),
+        rr AS (SELECT g, r,
+                 MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS mj
+               FROM rg GROUP BY 1, 2),
+        sm AS (SELECT g,
+                 CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) +
+                   (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s,
+                 CAST(64 - COUNT(*) AS BIGINT) AS empty_registers
+               FROM rr GROUP BY 1),
+        ex AS (SELECT g, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct
+               FROM h GROUP BY 1),
+        est AS (SELECT ex.g, exact_distinct, empty_registers,
+                  CAST((CAST(709 AS HUGEINT) * 4096 * (CAST(1 AS HUGEINT) << 55))
+                    // (1000 * CAST(s AS HUGEINT)) AS BIGINT) AS hll_estimate
+                FROM ex JOIN sm USING (g))
+        SELECT g AS event_type, exact_distinct, empty_registers, hll_estimate,
+          hll_estimate <= 160 AND empty_registers > 0 AS small_range,
+          CAST((1000 * (hll_estimate - exact_distinct)) // exact_distinct AS BIGINT)
+            AS err_permille
         FROM est ORDER BY event_type"""))
   )
 

@@ -1338,5 +1338,94 @@ object EventQueries {
                 FROM kc JOIN sk USING (j, bucket) GROUP BY 1),
         ex AS (SELECT user_id, COUNT(*) AS "exact" FROM events GROUP BY 1)
         SELECT user_id, est, "exact", est >= "exact" AS ok
-        FROM est JOIN ex USING (user_id) ORDER BY user_id""")))
+        FROM est JOIN ex USING (user_id) ORDER BY user_id""")),
+
+    // ---- O124s: streaming KMV distinct sketch (O124 twin) ------------------
+    // Live distinct-user cardinality at O(k) state per key forever (see
+    // StatefulOps.kmvPerBatch): each batch merges its md5-60 hashes into
+    // the k-smallest sketch and emits a running snapshot with the same
+    // truncating estimate as the batch row. No order contract — set union
+    // commutes. The oracle replays every snapshot as a prefix restriction
+    // (first-batch-of-each-hash ≤ batch), the O103s discipline.
+    DeclaredQuery("stream_distinct_kmv",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "5")
+          .load()
+        val ds = stream.select(col("event_type"),
+          graft.functions.HashFunctions.md5Bits60(
+            col("user_id").cast("string")).as("h"))
+          .as[(String, Long)]
+        val out = graft.streaming.StatefulOps.kmvPerBatch(ds, 64)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "m", "kth_min", "estimate"), "kmv")
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type, user_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        nn AS (SELECT COUNT(*) AS cnt FROM o),
+        wb AS MATERIALIZED (SELECT event_type,
+              CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+              rn // ((cnt + 4) // 5) AS batch
+            FROM o CROSS JOIN nn),
+        pb AS (SELECT DISTINCT event_type, batch FROM wb),
+        hf AS MATERIALIZED (SELECT event_type, h, MIN(batch) AS fb
+            FROM wb GROUP BY 1, 2),
+        sn AS (SELECT pb.event_type, pb.batch, hf.h,
+                 ROW_NUMBER() OVER (PARTITION BY pb.event_type, pb.batch
+                   ORDER BY hf.h) AS rnk
+               FROM pb JOIN hf ON hf.event_type = pb.event_type
+                 AND hf.fb <= pb.batch),
+        tk AS (SELECT event_type, batch, CAST(COUNT(*) AS BIGINT) AS m,
+                 MAX(h) AS kth_min
+               FROM sn WHERE rnk <= 64 GROUP BY 1, 2),
+        sq AS (SELECT event_type, batch, m, kth_min,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY batch) AS BIGINT) AS seq
+               FROM tk)
+        SELECT event_type, seq, m, kth_min,
+          CASE WHEN m < 64 THEN m
+               ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // kth_min AS BIGINT)
+          END AS estimate
+        FROM sq ORDER BY event_type, seq""")),
+
+    // ---- O132: DAU/WAU stickiness -------------------------------------------
+    // The engagement ratio product teams actually watch: per day, distinct
+    // daily actives over distinct trailing-7-day actives, in permille.
+    // Exact with NO trailing-distinct window: the landed distinct user-day
+    // frame explodes each row into the 7 windows it belongs to (row-local
+    // ×7), then one distinct count per window end — trailing distinct as
+    // plain keyed aggregation. Leading days carry partial windows by
+    // construction (documented, same both engines).
+    DeclaredQuery("stickiness_dau_wau",
+      (s, dir) => {
+        val ud = graft.relational.Stages.materialize(
+          events(s, dir)
+            .select(col("user_id"), to_date(col("ts")).as("day")).distinct(),
+          "stick_userdays")
+        val mx = ud.agg(max(col("day")).as("mxd"))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+          .crossJoin(broadcast(mx)).filter(col("day") <= col("mxd"))
+          .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            expr("(1000L * dau) div wau").as("stickiness_permille"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+        mx AS (SELECT MAX(day) AS mxd FROM ud),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        cov AS (SELECT user_id, day + CAST(i AS INTEGER) AS day7
+                FROM ud CROSS JOIN range(7) r(i)),
+        wau AS (SELECT day7 AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                FROM cov CROSS JOIN mx WHERE day7 <= mxd GROUP BY 1)
+        SELECT dau.day, dau, wau, (1000 * dau) // wau AS stickiness_permille
+        FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""")))
 }

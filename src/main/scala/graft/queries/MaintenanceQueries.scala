@@ -321,5 +321,21 @@ object MaintenanceQueries {
           UNION ALL SELECT 'nonpos_price', nonpos_price, checked FROM t
           UNION ALL SELECT 'null_custkey', null_custkey, checked FROM t
           UNION ALL SELECT 'orphan_custkey', violations, (SELECT checked FROM t) FROM orph)
-        ORDER BY rule""")))
+        ORDER BY rule""")),
+
+    // ---- O130: order-insensitive content checksum ---------------------------
+    // The cross-engine "did the copy arrive intact" audit: per source, row
+    // count + exact DECIMAL(38,0) SUM of 60-bit row fingerprints — a
+    // commutative digest, so replicas verify with no sort, no canonical
+    // order, no single reducer, and shard sums merge by addition. One
+    // map-side-combined keyed agg; see Checksum scaladoc for the
+    // separator guard and the ~1e19-row overflow bound.
+    DeclaredQuery("table_content_checksum",
+      (s, dir) => graft.relational.Checksum.perGroup(
+        tbl(s, dir, "documents"), "source", Seq("doc_id", "text")),
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(CAST(('0x' || substring(md5(
+              concat_ws(chr(31), CAST(doc_id AS VARCHAR), text)), 1, 15))
+            AS BIGINT) AS HUGEINT)) AS VARCHAR) AS content_sum
+        FROM documents GROUP BY 1 ORDER BY 1""")))
 }

@@ -32,7 +32,61 @@ object FrequentPairs {
     */
   def mine(df: DataFrame, basketCol: String, itemCol: String,
            minItemSupport: Long, minPairSupport: Long,
-           maxBasketSize: Int = 10000): DataFrame = {
+           maxBasketSize: Int = 10000): DataFrame =
+    minedPairs(df, basketCol, itemCol, minItemSupport, minPairSupport,
+      maxBasketSize)
+      .select(col("item_a"), col("item_b"), col("support"),
+        // IntegralDivide over DECIMAL(38,0) operands → truncating long,
+        // the DuckDB `//` twin (all terms positive here)
+        liftPermille)
+
+  /** Directional association rules over the same mined pairs (Agrawal &
+    * Srikant 1994's confidence beside lift): each unordered frequent pair
+    * unfolds into BOTH rules a→b and b→a — confidence(a→b) =
+    * support(ab)/support(a) differs per direction while the symmetric
+    * measures ride along — plus the two set-similarity views of the same
+    * counts, cosine²(a,b) = support²/(cₐ·c_b) in micro units (squared so
+    * the division stays integer-exact — no sqrt) and jaccard =
+    * support/(cₐ+c_b−support) in permille. One row-local 2-way explode on
+    * the answer-sized pair frame; no work beyond [[mine]]'s passes.
+    *
+    * (antecedent, consequent, support, confidence_permille, lift_permille,
+    * cosine2_micro, jaccard_permille), rule order.
+    */
+  def ruleStrengths(df: DataFrame, basketCol: String, itemCol: String,
+                    minItemSupport: Long, minPairSupport: Long,
+                    maxBasketSize: Int = 10000): DataFrame =
+    minedPairs(df, basketCol, itemCol, minItemSupport, minPairSupport,
+      maxBasketSize)
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("__ca"), col("__cb"), col("__nb"), liftPermille)
+      .select(explode(array(
+        struct(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+          col("__ca").as("__cant")),
+        struct(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("__cb").as("__cant")))).as("__d"),
+        col("support"), col("__ca"), col("__cb"), col("lift_permille"))
+      .select(col("__d.antecedent"), col("__d.consequent"), col("support"),
+        expr("(1000L * support) div __d.__cant").as("confidence_permille"),
+        col("lift_permille"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * support * support) div " +
+          "(CAST(__ca AS DECIMAL(38,0)) * __cb)").as("cosine2_micro"),
+        expr("(1000L * support) div (__ca + __cb - support)")
+          .as("jaccard_permille"))
+      .orderBy(col("antecedent"), col("consequent"))
+
+  private val liftPermille =
+    expr("(CAST(1000 AS DECIMAL(38,0)) * CAST(support AS DECIMAL(38,0))" +
+      " * CAST(__nb AS DECIMAL(38,0))) div " +
+      "(CAST(__ca AS DECIMAL(38,0)) * CAST(__cb AS DECIMAL(38,0)))")
+      .as("lift_permille")
+
+  /** The shared A-Priori pipeline: frequent-item cut, basket-key self
+    * equi-join, pair counts, joined item counts and basket total —
+    * (item_a, item_b, support, __ca, __cb, __nb). */
+  private def minedPairs(df: DataFrame, basketCol: String, itemCol: String,
+                         minItemSupport: Long, minPairSupport: Long,
+                         maxBasketSize: Int): DataFrame = {
     require(minItemSupport >= 1 && minPairSupport >= 1)
     // b feeds four consumers (the size guard, item counts, the filtered
     // join spine, and the basket total) — land the distinct once
@@ -67,13 +121,6 @@ object FrequentPairs {
       .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("__cb")),
         Seq("item_b"))
       .crossJoin(broadcast(nBaskets))
-      .select(col("item_a"), col("item_b"), col("support"),
-        // IntegralDivide over DECIMAL(38,0) operands → truncating long,
-        // the DuckDB `//` twin (all terms positive here)
-        expr("(CAST(1000 AS DECIMAL(38,0)) * CAST(support AS DECIMAL(38,0))" +
-          " * CAST(__nb AS DECIMAL(38,0))) div " +
-          "(CAST(__ca AS DECIMAL(38,0)) * CAST(__cb AS DECIMAL(38,0)))")
-          .as("lift_permille"))
   }
 
   private def emptyResult(df: DataFrame, itemCol: String): DataFrame = {
@@ -85,6 +132,8 @@ object FrequentPairs {
         StructField("item_a", itemType),
         StructField("item_b", itemType),
         StructField("support", LongType),
-        StructField("lift_permille", LongType))))
+        StructField("__ca", LongType),
+        StructField("__cb", LongType),
+        StructField("__nb", LongType))))
   }
 }

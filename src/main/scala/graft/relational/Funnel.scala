@@ -75,4 +75,31 @@ object Funnel {
           .otherwise(expr("(1000L * n_users) div __base")))
       .drop("__base")
   }
+
+  /** The per-user frontier timestamps behind [[conversion]] — (user,
+    * stage_idx, stage, frontier_ts), one row per user per REACHED stage
+    * (same min-ts in-order semantics, same per-user join chain). This is
+    * the frame latency analytics start from: stage i's row joined to
+    * stage i+1's on the user is the user's transition time.
+    */
+  def frontierTimes(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    var frontier = ev.filter(col("__t") === stages.head)
+      .groupBy("__u").agg(min(col("__ts")).as("__ft"))
+    var perStage = Vector(frontier)
+    stages.drop(1).foreach { st =>
+      frontier = ev.filter(col("__t") === st)
+        .join(frontier, "__u")
+        .filter(col("__ts") >= col("__ft"))
+        .groupBy("__u").agg(min(col("__ts")).as("__ft"))
+      perStage :+= frontier
+    }
+    perStage.zipWithIndex.map { case (f, i) =>
+      f.select(col("__u").as("user"), lit(i + 1L).as("stage_idx"),
+        lit(stages(i)).as("stage"), col("__ft").as("frontier_ts"))
+    }.reduce(_.union(_))
+  }
 }

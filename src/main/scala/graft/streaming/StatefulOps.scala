@@ -191,4 +191,44 @@ object StatefulOps {
           (k, total)
       }
   }
+
+  /** Streaming KMV distinct-count sketch — [[graft.relational.Kmv]]'s
+    * streaming twin (the O124s row): per key, state is EXACTLY the sketch
+    * (the k smallest distinct 60-bit hashes, ascending) — O(k) forever,
+    * whatever the true cardinality — and each batch merges its hashes and
+    * emits a running snapshot (key, seq, m, kth_min, estimate) with the
+    * same truncating (k−1)·2⁶⁰ div h₍ₖ₎ estimate the batch operator
+    * reports. Where `stream_dedup_firstseen` pays state per DISTINCT KEY
+    * to count exactly, this answers "roughly how many distinct users so
+    * far, live" at constant state — the cardinality dashboards actually
+    * run. No order contract: set-union is commutative, so late or
+    * shuffled arrivals land in the same sketch.
+    */
+  def kmvPerBatch(ds: Dataset[(String, Long)], k: Int)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    require(k >= 16 && k <= 4096,
+      s"kmvPerBatch: k=$k outside 16..4096 (the Kmv contract)")
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Long, Array[Long])] =
+      Encoders.product[(Long, Array[Long])]
+    val est2p60 = BigInt(1) << 60
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Array[Long]),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          val (seq0, arr0) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val merged = (arr0 ++ rows.map(_._2)).distinct.sorted.take(k)
+          val m = merged.length.toLong
+          val kth = if (m > 0) merged.last else 0L
+          val est =
+            if (m < k) m
+            else ((BigInt(k - 1) * est2p60) / BigInt(kth)).toLong
+          state.update((seq0 + 1L, merged))
+          Iterator.single((key, seq0 + 1L, m, kth, est))
+      }
+  }
 }

@@ -47,4 +47,19 @@ class FrequentPairsSpec extends SparkSpec {
     assert(out.columns.toSeq ===
       Seq("item_a", "item_b", "support", "lift_permille"))
   }
+
+  test("rule strengths: hand-checked confidence, lift, cosine², jaccard") {
+    // same fixture as the lift test: c(A)=3 c(B)=2 c(C)=1, 3 baskets
+    // A→B conf 2000 div 3=666, B→A 1000; cos²(A,B)=4e6 div 6=666666,
+    // jac(A,B)=2000 div 3=666; A→C 333 / C→A 1000, cos²=333333, jac=333
+    val rows = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C")).toDF("basket", "item")
+    val out = FrequentPairs.ruleStrengths(rows, "basket", "item", 1L, 1L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("A", "B", 2L, 666L, 1000L, 666666L, 666L),
+      ("A", "C", 1L, 333L, 1000L, 333333L, 333L),
+      ("B", "A", 2L, 1000L, 1000L, 666666L, 666L),
+      ("C", "A", 1L, 1000L, 1000L, 333333L, 333L)))
+  }
 }

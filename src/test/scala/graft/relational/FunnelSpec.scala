@@ -44,4 +44,18 @@ class FunnelSpec extends SparkSpec {
       (1L, "purchase", 15L))
     assert(out.map(_._3).toSeq === Seq(1L, 1L, 0L))
   }
+
+  test("frontierTimes exposes the per-user min-ts chain behind conversion") {
+    val evs = Seq(
+      (1L, "view", 10L), (1L, "click", 15L), (1L, "purchase", 20L),
+      (2L, "view", 30L),                      // stalls at stage 1
+      (3L, "purchase", 5L))                   // never views → no frontier
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.frontierTimes(evs, "user_id", "event_type", "ts", stages)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, "view", 10L), (2L, 1L, "view", 30L),
+      (1L, 2L, "click", 15L),
+      (1L, 3L, "purchase", 20L)))
+  }
 }

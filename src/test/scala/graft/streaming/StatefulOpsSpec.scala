@@ -129,4 +129,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("out-of-order") ||
       Option(e.getCause).exists(_.getMessage.contains("out-of-order")))
   }
+
+  test("streaming KMV merges hashes across batches at O(k) state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val kmv = StatefulOps.kmvPerBatch(input.toDS(), 16)
+    val q = kmv.writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: 5 distinct hashes (below k → exact count)
+    input.addData((1L to 5L).map(h => ("a", h)): _*)
+    q.processAllAvailable()
+    // batch 2: one duplicate + two new → m grows to 7, still exact
+    input.addData(("a", 3L), ("a", 6L), ("a", 7L))
+    q.processAllAvailable()
+    // key b: 20 distinct in one batch → sketch keeps the 16 smallest,
+    // kth_min = 16, estimate = 15·2⁶⁰ div 16 = 15·2⁵⁶
+    input.addData((1L to 20L).map(h => ("b", h)): _*)
+    q.processAllAvailable()
+    val got = spark.table("kmv_out")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+
+    assert(got === Set(
+      ("a", 1L, 5L, 5L, 5L),
+      ("a", 2L, 7L, 7L, 7L),
+      ("b", 1L, 16L, 16L, (BigInt(15) << 60 >> 4).toLong)))
+  }
+
+  test("streaming KMV refuses k outside the Kmv contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    intercept[IllegalArgumentException](
+      StatefulOps.kmvPerBatch(input.toDS(), 8))
+  }
 }
