@@ -230,6 +230,14 @@ object Dedup {
     * canonical plan): the jaccard and containment queries over the same
     * blocks read the same files.
     */
+  /** The landed blockless (id, key) distinct-shingle index — the frame the
+    * jaccard/containment family rides, exposed for set-cover consumers
+    * ([[CoverageSelect]]) that need the same portable md5-60 shingle keys.
+    */
+  def shingleKeys(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    shingleIndex(docs, idCol, textCol, shingleN, Nil)
+
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, blockCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

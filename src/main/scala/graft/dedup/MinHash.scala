@@ -177,6 +177,19 @@ object MinHash {
                        numBands: Int = 8): DataFrame =
     portableIndex(docs, idCol, textCol, shingleN, numHashes, numBands)._2
 
+  /** The portable pipeline's PRE-VERIFY candidate pairs (id1 < id2) —
+    * exposed for blocking-quality audits (pair completeness vs an exact
+    * truth set, comparison-space reduction): the blocker's raw output IS
+    * the quantity those metrics are defined on, before verification
+    * shrinks it.
+    */
+  def portableCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, numHashes: Int = 16,
+                             numBands: Int = 8,
+                             maxBucket: Int = 1000): DataFrame =
+    candidatePairs(portableIndex(docs, idCol, textCol, shingleN,
+      numHashes, numBands)._2, maxBucket)
+
   /** Shared build of the portable (distinct-hash, banded) frames. */
   /** Portable md5-derived minhash mins m0..m(k-1) per id from the distinct
     * 60-bit shingle-hash frame. One md5 digest is 128 bits = TWO

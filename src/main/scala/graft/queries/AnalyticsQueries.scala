@@ -967,7 +967,145 @@ object AnalyticsQueries {
         SELECT transition, CAST(MAX(n) AS BIGINT) AS n_users,
           MAX(CASE WHEN rn = (n * 500 + 999) // 1000 THEN lat END) AS p50_sec,
           MAX(CASE WHEN rn = (n * 900 + 999) // 1000 THEN lat END) AS p90_sec
-        FROM r GROUP BY 1 ORDER BY 1"""))
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O135: top journey trigrams -------------------------------------------
+    // Gap-free sequential patterns one order up from the bigram transition
+    // matrix: which three-step paths dominate user journeys? Two per-user
+    // LEADs (one partitioned window pass), one map-side-combined count,
+    // TakeOrdered top-20 — the n-gram slice of PrefixSpan that needs no
+    // candidate generation. share_permille is of ALL trigram instances,
+    // so the head's coverage is read directly.
+    DeclaredQuery("journey_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val tri = events(s, dir)
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("support"))
+        val total = tri.agg(sum(col("support")).as("__t"))
+        tri.crossJoin(broadcast(total))
+          .select(col("e1"), col("e2"), col("e3"), col("support"),
+            expr("(1000L * support) div __t").as("share_permille"))
+          .orderBy(desc("support"), col("e1"), col("e2"), col("e3"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS e3
+             FROM events),
+        g AS (SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS support
+              FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        n AS (SELECT SUM(support) AS tot FROM g)
+        SELECT e1, e2, e3, support,
+          CAST((1000 * support) // tot AS BIGINT) AS share_permille
+        FROM g CROSS JOIN n
+        ORDER BY support DESC, e1, e2, e3 LIMIT 20""")),
+
+    // ---- O139: changepoint LOCATION estimate ----------------------------------
+    // cusum_event_drift says whether a level shift happened; this says
+    // where and by how much: single-split binary segmentation,
+    // τ* = argmax |n·P_t − t·P_n| (fraction-free centered partial sum),
+    // pre/post daily means in exact milli-events. Same daily agg, two
+    // per-key day-span windows, rank-1 pick.
+    DeclaredQuery("changepoint_location",
+      (s, dir) => graft.relational.Changepoint
+        .locateShift(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1),
+        r AS (SELECT d.event_type, d.day, t.n_days, t.tot,
+                CAST(SUM(d.n_events) OVER (PARTITION BY d.event_type
+                  ORDER BY d.day) AS BIGINT) AS p,
+                CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                  ORDER BY d.day) AS BIGINT) AS tt
+              FROM daily d JOIN t USING (event_type)),
+        x AS (SELECT *, n_days * p - tt * tot AS dd,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY abs(n_days * p - tt * tot) DESC, day) AS rk
+              FROM r),
+        f AS (SELECT event_type, day AS split_day, n_days,
+                abs(dd) AS d_stat,
+                (1000 * p) // tt AS pre_mean_milli,
+                CASE WHEN n_days = tt THEN NULL
+                     ELSE (1000 * (tot - p)) // (n_days - tt)
+                END AS post_mean_milli
+              FROM x WHERE rk = 1)
+        SELECT event_type, split_day, n_days, d_stat, pre_mean_milli,
+          post_mean_milli, post_mean_milli - pre_mean_milli AS shift_milli
+        FROM f ORDER BY event_type""")),
+
+    // ---- O142: entity resolution end to end ----------------------------------
+    // The full ER loop as one gated row: FS-blocked comparisons → match
+    // rule (≥2 of 3 fields agree — partial agreement is what makes the
+    // transitive closure do real work: A≈B on bands, B≈C on years, one
+    // entity {A,B,C}) → connected components → entity summary. The slice
+    // cap (rid < 2000) bounds the pair space at every SF, the
+    // simhash_portable_pairs fixture discipline; production points the
+    // same chain at LSH-blocked record pairs.
+    DeclaredQuery("er_entity_clusters",
+      (s, dir) => {
+        val ord = tbl(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(year(col("o_orderdate"))).cast("long").as("first_year"))
+        val rec = graft.relational.Stages.materialize(
+          tbl(s, dir, "customer").filter(col("c_custkey") < 2000L)
+            .join(ord, col("c_custkey") === col("o_custkey"))
+            .select(col("c_custkey").as("rid"), col("c_nationkey"),
+              col("c_mktsegment"),
+              expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) div 100000")
+                .as("bal_band"),
+              expr("n_orders div 5").as("ord_band"), col("first_year")),
+          "er_records")
+        val matches = graft.relational.Linkage
+          .scorePairs(rec, "rid", Seq("c_nationkey", "c_mktsegment"),
+            Seq("bal_band", "ord_band", "first_year"))
+          .filter(col("agree_bal_band") + col("agree_ord_band") +
+            col("agree_first_year") >= 2L)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val labels = graft.dedup.Components.connectedComponents(
+          rec.select(col("rid").as("id")), "id", matches, "src", "dst")
+        graft.dedup.Components.componentSummary(labels)
+          .orderBy(col("comp"))
+      },
+      Some("""WITH ord AS (SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS fy
+             FROM orders GROUP BY 1),
+        rec AS (SELECT c_custkey AS rid, c_nationkey, c_mktsegment,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000
+              AS bal_band,
+            n_orders // 5 AS ord_band, fy AS first_year
+          FROM customer JOIN ord ON c_custkey = o_custkey
+          WHERE c_custkey < 2000),
+        mt AS (SELECT a.rid AS id1, b.rid AS id2
+               FROM rec a JOIN rec b ON a.c_nationkey = b.c_nationkey
+                 AND a.c_mktsegment = b.c_mktsegment AND a.rid < b.rid
+               WHERE (CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END +
+                      CASE WHEN a.ord_band = b.ord_band THEN 1 ELSE 0 END +
+                      CASE WHEN a.first_year = b.first_year THEN 1 ELSE 0 END)
+                     >= 2),
+        edges AS (SELECT id1 AS src, id2 AS dst FROM mt
+                  UNION ALL SELECT id2, id1 FROM mt),
+        nodes AS (SELECT rid AS id FROM rec),
+        r AS (
+          WITH RECURSIVE rr(id, reach) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
+          SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
+        SELECT comp, COUNT(*) AS n_members,
+          CAST(SUM(id) AS BIGINT) AS id_checksum
+        FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovChain.stationaryMix]] over

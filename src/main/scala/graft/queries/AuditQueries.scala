@@ -883,7 +883,93 @@ object AuditQueries {
           hll_estimate <= 160 AND empty_registers > 0 AS small_range,
           CAST((1000 * (hll_estimate - exact_distinct)) // exact_distinct AS BIGINT)
             AS err_permille
-        FROM est ORDER BY event_type"""))
+        FROM est ORDER BY event_type""")),
+
+    // ---- O133: KMV shard-merge audit -----------------------------------------
+    // The distributed-sketch algebra under the gate: sketch 4 portable
+    // shards independently (split = h mod 4, engine-replayable), merge
+    // with one more bottom-k pass, report beside the direct whole-group
+    // sketch. Bottom-k merge is EXACT (k-smallest of a union ⊆ union of
+    // per-shard k-smallests), so merge_exact must be TRUE on every row —
+    // the property a 1000-shard production merge stands on, emitted as an
+    // audited value rather than asserted in a spec alone.
+    DeclaredQuery("kmv_shard_merge",
+      (s, dir) => graft.relational.Kmv.mergeAudit(
+        events(s, dir), "event_type", "user_id", k = 64, shards = 4),
+      Some("""WITH h AS (SELECT DISTINCT event_type AS g,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM events),
+        sh AS (SELECT g, h, h % 4 AS shard FROM h),
+        ps AS (SELECT g, h FROM (
+                 SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g, shard
+                   ORDER BY h) AS rn FROM sh) t
+               WHERE rn <= 64),
+        mg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m_merged,
+                 MAX(h) AS kth_merged
+               FROM (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY h) AS rn FROM ps) t
+               WHERE rn <= 64 GROUP BY 1),
+        dr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m_direct,
+                 MAX(h) AS kth_direct
+               FROM (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY h) AS rn FROM h) t
+               WHERE rn <= 64 GROUP BY 1)
+        SELECT dr.g AS event_type, m_direct, kth_direct, kth_merged,
+          m_merged = m_direct AND kth_merged = kth_direct AS merge_exact,
+          CASE WHEN m_direct < 64 THEN m_direct
+               ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // kth_merged AS BIGINT)
+          END AS kmv_estimate
+        FROM dr JOIN mg USING (g) ORDER BY event_type""")),
+
+    // ---- O136: portable relative-error quantile sketch ----------------------
+    // DDSketch (Masson 2019) on integer bit arithmetic: bucket = exponent
+    // (length(bin(v)) — minimal binary both engines, no float log) + top 4
+    // mantissa bits, 16 sub-steps per octave → <1/16 relative error, the
+    // sketch a ≤16·64-cell mergeable histogram per group. Audited beside
+    // the exact lower order statistics (bounded distinct-value probe).
+    DeclaredQuery("ddsketch_value_quantiles",
+      (s, dir) => graft.relational.DdSketch.quantileAudit(
+        events(s, dir).select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", Seq(500, 990)),
+      Some("""WITH b AS (SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             FROM events),
+        kk AS (SELECT g, CASE WHEN v < 16 THEN v
+                 ELSE 16 * length(bin(v)) +
+                   (v // (CAST(1 AS BIGINT) << (length(bin(v)) - 5)) - 16)
+                 END AS k
+               FROM b),
+        c AS (SELECT g, k, CAST(COUNT(*) AS BIGINT) AS c FROM kk GROUP BY 1, 2),
+        n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        cum AS (SELECT g, k, SUM(c) OVER (PARTITION BY g ORDER BY k) AS cum
+                FROM c),
+        q AS (SELECT * FROM (VALUES (500), (990)) q(q_permille)),
+        sk AS (SELECT cum.g, q.q_permille, n.n, MIN(cum.k) AS pick
+               FROM cum JOIN n USING (g) CROSS JOIN q
+               WHERE cum.cum >= (n.n * q.q_permille + 999) // 1000
+               GROUP BY 1, 2, 3),
+        se AS (SELECT g, q_permille, n,
+                 CASE WHEN pick < 16 THEN pick
+                      ELSE (16 + pick % 16) *
+                        (CAST(1 AS BIGINT) << CAST(pick // 16 - 5 AS INTEGER))
+                 END AS sketch_estimate
+               FROM sk),
+        gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        vc AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+               FROM gv),
+        ex AS (SELECT vc.g, q.q_permille, MIN(vc.v) AS exact_value
+               FROM vc JOIN n USING (g) CROSS JOIN q
+               WHERE vc.cum >= (n.n * q.q_permille + 999) // 1000
+               GROUP BY 1, 2)
+        SELECT se.g AS event_type, CAST(se.q_permille AS BIGINT) AS q_permille,
+          se.n, se.sketch_estimate, ex.exact_value,
+          CASE WHEN ex.exact_value = 0 THEN NULL
+               ELSE (1000 * (se.sketch_estimate - ex.exact_value)) // ex.exact_value
+          END AS err_permille
+        FROM se JOIN ex ON ex.g = se.g AND ex.q_permille = se.q_permille
+        ORDER BY event_type, q_permille"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovAttribution]]: journeys →

@@ -512,5 +512,51 @@ object CurationQueries {
           CAST(CASE WHEN max_len = 0 THEN 1000
             ELSE (1000 * (max_len - dist)) // max_len END AS BIGINT)
             AS sim_permille
-        FROM p ORDER BY id1, id2""")))
+        FROM p ORDER BY id1, id2""")),
+
+    // ---- O144: coverage-maximizing subset selection ---------------------------
+    // Greedy facility location over the doc/shingle bipartite (Lin & Bilmes
+    // 2011's set-cover slice): k documents spanning the most distinct
+    // n-gram space — dedup's complement (seed DIVERSITY rather than remove
+    // redundancy). One anti-join + keyed count + TakeOrdered(1) per pinned
+    // round; gains are exact distinct-key counts on the same landed md5-60
+    // shingle index the jaccard family rides; oracle replays every round.
+    DeclaredQuery("coverage_select_greedy",
+      (s, dir) => graft.dedup.CoverageSelect.greedyCoverage(
+        tbl(s, dir, "documents"), "doc_id", "text", k = 6),
+      Some(coverageOracle(6)))
+  )
+
+  /** DuckDB replay of [[graft.dedup.CoverageSelect.greedyCoverage]]: the
+    * identical blockless md5-60 shingle index, then k chained rounds —
+    * each round's pick is ORDER BY gain DESC, id LIMIT 1 over the
+    * not-yet-covered keys, and the covered set grows by the pick's keys.
+    */
+  private def coverageOracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val notCovered =
+        if (r == 1) "" else s"WHERE NOT EXISTS (SELECT 1 FROM cov${r - 1} c WHERE c.key = hs.key)"
+      val cov =
+        if (r == 1) s"SELECT DISTINCT hs.key FROM hs JOIN g1 USING (id)"
+        else s"SELECT key FROM cov${r - 1} UNION " +
+          s"SELECT hs.key FROM hs JOIN g$r USING (id)"
+      s"""g$r AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS gain FROM hs
+           $notCovered GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+        sel$r AS (SELECT CAST($r AS BIGINT) AS round, id, gain FROM g$r),
+        cov$r AS MATERIALIZED ($cov)"""
+    }.mkString(",\n        ")
+    val union = (1 to k).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS ts
+          FROM documents),
+        hs AS MATERIALIZED (SELECT DISTINCT id,
+            unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+              i -> CAST(('0x' || substring(md5(array_to_string(
+                list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT)))) AS key
+          FROM tk WHERE len(ts) >= 3),
+        $rounds,
+        u AS ($union)
+        SELECT round, CAST(id AS BIGINT) AS doc_id, gain AS marginal_gain,
+          CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+        FROM u ORDER BY round"""
+  }
 }

@@ -1427,5 +1427,130 @@ object EventQueries {
         wau AS (SELECT day7 AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
                 FROM cov CROSS JOIN mx WHERE day7 <= mxd GROUP BY 1)
         SELECT dau.day, dau, wau, (1000 * dau) // wau AS stickiness_permille
-        FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""")))
+        FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day""")),
+
+    // ---- O134s: streaming out-of-order lateness audit ------------------------
+    // The measurement a watermark delay is actually sized from: per key
+    // and batch, rows older than the PRIOR batches' max event time and
+    // the worst staleness seconds (see StatefulOps.latenessPerBatch —
+    // O(1) state, no order contract: the frontier is cross-batch, so
+    // within-batch order is irrelevant). The replay source batches in
+    // ARRIVAL order (ts, event_id); event time is arrival minus a
+    // deterministic md5 transport delay (0..7199 s) — the "arrives
+    // roughly in order, event-time jitters backward" reality that makes
+    // lateness nonzero and the audit worth running. Oracle replays
+    // batches as prefix restrictions with a running per-key frontier.
+    DeclaredQuery("stream_lateness_profile",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "5")
+          .load()
+        val ds = Dsl.normalizeTs(stream)
+          .select(col("event_type"),
+            (col("ts").cast("long") -
+              pmod(graft.functions.HashFunctions.md5Bits60(
+                col("event_id").cast("string")), lit(7200L))).as("sec"))
+          .as[(String, Long)]
+        val out = graft.streaming.StatefulOps.latenessPerBatch(ds)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "n_rows", "n_late", "max_late_sec",
+            "max_ts"), "lateness")
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type, ts, event_id,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        nn AS (SELECT COUNT(*) AS cnt FROM o),
+        wb AS MATERIALIZED (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) -
+                (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 7200) AS sec,
+              rn // ((cnt + 4) // 5) AS batch
+            FROM o CROSS JOIN nn),
+        bm AS (SELECT event_type, batch, MAX(sec) AS bmax,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM wb GROUP BY 1, 2),
+        pm AS MATERIALIZED (SELECT event_type, batch, n_rows, bmax,
+                 MAX(bmax) OVER (PARTITION BY event_type ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+               FROM bm),
+        lt AS (SELECT w.event_type, w.batch,
+                 CAST(SUM(CASE WHEN p.prior_max IS NOT NULL
+                   AND w.sec < p.prior_max THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+                 CAST(COALESCE(MAX(CASE WHEN p.prior_max IS NOT NULL
+                   AND w.sec < p.prior_max THEN p.prior_max - w.sec END), 0)
+                   AS BIGINT) AS max_late_sec
+               FROM wb w JOIN pm p ON p.event_type = w.event_type
+                 AND p.batch = w.batch
+               GROUP BY 1, 2)
+        SELECT p.event_type,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p.event_type ORDER BY p.batch)
+            AS BIGINT) AS seq,
+          p.n_rows, lt.n_late, lt.max_late_sec,
+          CAST(GREATEST(COALESCE(p.prior_max, p.bmax), p.bmax) AS BIGINT)
+            AS max_ts
+        FROM pm p JOIN lt ON lt.event_type = p.event_type
+          AND lt.batch = p.batch
+        ORDER BY p.event_type, seq""")),
+
+    // ---- O138: session entry/bounce rollup -----------------------------------
+    // The web-analytics read of the gated sessionization: per ENTRY event
+    // type, how many sessions start there, how many bounce (single-event
+    // sessions), and the mean session depth in milli-events. Entry/exit
+    // picked by min_by/max_by on the unique event_id (both engines);
+    // same 30-min-gap session split as events_sessions — per-user windows
+    // only.
+    DeclaredQuery("session_bounce_stats",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val frame = byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val flagged = events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800L,
+              1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(frame))
+        flagged.groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n"),
+            expr("min_by(event_type, event_id)").as("entry_type"))
+          .groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+            sum(col("n")).as("__ev"))
+          .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+            expr("(1000L * n_bounces) div n_sessions").as("bounce_permille"),
+            expr("(1000L * __ev) div n_sessions").as("events_per_session_milli"))
+          .orderBy(col("entry_type"))
+      },
+      Some("""WITH l AS (
+          SELECT user_id, event_id, event_type, ts,
+            LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+          FROM events),
+        g AS (
+          SELECT user_id, event_id, event_type,
+            CASE WHEN prev_ts IS NULL
+              OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+              AS new_sess
+          FROM l),
+        sx AS (
+          SELECT user_id, event_id, event_type,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g),
+        c AS (SELECT user_id, sess_id, COUNT(*) AS n,
+                min_by(event_type, event_id) AS entry_type
+              FROM sx GROUP BY 1, 2)
+        SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+          CAST((1000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS bounce_permille,
+          CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT)
+            AS events_per_session_milli
+        FROM c GROUP BY 1 ORDER BY 1""")))
 }

@@ -594,5 +594,169 @@ object ExtendedQueries {
         WHERE bal_cents * n > tot
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderdate > co)
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-H Q6: forecasting revenue change --------------------------------
+    // The selective-scan shape: every predicate must reach the parquet
+    // scan (PushedFilters), the aggregate is one partial-combined sum —
+    // the minimal full-scan-avoidance benchmark row.
+    DeclaredQuery("q6_forecast_revenue",
+      (s, dir) => tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          dec2(col("l_discount")).between(
+            java.math.BigDecimal.valueOf(0.05), java.math.BigDecimal.valueOf(0.07)) &&
+          col("l_quantity") < 24)
+        .agg(dsum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ---- TPC-H Q14: promotion effect ------------------------------------------
+    // Broadcast part-dim join + one conditional aggregate; the share is
+    // exact permille via DECIMAL integral division, beside the double sums.
+    DeclaredQuery("q14_promo_effect",
+      (s, dir) => tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            revenue(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(java.math.BigDecimal.ZERO))).as("__promo"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))).as("__tot"))
+        .select(col("__promo").cast("double").as("promo_revenue"),
+          col("__tot").cast("double").as("total_revenue"),
+          // scale-stripped to integers first: DuckDB's // on DECIMALs is
+          // DOUBLE division (measured 64.995, not 64) — integer operands
+          // keep both engines on exact integral division
+          expr("(1000 * CAST(__promo * 10000 AS DECIMAL(38,0))) div " +
+            "CAST(__tot * 10000 AS DECIMAL(38,0))").as("promo_permille")),
+      Some("""WITH a AS (SELECT
+            SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+              ELSE 0 END) AS promo,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS tot
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate < TIMESTAMP '1996-10-01')
+        SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+          CAST(tot AS DOUBLE) AS total_revenue,
+          CAST((1000 * CAST(promo * 10000 AS HUGEINT))
+            // CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS promo_permille
+        FROM a""")),
+
+    // ---- TPC-H Q15: top supplier ----------------------------------------------
+    // The view-over-aggregate shape: quarterly revenue per supplier, then
+    // suppliers AT the max (decimal equality — exact, ties all surface).
+    // The max is a 1-row broadcast, never a global sort.
+    DeclaredQuery("q15_top_supplier",
+      (s, dir) => {
+        val rev = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("__rev"))
+        val mx = rev.agg(max(col("__rev")).as("__mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("__rev") === col("__mx"))
+          .join(broadcast(tbl(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT MAX(r) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ---- TPC-H Q8: national market share ----------------------------------------
+    // The deep star shape: orders of AMERICA-region customers for ECONOMY
+    // parts, share supplied by NATION_6 per order year — two broadcast dim
+    // chains (customer→nation→region, supplier→nation), one fact scan,
+    // exact permille share.
+    DeclaredQuery("q8_market_share",
+      (s, dir) => {
+        val nations = broadcast(tbl(s, dir, "nation"))
+        val custNat = tbl(s, dir, "customer")
+          .join(nations, col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "AMERICA")
+          .select(col("c_custkey"))
+        val suppNat = tbl(s, dir, "supplier")
+          .join(broadcast(tbl(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("sn_name"))
+        tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custNat, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("sn_name") === "NATION_6",
+              revenue(col("l_extendedprice"), col("l_discount")))
+              .otherwise(lit(java.math.BigDecimal.ZERO))).as("__nat"),
+            sum(revenue(col("l_extendedprice"), col("l_discount"))).as("__tot"))
+          .select(col("o_year"),
+            col("__nat").cast("double").as("nation_volume"),
+            col("__tot").cast("double").as("total_volume"),
+            expr("(1000 * CAST(__nat * 10000 AS DECIMAL(38,0))) div " +
+              "CAST(__tot * 10000 AS DECIMAL(38,0))").as("mkt_share_permille"))
+          .orderBy(col("o_year"))
+      },
+      Some("""WITH amer AS (SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'),
+        sn AS (SELECT s_suppkey, n_name AS sn_name FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey),
+        f AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                CASE WHEN sn.sn_name = 'NATION_6'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                  ELSE 0 END AS nat_v,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS tot_v
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN sn ON l_suppkey = sn.s_suppkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_custkey IN (SELECT c_custkey FROM amer))
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+          CAST(SUM(nat_v) AS DOUBLE) AS nation_volume,
+          CAST(SUM(tot_v) AS DOUBLE) AS total_volume,
+          CAST((1000 * CAST(SUM(nat_v) * 10000 AS HUGEINT))
+            // CAST(SUM(tot_v) * 10000 AS HUGEINT) AS BIGINT)
+            AS mkt_share_permille
+        FROM f GROUP BY 1 ORDER BY 1""")))
 }

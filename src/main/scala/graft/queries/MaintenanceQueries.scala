@@ -337,5 +337,50 @@ object MaintenanceQueries {
           CAST(SUM(CAST(CAST(('0x' || substring(md5(
               concat_ws(chr(31), CAST(doc_id AS VARCHAR), text)), 1, 15))
             AS BIGINT) AS HUGEINT)) AS VARCHAR) AS content_sum
-        FROM documents GROUP BY 1 ORDER BY 1""")))
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O141: functional-dependency audit -----------------------------------
+    // Schema discovery's exact question for declared candidates: does
+    // det → dep hold, how many determinant values branch, and how badly —
+    // the dirty-join-key smell (an FD that ALMOST holds) surfaced as a
+    // violation permille. One countDistinct-per-determinant agg per
+    // candidate; the key FD (o_orderkey → o_custkey) must hold, the
+    // behavioral ones must not.
+    DeclaredQuery("fd_discovery_audit",
+      (s, dir) => graft.relational.Profile.fdAudit(tbl(s, dir, "orders"),
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus"))),
+      Some("""WITH u AS (
+          SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+            CAST(COUNT(*) AS BIGINT) AS n_determinants,
+            CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+            CAST(MAX(k) AS BIGINT) AS max_branching
+          FROM (SELECT COUNT(DISTINCT o_custkey) AS k FROM orders
+                GROUP BY o_orderkey)
+          UNION ALL
+          SELECT 'o_custkey', 'o_orderpriority',
+            CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(k) AS BIGINT)
+          FROM (SELECT COUNT(DISTINCT o_orderpriority) AS k FROM orders
+                GROUP BY o_custkey)
+          UNION ALL
+          SELECT 'o_custkey', 'o_orderstatus',
+            CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(k) AS BIGINT)
+          FROM (SELECT COUNT(DISTINCT o_orderstatus) AS k FROM orders
+                GROUP BY o_custkey)
+          UNION ALL
+          SELECT 'o_orderpriority', 'o_orderstatus',
+            CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(MAX(k) AS BIGINT)
+          FROM (SELECT COUNT(DISTINCT o_orderstatus) AS k FROM orders
+                GROUP BY o_orderpriority))
+        SELECT determinant, dependent, n_determinants, n_violating,
+          max_branching, n_violating = 0 AS holds,
+          (1000 * n_violating) // n_determinants AS violation_permille
+        FROM u ORDER BY determinant, dependent""")))
 }

@@ -425,6 +425,67 @@ object PipelineQueries {
        |bk AS ($bandUnion)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.vector.Mmr.rerank]] over the IVF pool: the
+    * ivf_topk CTE chain widened to `poolK`, candidate pair cosines, then
+    * `select` greedy rounds — each round's pick is ROW_NUMBER over
+    * ((score − maxsim)/2 DESC, cid), the identical IEEE expression the
+    * Spark side evaluates.
+    */
+  private def mmrOracleSql(poolK: Int, select: Int, maxQid: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(list_zip($b, $b), x -> x[1] * x[2]), (a, b) -> a + b)))"""
+    val rounds = (2 to select).map { r =>
+      s"""ms$r AS (SELECT s.qid, s.c1 AS cid, MAX(s.sim) AS ms
+           FROM sims s JOIN sel${r - 1} t ON t.qid = s.qid AND t.cid = s.c2
+           GROUP BY 1, 2),
+        pk$r AS (SELECT qid, cid, score FROM (
+            SELECT p.qid, p.cid, p.score,
+              ROW_NUMBER() OVER (PARTITION BY p.qid
+                ORDER BY (p.score - m.ms) / 2 DESC, p.cid) AS rn
+            FROM pool p JOIN ms$r m ON m.qid = p.qid AND m.cid = p.cid
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} t
+              WHERE t.qid = p.qid AND t.cid = p.cid)) z WHERE rn = 1),
+        sel$r AS (SELECT qid, mmr_rank, cid, score FROM sel${r - 1}
+          UNION ALL
+          SELECT qid, CAST($r AS BIGINT), cid, score FROM pk$r)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      cass AS (
+        SELECT vec_id, v, sid FROM (
+          SELECT e.vec_id, e.v, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "s.sv")} DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+      qass AS (
+        SELECT qid, qv, sid FROM (
+          SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "s.sv")} DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s WHERE e.vec_id < $maxQid) t WHERE rn <= 4),
+      scored AS MATERIALIZED (
+        SELECT DISTINCT q.qid, c.vec_id AS cid, ${cos("q.qv", "c.v")} AS score
+        FROM qass q JOIN cass c USING (sid) WHERE c.vec_id <> q.qid),
+      rr AS (SELECT qid, cid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+        FROM scored),
+      pool AS MATERIALIZED (SELECT qid, cid, score FROM rr WHERE rk <= $poolK),
+      pv AS (SELECT p.qid, p.cid, p.score, e.v FROM pool p
+             JOIN e ON e.vec_id = p.cid),
+      sims AS MATERIALIZED (SELECT a.qid, a.cid AS c1, b.cid AS c2,
+          ${cos("a.v", "b.v")} AS sim
+        FROM pv a JOIN pv b ON a.qid = b.qid AND a.cid <> b.cid),
+      sel1 AS (SELECT qid, CAST(1 AS BIGINT) AS mmr_rank, cid, score FROM (
+          SELECT qid, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+          FROM pool) z WHERE rn = 1),
+      $rounds
+      SELECT qid, mmr_rank, cid, score FROM sel$select
+      ORDER BY qid, mmr_rank"""
+  }
+
   private def portableMinhashOracleSql(k: Int, b: Int, minJaccard: Double): String = {
     s"""${portableBandCtes(k, b)},
        |cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
@@ -1908,6 +1969,68 @@ object PipelineQueries {
             AS singleton_permille
         FROM sz GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O140: blocking-quality audit (pair completeness / reduction) -------
+    // The two numbers every blocking scheme is judged by (Christen 2012):
+    // of the TRUE duplicate pairs (exact inverted-index jaccard ≥ 0.5,
+    // unblocked), how many does the LSH banding actually surface as
+    // candidates (pair completeness), and how small is the candidate space
+    // versus brute force n(n−1)/2 (reduction, as candidates-per-million).
+    // Candidates come from the blocker's PRE-verify output — the quantity
+    // the metrics are defined on. All metric assembly is 1-row aggregates.
+    DeclaredQuery("blocking_quality_audit",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val cand = MinHash.portableCandidatePairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8)
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, blockCols = Seq.empty, minJaccard = 0.5)
+          .select(col("id1"), col("id2"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nCaught = truth.join(cand, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+          .crossJoin(broadcast(nCaught))
+          .select(col("n_docs"),
+            expr("(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2")
+              .as("all_pairs"),
+            col("n_candidates"), col("n_truth"), col("n_caught"),
+            expr("(1000L * n_caught) div n_truth")
+              .as("completeness_permille"),
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * n_candidates) div " +
+              "((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2)")
+              .as("candidates_per_million"))
+      },
+      Some(s"""${portableBandCtes(16, 8)},
+        cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
+                 FROM bk a JOIN bk c USING (band, band_key) WHERE a.id < c.id),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+        ap AS (SELECT h1.id AS id1, h2.id AS id2, COUNT(*) AS i
+               FROM hs h1 JOIN hs h2 ON h2.h = h1.h AND h1.id < h2.id
+               GROUP BY 1, 2),
+        truth AS (SELECT ap.id1, ap.id2 FROM ap
+                  JOIN sizes s1 ON s1.id = ap.id1
+                  JOIN sizes s2 ON s2.id = ap.id2
+                  WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5),
+        m AS (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+                 WHERE EXISTS (SELECT 1 FROM cand c
+                   WHERE c.id1 = t.id1 AND c.id2 = t.id2)) AS n_caught)
+        SELECT n_docs,
+          CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2 AS BIGINT)
+            AS all_pairs,
+          n_candidates, n_truth, n_caught,
+          CAST((1000 * n_caught) // n_truth AS BIGINT)
+            AS completeness_permille,
+          CAST((CAST(1000000 AS HUGEINT) * n_candidates) //
+            ((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2) AS BIGINT)
+            AS candidates_per_million
+        FROM m""")),
+
     // ---- O111: minhash calibration audit -----------------------------------
     // Sketch-vs-truth on the SAME verified pairs the dedup gate ships:
     // signature estimate (matching mins / k) beside the exact Jaccard,
@@ -2301,6 +2424,25 @@ object PipelineQueries {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
           FROM scored)
         SELECT qid, rk, cid, score FROM r WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // ---- O145: MMR diversified re-ranking ------------------------------------
+    // The serving-side diversity pass (Carbonell & Goldstein 1998) on the
+    // gated IVF retrieval: pool = ivf top-8 per query, greedily select 4
+    // trading relevance against max-sim-to-selected (λ = ½ carried as ONE
+    // subtraction + halving — the identical IEEE expression in both
+    // engines, the cosine-doubles discipline the ivf rows already prove).
+    // Everything after retrieval is answer-sized (queries·k² sims, keyed
+    // max + windowed argmax per round).
+    DeclaredQuery("mmr_diverse_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val pool = graft.relational.Stages.materialize(
+          Similarity.ivfTopK(emb.filter(col("vec_id") < 10), "vec_id", emb,
+            "vec_id", "embedding", k = 8, nlist = 16, nprobe = 4)
+            .select(col("qid"), col("cid"), col("score")), "mmr_pool")
+        graft.vector.Mmr.rerank(pool, emb, "vec_id", "embedding", select = 4)
+      },
+      Some(mmrOracleSql(poolK = 8, select = 4, maxQid = 10))),
 
     // ---- O74: IVF recall audit ---------------------------------------------
     // The serving-quality number an ANN index ships with: exact recall@3 of

@@ -218,6 +218,141 @@ object QualityQueries {
           CAST(CASE WHEN precision_permille + recall_permille = 0 THEN 0
                ELSE (2 * precision_permille * recall_permille)
                     // (precision_permille + recall_permille) END AS BIGINT) AS f1_permille
-        FROM r ORDER BY threshold DESC"""))
+        FROM r ORDER BY threshold DESC""")),
+
+    // ---- O137: confident-learning label-noise estimate ----------------------
+    // How dirty are the labels the quality filter trains on? The confident
+    // joint of Northcutt et al. 2021, binary and self-confidence flavored
+    // (thresholds from the SAME fit — the cross-val refinement is noted in
+    // the scaladoc): t_class = truncating mean margin per labeled class;
+    // a doc is confidently pos if margin ≥ t_pos, confidently neg if
+    // ≤ t_neg (pos wins an overlap, deterministically); off-diagonal
+    // share per labeled class is the estimated noise rate. Everything
+    // after scoring is two keyed aggs + 1-row threshold broadcasts.
+    DeclaredQuery("label_noise_estimate",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.relational.Stages.materialize(
+          graft.text.QualityClassifier
+            .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+            .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .select(col("doc_id"), col("margin_bits"),
+              (col("lang") === "en").as("noisy_pos")), "cl_scored")
+        val th = scored.groupBy(col("noisy_pos"))
+          .agg(expr("sum(margin_bits) div count(1)").as("t"))
+        val tPos = th.filter(col("noisy_pos")).select(col("t").as("t_pos"))
+        val tNeg = th.filter(!col("noisy_pos")).select(col("t").as("t_neg"))
+        val confident = scored
+          .crossJoin(broadcast(tPos)).crossJoin(broadcast(tNeg))
+          .withColumn("confident_pred",
+            when(col("margin_bits") >= col("t_pos"), lit("pos"))
+              .when(col("margin_bits") <= col("t_neg"), lit("neg")))
+          .filter(col("confident_pred").isNotNull)
+        val cells = confident
+          .groupBy(when(col("noisy_pos"), lit("pos")).otherwise(lit("neg"))
+            .as("noisy_label"), col("confident_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+        val classTotals = cells.groupBy(col("noisy_label"))
+          .agg(sum(col("n_docs")).as("class_total"))
+        cells.join(classTotals, Seq("noisy_label"))
+          .select(col("noisy_label"), col("confident_pred"), col("n_docs"),
+            col("class_total"),
+            expr("(1000L * n_docs) div class_total").as("share_permille"))
+          .orderBy(col("noisy_label"), col("confident_pred"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id,
+                 CAST(SUM(cnt * bn) AS BIGINT) - CAST(SUM(cnt * bp) AS BIGINT)
+                   AS margin
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        m AS (SELECT sc.doc_id, sc.margin, l.pos
+              FROM sc JOIN lab l USING (doc_id)),
+        th AS (SELECT
+                 SUM(CASE WHEN pos THEN margin END)
+                   // COUNT(CASE WHEN pos THEN 1 END) AS t_pos,
+                 SUM(CASE WHEN NOT pos THEN margin END)
+                   // COUNT(CASE WHEN NOT pos THEN 1 END) AS t_neg
+               FROM m),
+        cj AS (SELECT CASE WHEN pos THEN 'pos' ELSE 'neg' END AS noisy_label,
+                 CASE WHEN margin >= t_pos THEN 'pos'
+                      WHEN margin <= t_neg THEN 'neg' END AS confident_pred
+               FROM m CROSS JOIN th),
+        g AS (SELECT noisy_label, confident_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM cj WHERE confident_pred IS NOT NULL GROUP BY 1, 2),
+        ct AS (SELECT noisy_label, CAST(SUM(n_docs) AS BIGINT) AS class_total
+               FROM g GROUP BY 1)
+        SELECT g.noisy_label, g.confident_pred, g.n_docs, ct.class_total,
+          CAST((1000 * g.n_docs) // ct.class_total AS BIGINT) AS share_permille
+        FROM g JOIN ct USING (noisy_label)
+        ORDER BY noisy_label, confident_pred""")),
+
+    // ---- O143: isotonic calibration (PAV, distributive) ----------------------
+    // nb_calibration_bins ASKS whether the margin is monotone in the
+    // positive rate; this REPAIRS it: pool-adjacent-violators via the
+    // minimax closed form iso(i) = max_{j≤i} min_{k≥i} rate(j..k) — two
+    // prefix sums, a per-j suffix-min window, one grouped max, all on the
+    // bounded margin-bin frame (28 bins here), never a sequential stack.
+    // Floor is monotone, so truncating-permille segment rates carry the
+    // closed form exactly (see Isotonic scaladoc).
+    DeclaredQuery("isotonic_calibration",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.relational.Isotonic.pavCalibration(
+          scored, "margin_bits", col("lang") === "en")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id,
+                 CAST(SUM(cnt * bn) AS BIGINT) - CAST(SUM(cnt * bp) AS BIGINT)
+                   AS margin
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        m AS (SELECT sc.margin, l.pos FROM sc JOIN lab l USING (doc_id)),
+        bins AS (SELECT margin AS srow, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+                 FROM m GROUP BY 1),
+        pre AS (SELECT srow, n, np,
+                  SUM(n) OVER (ORDER BY srow) AS cn,
+                  SUM(np) OVER (ORDER BY srow) AS cp
+                FROM bins),
+        segs AS (SELECT a.srow AS j, b.srow AS k,
+                   (1000 * (b.cp - (a.cp - a.np))) //
+                     (b.cn - (a.cn - a.n)) AS perm
+                 FROM pre a JOIN pre b ON a.srow <= b.srow),
+        suf AS (SELECT j, k,
+                  MIN(perm) OVER (PARTITION BY j ORDER BY k DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS msuf
+                FROM segs),
+        iso AS (SELECT k AS srow, CAST(MAX(msuf) AS BIGINT) AS iso_permille
+                FROM suf GROUP BY 1)
+        SELECT bins.srow AS margin_bits, bins.n, bins.np AS n_pos,
+          (1000 * bins.np) // bins.n AS raw_permille, iso.iso_permille
+        FROM bins JOIN iso USING (srow)
+        ORDER BY margin_bits"""))
   )
 }

@@ -40,4 +40,44 @@ object Changepoint {
       .select(col(keyCol), col("day"), col("n_events"), col("k"),
         col("cusum"), (col("cusum") > lit(4L) * col("k")).as("alarm"))
   }
+
+  /** WHERE did the level shift happen — the single-split binary-
+    * segmentation estimator beside [[cusumDaily]]'s "whether": per key,
+    * τ* = argmax_t |n·P_t − t·P_n| over the daily series (the centered
+    * partial sum, scaled by n so it stays integer — a fraction-free
+    * |P_t − (t/n)·P_n|), earliest day on ties. Emits the split beside the
+    * exact pre/post daily means in milli-events and their difference —
+    * the effect size a triage reads first.
+    *
+    * Exactness: n·P_t ≤ days·rows stays far inside 2⁶³ (10⁴ days of
+    * 10¹² daily rows ≈ 10¹⁶); means are truncating milli divisions, NULL
+    * post-mean when the (degenerate, flat-series) split lands on the
+    * last day. Scale: the same (key, day) aggregation as the alarm, two
+    * per-key day-span windows, one rank-1 filter.
+    */
+  def locateShift(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = daily.groupBy(col(keyCol))
+      .agg(sum(col("n_events")).as("__tot"), count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__d")).desc, col("day"))
+    daily.join(totals, Seq(keyCol))
+      .withColumn("__p", sum(col("n_events")).over(wRun))
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("day"))))
+      .withColumn("__d", col("n_days") * col("__p") - col("__t") * col("__tot"))
+      .withColumn("__r", row_number().over(wPick))
+      .filter(col("__r") === 1)
+      .select(col(keyCol), col("day").as("split_day"), col("n_days"),
+        abs(col("__d")).as("d_stat"),
+        expr("(1000L * __p) div __t").as("pre_mean_milli"),
+        when(col("n_days") === col("__t"), lit(null).cast("long"))
+          .otherwise(expr("(1000L * (__tot - __p)) div (n_days - __t)"))
+          .as("post_mean_milli"))
+      .withColumn("shift_milli", col("post_mean_milli") - col("pre_mean_milli"))
+  }
 }

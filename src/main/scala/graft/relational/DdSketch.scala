@@ -1,0 +1,114 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Portable relative-error quantile sketch with its own accuracy audit —
+  * the DDSketch idea (Masson, Lee & Rim, VLDB 2019) rebuilt on integer
+  * bit arithmetic so the sketch is exactly replayable in any engine: a
+  * non-negative long value maps to bucket
+  *
+  *   v < 16           → key = v                     (exact singletons)
+  *   v ≥ 16, e=bits(v) → key = 16·e + (v div 2^(e−5) − 16)
+  *
+  * i.e. the exponent and the top 4 mantissa bits — `length(bin(v))` is
+  * the bit length in BOTH Spark and DuckDB (minimal binary string), so
+  * the mapping never touches a float log. Buckets are geometric with 16
+  * sub-steps per octave: the bucket's lower bound L ≤ v < L·(1+1/16), so
+  * a quantile read back as L UNDERestimates by a bounded relative error
+  * < 1/16 ≈ 6.25% — the DDSketch guarantee, traded from configurable α
+  * to exact portability. Counts are mergeable by addition (shards /
+  * windows / engines), and the whole per-group sketch is ≤ 16·64 cells
+  * whatever the data volume.
+  *
+  * The AUDIT computes the exact lower order statistic beside the sketch
+  * read. Exact per-group quantiles need per-group value CDFs — bounded
+  * here by a loud distinct-value probe (the QuantileRank contract:
+  * integer-like domains only); production at unbounded domains runs the
+  * sketch ALONE, which is the point of having it.
+  */
+object DdSketch {
+
+  /** Per (group, q) audit rows: (group, q_permille, n, sketch_estimate,
+    * exact_value, err_permille), group-then-q order. Values must be
+    * non-negative longs (cents, seconds, counts — fails loudly on
+    * negatives: the geometric mapping has no sign). */
+  def quantileAudit(df: DataFrame, groupCol: String, valueCol: String,
+                    qsPermille: Seq[Int] = Seq(500, 990),
+                    maxDistinct: Int = 200000): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantileAudit: quantiles $qsPermille outside 1..1000 permille")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("long")
+    val base = df.select(col(groupCol).as("g"), v.as("v"))
+
+    // negatives would silently map to garbage buckets (bin() of a negative
+    // long is its two's-complement, 64 chars) — refuse loudly
+    val negs = base.filter(col("v") < 0L).limit(1).collect()
+    require(negs.isEmpty,
+      s"quantileAudit: negative $valueCol — the geometric bucket mapping " +
+        "is defined for non-negative values; shift or split the domain")
+
+    val keyed = base.withColumn("k",
+      when(col("v") < 16L, col("v"))
+        .otherwise(expr(
+          "16L * length(bin(v)) + (v div shiftleft(1L, length(bin(v)) - 5) - 16L)")))
+    val cells = keyed.groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    // per-group cumulative over the ≤ 16·64-cell sketch — bounded window
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val sketchSide = cells.withColumn("cum", sum(col("c")).over(wCum))
+      .join(totals, Seq("g"))
+
+    // exact side: per-group distinct-value CDF, bounded by a loud probe
+    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
+    require(probe.length <= maxDistinct,
+      s"quantileAudit: > $maxDistinct distinct values — the exact audit " +
+        "side needs a bounded domain (the QuantileRank contract); run the " +
+        "sketch without the audit or bucketize first")
+    val gv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exactCum = gv.withColumn("cum", sum(col("c")).over(wVal))
+      .join(totals, Seq("g"))
+
+    import scala.jdk.CollectionConverters._
+    val qDf = broadcast(spark.createDataFrame(
+      qsPermille.sorted.map(q =>
+        org.apache.spark.sql.Row(q.toLong)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_permille",
+          org.apache.spark.sql.types.LongType)))))
+
+    def pick(cumFrame: DataFrame, outCol: String, fromKey: Boolean) = {
+      val target = expr("(n * q_permille + 999) div 1000")
+      val hit = cumFrame.crossJoin(qDf)
+        .filter(col("cum") >= target)
+        .groupBy(col("g"), col("q_permille"), col("n"))
+        .agg(min(if (fromKey) col("k") else col("v")).as("__pick"))
+      if (fromKey)
+        hit.withColumn(outCol,
+          when(col("__pick") < 16L, col("__pick"))
+            .otherwise(expr(
+              "(16L + __pick % 16L) * " +
+                "shiftleft(1L, CAST(__pick div 16L - 5L AS INT))")))
+          .drop("__pick")
+      else hit.withColumnRenamed("__pick", outCol)
+    }
+    pick(sketchSide, "sketch_estimate", fromKey = true)
+      .join(pick(exactCum, "exact_value", fromKey = false),
+        Seq("g", "q_permille", "n"))
+      .select(col("g").as(groupCol), col("q_permille"), col("n"),
+        col("sketch_estimate"), col("exact_value"),
+        when(col("exact_value") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000L * (sketch_estimate - exact_value)) div exact_value"))
+          .as("err_permille"))
+      .orderBy(col(groupCol), col("q_permille"))
+  }
+}

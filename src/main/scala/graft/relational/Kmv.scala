@@ -55,4 +55,50 @@ object Kmv {
         expr("(1000L * (kmv_estimate - exact_distinct)) div exact_distinct"))
       .orderBy(col(groupCol))
   }
+
+  /** Shard-merge audit — the distributed-sketch algebra under the gate:
+    * split each group's rows into `shards` portable cells (md5-hash mod
+    * shards, so the split itself is engine-replayable), sketch every
+    * shard independently, MERGE (one more bottom-k pass over the
+    * ≤ shards·k candidates), and report the merged sketch beside the
+    * direct whole-group sketch. For bottom-k the identity is exact —
+    * the k smallest of a union are among the union of per-shard
+    * k-smallests — so `merge_exact` must be TRUE on every row; emitting
+    * the audited equality (rather than asserting it in a spec alone)
+    * pins the property the 1000-shard production merge relies on.
+    *
+    * Scale: per-shard sketches shuffle ≤ k·partitions rows per (group,
+    * shard); the merge input is shards·k rows per group — answer-sized.
+    */
+  def mergeAudit(df: DataFrame, groupCol: String, idCol: String,
+                 k: Int = 64, shards: Int = 4): DataFrame = {
+    require(k >= 16 && k <= 4096, s"kmv: k=$k outside 16..4096")
+    require(shards >= 2 && shards <= 64,
+      s"mergeAudit: shards=$shards outside 2..64")
+    val hashed = Stages.materialize(
+      df.select(col(groupCol).as("g"),
+        graft.functions.HashFunctions.md5Bits60(
+          col(idCol).cast("string")).as("h")).distinct(),
+      "kmv_merge_hashes")
+    val sharded = hashed.withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val perShard = TopK.perGroup(sharded, Seq("g", "shard"),
+      Seq(("h", true)), k)
+    val merged = TopK.perGroup(perShard.select(col("g"), col("h")),
+      Seq("g"), Seq(("h", true)), k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("m_merged"), max(col("h")).as("kth_merged"))
+    val direct = TopK.perGroup(hashed, Seq("g"), Seq(("h", true)), k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("m_direct"), max(col("h")).as("kth_direct"))
+    direct.join(merged, Seq("g"))
+      .select(col("g").as(groupCol),
+        col("m_direct"), col("kth_direct"), col("kth_merged"),
+        (col("m_merged") === col("m_direct") &&
+          col("kth_merged") === col("kth_direct")).as("merge_exact"),
+        when(col("m_direct") < k, col("m_direct"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976L) div kth_merged"))
+          .as("kmv_estimate"))
+      .orderBy(col(groupCol))
+  }
 }

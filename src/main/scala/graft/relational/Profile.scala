@@ -81,4 +81,36 @@ object Profile {
     }
     wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Functional-dependency audit — the schema-discovery side of profiling
+    * (Papenbrock et al. 2015's question, answered exactly for DECLARED
+    * candidates rather than mined): does determinant → dependent hold, and
+    * if not, how badly? Per candidate: distinct determinant values, how
+    * many of them branch (map to >1 dependent), the worst branching
+    * factor, and the violation share in permille. An FD that "almost"
+    * holds (violation ≈ 0 but not 0) is the classic dirty-join-key
+    * smell this exists to surface.
+    *
+    * Shape: one countDistinct aggregation PER candidate grouped by its
+    * determinant (map-side combined; determinant-sized frames), then an
+    * answer-sized rollup per candidate — candidates are audited
+    * independently, so Spark runs them as parallel jobs of one scan each.
+    */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdAudit: no FD candidates")
+    candidates.map { case (det, dep) =>
+      df.groupBy(col(det).as("__d"))
+        .agg(count_distinct(col(dep)).as("__k"))
+        .agg(count(lit(1)).as("n_determinants"),
+          sum(when(col("__k") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__k")).as("max_branching"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_determinants"), col("n_violating"),
+          col("max_branching"),
+          (col("n_violating") === 0L).as("holds"),
+          expr("(1000L * n_violating) div n_determinants")
+            .as("violation_permille"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("determinant"), col("dependent"))
+  }
 }

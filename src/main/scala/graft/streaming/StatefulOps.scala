@@ -231,4 +231,42 @@ object StatefulOps {
           Iterator.single((key, seq0 + 1L, m, kth, est))
       }
   }
+
+  /** Streaming out-of-order audit — the measurement watermark sizing
+    * actually needs: per key and batch, how many rows arrived with an
+    * event time OLDER than the previous batches' frontier (the running
+    * max event time), and how stale the worst one was. A watermark delay
+    * chosen below the observed max lateness drops data; far above it,
+    * state lingers. State per key is two longs (seq, max_ts) — O(1)
+    * forever. The comparison is against the PRIOR-batch frontier only,
+    * so within-batch arrival order never matters and the operator has NO
+    * order contract (unlike [[coveragePerBatch]]) — the oracle replays
+    * batches as prefix restrictions.
+    *
+    * Emits (key, seq, n_rows, n_late, max_late_sec, max_ts) per key per
+    * batch the key appears in; `ts` values are epoch seconds.
+    */
+  def latenessPerBatch(ds: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long, Long)] =
+      Encoders.product[(String, Long, Long, Long, Long, Long)]
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long),
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val (seq0, mx0) = state.getOption.getOrElse((0L, Long.MinValue))
+          val ts = rows.map(_._2).toArray
+          val late = if (seq0 == 0L) Array.empty[Long]
+            else ts.filter(_ < mx0)
+          val maxLate = if (late.isEmpty) 0L else mx0 - late.min
+          val newMax = math.max(mx0, ts.max)
+          state.update((seq0 + 1L, newMax))
+          Iterator.single((key, seq0 + 1L, ts.length.toLong,
+            late.length.toLong, maxLate, newMax))
+      }
+  }
 }

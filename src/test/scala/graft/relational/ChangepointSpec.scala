@@ -47,4 +47,33 @@ class ChangepointSpec extends SparkSpec {
       .select("cusum").as[Long].collect().toSeq
     assert(out === Seq(0L, 0L))
   }
+
+  test("locateShift finds the split day and the exact pre/post means") {
+    // 10/day on days 1-4, 30/day on days 5-8: split after day 4 —
+    // D_t = 8·P_t − t·160 peaks (|−80|... ) at t = 4: P4 = 40,
+    // D4 = 320 − 640 = −320; pre mean 10.000, post mean 30.000
+    val df = eventsFor((1 to 4).map(d => ("a", d, 10)) ++
+      (5 to 8).map(d => ("a", d, 30)))
+    val out = Changepoint.locateShift(df, "key", "ts")
+      .select("split_day", "n_days", "d_stat", "pre_mean_milli",
+        "post_mean_milli", "shift_milli")
+      .as[(java.sql.Date, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out === Seq((java.sql.Date.valueOf("2024-01-04"), 8L, 320L,
+      10000L, Some(30000L), Some(20000L))))
+  }
+
+  test("locateShift on a flat series picks the earliest day, NULL-safe") {
+    // constant 5/day: every D_t = 0, tie rule → day 1; post mean exists
+    val df = eventsFor((1 to 4).map(d => ("a", d, 5)))
+    val out = Changepoint.locateShift(df, "key", "ts")
+      .select("split_day", "d_stat", "shift_milli")
+      .as[(java.sql.Date, Long, Option[Long])].collect().toSeq
+    assert(out === Seq((java.sql.Date.valueOf("2024-01-01"), 0L, Some(0L))))
+    // single-day key: the split IS the last day → NULL post mean
+    val one = eventsFor(Seq(("b", 1, 7)))
+    val o1 = Changepoint.locateShift(one, "key", "ts")
+      .select("post_mean_milli").as[Option[Long]].collect().toSeq
+    assert(o1 === Seq(None))
+  }
 }

@@ -26,4 +26,23 @@ class KmvSpec extends SparkSpec {
     val df = Seq(("a", "1")).toDF("g", "id")
     intercept[IllegalArgumentException](Kmv.distinctAudit(df, "g", "id", k = 8))
   }
+
+  test("shard merge is exact: merged sketch == direct sketch, any shard split") {
+    val df = (0 until 5000).map(i => ("a", i.toString)).toDF("g", "id")
+    for (shards <- Seq(2, 4, 16)) {
+      val out = Kmv.mergeAudit(df, "g", "id", k = 64, shards = shards)
+        .select("kth_direct", "kth_merged", "merge_exact", "kmv_estimate")
+        .as[(Long, Long, Boolean, Long)].collect().toSeq
+      // same pinned hash set as the closed-form test above
+      assert(out === Seq((13764088718018884L, 13764088718018884L, true, 5277L)))
+    }
+  }
+
+  test("shard merge on a tiny group stays exact below k") {
+    val df = (0 until 10).map(i => ("a", i.toString)).toDF("g", "id")
+    val out = Kmv.mergeAudit(df, "g", "id", k = 64, shards = 4)
+      .select("m_direct", "merge_exact", "kmv_estimate")
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(out === Seq((10L, true, 10L)))
+  }
 }

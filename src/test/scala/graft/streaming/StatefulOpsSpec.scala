@@ -163,4 +163,33 @@ class StatefulOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StatefulOps.kmvPerBatch(input.toDS(), 8))
   }
+
+  test("lateness audit measures against the PRIOR-batch frontier only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val lat = StatefulOps.latenessPerBatch(input.toDS())
+    val q = lat.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: out-of-order WITHIN the batch is not lateness (no frontier
+    // yet); frontier becomes 100
+    input.addData(("a", 100L), ("a", 50L))
+    q.processAllAvailable()
+    // batch 2: 90 and 70 are both older than frontier 100 (worst 30s
+    // stale); 120 advances the frontier
+    input.addData(("a", 90L), ("a", 120L), ("a", 70L))
+    q.processAllAvailable()
+    // batch 3: nothing late against frontier 120
+    input.addData(("a", 130L), ("b", 5L))
+    q.processAllAvailable()
+    val got = spark.table("late_out")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+
+    assert(got === Set(
+      ("a", 1L, 2L, 0L, 0L, 100L),
+      ("a", 2L, 3L, 2L, 30L, 120L),
+      ("a", 3L, 1L, 0L, 0L, 130L),
+      ("b", 1L, 1L, 0L, 0L, 5L)))
+  }
 }
