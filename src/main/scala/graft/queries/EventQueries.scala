@@ -1552,5 +1552,68 @@ object EventQueries {
             AS BIGINT) AS bounce_permille,
           CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT)
             AS events_per_session_milli
-        FROM c GROUP BY 1 ORDER BY 1""")))
+        FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O148: rolling WAU via HLL register merges ------------------------------
+    // The sketch-algebra payoff in a time series: trailing-7-day distinct
+    // actives from per-DAY HLL registers merged by cellwise MAX (each day
+    // sketched once; a window union is one more grouped max — never a
+    // re-scan of the week), audited beside the exact WAU from the
+    // stickiness row's explode. At 100 TB this is the difference between
+    // re-counting 7 days of users nightly and folding 64 small cells.
+    DeclaredQuery("rolling_hll_wau",
+      (s, dir) => {
+        val ud = graft.relational.Stages.materialize(
+          events(s, dir)
+            .select(col("user_id"), to_date(col("ts")).as("day")).distinct(),
+          "stick_userdays")
+        val mx = ud.agg(max(col("day")).as("mxd"))
+        val dayRegs = graft.relational.Hll.registers(
+          ud.select(col("day").as("g"), col("user_id")), "g", "user_id")
+        val merged = dayRegs
+          .select(explode(sequence(col("g"), date_add(col("g"), 6))).as("g2"),
+            col("r"), col("mj"))
+          .crossJoin(broadcast(mx)).filter(col("g2") <= col("mxd"))
+          .groupBy(col("g2").as("g"), col("r")).agg(max(col("mj")).as("mj"))
+        val est = graft.relational.Hll.estimateFromRegisters(merged)
+        val exact = ud.select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+          .crossJoin(broadcast(mx)).filter(col("day") <= col("mxd"))
+          .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+        exact.join(est, col("day") === col("g"))
+          .select(col("day"), col("wau"), col("empty_registers"),
+            col("hll_estimate"),
+            expr("(1000L * (hll_estimate - wau)) div wau").as("err_permille"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+        mx AS (SELECT MAX(day) AS mxd FROM ud),
+        h AS (SELECT day,
+                CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM ud),
+        rg AS (SELECT day, h // 18014398509481984 AS r,
+                 MAX(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                     ELSE 55 - length(bin(h % 18014398509481984)) END) AS mj
+               FROM h GROUP BY 1, 2),
+        mg AS (SELECT day + CAST(i AS INTEGER) AS wday, r, MAX(mj) AS mj
+               FROM rg CROSS JOIN range(7) t(i) CROSS JOIN mx
+               WHERE day + CAST(i AS INTEGER) <= mxd GROUP BY 1, 2),
+        sm AS (SELECT wday,
+                 CAST(SUM(CAST(1 AS BIGINT) << (55 - mj)) +
+                   (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s,
+                 CAST(64 - COUNT(*) AS BIGINT) AS empty_registers
+               FROM mg GROUP BY 1),
+        ex AS (SELECT day + CAST(i AS INTEGER) AS wday,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+               FROM ud CROSS JOIN range(7) t(i) CROSS JOIN mx
+               WHERE day + CAST(i AS INTEGER) <= mxd GROUP BY 1),
+        est AS (SELECT wday, empty_registers,
+                  CAST((CAST(709 AS HUGEINT) * 4096 * (CAST(1 AS HUGEINT) << 55))
+                    // (1000 * CAST(s AS HUGEINT)) AS BIGINT) AS hll_estimate
+                FROM sm)
+        SELECT ex.wday AS day, ex.wau, est.empty_registers, est.hll_estimate,
+          CAST((1000 * (est.hll_estimate - ex.wau)) // ex.wau AS BIGINT)
+            AS err_permille
+        FROM ex JOIN est USING (wday) ORDER BY day""")))
 }

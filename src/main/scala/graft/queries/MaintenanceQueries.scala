@@ -382,5 +382,158 @@ object MaintenanceQueries {
         SELECT determinant, dependent, n_determinants, n_violating,
           max_branching, n_violating = 0 AS holds,
           (1000 * n_violating) // n_determinants AS violation_permille
-        FROM u ORDER BY determinant, dependent""")))
+        FROM u ORDER BY determinant, dependent""")),
+
+    // ---- O146: equi-depth histogram (ANALYZE stats) ---------------------------
+    // The CBO's range-selectivity table: 16 depth-balanced buckets with
+    // exact boundaries at the remainder-first ntile ranks and exact NDV
+    // per bucket — built on GlobalRank (two-phase value cells, no
+    // single-partition window), one corpus scan.
+    DeclaredQuery("equidepth_histogram",
+      (s, dir) => graft.relational.Histogram.equiDepth(
+        tbl(s, dir, "orders").select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"), col("o_orderkey")),
+        "cents", "o_orderkey", k = 16),
+      Some("""WITH b AS (SELECT
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               o_orderkey
+             FROM orders),
+        nt AS (SELECT cents,
+                 CAST(ntile(16) OVER (ORDER BY cents, o_orderkey) AS BIGINT)
+                   AS bucket
+               FROM b)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct,
+          MIN(cents) AS lo, MAX(cents) AS hi
+        FROM nt GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O147: join-selectivity estimation audit -------------------------------
+    // The estimate a CBO actually bets on, measured: self equi-join size
+    // on l_partkey — actual Σc², the System-R uniform estimate n²/ndv,
+    // and the histogram-refined Σ n_b²/ndv_b over 16 equi-depth buckets
+    // (making the stats row load-bearing). Ties need no unique key here:
+    // every emitted number is a function of the sorted value MULTISET
+    // (bucket rank ranges), invariant under tie permutation — so both
+    // engines ntile by the value alone.
+    DeclaredQuery("join_selectivity_audit",
+      (s, dir) => {
+        val b = graft.relational.Stages.materialize(
+          tbl(s, dir, "lineitem").select(col("l_partkey").as("v")), "jsa_vals")
+        val tot = b.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("v")).as("ndv"))
+        val actual = b.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("__act"))
+          .select(expr("CAST(__act AS BIGINT)").as("actual_pairs"))
+        import graft.relational.GlobalRank
+        val (ranked, n) = GlobalRank.byValue(b, "v", "v", "__r")
+        val hist = ranked
+          .withColumn("__b", GlobalRank.ntileFromRank("__r", n, 16))
+          .groupBy(col("__b"))
+          .agg(count(lit(1)).as("nb"), count_distinct(col("v")).as("db"))
+          .agg(sum(expr("(CAST(nb AS DECIMAL(38,0)) * nb) div db"))
+            .as("__he"))
+          .select(expr("CAST(__he AS BIGINT)").as("hist_est"))
+        tot.crossJoin(broadcast(actual)).crossJoin(broadcast(hist))
+          .select(col("n_rows"), col("ndv"), col("actual_pairs"),
+            expr("(CAST(n_rows AS DECIMAL(38,0)) * n_rows) div ndv")
+              .as("naive_est"),
+            col("hist_est"))
+          .select(col("*"),
+            expr("(1000L * (naive_est - actual_pairs)) div actual_pairs")
+              .as("naive_err_permille"),
+            expr("(1000L * (hist_est - actual_pairs)) div actual_pairs")
+              .as("hist_err_permille"))
+      },
+      Some("""WITH b AS (SELECT l_partkey AS v FROM lineitem),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv FROM b),
+        act AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT)
+                  AS actual_pairs
+                FROM (SELECT COUNT(*) AS c FROM b GROUP BY v)),
+        nt AS (SELECT v, ntile(16) OVER (ORDER BY v) AS bk FROM b),
+        hb AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(COUNT(DISTINCT v) AS BIGINT) AS db
+               FROM nt GROUP BY 1),
+        he AS (SELECT CAST(SUM((CAST(nb AS HUGEINT) * nb) // db) AS BIGINT)
+                 AS hist_est FROM hb),
+        ne AS (SELECT CAST((CAST(n_rows AS HUGEINT) * n_rows) // ndv AS BIGINT)
+                 AS naive_est FROM agg)
+        SELECT agg.n_rows, agg.ndv, act.actual_pairs, ne.naive_est,
+          he.hist_est,
+          CAST((1000 * (ne.naive_est - act.actual_pairs)) // act.actual_pairs
+            AS BIGINT) AS naive_err_permille,
+          CAST((1000 * (he.hist_est - act.actual_pairs)) // act.actual_pairs
+            AS BIGINT) AS hist_err_permille
+        FROM agg, act, ne, he""")),
+
+    // ---- O148b/O149: range-selectivity estimation audit -------------------------
+    // The histogram's OTHER consumer measured: estimated rows in
+    // [lo, hi] via uniform-within-bucket interpolation over the 16
+    // equi-depth buckets (integer arithmetic — overlap·n_b div width) vs
+    // the actual count, for three fixed cent ranges. Partial buckets are
+    // the whole point: equi-depth bounds make the interpolation error
+    // bounded by one bucket's depth.
+    DeclaredQuery("range_selectivity_audit",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val cents = tbl(s, dir, "orders").select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"), col("o_orderkey"))
+        val hist = graft.relational.Stages.materialize(
+          graft.relational.Histogram.equiDepth(cents, "cents", "o_orderkey",
+            k = 16), "price_hist")
+        val preds = broadcast(Seq(
+          (2000000L, 7999999L), (10000000L, 19999999L),
+          (30000000L, 60000000L)).toDF("range_lo", "range_hi"))
+        val est = hist.crossJoin(preds)
+          .select(col("range_lo"), col("range_hi"),
+            expr("greatest(0L, least(hi, range_hi) - greatest(lo, range_lo) + 1L)")
+              .as("ov"), col("n_rows"), col("lo"), col("hi"))
+          .select(col("range_lo"), col("range_hi"),
+            expr("(CAST(n_rows AS DECIMAL(38,0)) * ov) div (hi - lo + 1L)")
+              .as("contrib"))
+          .groupBy(col("range_lo"), col("range_hi"))
+          .agg(sum(col("contrib")).as("est_rows"))
+        val actual = cents.crossJoin(preds)
+          .filter(col("cents").between(col("range_lo"), col("range_hi")))
+          .groupBy(col("range_lo"), col("range_hi"))
+          .agg(count(lit(1)).as("actual_rows"))
+        est.join(actual, Seq("range_lo", "range_hi"))
+          .select(col("range_lo"), col("range_hi"), col("actual_rows"),
+            col("est_rows"),
+            expr("(1000L * (est_rows - actual_rows)) div actual_rows")
+              .as("err_permille"))
+          .orderBy(col("range_lo"))
+      },
+      Some("""WITH b AS (SELECT
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               o_orderkey
+             FROM orders),
+        nt AS (SELECT cents,
+                 ntile(16) OVER (ORDER BY cents, o_orderkey) AS bucket
+               FROM b),
+        hb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(cents) AS lo, MAX(cents) AS hi
+               FROM nt GROUP BY 1),
+        pr AS (SELECT * FROM (VALUES
+                 (2000000, 7999999), (10000000, 19999999),
+                 (30000000, 60000000)) p(range_lo, range_hi)),
+        est AS (SELECT range_lo, range_hi,
+                  CAST(SUM((CAST(n_rows AS HUGEINT) *
+                    GREATEST(0, LEAST(hi, range_hi) - GREATEST(lo, range_lo) + 1))
+                    // (hi - lo + 1)) AS BIGINT) AS est_rows
+                FROM hb CROSS JOIN pr GROUP BY 1, 2),
+        act AS (SELECT range_lo, range_hi, CAST(COUNT(*) AS BIGINT) AS actual_rows
+                FROM b CROSS JOIN pr
+                WHERE cents BETWEEN range_lo AND range_hi GROUP BY 1, 2)
+        SELECT CAST(est.range_lo AS BIGINT) AS range_lo,
+          CAST(est.range_hi AS BIGINT) AS range_hi,
+          act.actual_rows, est.est_rows,
+          CAST((1000 * (est.est_rows - act.actual_rows)) // act.actual_rows
+            AS BIGINT) AS err_permille
+        FROM est JOIN act ON act.range_lo = est.range_lo
+          AND act.range_hi = est.range_hi
+        ORDER BY range_lo""")))
 }

@@ -44,6 +44,36 @@ object Hll {
   private val m = 64
   private val wBits = 54 // 60-bit hash minus the 6 register-index bits
 
+  /** The per-group register frame (g, r, mj) — the sketch STATE itself,
+    * exposed because HLL's whole operational point is that states merge
+    * by cellwise MAX: window/shard/day unions are one more grouped max
+    * over these rows (see `rolling_hll_wau`). */
+  def registers(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    df.select(col(groupCol).as("g"),
+      graft.functions.HashFunctions.md5Bits60(
+        col(idCol).cast("string")).as("h"))
+      .select(col("g"), expr(s"h div ${1L << wBits}L").as("r"),
+        expr(s"h % ${1L << wBits}L").as("w"))
+      // rho stays INT (shiftleft's shift operand type under ANSI)
+      .withColumn("rho",
+        when(col("w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w")))))
+      .groupBy(col("g"), col("r")).agg(max(col("rho")).as("mj"))
+
+  /** Estimate per group from a register frame (g, r, mj): (g,
+    * empty_registers, hll_estimate). Works on ANY (g, r, mj) rows —
+    * including merged ones — as long as each (g, r) appears once. */
+  def estimateFromRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
+      .agg((sum(expr(s"shiftleft(1L, ${wBits + 1} - mj)")) +
+        (lit(m.toLong) - count(lit(1))) * lit(1L << (wBits + 1))).as("__s"),
+        (lit(m.toLong) - count(lit(1))).as("empty_registers"))
+      .select(col("g"), col("empty_registers"),
+        // both sides DECIMAL(38,0): 1000·S reaches ~2.3e21 (64 empty
+        // registers), past 2⁶³ — a long denominator ANSI-overflows
+        expr(s"(CAST(709 AS DECIMAL(38,0)) * ${m * m} * ${1L << (wBits + 1)}L)" +
+          " div (1000 * CAST(__s AS DECIMAL(38,0)))").as("hll_estimate"))
+
   /** Per-group frame (group, exact_distinct, empty_registers,
     * hll_estimate, small_range, err_permille), group order. */
   def distinctAudit(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
