@@ -1105,7 +1105,44 @@ object AnalyticsQueries {
           SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)
         SELECT comp, COUNT(*) AS n_members,
           CAST(SUM(id) AS BIGINT) AS id_checksum
-        FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp"""))
+        FROM r GROUP BY comp HAVING COUNT(*) > 1 ORDER BY comp""")),
+
+    // ---- O150: seasonal-naive forecast backtest --------------------------------
+    // The capacity-planning floor: forecast(d) = count(d−7), backtested
+    // over every day with a week-ago twin — MAE in milli-events and MAPE
+    // in permille per type, exact integers (the baseline any fancier
+    // forecaster must beat, measured on the same data it would train on).
+    // One daily agg + one self equi-join on (type, day−7).
+    DeclaredQuery("seasonal_naive_backtest",
+      (s, dir) => {
+        val daily = graft.relational.Stages.materialize(
+          events(s, dir)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")), "snb_daily")
+        val lagged = daily.select(col("event_type"),
+          date_add(col("day"), 7).as("day"), col("n").as("n_forecast"))
+        daily.join(lagged, Seq("event_type", "day"))
+          .select(col("event_type"),
+            abs(col("n") - col("n_forecast")).as("abs_err"), col("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_scored"),
+            sum(col("abs_err")).as("total_abs_err"), sum(col("n")).as("__act"))
+          .select(col("event_type"), col("n_scored"), col("total_abs_err"),
+            expr("(1000L * total_abs_err) div n_scored").as("mae_milli"),
+            expr("(1000L * total_abs_err) div __act").as("mape_permille"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+        j AS (SELECT a.event_type, abs(a.n - b.n) AS abs_err, a.n
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.day + 7 = a.day)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+          CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+          CAST((1000 * SUM(abs_err)) // COUNT(*) AS BIGINT) AS mae_milli,
+          CAST((1000 * SUM(abs_err)) // SUM(n) AS BIGINT) AS mape_permille
+        FROM j GROUP BY 1 ORDER BY 1"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovChain.stationaryMix]] over

@@ -1615,5 +1615,32 @@ object EventQueries {
         SELECT ex.wday AS day, ex.wau, est.empty_registers, est.hll_estimate,
           CAST((1000 * (est.hll_estimate - ex.wau)) // ex.wau AS BIGINT)
             AS err_permille
-        FROM ex JOIN est USING (wday) ORDER BY day""")))
+        FROM ex JOIN est USING (wday) ORDER BY day""")),
+
+    // ---- O151: peak concurrency --------------------------------------------------
+    // Capacity planning's other number: the busiest minutes by concurrent
+    // active users (30-min activity halo). Row-local explode of each event
+    // into its 31 member minutes, distinct (user, minute), one keyed
+    // distinct count, TakeOrdered(5) — trailing-window concurrency as
+    // plain aggregation, the stickiness discipline at minute grain.
+    DeclaredQuery("peak_concurrency_minutes",
+      (s, dir) => {
+        val m0 = events(s, dir).select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 60").as("m"))
+        m0.select(col("user_id"),
+            explode(sequence(col("m"), col("m") + 30L)).as("minute"))
+          .distinct()
+          .groupBy(col("minute"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(desc("active_users"), col("minute"))
+          .limit(5)
+      },
+      Some("""WITH e AS (SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m
+             FROM events),
+        cov AS (SELECT DISTINCT user_id, m + CAST(i AS BIGINT) AS minute
+                FROM e CROSS JOIN range(31) t(i))
+        SELECT minute, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM cov GROUP BY 1
+        ORDER BY active_users DESC, minute LIMIT 5""")))
 }
