@@ -1642,5 +1642,76 @@ object EventQueries {
                 FROM e CROSS JOIN range(31) t(i))
         SELECT minute, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
         FROM cov GROUP BY 1
-        ORDER BY active_users DESC, minute LIMIT 5""")))
+        ORDER BY active_users DESC, minute LIMIT 5""")),
+
+    // ---- O136s: streaming DDSketch quantiles (O136 twin) ------------------------
+    // Live p50/p99 value quantiles at bounded state per key FOREVER (state
+    // = the bucket-count sketch; merge = count addition, so no order
+    // contract): each batch folds its cents into the same integer bucket
+    // math as the batch row and emits a running snapshot with lower-bound
+    // reads at rank ceil(n·q/1000) — the latency-dashboard operator.
+    // Oracle replays snapshots as batch-prefix restrictions.
+    DeclaredQuery("stream_value_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "5")
+          .load()
+        val ds = stream.select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+          .as[(String, Long)]
+        val out = graft.streaming.StatefulOps.ddsketchPerBatch(ds)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "n", "p50_est", "p99_est"), "ddq")
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type, value,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        nn AS (SELECT COUNT(*) AS cnt FROM o),
+        wb AS MATERIALIZED (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+              rn // ((cnt + 4) // 5) AS batch
+            FROM o CROSS JOIN nn),
+        kk AS (SELECT event_type, batch,
+                 CASE WHEN v < 16 THEN v
+                   ELSE 16 * length(bin(v)) +
+                     (v // (CAST(1 AS BIGINT) << (length(bin(v)) - 5)) - 16)
+                 END AS k
+               FROM wb),
+        pb AS (SELECT DISTINCT event_type, batch FROM kk),
+        cnts AS (SELECT p.event_type, p.batch, kk.k,
+                   CAST(COUNT(*) AS BIGINT) AS c
+                 FROM pb p JOIN kk ON kk.event_type = p.event_type
+                   AND kk.batch <= p.batch
+                 GROUP BY 1, 2, 3),
+        tot AS (SELECT event_type, batch, CAST(SUM(c) AS BIGINT) AS n
+                FROM cnts GROUP BY 1, 2),
+        cum AS (SELECT event_type, batch, k,
+                  SUM(c) OVER (PARTITION BY event_type, batch ORDER BY k)
+                    AS cum
+                FROM cnts),
+        q AS (SELECT * FROM (VALUES (500), (990)) q(qp)),
+        pk AS (SELECT c.event_type, c.batch, q.qp, MIN(c.k) AS pick
+               FROM cum c JOIN tot t USING (event_type, batch) CROSS JOIN q
+               WHERE c.cum >= (t.n * q.qp + 999) // 1000
+               GROUP BY 1, 2, 3),
+        est AS (SELECT event_type, batch, qp,
+                  CASE WHEN pick < 16 THEN pick
+                    ELSE (16 + pick % 16) *
+                      (CAST(1 AS BIGINT) << CAST(pick // 16 - 5 AS INTEGER))
+                  END AS v
+                FROM pk),
+        sq AS (SELECT event_type, batch,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY batch) AS BIGINT) AS seq
+               FROM pb)
+        SELECT s.event_type, s.seq, t.n,
+          MAX(CASE WHEN e.qp = 500 THEN e.v END) AS p50_est,
+          MAX(CASE WHEN e.qp = 990 THEN e.v END) AS p99_est
+        FROM sq s JOIN tot t USING (event_type, batch)
+        JOIN est e USING (event_type, batch)
+        GROUP BY 1, 2, t.n ORDER BY 1, 2""")))
 }

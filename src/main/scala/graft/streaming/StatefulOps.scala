@@ -269,4 +269,65 @@ object StatefulOps {
             late.length.toLong, maxLate, newMax))
       }
   }
+
+  /** Streaming quantiles at bounded state — [[graft.relational.DdSketch]]'s
+    * streaming twin: per key, state is the sketch itself (sorted bucket
+    * keys + counts, ≤ 16 cells per octave ≈ a thousand longs however many
+    * rows ever arrive), each batch ADDS its bucket counts (sketch merge =
+    * count addition — commutative, so NO order contract) and emits a
+    * running snapshot (key, seq, n, p50_est, p99_est) with the same
+    * integer bucket math and lower-bound reads as the batch row: quantile
+    * q's estimate is the lower bound of the first bucket whose cumulative
+    * count reaches ceil(n·q/1000) — <1/16 relative error forever, the
+    * latency-dashboard operator. Values must be non-negative longs (the
+    * geometric mapping has no sign — misuse fails loudly per batch).
+    */
+  def ddsketchPerBatch(ds: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long)] =
+      Encoders.product[(String, Long, Long, Long, Long)]
+    implicit val stEnc: Encoder[(Long, Array[Long], Array[Long])] =
+      Encoders.product[(Long, Array[Long], Array[Long])]
+    def bucket(v: Long): Long =
+      if (v < 16L) v
+      else {
+        val e = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        16L * e + (v >> (e - 5)) - 16L
+      }
+    def lowerBound(k: Long): Long =
+      if (k < 16L) k else (16L + k % 16L) << ((k / 16L).toInt - 5)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Array[Long], Array[Long]),
+        (String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long], Array[Long])]) =>
+          val (seq0, ks0, cs0) = state.getOption
+            .getOrElse((0L, Array.empty[Long], Array.empty[Long]))
+          val acc = scala.collection.mutable.TreeMap.empty[Long, Long]
+          ks0.indices.foreach(i => acc(ks0(i)) = cs0(i))
+          rows.foreach { case (_, v) =>
+            require(v >= 0L,
+              s"ddsketchPerBatch: negative value $v for key $key — the " +
+                "geometric bucket mapping is defined for non-negative values")
+            val b = bucket(v)
+            acc(b) = acc.getOrElse(b, 0L) + 1L
+          }
+          val n = acc.valuesIterator.sum
+          def pick(qPermille: Long): Long = {
+            val target = (n * qPermille + 999L) / 1000L
+            var cum = 0L
+            var ans = 0L
+            val it = acc.iterator
+            var found = false
+            while (it.hasNext && !found) {
+              val (k, c) = it.next(); cum += c
+              if (cum >= target) { ans = lowerBound(k); found = true }
+            }
+            ans
+          }
+          state.update((seq0 + 1L, acc.keys.toArray, acc.values.toArray))
+          Iterator.single((key, seq0 + 1L, n, pick(500L), pick(990L)))
+      }
+  }
 }

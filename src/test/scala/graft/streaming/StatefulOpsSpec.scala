@@ -192,4 +192,43 @@ class StatefulOpsSpec extends SparkSpec {
       ("a", 3L, 1L, 0L, 0L, 130L),
       ("b", 1L, 1L, 0L, 0L, 5L)))
   }
+
+  test("streaming DDSketch accumulates counts and reads lower bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StatefulOps.ddsketchPerBatch(input.toDS())
+      .writeStream.format("memory").queryName("ddq_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: values 0..9 (singleton buckets → exact): p50 rank 5 → 4,
+    // p99 rank 10 → 9
+    input.addData((0L to 9L).map(v => ("a", v)): _*)
+    q.processAllAvailable()
+    // batch 2: ten copies of 1000 → n=20, p50 rank 10 → value 9 exact;
+    // p99 rank 20 → bucket of 1000: e=10, sub=(1000>>5)-16=15,
+    // L=(16+15)*2^5=992
+    input.addData(Seq.fill(10)(("a", 1000L)): _*)
+    q.processAllAvailable()
+    val got = spark.table("ddq_out")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("a", 1L, 10L, 4L, 9L),
+      ("a", 2L, 20L, 9L, 992L)))
+  }
+
+  test("streaming DDSketch refuses negative values loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StatefulOps.ddsketchPerBatch(input.toDS())
+      .writeStream.format("memory").queryName("ddq_neg")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(("a", -5L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("non-negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-negative")))
+  }
 }
