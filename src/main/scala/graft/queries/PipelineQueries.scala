@@ -425,6 +425,60 @@ object PipelineQueries {
        |bk AS ($bandUnion)""".stripMargin
   }
 
+  /** DuckDB replay of the nprobe sweep: ONE widened query-assignment CTE
+    * (rn ≤ max nprobe), per-probe-count kNN chains filtered to rn ≤ np,
+    * each intersected with the brute-force exact top-3.
+    */
+  private def nprobeSweepOracleSql(nprobes: Seq[Int], k: Int,
+                                   maxQid: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(list_zip($b, $b), x -> x[1] * x[2]), (a, b) -> a + b)))"""
+    val perNp = nprobes.map { np =>
+      s"""sc$np AS (SELECT DISTINCT q.qid, c.vec_id AS cid,
+             ${cos("q.qv", "c.v")} AS score
+           FROM qass q JOIN cass c USING (sid)
+           WHERE q.rn <= $np AND c.vec_id <> q.qid),
+        kn$np AS (SELECT qid, cid FROM (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score DESC, cid) AS rk FROM sc$np) t WHERE rk <= $k),
+        row$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+            CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM exact x WHERE EXISTS (SELECT 1 FROM kn$np n
+            WHERE n.qid = x.qid AND n.cid = x.cid))"""
+    }.mkString(",\n        ")
+    val union = nprobes.map(np => s"SELECT * FROM row$np").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      cass AS (
+        SELECT vec_id, v, sid FROM (
+          SELECT e.vec_id, e.v, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "s.sv")} DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s) t WHERE rn = 1),
+      qass AS (
+        SELECT qid, qv, sid, rn FROM (
+          SELECT e.vec_id AS qid, e.v AS qv, s.sid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "s.sv")} DESC, s.sid) AS rn
+          FROM e CROSS JOIN seeds s WHERE e.vec_id < $maxQid) t
+        WHERE rn <= ${nprobes.max}),
+      exact AS MATERIALIZED (SELECT qid, cid FROM (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              ${cos("a.v", "b.v")} DESC, b.vec_id) AS rk
+          FROM e a CROSS JOIN e b
+          WHERE a.vec_id < $maxQid AND b.vec_id <> a.vec_id) t
+        WHERE rk <= $k),
+      exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exact),
+      $perNp,
+      u AS ($union)
+      SELECT u.nprobe, u.n_hits,
+        CAST((1000 * u.n_hits) // exn.n AS BIGINT) AS recall_permille
+      FROM u CROSS JOIN exn ORDER BY u.nprobe"""
+  }
+
   /** DuckDB replay of [[graft.vector.Mmr.rerank]] over the IVF pool: the
     * ivf_topk CTE chain widened to `poolK`, candidate pair cosines, then
     * `select` greedy rounds — each round's pick is ROW_NUMBER over
@@ -2433,6 +2487,32 @@ object PipelineQueries {
     // engines, the cosine-doubles discipline the ivf rows already prove).
     // Everything after retrieval is answer-sized (queries·k² sims, keyed
     // max + windowed argmax per round).
+    // ---- O152: IVF nprobe tuning sweep ---------------------------------------
+    // The sweep family's ANN member (threshold sweep : dedup ::
+    // nprobe sweep : serving): recall@3 vs probed cells for nprobe
+    // 1/2/4/8, each pipeline the gated deterministic IVF, each recall
+    // against the gated brute-force exact — the curve that decides
+    // nprobe at rollout, measured not guessed.
+    DeclaredQuery("ivf_nprobe_sweep",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = graft.relational.Stages.materialize(
+          Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id",
+            "embedding", k = 3).select(col("qid"), col("cid")), "sweep_exact")
+        Seq(1, 2, 4, 8).map { np =>
+          val approx = Similarity.ivfTopK(q, "vec_id", emb, "vec_id",
+            "embedding", k = 3, nlist = 16, nprobe = np)
+            .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+          exact.join(approx, Seq("qid", "cid"), "left")
+            .agg(count(lit(1)).as("__n"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+              expr("(1000L * n_hits) div __n").as("recall_permille"))
+        }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+      },
+      Some(nprobeSweepOracleSql(Seq(1, 2, 4, 8), k = 3, maxQid = 10))),
+
     DeclaredQuery("mmr_diverse_topk",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
