@@ -41,9 +41,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // is the single-JVM LOCAL harness only — production deployments pass
 // durable checkpoint locations explicitly (drainRoutedToParquet's
 // checkpointDir) and configure cluster local dirs.
+// Gated: GRAFT_TMPFS=0 opts out, and the redirect only engages when tmpfs
+// has >= 16 GiB usable — shuffle spills and parquet drains landing in
+// RAM-backed tmpfs on a small host would exhaust memory instead of
+// spilling to disk, which is the opposite of what a spill is for.
 javaOptions ++= {
   val shm = new java.io.File("/dev/shm")
-  if (shm.isDirectory && shm.canWrite) {
+  val minUsable = 16L * 1024 * 1024 * 1024
+  if (sys.env.getOrElse("GRAFT_TMPFS", "1") != "0" &&
+      shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minUsable) {
     val d = new java.io.File(shm, "graft-tmp")
     d.mkdirs()
     Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")

@@ -7,6 +7,28 @@ import org.apache.spark.sql.SparkSession
   * plan regressions are visible without reading full explains.
   */
 object PlanAudit {
+
+  /** Count DecimalType columns anywhere in a schema (nested included).
+    *
+    * The r8 lesson: the only two queries whose OUTPUT schema carried a raw
+    * DECIMAL were the only two driver-gate hash failures — decimal-typed
+    * outputs canonicalize differently across oracle environments even when
+    * every value agrees. DECIMAL stays legal INSIDE a plan (exact money
+    * equality, exact min-joins); it must never reach a declared query's
+    * output. PlanAudit prints the count per query and close_round.sh
+    * refuses to close on any nonzero.
+    */
+  def decimalColumns(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => 1
+      case s: StructType => s.fields.map(f => decimalColumns(f.dataType)).sum
+      case a: ArrayType => decimalColumns(a.elementType)
+      case m: MapType => decimalColumns(m.keyType) + decimalColumns(m.valueType)
+      case _ => 0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.headOption
@@ -39,8 +61,10 @@ object PlanAudit {
           // In the simple plan string a codegen span is the `*(n)` node
           // prefix, not the word "WholeStageCodegen" — count distinct ids.
           val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+          val dec = decimalColumns(df.schema)
           println(f"[plan] $name%-32s shuf=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d " +
-            f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d")
+            f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d " +
+            f"dec=$dec%-2d")
           if (only.isDefined) println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         } catch {

@@ -238,6 +238,21 @@ object Dedup {
                   shingleN: Int): DataFrame =
     shingleIndex(docs, idCol, textCol, shingleN, Nil)
 
+  /** Drop keys hotter than `cap` from an (id, key) index by broadcasting
+    * the HOT key set and anti-joining — the hot set is bounded by the
+    * number of pruned keys (|corpus|/cap at most), where the complementary
+    * "broadcast the keys under the cap" idiom broadcasts the near-full
+    * vocabulary and blows the driver exactly at the corpus scales where a
+    * df cap matters. Recall-conservative by construction: a dropped key
+    * only removes pair evidence, never invents it.
+    */
+  private def dropHotKeys(index: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 2, s"maxDf cap must be >= 2 (got $cap): a key needs df 2 to form a pair")
+    val hot = index.groupBy(col("key")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap).select("key")
+    index.join(broadcast(hot), Seq("key"), "left_anti")
+  }
+
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, blockCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -281,12 +296,7 @@ object Dedup {
                           shingleN: Int, minShared: Long,
                           maxDf: Option[Long] = None): DataFrame = {
     val index0 = shingleIndex(docs, idCol, textCol, shingleN, Nil)
-    val index = maxDf match {
-      case Some(cap) =>
-        val df_ = index0.groupBy(col("key")).agg(count(lit(1)).as("__df"))
-        index0.join(broadcast(df_.filter(col("__df") <= cap)), "key").drop("__df")
-      case None => index0
-    }
+    val index = maxDf.fold(index0)(cap => dropHotKeys(index0, cap))
     index.select(col("id").as("id1"), col("key"))
       .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
       .filter(col("id1") < col("id2"))
@@ -303,13 +313,24 @@ object Dedup {
     *
     * @param blockCols blocking columns (pairs only form within equal blocks)
     * @param minJaccard result threshold (also prunes the pair-count output)
+    * @param maxDf optional document-frequency cap on PAIR GENERATION: the
+    *   self-join fan-out per shingle is df² (a single hot boilerplate
+    *   shingle at corpus scale makes that one join the job — the r8 O140
+    *   scale audit), so shingles hotter than the cap are dropped from the
+    *   join sides ([[dropHotKeys]]: broadcast-anti on the bounded HOT set)
+    *   while per-doc sizes stay exact. The reported jaccard is then a
+    *   recall-conservative UNDERESTIMATE (lost hot-shingle intersections
+    *   count against the pair); `None` is exact and only safe at scales
+    *   where the max df is known bounded.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, blockCols: Seq[String],
-                        minJaccard: Double): DataFrame = {
-    val index = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
+                        minJaccard: Double,
+                        maxDf: Option[Long] = None): DataFrame = {
+    val index0 = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
+    val index = maxDf.fold(index0)(cap => dropHotKeys(index0, cap))
 
-    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val sizes = index0.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
 
     val inter = index.select(col("id").as("id1"), col("key"))
       .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
@@ -338,9 +359,13 @@ object Dedup {
     */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, blockCols: Seq[String],
-                            minContainment: Double): DataFrame = {
-    val index = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
-    val sizes = index.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+                            minContainment: Double,
+                            maxDf: Option[Long] = None): DataFrame = {
+    val index0 = shingleIndex(docs, idCol, textCol, shingleN, blockCols)
+    // same maxDf semantics as [[ngramJaccardPairs]]: cap applies to pair
+    // generation only; sizes stay exact; containment underestimates
+    val index = maxDf.fold(index0)(cap => dropHotKeys(index0, cap))
+    val sizes = index0.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val inter = index.select(col("id").as("id1"), col("key"))
       .join(index.select(col("id").as("id2"), col("key")), Seq("key"))
       .filter(col("id1") < col("id2"))

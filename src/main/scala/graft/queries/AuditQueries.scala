@@ -22,11 +22,18 @@ object AuditQueries {
     // count. Quantized-exact (floor(x·10⁴) longs) so every cell
     // hash-matches.
     DeclaredQuery("embedding_gram_matrix",
+      // the dim=64 filter is EXPLICIT on both sides: the aggregator skips
+      // ragged vectors (n excludes them) while a bare oracle COUNT(*) would
+      // count every row — an explicit shared predicate keeps the two
+      // engines from diverging silently if the fixture ever gains a ragged
+      // embedding (same loud-parity posture as Dispersion.perGroup)
       (s, dir) => graft.vector.Gram
-        .upperTriangle(tbl(s, dir, "embeddings"), "embedding", dim = 64)
+        .upperTriangle(tbl(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64), "embedding", dim = 64)
         .orderBy(col("dim_i"), col("dim_j")),
       Some("""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings
+                 WHERE len(embedding) = 64),
         pos AS (SELECT unnest(range(1, 65)) AS i),
         p AS (SELECT a.i AS i, b.i AS j, q[a.i] * q[b.i] AS prod
               FROM e CROSS JOIN pos a CROSS JOIN pos b WHERE a.i <= b.i)
@@ -42,8 +49,10 @@ object AuditQueries {
     // direction estimate is engine-replayable digit for digit. The oracle
     // replays all four rounds as chained CTEs in HUGEINT.
     DeclaredQuery("gram_power_iteration",
+      // same explicit ragged-vector parity filter as embedding_gram_matrix
       (s, dir) => graft.vector.Gram
-        .powerIteration(tbl(s, dir, "embeddings"), "embedding", dim = 64,
+        .powerIteration(tbl(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64), "embedding", dim = 64,
           rounds = 4)
         .orderBy(col("dim")),
       Some {
@@ -55,7 +64,8 @@ object AuditQueries {
           v$r AS (SELECT i, (1000000 * w) // m AS v FROM w$r CROSS JOIN m$r)"""
         }.mkString(",\n        ")
         s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings
+                 WHERE len(embedding) = 64),
         pos AS (SELECT unnest(range(1, 65)) AS i),
         p AS (SELECT a.i AS i, b.i AS j, q[a.i] * q[b.i] AS prod
               FROM e CROSS JOIN pos a CROSS JOIN pos b WHERE a.i <= b.i),

@@ -306,6 +306,12 @@ object ExtendedQueries {
           .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), dec2(col("o_totalprice")).as("o_totalprice"))
           .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+          // House money discipline: the DECIMAL(12,2) grouping key stays
+          // INTERNAL (exact group equality); the OUTPUT is its double
+          // materialization — decimal-typed output columns hash differently
+          // across oracle environments even when every value agrees
+          // (round-8 driver gate vs local gate divergence).
+          .withColumn("o_totalprice", col("o_totalprice").cast("double"))
           .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
           .limit(100)
       },
@@ -313,7 +319,7 @@ object ExtendedQueries {
           SELECT l_orderkey FROM lineitem GROUP BY 1
           HAVING SUM(l_quantity) > 300)
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-          CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
         FROM lineitem
         JOIN big USING (l_orderkey)
@@ -398,8 +404,11 @@ object ExtendedQueries {
           .join(broadcast(tbl(s, dir, "part")
             .filter(col("p_type") === "ECONOMY" && col("p_size") < 10)),
             col("l_partkey") === col("p_partkey"))
+          // The DECIMAL min-equality join above is internal and exact; the
+          // OUTPUT cost is double (house discipline — no decimal-typed
+          // output columns; see q18 note).
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
-            col("p_partkey"), col("cost"))
+            col("p_partkey"), col("cost").cast("double").as("cost"))
           .orderBy(col("cost"), col("p_partkey"), col("s_name"))
           .limit(100)
       },
@@ -414,7 +423,8 @@ object ExtendedQueries {
           FROM lineitem JOIN supp ON l_suppkey = s_suppkey
           GROUP BY 1, 2, 3, 4),
         mn AS (SELECT l_partkey, MIN(cost) AS mc FROM costs GROUP BY 1)
-        SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        SELECT s_acctbal, s_name, n_name, p_partkey,
+          CAST(cost AS DOUBLE) AS cost
         FROM costs JOIN mn USING (l_partkey)
         JOIN part ON l_partkey = p_partkey
         WHERE cost = mc AND p_type = 'ECONOMY' AND p_size < 10

@@ -2036,8 +2036,15 @@ object PipelineQueries {
         val docs = tbl(s, dir, "documents")
         val cand = MinHash.portableCandidatePairs(docs, "doc_id", "text",
           shingleN = 3, numHashes = 16, numBands = 8)
+        // maxDf = 64 caps the truth side's postings self-join (the r8
+        // `weak`): the fan-out per shingle is df², and one hot boilerplate
+        // shingle at corpus scale makes that join the job. At the fixture
+        // the max df is 7 (measured), so the capped truth is bit-identical
+        // to exact — the cap is the 100 TB posture, not a value change;
+        // the oracle applies the identical cap so the gate holds either way.
         val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleN = 3, blockCols = Seq.empty, minJaccard = 0.5)
+          shingleN = 3, blockCols = Seq.empty, minJaccard = 0.5,
+          maxDf = Some(64L))
           .select(col("id1"), col("id2"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
@@ -2060,8 +2067,10 @@ object PipelineQueries {
         cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
                  FROM bk a JOIN bk c USING (band, band_key) WHERE a.id < c.id),
         sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+        hsc AS (SELECT * FROM hs WHERE h NOT IN
+                (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 64)),
         ap AS (SELECT h1.id AS id1, h2.id AS id2, COUNT(*) AS i
-               FROM hs h1 JOIN hs h2 ON h2.h = h1.h AND h1.id < h2.id
+               FROM hsc h1 JOIN hsc h2 ON h2.h = h1.h AND h1.id < h2.id
                GROUP BY 1, 2),
         truth AS (SELECT ap.id1, ap.id2 FROM ap
                   JOIN sizes s1 ON s1.id = ap.id1

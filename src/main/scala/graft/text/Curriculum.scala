@@ -27,9 +27,17 @@ object Curriculum {
     * and so on.
     */
   def strideInterleave(docs: DataFrame, idCol: String, sourceCol: String,
-                       score: Column): DataFrame = {
+                       score: Column, maxSources: Int = 10000): DataFrame = {
+    // bounded-model collect discipline: the distinct source list is
+    // dimension-sized BY CONTRACT — limit(cap+1) makes a violated contract
+    // fail loudly instead of OOMing the driver on a high-cardinality column
+    // mistakenly passed as the source
     val srcRows = docs.select(col(sourceCol).cast("string").as("__s"))
-      .distinct().collect()
+      .distinct().limit(maxSources + 1).collect()
+    require(srcRows.length <= maxSources,
+      s"strideInterleave: more than $maxSources distinct values in " +
+        s"'$sourceCol' — not a source dimension; raise maxSources only if " +
+        "the driver can hold the offset table")
     // a null source would silently drop its rows at the offset join below
     require(srcRows.forall(!_.isNullAt(0)),
       s"$sourceCol must be non-null for stride interleaving")

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object Gram {
 
+  /** Quantized components must fit in 31 bits so a pairwise product fits a
+    * long with headroom for the checked accumulate (2³¹·2³¹ = 2⁶² < 2⁶³).
+    */
+  private val MaxQuantMagnitude: Double = (1L << 31).toDouble
+
   final case class Buf(sums: Array[Long], n: Long)
 
   private final class GramAgg(dim: Int, quantScale: Double)
@@ -50,7 +55,20 @@ object Gram {
         val q = new Array[Long](dim)
         var i = 0
         while (i < dim) {
-          q(i) = math.floor(v(i).toDouble * quantScale).toLong
+          // Overflow is checked at EVERY step, not just the adds: quantized
+          // components are validated against 2³¹ (so a pairwise product is
+          // ≤ 2⁶² — representable), the product itself is multiplyExact
+          // (belt and braces), and the accumulate is addExact. Without the
+          // magnitude gate, floor(x·scale).toLong saturates silently and
+          // q(i)*q(j) can wrap before any checked add sees it. NaN/Inf
+          // components fail the comparison and are refused loudly too.
+          val x = math.floor(v(i).toDouble * quantScale)
+          if (!(math.abs(x) <= MaxQuantMagnitude))
+            throw new ArithmeticException(
+              s"Gram: |component ${v(i)}| * quantScale=$quantScale exceeds " +
+                s"2^31 after quantization (or is NaN/Inf) — exact long " +
+                "arithmetic would overflow; rescale or clean the embeddings")
+          q(i) = x.toLong
           i += 1
         }
         var c = 0
@@ -58,7 +76,7 @@ object Gram {
         while (i < dim) {
           var j = i
           while (j < dim) {
-            b.sums(c) = math.addExact(b.sums(c), q(i) * q(j))
+            b.sums(c) = math.addExact(b.sums(c), math.multiplyExact(q(i), q(j)))
             c += 1; j += 1
           }
           i += 1

@@ -94,6 +94,31 @@ class DedupSpec extends SparkSpec {
     assert(j === 0L)
   }
 
+  test("ngram jaccard maxDf: generous cap is exact, tight cap only drops, cap<2 is loud") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, Nil, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // fixture max df is single-digit — a cap of 64 must be bit-identical
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, Nil, 0.3,
+      maxDf = Some(64L)).as[(Long, Long, Double)].collect().toSet
+    assert(capped === exact)
+    // a tight cap may lose pairs (hot-shingle evidence dropped) but must
+    // never invent one, and surviving scores only shrink (underestimate)
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, Nil, 0.3,
+      maxDf = Some(2L)).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exactMap = exact.map(r => (r._1, r._2) -> r._3).toMap
+    tight.foreach { case (k, j) =>
+      assert(exactMap.contains(k), s"capped run invented pair $k")
+      assert(j <= exactMap(k) + 1e-12, s"capped jaccard exceeds exact for $k")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, Nil, 0.3,
+        maxDf = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("maxDf"))
+  }
+
   test("sparse cosine pairs equals a local dense computation; maxDf only drops pairs") {
     val got = Dedup.sparseCosinePairs(corpus, "doc_id", "text", threshold = 0.0)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap

@@ -30,6 +30,17 @@ class CurriculumSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length === 4)
   }
 
+  test("a source column above the maxSources cap fails loudly, not OOM") {
+    // doc_id passed as the "source": high-cardinality by construction —
+    // the bounded-collect contract must refuse it before collecting
+    val docs = (1L to 30L).map(i => (i, s"src$i", i)).toDF("doc_id", "source", "score")
+    val e = intercept[IllegalArgumentException] {
+      Curriculum.strideInterleave(docs, "doc_id", "source", col("score"),
+        maxSources = 10)
+    }
+    assert(e.getMessage.contains("maxSources"))
+  }
+
   test("first S positions hold exactly one doc per source (sf fixture)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val nSrc = docs.select("source").distinct().count()

@@ -55,6 +55,37 @@ if grep -E "cart=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: cartesian product in a declared plan"; exit 1; fi
 if grep -q "FAILED" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
+# r8 lesson: DECIMAL-typed output columns were the only driver-gate hash
+# failures and were invisible to every local signal — refuse them at close.
+if grep -E "dec=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: a declared query emits a DECIMAL-typed output column"
+  exit 1; fi
+# belt-and-braces: scan the Verify parquet footers too (catches a dec column
+# that PlanAudit's schema walk would miss only if the two ever diverge)
+python3 - <<'EOF' || { echo "CLOSE FAILED: decimal column in Verify output"; exit 1; }
+import os, sys
+import pyarrow.parquet as pq
+import pyarrow.types as pt
+def has_decimal(t):
+    if pt.is_decimal(t): return True
+    if pt.is_list(t) or pt.is_large_list(t): return has_decimal(t.value_type)
+    if pt.is_struct(t): return any(has_decimal(f.type) for f in t)
+    if pt.is_map(t): return has_decimal(t.key_type) or has_decimal(t.item_type)
+    return False
+bad = []
+root = '/tmp/close_verify'
+for d in sorted(os.listdir(root)):
+    p = os.path.join(root, d)
+    if not os.path.isdir(p): continue
+    for f in os.listdir(p):
+        if f.endswith('.parquet'):
+            sch = pq.read_schema(os.path.join(p, f))
+            for field in sch:
+                if has_decimal(field.type): bad.append((d, field.name))
+            break
+if bad:
+    print('DECIMAL output columns:', bad); sys.exit(1)
+EOF
 
 echo "== close_round: Bench at ${SF_BENCH} (two interleaved passes) =="
 SPARK_GRAFT_SF_DIR="${SF_BENCH}" sbt -batch "runMain graft.Bench" \
