@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time stream_* rows in isolation under the bench session shape,
+  * repeated, so the per-row fixed constants (query startup, per-trigger
+  * incremental planning, state-store commits, sink drain) can be attributed
+  * and tuned. Args: [substring filter] [reps]. Env knobs mirror Bench.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val filter = args.headOption.getOrElse("stream_")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (filter == "micro") { micro(spark, sfDir); spark.stop(); return }
+    val names = SparkEntry.queries.keys.filter(_.contains(filter)).toSeq.sorted
+    for (r <- 1 to reps; n <- names) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[probe] r$r $n%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    spark.stop()
+  }
+
+  /** Factor the per-row constant: stateless pass-through vs stateful agg,
+    * by trigger count and state-store (shuffle) partition count.
+    */
+  private def micro(s: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def run(tag: String, nb: Int, parts: Int, stateful: Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val ss = graft.queries.Dsl.streamSession(s, parts)
+      val stream = ss.readStream
+        .format(classOf[graft.sources.ReplayStreamSource].getName)
+        .option("path", s"$sfDir/events.parquet")
+        .option("numBatches", nb.toString)
+        .load()
+      val evs = graft.queries.Dsl.normalizeTs(stream)
+      val frame =
+        if (stateful)
+          evs.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        else evs.select(col("event_type"))
+      val name = "probe_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = frame.writeStream.format("memory").queryName(name)
+        .outputMode(if (stateful) OutputMode.Complete() else OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val n = ss.sql(s"SELECT COUNT(*) FROM $name").collect()(0).getLong(0)
+      println(f"[micro] $tag%-28s nb=$nb%-2d parts=$parts%-3d stateful=$stateful%-5s " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s (rows=$n)")
+    }
+    for (r <- 1 to 2) {
+      run(s"r$r stateless", 4, 8, stateful = false)
+      run(s"r$r stateless", 1, 8, stateful = false)
+      run(s"r$r stateful", 4, 8, stateful = true)
+      run(s"r$r stateful", 2, 8, stateful = true)
+      run(s"r$r stateful", 1, 8, stateful = true)
+      run(s"r$r stateful", 4, 2, stateful = true)
+      run(s"r$r stateful", 4, 32, stateful = true)
+    }
+  }
+}

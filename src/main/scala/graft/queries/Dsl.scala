@@ -63,12 +63,15 @@ object Dsl {
     * thousand rows, which measured as the dominant cost of every stream_*
     * bench row (~2-4 s of pure per-trigger constants). A clone via
     * `newSession()` shares the SparkContext but carries its own SQLConf,
-    * so the caller's session is NOT mutated (the house rule); 8 stores is
+    * so the caller's session is NOT mutated (the house rule); 4 stores is
     * right-sized for replay volumes while keeping multi-core trigger
-    * parallelism. Production streams size this to sustained per-trigger
-    * volume, not to the batch shuffle setting.
+    * parallelism (measured r9: store commits cost ~21 ms/partition/trigger,
+    * so 8→4 shaves ~0.3 s/row of pure constant with no result change —
+    * partition count never affects keyed-aggregation answers). Production
+    * streams size this to sustained per-trigger volume, not to the batch
+    * shuffle setting.
     */
-  def streamSession(s: SparkSession, parts: Int = 8): SparkSession = {
+  def streamSession(s: SparkSession, parts: Int = 4): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     graft.functions.GraftFunctions.register(ss)

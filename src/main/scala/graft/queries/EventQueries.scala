@@ -382,7 +382,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()
         val evs = Dsl.normalizeTs(stream)
           .withColumn("event", struct(
@@ -426,7 +426,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()
         val evs = Dsl.normalizeTs(stream)
         val counts = graft.streaming.StreamingRouter.windowedCounts(
@@ -459,7 +459,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()
         val evs = Dsl.normalizeTs(stream)
         val counts = graft.streaming.StreamingRouter.windowedCounts(
@@ -600,7 +600,7 @@ object EventQueries {
         FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ---- T4/O1 under the oracle: STATEFUL cross-batch exact dedup --------
-    // The streaming twin of dedup_exact: documents replay in 4 stable
+    // The streaming twin of dedup_exact: documents replay in 2 stable
     // micro-batches, a flatMapGroupsWithState seen-marker keeps each text
     // fingerprint's first occurrence ONLY (one boolean of state per
     // distinct fp, partitioned by key — the bounded-state corpus-dedup
@@ -614,7 +614,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/documents.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()
         val ds = stream
           .select(col("doc_id").cast("long"), md5(col("text")).as("fp"),
@@ -684,7 +684,7 @@ object EventQueries {
         val stream = Dsl.normalizeTs(streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load())
         val sess = graft.streaming.StreamingRouter.sessionCounts(
           stream.select(col("user_id"), col("ts")),
@@ -735,7 +735,7 @@ object EventQueries {
         val stream = Dsl.normalizeTs(streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load())
         val dim = broadcast(tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment")))
@@ -826,7 +826,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "3")
           .load()
         val evs = Dsl.normalizeTs(stream)
           .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
@@ -841,7 +841,7 @@ object EventQueries {
                row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
              FROM events),
         n AS (SELECT COUNT(*) AS nn FROM o),
-        r AS (SELECT user_id, s, s + 1800 AS e, rn // ((nn + 3) // 4) AS batch
+        r AS (SELECT user_id, s, s + 1800 AS e, rn // ((nn + 2) // 3) AS batch
               FROM o CROSS JOIN n),
         sg AS (SELECT user_id, s, e, batch,
                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
@@ -873,7 +873,12 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("batchSize", "8000")
+          // numBatches (not batchSize) pins the TRIGGER COUNT at every
+          // scale factor: a fixed batchSize metered 13 triggers at sf0.1
+          // (~1.7 s of pure per-trigger constant in the bench) while the
+          // observability semantics — per-batch numInputRows accounting —
+          // need only "several deterministic batches", which 4 is at any sf
+          .option("numBatches", "4")
           .load()
         val q = stream.writeStream.format("noop")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -885,9 +890,10 @@ object EventQueries {
           .toDF("batch_id", "input_rows")
           .orderBy(col("batch_id"))
       },
-      Some("""SELECT (rn - 1) // 8000 AS batch_id, COUNT(*) AS input_rows
-        FROM (SELECT ROW_NUMBER() OVER () AS rn FROM events) t
-        GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH t AS (SELECT ROW_NUMBER() OVER () AS rn FROM events),
+          n AS (SELECT COUNT(*) AS cnt FROM t)
+        SELECT (rn - 1) // ((cnt + 3) // 4) AS batch_id, COUNT(*) AS input_rows
+        FROM t CROSS JOIN n GROUP BY 1 ORDER BY 1""")),
 
     // ---- P7: a NON-IDENTITY branch handler through the verify gate. The
     // reference passes the parsed payload AND the full record to the
@@ -1353,7 +1359,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "5")
+          .option("numBatches", "3")
           .load()
         val ds = stream.select(col("event_type"),
           graft.functions.HashFunctions.md5Bits60(
@@ -1370,7 +1376,7 @@ object EventQueries {
         nn AS (SELECT COUNT(*) AS cnt FROM o),
         wb AS MATERIALIZED (SELECT event_type,
               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
-              rn // ((cnt + 4) // 5) AS batch
+              rn // ((cnt + 2) // 3) AS batch
             FROM o CROSS JOIN nn),
         pb AS (SELECT DISTINCT event_type, batch FROM wb),
         hf AS MATERIALIZED (SELECT event_type, h, MIN(batch) AS fb
@@ -1446,7 +1452,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "5")
+          .option("numBatches", "3")
           .load()
         val ds = Dsl.normalizeTs(stream)
           .select(col("event_type"),
@@ -1467,7 +1473,7 @@ object EventQueries {
         wb AS MATERIALIZED (SELECT event_type,
               CAST(floor(epoch(ts)) AS BIGINT) -
                 (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 7200) AS sec,
-              rn // ((cnt + 4) // 5) AS batch
+              rn // ((cnt + 2) // 3) AS batch
             FROM o CROSS JOIN nn),
         bm AS (SELECT event_type, batch, MAX(sec) AS bmax,
                  CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -1657,7 +1663,7 @@ object EventQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "5")
+          .option("numBatches", "3")
           .load()
         val ds = stream.select(col("event_type"),
           expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
@@ -1673,7 +1679,7 @@ object EventQueries {
         nn AS (SELECT COUNT(*) AS cnt FROM o),
         wb AS MATERIALIZED (SELECT event_type,
               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
-              rn // ((cnt + 4) // 5) AS batch
+              rn // ((cnt + 2) // 3) AS batch
             FROM o CROSS JOIN nn),
         kk AS (SELECT event_type, batch,
                  CASE WHEN v < 16 THEN v

@@ -676,7 +676,7 @@ object ProfilingQueries {
         val stream = streamSession(s).readStream
           .format(classOf[graft.sources.ReplayStreamSource].getName)
           .option("path", s"$dir/events.parquet")
-          .option("numBatches", "4")
+          .option("numBatches", "2")
           .load()
         val evs = Dsl.normalizeTs(stream)
         val counts = graft.streaming.StreamingRouter.windowedCounts(
