@@ -401,7 +401,17 @@ object PipelineQueries {
     * by the portable pair oracle and the band-diagnostics oracle so both
     * replay the IDENTICAL md5-derived banding.
     */
-  private def portableBandCtes(k: Int, b: Int): String = {
+  /** Deterministic 1-in-`den` doc sample predicate on the md5-60 of the id
+    * — the SAME rows in both engines at any scale, unlike rand()-style
+    * sampling. The audit family's scale path: exact-truth sides that are
+    * corpus-quadratic run on the sample with the predicate documented in
+    * the row, so the audit stays runnable at 100 TB as the audit it
+    * claims to be.
+    */
+  private def sampleWhere(den: Int): String =
+    s"(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $den) = 0"
+
+  private def portableBandCtes(k: Int, b: Int, where: String = ""): String = {
     val r = k / b
     // mirrors the Spark side: digest g = md5("g:" || h), mins 2g and 2g+1
     // slice hex chars 1-15 and 16-30 of the same digest
@@ -415,7 +425,8 @@ object PipelineQueries {
     }.mkString(",\n")
     val bandUnion = (0 until b)
       .map(j => s"SELECT id, $j AS band, b$j AS band_key FROM bands").mkString(" UNION ALL ")
-    s"""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+    s"""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents
+       |       ${if (where.isEmpty) "" else s"WHERE $where"}),
        |sh AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
        |         i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS s
        |       FROM tk WHERE len(ts) >= 3),
@@ -2078,6 +2089,75 @@ object PipelineQueries {
                   WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5),
         m AS (SELECT
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+                 WHERE EXISTS (SELECT 1 FROM cand c
+                   WHERE c.id1 = t.id1 AND c.id2 = t.id2)) AS n_caught)
+        SELECT n_docs,
+          CAST((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2 AS BIGINT)
+            AS all_pairs,
+          n_candidates, n_truth, n_caught,
+          CAST((1000 * n_caught) // n_truth AS BIGINT)
+            AS completeness_permille,
+          CAST((CAST(1000000 AS HUGEINT) * n_candidates) //
+            ((CAST(n_docs AS HUGEINT) * (n_docs - 1)) // 2) AS BIGINT)
+            AS candidates_per_million
+        FROM m""")),
+
+    // ---- O140b: blocking-quality audit on a deterministic doc sample -------
+    // The 100 TB posture for the audit family (minhash_jaccard_calibration,
+    // dedup_threshold_sweep, blocking_quality_audit all ride exact pair
+    // frames that are fixture-sized today): the SAME audit on a
+    // deterministic 1-in-2 md5(doc_id) sample — identical rows in both
+    // engines at any scale, unlike rand() — so the exact-truth side's cost
+    // shrinks quadratically (sample rate² of the pairs) while completeness/
+    // reduction stay unbiased estimates of the full-corpus numbers
+    // (banding is per-doc, so a sampled pair's candidacy is unchanged).
+    // The sample predicate is part of the row's definition, gated as values.
+    DeclaredQuery("blocking_quality_audit_sampled",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(
+          pmod(graft.functions.HashFunctions.md5Bits60(
+            col("doc_id").cast("string")), lit(2L)) === 0L)
+        val cand = MinHash.portableCandidatePairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8)
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, blockCols = Seq.empty, minJaccard = 0.5,
+          maxDf = Some(64L))
+          .select(col("id1"), col("id2"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nCaught = truth.join(cand, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+          .crossJoin(broadcast(nCaught))
+          .select(col("n_docs"),
+            expr("(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2")
+              .as("all_pairs"),
+            col("n_candidates"), col("n_truth"), col("n_caught"),
+            expr("(1000L * n_caught) div n_truth")
+              .as("completeness_permille"),
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * n_candidates) div " +
+              "((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2)")
+              .as("candidates_per_million"))
+      },
+      Some(s"""${portableBandCtes(16, 8, sampleWhere(2))},
+        cand AS (SELECT DISTINCT a.id AS id1, c.id AS id2
+                 FROM bk a JOIN bk c USING (band, band_key) WHERE a.id < c.id),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+        hsc AS (SELECT * FROM hs WHERE h NOT IN
+                (SELECT h FROM hs GROUP BY h HAVING COUNT(*) > 64)),
+        ap AS (SELECT h1.id AS id1, h2.id AS id2, COUNT(*) AS i
+               FROM hsc h1 JOIN hsc h2 ON h2.h = h1.h AND h1.id < h2.id
+               GROUP BY 1, 2),
+        truth AS (SELECT ap.id1, ap.id2 FROM ap
+                  JOIN sizes s1 ON s1.id = ap.id1
+                  JOIN sizes s2 ON s2.id = ap.id2
+                  WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5),
+        m AS (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM tk) AS n_docs,
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
                 (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t

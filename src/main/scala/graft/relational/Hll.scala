@@ -74,6 +74,42 @@ object Hll {
         expr(s"(CAST(709 AS DECIMAL(38,0)) * ${m * m} * ${1L << (wBits + 1)}L)" +
           " div (1000 * CAST(__s AS DECIMAL(38,0)))").as("hll_estimate"))
 
+  /** Frozen linear-counting correction table: V (empty registers, 1..m) →
+    * round(m·ln(m/V)), the small-range estimator of Flajolet et al. §4.
+    * Neither engine computes ln at RUNTIME — the 64 values are materialized
+    * once here from StrictMath (bit-reproducible across JVMs by spec) and
+    * interpolated into the oracle SQL as the identical literals, so the
+    * IEEE-libm portability hazard the scaladoc above refuses never arises:
+    * both engines share one frozen constant table, exactly like α₆₄ =
+    * 709/1000. Bounded by construction (m entries, broadcast).
+    */
+  val linearCountingTable: Seq[(Long, Long)] =
+    (1 to m).map(v =>
+      (v.toLong, Math.round(m.toDouble * StrictMath.log(m.toDouble / v))))
+
+  /** The table as a DuckDB VALUES list `(v, lc), ...` for oracle CTEs. */
+  def linearCountingValuesSql: String =
+    linearCountingTable.map { case (v, lc) => s"($v, $lc)" }.mkString(", ")
+
+  /** Fold the linear-counting correction into a [[distinctAudit]]-shaped
+    * frame: rows flagged `small_range` take the LUT estimate m·ln(m/V)
+    * (V = empty_registers), the rest keep the raw harmonic estimate; both
+    * error bands are emitted so the correction's value is MEASURED, not
+    * asserted. The LUT join is a broadcast of 64 literal rows.
+    */
+  def withLinearCounting(audit: DataFrame): DataFrame = {
+    val spark = audit.sparkSession
+    import spark.implicits._
+    val lut = broadcast(linearCountingTable.toDF("__v", "__lc"))
+    audit
+      .join(lut, col("empty_registers") === col("__v"), "left")
+      .withColumn("corrected_estimate",
+        when(col("small_range"), col("__lc")).otherwise(col("hll_estimate")))
+      .withColumn("corrected_err_permille",
+        expr("(1000L * (corrected_estimate - exact_distinct)) div exact_distinct"))
+      .drop("__v", "__lc")
+  }
+
   /** Per-group frame (group, exact_distinct, empty_registers,
     * hll_estimate, small_range, err_permille), group order. */
   def distinctAudit(df: DataFrame, groupCol: String, idCol: String): DataFrame = {

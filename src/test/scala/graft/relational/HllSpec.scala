@@ -54,4 +54,26 @@ class HllSpec extends SparkSpec {
     assert(row._3 > 0L)   // 61 of 64 registers empty
     assert(row._5)        // small_range flagged
   }
+
+  test("linear-counting table is frozen m*ln(m/V) and the correction applies only on small_range") {
+    // the table is literals by construction; spot-check anchor values
+    val lut = Hll.linearCountingTable.toMap
+    assert(lut(64L) === 0L)
+    assert(lut(32L) === Math.round(64 * StrictMath.log(2.0)))  // 44
+    assert(lut(1L) === Math.round(64 * StrictMath.log(64.0))) // 266
+    assert(Hll.linearCountingTable.size === 64)
+    // small group: corrected estimate comes from the LUT at V
+    val small = Hll.withLinearCounting(Hll.distinctAudit(
+      Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("grp", "id"), "grp", "id"))
+      .select("empty_registers", "hll_estimate", "corrected_estimate")
+      .as[(Long, Long, Long)].collect().head
+    assert(small._3 === lut(small._1))
+    // large group (~3000 distinct): small_range false, estimate untouched
+    val ids = (1L to 3000L).map(i => (i * 2654435761L) % 1000003L)
+    val big = Hll.withLinearCounting(Hll.distinctAudit(
+      ids.map(("g", _)).toDF("grp", "id"), "grp", "id"))
+      .select("small_range", "hll_estimate", "corrected_estimate")
+      .as[(Boolean, Long, Long)].collect().head
+    assert(!big._1 && big._2 === big._3)
+  }
 }
