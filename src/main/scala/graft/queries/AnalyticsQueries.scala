@@ -1142,7 +1142,124 @@ object AnalyticsQueries {
           CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
           CAST((1000 * SUM(abs_err)) // COUNT(*) AS BIGINT) AS mae_milli,
           CAST((1000 * SUM(abs_err)) // SUM(n) AS BIGINT) AS mape_permille
-        FROM j GROUP BY 1 ORDER BY 1"""))
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O153: Mann–Whitney U + Kolmogorov–Smirnov two-sample tests --------
+    // Did the purchase value DISTRIBUTION differ from the click value
+    // distribution — in shape, not just mean? U is carried doubled so the
+    // tie term stays integral (U2 = Σ cA·(2·cumB(<v) + cB)); KS is the
+    // cross-multiplied max |cumA·nB − cumB·nA| with the smallest attaining
+    // value as the location. One histogram aggregation + one window over
+    // the distinct-cents frame (bounded-model cap, loud require); every
+    // output one truncating div from exact integers.
+    DeclaredQuery("mannwhitney_ks_value_shift",
+      (s, dir) => graft.relational.TwoSample.mannWhitneyKs(
+        events(s, dir).filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")),
+      Some("""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                 event_type = 'purchase' AS a
+               FROM events WHERE event_type IN ('purchase', 'click')),
+        h AS (SELECT v, CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+              FROM e GROUP BY 1),
+        c AS (SELECT v, ca, cb,
+                SUM(ca) OVER (ORDER BY v) AS cuma,
+                SUM(cb) OVER (ORDER BY v) AS cumb FROM h),
+        t AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM c),
+        d AS (SELECT c.*, na, nb,
+                ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dd
+              FROM c CROSS JOIN t),
+        st AS (SELECT SUM(CAST(ca AS HUGEINT) * (2 * (cumb - cb) + cb)) AS u2,
+                MAX(dd) AS ksx FROM d),
+        av AS (SELECT MIN(v) AS ks_at_value FROM d, st WHERE dd = ksx)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          CAST((500 * u2) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+            AS auc_permille,
+          CAST((1000 * (u2 - CAST(na AS HUGEINT) * nb)) //
+            (CAST(na AS HUGEINT) * nb) AS BIGINT) AS rank_biserial_permille,
+          CAST((1000 * ksx) // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+            AS ks_permille,
+          ks_at_value
+        FROM t, st, av""")),
+
+    // ---- O154: dyadic EWMA control chart ------------------------------------
+    // The volume monitor between MAD gates (level) and CUSUM (drift):
+    // exponential smoothing of daily per-type counts with the residual
+    // alarm, in EXACT integers — λ = 1/2 gives the recurrence a dyadic
+    // closed form (weighted cumsum with shiftleft weights, one window),
+    // so both engines replay the smooth digit for digit; see Ewma scaladoc.
+    DeclaredQuery("ewma_rate_monitor",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.relational.Ewma.dyadicChart(daily, Seq("event_type"), "day",
+          "n_events", alarmPermille = 500L)
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM events GROUP BY 1, 2),
+        o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY day) AS BIGINT) AS seq FROM daily),
+        wg AS (SELECT *, CASE WHEN seq = 1 THEN CAST(1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << CAST(seq - 2 AS INTEGER)) END AS wt
+               FROM o),
+        c0 AS (SELECT *, SUM(CAST(n_events AS HUGEINT) * wt)
+                 OVER (PARTITION BY event_type ORDER BY seq) AS s
+               FROM wg),
+        cm AS (SELECT *, LAG(s)
+                 OVER (PARTITION BY event_type ORDER BY seq) AS sp
+               FROM c0),
+        r AS (SELECT event_type, day, n_events, seq,
+                CAST((1000 * s) //
+                  (CAST(1 AS BIGINT) << CAST(seq - 1 AS INTEGER)) AS BIGINT)
+                  AS ewma_milli,
+                CASE WHEN seq = 1 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((1000 * (CAST(n_events AS HUGEINT) * wt - sp))
+                    // sp AS BIGINT) END AS dev_permille
+              FROM cm)
+        SELECT event_type, day, n_events, seq, ewma_milli, dev_permille,
+          seq <> 1 AND ABS(dev_permille) > 500 AS alarm
+        FROM r ORDER BY event_type, seq""")),
+
+    // ---- O155: growth accounting (new / retained / resurrected / churned) --
+    // The engagement ledger with its balance identity (actives = new +
+    // retained + resurrected; Δactives = new + resurrected − churned,
+    // spec-asserted) and the quick ratio in permille; churn at the horizon
+    // is undefined, so the last day contributes no churn row. One distinct
+    // pass + one per-user window + one keyed re-agg — see Growth scaladoc.
+    DeclaredQuery("growth_accounting_daily",
+      (s, dir) => graft.relational.Growth
+        .dailyAccounting(events(s, dir), "user_id", "ts")
+        .orderBy(col("day")),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+               FROM events),
+        f AS (SELECT u, day,
+                LAG(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+                LEAD(day) OVER (PARTITION BY u ORDER BY day) AS nxt
+              FROM ud),
+        bd AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+                 CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+                 CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+               FROM f GROUP BY 1),
+        mx AS (SELECT MAX(day) AS mxd FROM ud),
+        ch AS (SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+               FROM f CROSS JOIN mx
+               WHERE day < mxd AND (nxt IS NULL OR nxt > day + 1)
+               GROUP BY 1)
+        SELECT bd.day, n_active, n_new, n_retained, n_resurrected,
+          COALESCE(ch.n_churned, 0) AS n_churned,
+          CASE WHEN COALESCE(ch.n_churned, 0) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST((1000 * (n_new + n_resurrected)) // ch.n_churned
+              AS BIGINT) END AS quick_x_permille
+        FROM bd LEFT JOIN ch ON ch.day = bd.day
+        ORDER BY bd.day"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovChain.stationaryMix]] over

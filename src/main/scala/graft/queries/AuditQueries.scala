@@ -80,6 +80,48 @@ object AuditQueries {
         FROM v4 CROSS JOIN m4 ORDER BY dim"""
       }),
 
+    // ---- O75c: PCA variance explained (Rayleigh over the landed Gram) -------
+    // "Is one axis enough?": λ̂₁ = vᵀGv/vᵀv of the power-iteration
+    // direction against the trace, all exact BigInt/HUGEINT truncating
+    // divisions (big quantities as decimal strings — the house DECIMAL(38,0)
+    // discipline); rides the SAME landed Gram stage and the SAME replayed
+    // iteration as gram_power_iteration, so the extra cost is the
+    // answer-sized trace/rayleigh CTEs only.
+    DeclaredQuery("pca_variance_explained",
+      (s, dir) => graft.vector.Gram
+        .varianceExplained(tbl(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64), "embedding", dim = 64,
+          rounds = 4),
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = s"v${r - 1}"
+          s"""w$r AS (SELECT gf.gi AS i, CAST(SUM(g * v.v) AS HUGEINT) AS w
+               FROM gf JOIN $prev v ON v.i = gf.gj GROUP BY 1),
+          m$r AS (SELECT MAX(ABS(w)) AS m FROM w$r),
+          v$r AS (SELECT i, (1000000 * w) // m AS v FROM w$r CROSS JOIN m$r)"""
+        }.mkString(",\n        ")
+        s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings
+                 WHERE len(embedding) = 64),
+        pos AS (SELECT unnest(range(1, 65)) AS i),
+        p AS (SELECT a.i AS i, b.i AS j, q[a.i] * q[b.i] AS prod
+              FROM e CROSS JOIN pos a CROSS JOIN pos b WHERE a.i <= b.i),
+        gc AS (SELECT i - 1 AS gi, j - 1 AS gj, CAST(SUM(prod) AS HUGEINT) AS g
+               FROM p GROUP BY 1, 2),
+        gf AS (SELECT gi, gj, g FROM gc
+               UNION ALL SELECT gj, gi, g FROM gc WHERE gi <> gj),
+        v0 AS (SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS HUGEINT) AS v),
+        $roundCtes,
+        tr AS (SELECT SUM(g) AS trace FROM gc WHERE gi = gj),
+        den AS (SELECT SUM(v * v) AS d FROM v4),
+        num AS (SELECT SUM(a.v * gf.g * b.v) AS n
+                FROM gf JOIN v4 a ON a.i = gf.gi JOIN v4 b ON b.i = gf.gj)
+        SELECT CAST(64 AS BIGINT) AS dim, CAST(trace AS VARCHAR) AS trace,
+          CAST(n // d AS VARCHAR) AS lambda1_est,
+          CAST((1000 * n) // (d * trace) AS BIGINT) AS explained_permille
+        FROM tr, den, num"""
+      }),
+
     // ---- O76: PMI collocation mining ----------------------------------------
     // Church–Hanks pointwise mutual information over bigrams, ranked by the
     // exact-integer lift permille (1000 = independence) with a support

@@ -818,6 +818,35 @@ object PipelineQueries {
             + 0.3::DOUBLE * (1.0::DOUBLE - nstop / nt) AS quality
         FROM c ORDER BY doc_id""")),
 
+    // ---- O156: FORCAST readability profile --------------------------------
+    // The readability member of the quality family — FORCAST, not
+    // Flesch–Kincaid, because FK needs sentence boundaries and neither this
+    // fixture nor much of a real training corpus (logs, listings, tag
+    // soups) has them: counting sentences there would be gate theater.
+    // Vowel-group syllables via pure regexp_replace length arithmetic
+    // (class-only pattern — identical RE2/Java semantics; DuckDB needs the
+    // 'g' flag Spark implies), integer-exact milli-grades. Row-local string
+    // math, one per-source sum.
+    DeclaredQuery("readability_profile",
+      (s, dir) => graft.text.Readability
+        .profile(tbl(s, dir, "documents"), "text", Seq("source"))
+        .orderBy(col("source")),
+      Some("""WITH d AS (SELECT source,
+               len(string_split(text, ' ')) AS w,
+               length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g')) -
+                 length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS syl,
+               len(list_filter(string_split(lower(text), ' '), t ->
+                 length(regexp_replace(t, '[aeiouy]+', 'V', 'g')) -
+                   length(regexp_replace(t, '[aeiouy]+', '', 'g')) = 1)) AS mono
+             FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(w) AS BIGINT) AS n_words,
+          CAST((100 * SUM(syl)) // SUM(w) AS BIGINT) AS syllables_per_100w,
+          CAST((1000 * SUM(mono)) // SUM(w) AS BIGINT) AS mono_permille,
+          CAST(20000 - (15000 * SUM(mono)) // SUM(w) AS BIGINT)
+            AS forcast_grade_milli
+        FROM d GROUP BY 1 ORDER BY 1""")),
+
     // ---- language-ID heuristic --------------------------------------------
     DeclaredQuery("text_lang_id",
       (s, dir) => {

@@ -1,0 +1,59 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Growth accounting — the daily ledger every engagement dashboard opens
+  * with: each active user classified NEW (first-ever day), RETAINED
+  * (also active the previous day), or RESURRECTED (seen before, gap ≥ 2
+  * days), plus the CHURNED count (active yesterday, silent today) and the
+  * quick ratio (new + resurrected per churned, permille) — the
+  * growth-vs-leak balance (Social Capital's growth-accounting framing,
+  * a16z metrics canon).
+  *
+  * Identity by construction: actives(d) = new + retained + resurrected,
+  * and actives(d) − actives(d−1) = new + resurrected − churned — the
+  * cross-check a spec asserts rather than trusts.
+  *
+  * Scale shape: one distinct (user, day) pass, one per-user ordered
+  * window (lag/lead — hash-partitioned by user, no global window), one
+  * keyed re-aggregation by day; answer-sized output (days × 6). Churn at
+  * the horizon is undefined (nobody can churn after the last observed
+  * day), so the final day's actives contribute no churn row.
+  */
+object Growth {
+
+  /** Per-day frame: day, n_active, n_new, n_retained, n_resurrected,
+    * n_churned, quick_x_permille (−1 on churn-free days — a ratio with an
+    * empty denominator is "infinitely good", flagged not divided).
+    */
+  def dailyAccounting(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("day"))
+    val flags = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+    val byDay = flags.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === date_sub(col("day"), 1), 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev").isNotNull &&
+        col("prev") < date_sub(col("day"), 1), 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val horizon = ud.agg(max(col("day")).as("__mx"))
+    val churn = flags
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") < col("__mx") &&
+        (col("nxt").isNull || col("nxt") > date_add(col("day"), 1)))
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    byDay.join(churn, Seq("day"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("quick_x_permille",
+        when(col("n_churned") === 0L, -1L).otherwise(expr(
+          "(1000L * (n_new + n_resurrected)) div n_churned")))
+  }
+}

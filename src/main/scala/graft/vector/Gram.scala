@@ -155,6 +155,44 @@ object Gram {
       s"powerIteration collects the d² Gram to the driver; dim=$dim > 2048 " +
         "— run a blocked/distributed eigensolver instead")
     val spark = df.sparkSession
+    val g = collectGram(df, vecCol, dim, quantScale)
+    val (v, growth) = iterate(g, dim, rounds)
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong, growth.toString) }
+      .toSeq.toDF("dim", "v_micro", "growth")
+  }
+
+  /** Share of total variance (trace) captured by the power-iteration
+    * direction — PCA's "is one axis enough?" readout, exact to the last
+    * digit: λ̂₁ = vᵀGv/vᵀv (Rayleigh quotient of the final integer
+    * direction) and explained = λ̂₁/trace, both as BigInt truncating
+    * divisions an oracle replays in HUGEINT. One-row output:
+    * (dim, trace, lambda1_est as decimal strings, explained_permille).
+    * Rides the SAME landed Gram stage as the matrix and iteration rows.
+    */
+  def varianceExplained(df: DataFrame, vecCol: String, dim: Int,
+                        rounds: Int = 4,
+                        quantScale: Double = 10000.0): DataFrame = {
+    require(rounds >= 1)
+    require(dim <= 2048,
+      s"varianceExplained collects the d² Gram to the driver; dim=$dim > 2048")
+    val spark = df.sparkSession
+    val g = collectGram(df, vecCol, dim, quantScale)
+    val (v, _) = iterate(g, dim, rounds)
+    val trace = (0 until dim).map(i => g(i)(i)).sum
+    val num = (for (i <- 0 until dim; j <- 0 until dim)
+      yield v(i) * g(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    import spark.implicits._
+    Seq((dim.toLong, trace.toString, (num / den).toString,
+      (BigInt(1000) * num / (den * trace)).toLong))
+      .toDF("dim", "trace", "lambda1_est", "explained_permille")
+  }
+
+  /** The collected bounded-model Gram as a dense symmetric BigInt matrix
+    * (the d ≤ 2048 contract is enforced by callers' requires). */
+  private def collectGram(df: DataFrame, vecCol: String, dim: Int,
+                          quantScale: Double): Array[Array[BigInt]] = {
     val cells = upperTriangle(df, vecCol, dim, quantScale)
       .select(col("dim_i"), col("dim_j"), col("gram"))
       .collect()
@@ -164,6 +202,12 @@ object Gram {
       val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2)))
       g(i)(j) = v; g(j)(i) = v
     }
+    g
+  }
+
+  /** The fixed-round integer power iteration (see [[powerIteration]]). */
+  private def iterate(g: Array[Array[BigInt]], dim: Int,
+                      rounds: Int): (Array[BigInt], BigInt) = {
     var v = Array.fill(dim)(BigInt(1000000))
     var growth = BigInt(0)
     for (_ <- 1 to rounds) {
@@ -175,8 +219,6 @@ object Gram {
         v = w.map(x => x * 1000000 / m)
       }
     }
-    import spark.implicits._
-    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong, growth.toString) }
-      .toSeq.toDF("dim", "v_micro", "growth")
+    (v, growth)
   }
 }

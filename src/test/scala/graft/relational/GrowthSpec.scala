@@ -1,0 +1,49 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GrowthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-built lifecycle: new/retained/resurrected/churned per day") {
+    // u1 active d1,d2,d3 (new, retained, retained)
+    // u2 active d1,d3    (new, resurrected on d3; churned on d2)
+    // u3 active d2       (new on d2; churned on d3)
+    val df = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (2L, "2024-01-03"),
+      (3L, "2024-01-02"))
+      .toDF("u", "d").select(col("u"), col("d").cast("timestamp").as("ts"))
+    val got = Growth.dailyAccounting(df, "u", "ts")
+      .select("day", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned", "quick_x_permille")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1.toString)
+    assert(got.map(r => (r._1.toString, r._2, r._3, r._4, r._5, r._6)).toSeq
+      === Seq(
+        ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
+        ("2024-01-02", 2L, 1L, 1L, 0L, 1L),   // u2 churned on d2
+        ("2024-01-03", 2L, 0L, 1L, 1L, 1L))) // u3 churned on d3
+    assert(got.head._7 === -1L)               // churn-free day flagged
+    assert(got(1)._7 === 1000L)               // 1 new / 1 churned
+  }
+
+  test("fixture: the accounting identities hold every day") {
+    val rows = Growth.dailyAccounting(events(), "user_id", "ts")
+      .orderBy(col("day"))
+      .select("n_active", "n_new", "n_retained", "n_resurrected", "n_churned")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (act, nw, ret, res, _) =>
+      assert(act === nw + ret + res, "actives must decompose exactly")
+    }
+    rows.sliding(2).foreach {
+      case Array((prevAct, _, _, _, _), (act, nw, _, res, ch)) =>
+        assert(act - prevAct === nw + res - ch,
+          "day-over-day delta must equal new + resurrected - churned")
+      case _ =>
+    }
+  }
+
+  private def events() = graft.queries.Dsl.events(spark, sf0001)
+}

@@ -53,6 +53,43 @@ class GramSpec extends SparkSpec {
     assert(out(1)._2 === 244L)
   }
 
+  test("variance explained: single-axis data scores exactly 1000 permille") {
+    // all mass on axis 0: the iteration zeroes the dead axis, the Rayleigh
+    // quotient equals G00, and trace = G00 — the permille must be exact
+    val d = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val row = Gram.varianceExplained(d, "embedding", dim = 2, rounds = 4)
+      .select("dim", "trace", "lambda1_est", "explained_permille")
+      .as[(Long, String, String, Long)].collect().head
+    // trace = (2e4)² + (3e4)² = 13e8
+    assert(row._2 === "1300000000")
+    assert(row._3 === "1300000000")
+    assert(row._4 === 1000L)
+  }
+
+  test("variance explained: two-axis split replays the exact integer iteration") {
+    // G = diag(8e8, 1e8) (the powerIteration fixture): replicate the
+    // 4-round truncating iteration sequentially and compare digit for digit
+    val d = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Array(Array(BigInt("800000000"), BigInt(0)),
+      Array(BigInt(0), BigInt("100000000")))
+    var v = Array(BigInt(1000000), BigInt(1000000))
+    for (_ <- 1 to 4) {
+      val w = Array(g(0)(0) * v(0), g(1)(1) * v(1))
+      val m = w.map(_.abs).max
+      v = w.map(_ * 1000000 / m)
+    }
+    val num = v(0) * v(0) * g(0)(0) + v(1) * v(1) * g(1)(1)
+    val den = v(0) * v(0) + v(1) * v(1)
+    val trace = g(0)(0) + g(1)(1)
+    val row = Gram.varianceExplained(d, "embedding", dim = 2, rounds = 4)
+      .select("lambda1_est", "explained_permille")
+      .as[(String, Long)].collect().head
+    assert(row._1 === (num / den).toString)
+    assert(row._2 === (BigInt(1000) * num / (den * trace)).toLong)
+  }
+
   test("fixture: d(d+1)/2 cells, diagonal positive, symmetric pairs absent") {
     val d = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Gram.upperTriangle(d, "embedding", dim = 64)
