@@ -1259,7 +1259,86 @@ object AnalyticsQueries {
             ELSE CAST((1000 * (n_new + n_resurrected)) // ch.n_churned
               AS BIGINT) END AS quick_x_permille
         FROM bd LEFT JOIN ch ON ch.day = bd.day
-        ORDER BY bd.day"""))
+        ORDER BY bd.day""")),
+
+    // ---- O158: A/A experiment harness — md5 assignment + SRM gate ----------
+    // The two prerequisites of every experiment readout, as one gated row:
+    // deterministic arm assignment (md5₆₀(salt:unit) mod 2 — stable across
+    // engines/reruns/scale, no rand) and the sample-ratio-mismatch χ² in
+    // micro against the frozen χ²₁ 5% critical value. Run as A/A: under a
+    // null assignment both conversion rates must come out statistically
+    // flat — the harness a real experiment reuses with a treatment arm.
+    DeclaredQuery("ab_assignment_srm",
+      // conversion = a big-ticket purchase (> 200.00), not any purchase —
+      // every fixture user purchases something, so the bare event would
+      // read 1000‰ on both arms and the comparison would be theater
+      (s, dir) => graft.relational.Experiment.srmConversionCheck(
+        events(s, dir), "user_id",
+        col("event_type") === "purchase" &&
+          expr("CAST(value AS DECIMAL(12,2)) > 200"), salt = "exp1"),
+      Some("""WITH u AS (SELECT user_id AS u,
+                 MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY 1),
+        a AS (SELECT u, converted,
+                CAST(('0x' || substring(md5('exp1:' || CAST(u AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm
+              FROM u),
+        t AS (SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS cb
+              FROM a)
+        SELECT n_a, n_b,
+          (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS srm_chi2_micro,
+          (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) > 3841459
+            AS srm_flag,
+          (1000 * ca) // n_a AS conv_a_permille,
+          (1000 * cb) // n_b AS conv_b_permille,
+          (1000 * (cb * n_a - ca * n_b)) // (ca * n_b) AS lift_permille
+        FROM t""")),
+
+    // ---- O159: weekday seasonality index ------------------------------------
+    // seasonal_naive_backtest (O150) scores the week-lag forecast; this is
+    // its DIAGNOSTIC — which weekdays carry the cycle, as a permille index
+    // vs the type's flat-rate expectation (1000 = no seasonality). Weekday
+    // is epoch-day mod 7 (0 = Thursday) — pure integer arithmetic, because
+    // the engines' dayofweek() builtins disagree on numbering; the index
+    // cross-multiplies day counts so the only division is the final one.
+    DeclaredQuery("weekday_seasonality_index",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01")), lit(7)))
+        val byDow = daily.groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+        val byType = daily.groupBy(col("event_type").as("__t"))
+          .agg(sum(col("n")).as("__tot"), count(lit(1)).as("__days"))
+        byDow.join(byType, col("event_type") === col("__t"))
+          .select(col("event_type"), col("dow").cast("long").as("dow"),
+            col("n_events"), col("n_days"),
+            expr("(1000L * n_events * __days) div (n_days * __tot)")
+              .as("index_permille"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM events GROUP BY 1, 2),
+        d2 AS (SELECT *, datediff('day', DATE '1970-01-01', day) % 7 AS dow
+               FROM daily),
+        bd AS (SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS n_events,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM d2 GROUP BY 1, 2),
+        bt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS days
+               FROM d2 GROUP BY 1)
+        SELECT bd.event_type, CAST(dow AS BIGINT) AS dow, n_events, n_days,
+          (1000 * n_events * days) // (n_days * tot) AS index_permille
+        FROM bd JOIN bt USING (event_type)
+        ORDER BY event_type, dow"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovChain.stationaryMix]] over

@@ -122,6 +122,34 @@ object AuditQueries {
         FROM tr, den, num"""
       }),
 
+    // ---- O157: embedding anisotropy audit -----------------------------------
+    // Is the embedding space collapsing toward a common direction? Mean
+    // pairwise dot via the sum-vector identity — Σ_{i<j} qᵢ·qⱼ =
+    // (|Σq|² − Σ|q|²)/2 — so the O(n²) pair sum is ONE pass of per-dim
+    // sums; reported relative to the mean self dot in permille. See
+    // Anisotropy scaladoc.
+    DeclaredQuery("embedding_anisotropy",
+      (s, dir) => graft.vector.Anisotropy
+        .audit(tbl(s, dir, "embeddings"), "embedding", dim = 64),
+      Some("""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings
+                 WHERE len(embedding) = 64),
+        pos AS (SELECT unnest(range(1, 65)) AS i),
+        d AS (SELECT pos.i, q[pos.i] AS v FROM e CROSS JOIN pos),
+        pd AS (SELECT i, SUM(CAST(v AS HUGEINT)) AS sd,
+                 SUM(CAST(v AS HUGEINT) * v) AS sq,
+                 CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+        t AS (SELECT MAX(n) AS n_vectors, SUM(sd * sd) AS s2,
+                SUM(sq) AS selfdot FROM pd)
+        SELECT n_vectors,
+          CAST(selfdot // n_vectors AS BIGINT) AS mean_self_dot,
+          CAST((s2 - selfdot) // (CAST(n_vectors AS HUGEINT) * (n_vectors - 1))
+            AS BIGINT) AS mean_pair_dot,
+          CAST((1000 * (s2 - selfdot)) // ((n_vectors - 1) * selfdot)
+            AS BIGINT) AS anisotropy_permille
+        FROM t""")),
+
     // ---- O76: PMI collocation mining ----------------------------------------
     // Church–Hanks pointwise mutual information over bigrams, ranked by the
     // exact-integer lift permille (1000 = independence) with a support
