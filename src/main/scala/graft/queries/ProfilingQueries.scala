@@ -1091,6 +1091,64 @@ object ProfilingQueries {
             THEN NULL ELSE
             (nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) *
               sqrt(nd * syy - sy * sy)) END AS corr
-        FROM oc2 CROSS JOIN d ORDER BY oc2.octave"""))
+        FROM oc2 CROSS JOIN d ORDER BY oc2.octave""")),
+
+    // ---- O160: vocabulary projection (Chao1 + Good–Turing) ------------------
+    // How much vocabulary is the corpus still missing — capture-recapture
+    // from the frequency-of-frequencies, where Heaps' curve (O63) only
+    // extrapolates visually. On TRIGRAMS: the unit must be open-class for
+    // the estimate to mean anything (the fixture's 31-word unigram
+    // vocabulary is closed — F₁ = 0, degenerate; measured trigram F₁ ≈
+    // 9.4k of V ≈ 16k). Bias-corrected Chao1 so F₂ = 0 never divides by
+    // zero; Good–Turing unseen mass in permille. See CorpusStats scaladoc.
+    DeclaredQuery("vocab_unseen_mass",
+      (s, dir) => graft.text.CorpusStats
+        .vocabProjection(tbl(s, dir, "documents"), "text", gramN = 3),
+      Some("""WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        sh AS (SELECT unnest(list_transform(range(1, len(ts) - 1),
+                 i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS g
+               FROM tk WHERE len(ts) >= 3),
+        tf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS f FROM sh GROUP BY 1),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(f) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+              FROM tf)
+        SELECT vocab, n_grams, f1, f2,
+          vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_vocab_est,
+          (1000 * f1) // n_grams AS unseen_mass_permille
+        FROM t""")),
+
+    // ---- O161: split-conformal quality floor + coverage audit ---------------
+    // Turn a score into a gate with a distribution-free guarantee: τ is
+    // the ⌊α(n+1)⌋-th smallest calibration score (exact GlobalRank — no
+    // single-partition window, no α·n-row TakeOrdered to the driver), the
+    // held-out half audits the promised coverage empirically. Split is the
+    // house md5 arm; score here is integer lexical density (distinct
+    // terms per 1000 tokens). See Conformal scaladoc.
+    DeclaredQuery("conformal_density_floor",
+      (s, dir) => graft.relational.Conformal.splitCoverage(
+        tbl(s, dir, "documents"), "doc_id",
+        expr("(1000L * size(array_distinct(split(text, ' ')))) div " +
+          "size(split(text, ' '))"),
+        alphaPermille = 100L, salt = "conf"),
+      Some("""WITH sc AS (SELECT doc_id AS id,
+                 (1000 * len(list_distinct(string_split(text, ' ')))) //
+                   len(string_split(text, ' ')) AS s,
+                 CAST(('0x' || substring(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm
+               FROM documents),
+        cal AS (SELECT * FROM sc WHERE arm = 0),
+        tst AS (SELECT * FROM sc WHERE arm = 1),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+        rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, id) AS rn FROM cal),
+        tau AS (SELECT s AS tau FROM rk, nc
+                WHERE rn = (100 * (nc.n + 1)) // 1000)
+        SELECT nc.n AS n_cal,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM tst) AS n_test,
+          CAST(100 AS BIGINT) AS alpha_permille, tau,
+          (1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM tst WHERE s >= tau))
+            // (SELECT COUNT(*) FROM tst) AS coverage_permille
+        FROM nc, tau"""))
   )
 }

@@ -141,4 +141,41 @@ object CorpusStats {
       .select(col("slope"), col("corr"))
     oct.crossJoin(broadcast(reg))
   }
+
+  /** Vocabulary projection from the frequency-of-frequencies: Chao1's
+    * lower bound on the UNSEEN type count and Good–Turing's unseen
+    * probability mass — "how much vocabulary is this corpus still
+    * missing?", the capture-recapture question Heaps' growth curve only
+    * extrapolates visually. Bias-corrected Chao1 (Chao 1984; Colwell's
+    * EstimateS form) so F₂ = 0 never divides by zero:
+    *   chao1 = V + F₁(F₁−1) / (2(F₂+1)),
+    * Good–Turing unseen mass = F₁/N (Gale & Sampson 1995) in permille —
+    * both one truncating division from exact counts.
+    *
+    * Runs on word n-grams (`gramN`): the unit must be open-class for the
+    * estimate to mean anything — this fixture's 31-word unigram
+    * vocabulary is closed (F₁ = 0, estimate degenerate), its trigram
+    * vocabulary is not (measured F₁ ≈ 9.4k of V ≈ 16k at sf0.01).
+    * Scale: one row-local n-gram explode → tf aggregation →
+    * frequency-class rollup (vocabulary-sized, then class-sized).
+    */
+  def vocabProjection(docs: DataFrame, textCol: String,
+                      gramN: Int): DataFrame = {
+    val tf = docs
+      .select(split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= gramN)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__ws")) - lit(gramN - 1)),
+        i => array_join(slice(col("__ws"), i, lit(gramN)), " "))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("f"))
+    tf.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("f")).as("n_grams"),
+      sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab"), col("n_grams"), col("f1"), col("f2"),
+        expr("vocab + (f1 * (f1 - 1L)) div (2L * (f2 + 1L))")
+          .as("chao1_vocab_est"),
+        expr("(1000L * f1) div n_grams").as("unseen_mass_permille"))
+  }
 }

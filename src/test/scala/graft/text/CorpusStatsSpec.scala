@@ -65,4 +65,25 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((0L, 1L, 4L), (1L, 2L, 2L), (2L, 3L, 3L)))
   }
+
+  test("vocab projection: hand-counted FoF, bias-corrected Chao1, GT mass") {
+    // bigrams of "a b a b c" = (a b), (b a), (a b), (b c): V=3, N=4,
+    // F1=2 (b a, b c), F2=1 (a b)
+    // chao1 = 3 + 2*1/(2*2) = 3; unseen = 1000*2/4 = 500
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabProjection(docs, "text", gramN = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((3L, 4L, 2L, 1L, 3L, 500L)))
+  }
+
+  test("vocab projection: closed vocabulary degenerates honestly (F1=0)") {
+    // every bigram repeats: F1 = 0 → chao1 = V exactly, unseen mass 0
+    val docs = Seq((1L, "x y x y x y x y x")).toDF("doc_id", "text")
+    val r = CorpusStats.vocabProjection(docs, "text", gramN = 2)
+      .select("vocab", "f1", "chao1_vocab_est", "unseen_mass_permille")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._2 === 0L)
+    assert(r._3 === r._1)
+    assert(r._4 === 0L)
+  }
 }
