@@ -778,6 +778,61 @@ object EventQueries {
     // (key, seq, x, cusum) row batch-SQL-replayable (file order is
     // (ts, event_id) order, so the oracle rebuilds the batch slicing
     // with one row_number).
+    // ---- O154s: streaming dyadic EWMA (O154 twin) --------------------------
+    // The volume smoother running IN the stream at O(1) state per key
+    // (seq + the dyadic numerator, two longs): each trigger folds its
+    // batch count and emits the smooth + residual — the live sibling of
+    // ewma_rate_monitor, same closed form, so the bounded replay is
+    // batch-SQL-replayable row for row. 3 batches (the per-row constant
+    // budget, BASELINE.md); alarm threshold 250‰ — quiet on the fixture's
+    // even batch volumes, which is the correct read (the BATCH twin's
+    // spec exercises the firing path on a doubled rate).
+    DeclaredQuery("stream_ewma_alarm",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "3")
+          .load()
+        val ds = stream.select(col("event_type")).as[String]
+        val out = graft.streaming.StatefulOps.ewmaPerBatch(ds)(identity)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "n_events", "ewma_milli",
+            "dev_permille"), "ewma")
+          .withColumn("alarm",
+            col("seq") =!= 1L && abs(col("dev_permille")) > 250L)
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        c AS (SELECT event_type, rn // ((nn + 2) // 3) AS batch,
+                CAST(COUNT(*) AS BIGINT) AS x
+              FROM o CROSS JOIN n GROUP BY 1, 2),
+        q AS (SELECT event_type, x,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY batch) AS BIGINT) AS seq
+              FROM c),
+        w AS (SELECT *, CASE WHEN seq = 1 THEN CAST(1 AS BIGINT)
+                ELSE (CAST(1 AS BIGINT) << CAST(seq - 2 AS INTEGER)) END AS wt
+              FROM q),
+        c0 AS (SELECT *, SUM(x * wt)
+                 OVER (PARTITION BY event_type ORDER BY seq) AS s
+               FROM w),
+        cm AS (SELECT *, LAG(s)
+                 OVER (PARTITION BY event_type ORDER BY seq) AS sp
+               FROM c0)
+        SELECT event_type, seq, x AS n_events,
+          CAST((1000 * s) // (CAST(1 AS BIGINT) << CAST(seq - 1 AS INTEGER))
+            AS BIGINT) AS ewma_milli,
+          CAST(CASE WHEN seq = 1 THEN 0
+            ELSE (1000 * (x * wt - sp)) // sp END AS BIGINT) AS dev_permille,
+          seq <> 1 AND ABS(CAST(CASE WHEN seq = 1 THEN 0
+            ELSE (1000 * (x * wt - sp)) // sp END AS BIGINT)) > 250 AS alarm
+        FROM cm ORDER BY event_type, seq""")),
+
     DeclaredQuery("stream_cusum_alarm",
       (s, dir) => {
         import s.implicits._

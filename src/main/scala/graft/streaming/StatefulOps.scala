@@ -96,6 +96,43 @@ object StatefulOps {
     * State is O(1) per key forever — no TTL needed; keys are enum-like
     * routing types in the gated use.
     */
+  /** Per-key streaming dyadic EWMA over micro-batch volumes — the
+    * [[graft.relational.Ewma]] control chart running INSIDE the stream:
+    * state per key is (seq, S) where S is the λ = 1/2 dyadic numerator
+    * (2^(t−1)·s_t = x₁ + Σ x_i·2^(i−2)), two longs, O(1) forever; each
+    * trigger folds that batch's count with checked shiftleft arithmetic
+    * and emits (key, seq, n_events, ewma_milli, dev_permille) — the SAME
+    * closed form the batch twin reads out, so a bounded replay is
+    * batch-SQL-replayable row for row. Past 55 batches the dyadic scale
+    * would overflow: refuses loudly (production charts re-window — the
+    * period belongs in the key, e.g. key = type‖week).
+    */
+  def ewmaPerBatch[T: Encoder](ds: Dataset[T])(
+      key: T => String): Dataset[(String, Long, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[T], state: GroupState[(Long, Long)]) =>
+          val x = rows.size.toLong
+          val (seq0, s0) = state.getOption.getOrElse((0L, 0L))
+          val seq = seq0 + 1L
+          if (seq > 55L) throw new ArithmeticException(
+            s"ewmaPerBatch: key '$k' past 55 batches — dyadic weights " +
+              "overflow the exact scale; re-window the series")
+          val wt = if (seq == 1L) 1L else 1L << (seq - 2)
+          val s = math.addExact(s0, math.multiplyExact(x, wt))
+          state.update((seq, s))
+          val ewmaMilli = 1000L * s / (1L << (seq - 1))
+          val dev = if (seq == 1L) 0L else 1000L * (x * wt - s0) / s0
+          Iterator.single((k, seq, x, ewmaMilli, dev))
+      }
+  }
+
   def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
       key: T => String): Dataset[(String, Long, Long, Long)] = {
     implicit val outEnc: Encoder[(String, Long, Long, Long)] =

@@ -47,6 +47,28 @@ class StatefulOpsSpec extends SparkSpec {
   }
 
 
+  test("streaming dyadic EWMA matches the batch closed form per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // per-batch counts 100, 230, 50 for key "e":
+    //   s1=100 → ewma 100000, dev 0
+    //   S2=100+230=330 → ewma 165000; dev = 1000·(230−100)/100 = 1300
+    //   S3=330+50·2=430 → ewma 107500; dev = 1000·(50·2−330)/330 = −696
+    val out = StatefulOps.ewmaPerBatch(input.toDS())(identity)
+    val q = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq.fill(100)("e"): _*); q.processAllAvailable()
+    input.addData(Seq.fill(230)("e"): _*); q.processAllAvailable()
+    input.addData(Seq.fill(50)("e"): _*); q.processAllAvailable()
+    val got = spark.table("ewma_out").as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    q.stop()
+    assert(got === Seq(
+      ("e", 1L, 100L, 100000L, 0L),
+      ("e", 2L, 230L, 165000L, 1300L),
+      ("e", 3L, 50L, 107500L, -696L)))
+  }
+
   test("streaming CUSUM matches the batch closed form across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
