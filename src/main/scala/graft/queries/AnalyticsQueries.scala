@@ -1300,6 +1300,135 @@ object AnalyticsQueries {
           (1000 * (cb * n_a - ca * n_b)) // (ca * n_b) AS lift_permille
         FROM t""")),
 
+    // ---- O165: CUPED adjusted lift (A/A) ------------------------------------
+    // The variance-reduction readout (Deng et al. 2013): outcome = second-
+    // half purchase cents per user, covariate = FIRST-half event count
+    // (pre-"experiment" by construction), θ and both lifts from global +
+    // per-arm integer sums only — no per-row adjusted value is ever
+    // materialized. Under the A/A null the adjusted lift must stay a
+    // noise-sized number with the covariate's variance share removed.
+    // Fixture honesty: this generator has NO per-user rate persistence
+    // (measured corr(x, y) ≈ ±0.03 for every candidate covariate), so
+    // corr2_permille = 0 here is the CORRECT null reading, not theater —
+    // the correlated path (ρ² ≫ 0, variance visibly removed) is
+    // exercised in ExperimentSpec on constructed data.
+    // See Experiment.cupedAdjustedLift scaladoc.
+    DeclaredQuery("ab_cuped_lift",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+        val per = ev.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("day") <= lit("2024-01-15").cast("date"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(col("day") > lit("2024-01-15").cast("date") &&
+              col("event_type") === "purchase",
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+          .withColumn("arm",
+            graft.relational.Experiment.arm(col("user_id"), "exp1"))
+          .select("arm", "x", "y")
+        graft.relational.Experiment.cupedAdjustedLift(per)
+      },
+      Some("""WITH pu AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   AND event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+        a AS (SELECT CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS arm, x, y FROM pu),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                SUM(CAST(y AS HUGEINT) * y) AS syy FROM a),
+        ba AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+               FROM a GROUP BY 1),
+        j AS (SELECT g.*, a0.na AS n_a, a0.sxa AS sx_a, a0.sya AS sy_a,
+                a1.na AS n_b, a1.sxa AS sx_b, a1.sya AS sy_b,
+                n * sxy - CAST(sx AS HUGEINT) * sy AS ca,
+                n * sxx - CAST(sx AS HUGEINT) * sx AS cb,
+                n * syy - CAST(sy AS HUGEINT) * sy AS cc
+              FROM g, (SELECT * FROM ba WHERE arm = 0) a0,
+                   (SELECT * FROM ba WHERE arm = 1) a1)
+        SELECT n AS n_units,
+          CAST((1000000 * ca) // cb AS BIGINT) AS theta_micro,
+          CAST((((1000 * ca) // cb) * ca) // cc AS BIGINT) AS corr2_permille,
+          CAST((1000 * (CAST(sy_b AS HUGEINT) * n_a - CAST(sy_a AS HUGEINT) * n_b))
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS raw_lift_milli,
+          CAST((1000 * (
+            (1000000 * CAST(n AS HUGEINT) * sy_b -
+              ((1000000 * ca) // cb) * (n * CAST(sx_b AS HUGEINT) - n_b * sx)) * n_a -
+            (1000000 * CAST(n AS HUGEINT) * sy_a -
+              ((1000000 * ca) // cb) * (n * CAST(sx_a AS HUGEINT) - n_a * sx)) * n_b))
+            // (1000000 * CAST(n AS HUGEINT) * n_a * n_b) AS BIGINT)
+            AS adjusted_lift_milli
+        FROM j"""))
+
+    ,
+    // ---- O164: per-arm exact quantile shift (A/A) ---------------------------
+    // The readout mean lifts wash out: exact p50/p90 of purchase cents per
+    // md5 arm (GlobalRank — no single-partition window; lower-bound picks
+    // are tie-permutation invariant), shifts in permille. Under the A/A
+    // null the shifts read as sampling noise — the harness a treatment
+    // reuses. See Experiment.quantileShift scaladoc.
+    DeclaredQuery("ab_quantile_effect",
+      (s, dir) => graft.relational.Experiment.quantileShift(
+        events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", "event_id",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        salt = "exp1"),
+      Some("""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                 event_id,
+                 CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm
+               FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT arm, v,
+                ROW_NUMBER() OVER (PARTITION BY arm ORDER BY v, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY arm) AS n
+              FROM e),
+        p AS (SELECT arm, CAST(MAX(n) AS BIGINT) AS n,
+                MAX(CASE WHEN rn = (500 * n + 999) // 1000 THEN v END) AS p50,
+                MAX(CASE WHEN rn = (900 * n + 999) // 1000 THEN v END) AS p90
+              FROM r GROUP BY arm)
+        SELECT a.n AS n_a, b.n AS n_b, a.p50 AS p50_a, a.p90 AS p90_a,
+          b.p50 AS p50_b, b.p90 AS p90_b,
+          (1000 * (b.p50 - a.p50)) // a.p50 AS p50_shift_permille,
+          (1000 * (b.p90 - a.p90)) // a.p90 AS p90_shift_permille
+        FROM (SELECT * FROM p WHERE arm = 0) a,
+             (SELECT * FROM p WHERE arm = 1) b""")),
+
+    // ---- O163: hash-bucketing uniformity audit ------------------------------
+    // The meta-check under every md5 split in this repo (arms, conformal
+    // halves, doc samples, shards): Pearson χ² of distinct-user counts
+    // across 16 buckets vs uniform, exact via the cross-multiplied form,
+    // judged against the frozen χ²₁₅ 5% critical value. Empty buckets
+    // count as zero explicitly. See Experiment scaladoc.
+    DeclaredQuery("hash_uniformity_audit",
+      (s, dir) => graft.relational.Experiment.hashUniformityAudit(
+        events(s, dir), "user_id", salt = "exp1"),
+      Some("""WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+        bc AS (SELECT CAST(('0x' || substring(md5('exp1:' || CAST(u AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 16 AS b, CAST(COUNT(*) AS BIGINT) AS o
+               FROM u GROUP BY 1),
+        f AS (SELECT r.range AS b, COALESCE(bc.o, 0) AS o
+              FROM range(16) r LEFT JOIN bc ON bc.b = r.range),
+        t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM f),
+        m AS (SELECT n AS n_units, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                CAST(MIN(o) AS BIGINT) AS min_bucket,
+                CAST(MAX(o) AS BIGINT) AS max_bucket,
+                SUM(CAST(16 * o - n AS HUGEINT) * (16 * o - n)) AS ss
+              FROM f CROSS JOIN t GROUP BY n)
+        SELECT n_units, n_buckets, min_bucket, max_bucket,
+          CAST((1000000 * ss) // (CAST(16 AS HUGEINT) * n_units) AS BIGINT)
+            AS chi2_micro,
+          CAST((1000000 * ss) // (CAST(16 AS HUGEINT) * n_units) AS BIGINT)
+            <= 24995790 AS uniform_ok
+        FROM m""")),
+
     // ---- O159: weekday seasonality index ------------------------------------
     // seasonal_naive_backtest (O150) scores the week-lag forecast; this is
     // its DIAGNOSTIC — which weekdays carry the cycle, as a permille index

@@ -273,6 +273,37 @@ object MaintenanceQueries {
           (1000 * rows_at_risk) // total AS rows_at_risk_permille
         FROM a ORDER BY k""")),
 
+    // ---- O162: l-diversity release audit ------------------------------------
+    // k-anonymity's blind spot, gated: a (user, day) group can be large yet
+    // HOMOGENEOUS in what the user did — membership alone then discloses
+    // the activity (the homogeneity attack). At-risk = fewer than l
+    // distinct event types within the QI group; one landed
+    // (size, distinct-sensitive) frame, 1-row aggregates per l.
+    DeclaredQuery("l_diversity_audit",
+      (s, dir) => graft.relational.Privacy.lDiversity(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "day"), "event_type", Seq(2, 3))
+        .orderBy(col("l")),
+      Some("""WITH g AS (SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ld
+             FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT CAST(2 AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(CASE WHEN ld < 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS groups_at_risk,
+            CAST(SUM(CASE WHEN ld < 2 THEN sz ELSE 0 END) AS BIGINT)
+              AS rows_at_risk,
+            CAST(SUM(sz) AS BIGINT) AS total FROM g
+          UNION ALL
+          SELECT 3, COUNT(*),
+            CAST(SUM(CASE WHEN ld < 3 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN ld < 3 THEN sz ELSE 0 END) AS BIGINT),
+            CAST(SUM(sz) AS BIGINT) FROM g)
+        SELECT l, n_groups, groups_at_risk, rows_at_risk,
+          (1000 * rows_at_risk) // total AS rows_at_risk_permille
+        FROM a ORDER BY l""")),
+
     // ---- data-quality constraint audit -----------------------------------
     // The write-gate report a healthy pipeline runs before publishing a
     // snapshot. All row-local constraints (nulls, ranges, domains,

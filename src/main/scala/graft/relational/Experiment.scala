@@ -22,6 +22,10 @@ object Experiment {
   /** χ²₁ critical value at α = 0.05, in micro — frozen literal. */
   val SrmChi2CritMicro: Long = 3841459L
 
+  /** χ²₁₅ critical value at α = 0.05, in micro — frozen literal (the
+    * 16-bucket uniformity test's degrees of freedom). */
+  val Chi2Crit15Micro: Long = 24995790L
+
   /** Deterministic arm for a unit column: md5₆₀(salt:unit) mod arms. */
   def arm(unit: Column, salt: String, arms: Int = 2): Column =
     pmod(graft.functions.HashFunctions.md5Bits60(
@@ -56,5 +60,141 @@ object Experiment {
         // lift of B over A, cross-multiplied so truncation happens once
         expr("(1000L * (__cb * n_a - __ca * n_b)) div (__ca * n_b)")
           .as("lift_permille"))
+  }
+
+  /** CUPED adjusted lift (Deng et al. 2013) — the industry-standard
+    * variance-reduction readout: regress the outcome on a PRE-EXPERIMENT
+    * covariate (θ = cov(x,y)/var(x)) and compare arms on the adjusted
+    * outcome y − θ(x − x̄), which removes the covariate's share of the
+    * variance (1 − ρ²) without biasing the lift (assignment is
+    * independent of pre-period behavior).
+    *
+    * Exactness: everything reduces to GLOBAL and PER-ARM integer sums —
+    * no per-row adjusted value is ever materialized, because the arm mean
+    * of the adjustment is itself a linear function of the sums:
+    *   Σ_arm adj · 10⁶ · n = 10⁶·n·Σ_arm y − θ_micro·(n·Σ_arm x − n_arm·Σx).
+    * θ is one truncating division (micro); ρ² is computed as
+    * ((1000·A) div B)·A div C (A = n·Σxy−ΣxΣy, B = n·Σxx−Σx²,
+    * C = n·Σyy−Σy²) — truncated twice in a FIXED order both engines
+    * replay, avoiding A² which would overflow 38 digits at extreme n.
+    * Degenerate covariate or outcome (B = 0 or C = 0) refuses loudly.
+    *
+    * Input: a per-unit frame with columns (arm ∈ {0,1}, x, y) — the
+    * caller prepares pre-period covariate x and outcome y per unit.
+    * One-row output: n_units, theta_micro, corr2_permille,
+    * raw_lift_milli, adjusted_lift_milli (B − A, outcome milli-units).
+    */
+  def cupedAdjustedLift(perUnit: DataFrame): DataFrame = {
+    val g = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    val byArm = perUnit.groupBy(col("arm")).agg(
+      count(lit(1)).as("na"), sum(col("x")).as("sxa"),
+      sum(col("y")).as("sya"))
+    val a0 = byArm.filter(col("arm") === 0L)
+      .select(col("na").as("n_a"), col("sxa").as("sx_a"), col("sya").as("sy_a"))
+    val a1 = byArm.filter(col("arm") === 1L)
+      .select(col("na").as("n_b"), col("sxa").as("sx_b"), col("sya").as("sy_b"))
+    val j = g.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+      .withColumn("__A", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("__B", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("__C", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+    // loud degenerate-input guard rides the output expression (the
+    // pruned-assert lesson): a constant covariate or outcome makes theta
+    // or rho^2 undefined
+    j.select(col("n").as("n_units"),
+        expr("CASE WHEN __B = 0 THEN " +
+          "raise_error('cuped: constant covariate (var x = 0)') " +
+          "ELSE CAST((1000000 * __A) div __B AS BIGINT) END").as("theta_micro"),
+        expr("CASE WHEN __C = 0 THEN " +
+          "raise_error('cuped: constant outcome (var y = 0)') " +
+          "ELSE CAST((((1000 * __A) div __B) * __A) div __C AS BIGINT) END")
+          .as("corr2_permille"),
+        expr("CAST((1000 * (CAST(sy_b AS DECIMAL(38,0)) * n_a - " +
+          "CAST(sy_a AS DECIMAL(38,0)) * n_b)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("raw_lift_milli"),
+        expr("CASE WHEN __B = 0 THEN " +
+          "raise_error('cuped: constant covariate (var x = 0)') " +
+          "ELSE CAST((1000 * (" +
+          "(1000000 * CAST(n AS DECIMAL(38,0)) * sy_b - " +
+          " ((1000000 * __A) div __B) * (n * CAST(sx_b AS DECIMAL(38,0)) - n_b * sx)) * n_a - " +
+          "(1000000 * CAST(n AS DECIMAL(38,0)) * sy_a - " +
+          " ((1000000 * __A) div __B) * (n * CAST(sx_a AS DECIMAL(38,0)) - n_a * sx)) * n_b" +
+          ")) div (1000000 * CAST(n AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT) END")
+          .as("adjusted_lift_milli"))
+  }
+
+  /** Per-arm exact quantile comparison — the experiment readout mean-based
+    * lifts wash out (a treatment that moves the p90 and not the median is
+    * invisible to a mean, and vice versa): exact p50/p90 per md5 arm via
+    * [[GlobalRank.byValue]] (no single-partition window; lower-bound pick
+    * at rank ⌈q·n⌉ — tie-permutation invariant because the picked VALUE
+    * at a rank is a function of the sorted multiset), shifts in permille
+    * by one truncating division. One-row output:
+    * (n_a, n_b, p50_a, p90_a, p50_b, p90_b, p50_shift_permille,
+    * p90_shift_permille).
+    */
+  def quantileShift(df: DataFrame, unitCol: String, tieCol: String,
+                    value: Column, salt: String): DataFrame = {
+    val scored = df.select(arm(col(unitCol), salt).as("__arm"),
+      value.cast("long").as("v"), col(tieCol).as("__tie"))
+    def armStats(armId: Long, tag: String): DataFrame = {
+      val sub = scored.filter(col("__arm") === armId)
+        .select(col("v"), col("__tie"))
+      val (ranked, n) = GlobalRank.byValue(sub, "v", "__tie", "__r")
+      require(n > 0, s"quantileShift: arm $armId is empty")
+      val r50 = (500L * n + 999L) / 1000L
+      val r90 = (900L * n + 999L) / 1000L
+      ranked.filter(col("__r") === r50).select(col("v").as(s"p50_$tag"))
+        .crossJoin(broadcast(ranked.filter(col("__r") === r90)
+          .select(col("v").as(s"p90_$tag"))))
+        .withColumn(s"n_$tag", lit(n))
+    }
+    armStats(0L, "a").crossJoin(broadcast(armStats(1L, "b")))
+      .select(col("n_a"), col("n_b"), col("p50_a"), col("p90_a"),
+        col("p50_b"), col("p90_b"),
+        expr("(1000L * (p50_b - p50_a)) div p50_a").as("p50_shift_permille"),
+        expr("(1000L * (p90_b - p90_a)) div p90_a").as("p90_shift_permille"))
+  }
+
+  /** Uniformity audit of the hash bucketing ITSELF — the meta-check under
+    * every md5-derived split in this repo (experiment arms, conformal
+    * halves, doc samples, rendezvous shards): Pearson χ² of distinct-unit
+    * counts across 16 buckets against the uniform expectation, exact to
+    * the last digit via the cross-multiplied form
+    *   χ² = Σ(k·o_i − n)² / (k·n)
+    * (micro, one truncating division), judged against the frozen χ²₁₅
+    * 5% critical value. Empty buckets are filled explicitly (a missing
+    * group must count as o = 0, not vanish). One distinct pass + a
+    * 16-row aggregate.
+    */
+  def hashUniformityAudit(df: DataFrame, unitCol: String, salt: String,
+                          buckets: Int = 16): DataFrame = {
+    require(buckets == 16,
+      "hashUniformityAudit is calibrated for 16 buckets (χ²₁₅ critical value)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = df.select(col(unitCol).as("u")).distinct()
+      .select(arm(col("u"), salt, buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("o"))
+    val full = (0 until buckets).map(_.toLong).toDF("b")
+      .join(bc, Seq("b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val tot = full.agg(sum(col("o")).as("n"))
+    full.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_units"),
+        count(lit(1)).as("n_buckets"),
+        min(col("o")).as("min_bucket"),
+        max(col("o")).as("max_bucket"),
+        sum(expr(s"CAST($buckets * o - n AS DECIMAL(38,0)) * ($buckets * o - n)"))
+          .as("__ss"))
+      .select(col("n_units"), col("n_buckets"), col("min_bucket"),
+        col("max_bucket"),
+        expr(s"(1000000 * __ss) div (CAST($buckets AS DECIMAL(38,0)) * n_units)")
+          .as("chi2_micro"))
+      .withColumn("uniform_ok", col("chi2_micro") <= Chi2Crit15Micro)
   }
 }

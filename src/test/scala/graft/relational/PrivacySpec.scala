@@ -34,4 +34,18 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymity(rows, Seq("qi"), Seq(1))
     }
   }
+
+  test("l-diversity catches the homogeneous group k-anonymity passes") {
+    // group g1: 3 rows, ONE sensitive value — k=2 safe, l=2 at risk;
+    // group g2: 2 rows, two values — safe on both
+    val rows = Seq(("g1", "flu"), ("g1", "flu"), ("g1", "flu"),
+      ("g2", "flu"), ("g2", "cold")).toDF("qi", "dx")
+    val kOut = Privacy.kAnonymity(rows, Seq("qi"), Seq(2))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(kOut._3 === 0L, "k-anonymity sees no risk here")
+    val lOut = Privacy.lDiversity(rows, Seq("qi"), "dx", Seq(2))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // (l, n_groups, groups_at_risk, rows_at_risk, permille)
+    assert(lOut === ((2L, 2L, 1L, 3L, 600L)))
+  }
 }
