@@ -246,6 +246,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(below.contains("Bucketed: true"), "scan did not use the bucket layout")
   }
 
+  test("round-9 rows: no cartesians, nested loops confined to 1-row bound frames") {
+    // the experiment/statistics wave assembles metrics by cross-joining
+    // broadcast 1-ROW frames (totals, thresholds, LUTs) — those plan as
+    // BroadcastNestedLoop over single rows, which is the accepted bounded
+    // shape; an actual cartesian or an UNBOUNDED BNL is a regression
+    Seq("mannwhitney_ks_value_shift", "ewma_rate_monitor",
+      "growth_accounting_daily", "ab_assignment_srm", "ab_quantile_effect",
+      "ab_cuped_lift", "hash_uniformity_audit", "embedding_anisotropy",
+      "conformal_density_floor", "vocab_unseen_mass",
+      "hll_linear_counting").foreach { q =>
+      val plan = run(q)
+      assert(count(plan, "CartesianProduct") === 0, s"$q plans a cartesian")
+      assert(count(plan, "BroadcastNestedLoop") <= 5,
+        s"$q grew beyond its bounded 1-row-frame BNL budget:\n$plan")
+    }
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan
