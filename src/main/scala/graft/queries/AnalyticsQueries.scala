@@ -1253,13 +1253,16 @@ object AnalyticsQueries {
                FROM f CROSS JOIN mx
                WHERE day < mxd AND (nxt IS NULL OR nxt > day + 1)
                GROUP BY 1)
-        SELECT bd.day, n_active, n_new, n_retained, n_resurrected,
+        SELECT COALESCE(bd.day, ch.day) AS day,
+          COALESCE(n_active, 0) AS n_active, COALESCE(n_new, 0) AS n_new,
+          COALESCE(n_retained, 0) AS n_retained,
+          COALESCE(n_resurrected, 0) AS n_resurrected,
           COALESCE(ch.n_churned, 0) AS n_churned,
           CASE WHEN COALESCE(ch.n_churned, 0) = 0 THEN CAST(-1 AS BIGINT)
-            ELSE CAST((1000 * (n_new + n_resurrected)) // ch.n_churned
-              AS BIGINT) END AS quick_x_permille
-        FROM bd LEFT JOIN ch ON ch.day = bd.day
-        ORDER BY bd.day""")),
+            ELSE CAST((1000 * (COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)))
+              // ch.n_churned AS BIGINT) END AS quick_x_permille
+        FROM bd FULL OUTER JOIN ch ON ch.day = bd.day
+        ORDER BY 1""")),
 
     // ---- O158: A/A experiment harness — md5 assignment + SRM gate ----------
     // The two prerequisites of every experiment readout, as one gated row:

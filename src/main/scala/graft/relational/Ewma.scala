@@ -57,7 +57,14 @@ object Ewma {
             "dyadic weights overflow the exact scale; re-window the series')")
             .cast("long"))
         .otherwise(expr("(1000 * __S) div shiftleft(1L, CAST(seq - 1 AS INT))")))
-      .withColumn("dev_permille", when(col("seq") === 1L, 0L)
+      // same guard on the residual branch: a consumer selecting ONLY
+      // dev_permille/alarm prunes ewma_milli (and its guard) away, so the
+      // raise must ride every output column that reads a dyadic weight
+      .withColumn("dev_permille", when(col("seq") > 55L,
+          expr("raise_error('ewma: series longer than 55 points per key — " +
+            "dyadic weights overflow the exact scale; re-window the series')")
+            .cast("long"))
+        .when(col("seq") === 1L, 0L)
         .otherwise(expr(
           s"(1000 * (CAST($valueCol AS DECIMAL(38,0)) * __wt - __Sp)) div __Sp")))
       .withColumn("alarm",

@@ -85,38 +85,55 @@ object Experiment {
     * raw_lift_milli, adjusted_lift_milli (B − A, outcome milli-units).
     */
   def cupedAdjustedLift(perUnit: DataFrame): DataFrame = {
+    // ONE global agg carries the per-arm sums as conditional aggregates —
+    // always exactly one output row, so an empty arm shows up as n_a/n_b = 0
+    // and can be refused loudly (the old filtered-broadcast crossJoin
+    // silently produced ZERO rows when an arm was empty — no row, no error)
     val g = perUnit.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
       sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
-      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
-    val byArm = perUnit.groupBy(col("arm")).agg(
-      count(lit(1)).as("na"), sum(col("x")).as("sxa"),
-      sum(col("y")).as("sya"))
-    val a0 = byArm.filter(col("arm") === 0L)
-      .select(col("na").as("n_a"), col("sxa").as("sx_a"), col("sya").as("sy_a"))
-    val a1 = byArm.filter(col("arm") === 1L)
-      .select(col("na").as("n_b"), col("sxa").as("sx_b"), col("sya").as("sy_b"))
-    val j = g.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(lit(0L))).as("sx_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(lit(0L))).as("sy_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(lit(0L))).as("sx_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(lit(0L))).as("sy_b"))
+    val armGuard = "COALESCE(n_a, 0) = 0 OR COALESCE(n_b, 0) = 0"
+    val j = g
       .withColumn("__A", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("__B", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("__C", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
-    // loud degenerate-input guard rides the output expression (the
-    // pruned-assert lesson): a constant covariate or outcome makes theta
-    // or rho^2 undefined
-    j.select(col("n").as("n_units"),
-        expr("CASE WHEN __B = 0 THEN " +
+    // loud degenerate-input guards ride the output expressions (the
+    // pruned-assert lesson): an empty arm or a constant covariate/outcome
+    // makes the readout undefined — every column raises, none goes null
+    j.select(
+        expr(s"CASE WHEN $armGuard THEN " +
+          "raise_error('cuped: empty arm — both arm 0 and arm 1 need at " +
+          "least one unit') ELSE CAST(n AS BIGINT) END").as("n_units"),
+        expr(s"CASE WHEN $armGuard THEN " +
+          "raise_error('cuped: empty arm — both arm 0 and arm 1 need at " +
+          "least one unit') WHEN __B = 0 THEN " +
           "raise_error('cuped: constant covariate (var x = 0)') " +
           "ELSE CAST((1000000 * __A) div __B AS BIGINT) END").as("theta_micro"),
-        expr("CASE WHEN __C = 0 THEN " +
+        expr(s"CASE WHEN $armGuard THEN " +
+          "raise_error('cuped: empty arm — both arm 0 and arm 1 need at " +
+          "least one unit') WHEN __C = 0 THEN " +
           "raise_error('cuped: constant outcome (var y = 0)') " +
           "ELSE CAST((((1000 * __A) div __B) * __A) div __C AS BIGINT) END")
           .as("corr2_permille"),
-        expr("CAST((1000 * (CAST(sy_b AS DECIMAL(38,0)) * n_a - " +
+        expr(s"CASE WHEN $armGuard THEN " +
+          "raise_error('cuped: empty arm — both arm 0 and arm 1 need at " +
+          "least one unit') ELSE " +
+          "CAST((1000 * (CAST(sy_b AS DECIMAL(38,0)) * n_a - " +
           "CAST(sy_a AS DECIMAL(38,0)) * n_b)) div " +
-          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("raw_lift_milli"),
-        expr("CASE WHEN __B = 0 THEN " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END")
+          .as("raw_lift_milli"),
+        expr(s"CASE WHEN $armGuard THEN " +
+          "raise_error('cuped: empty arm — both arm 0 and arm 1 need at " +
+          "least one unit') WHEN __B = 0 THEN " +
           "raise_error('cuped: constant covariate (var x = 0)') " +
           "ELSE CAST((1000 * (" +
           "(1000000 * CAST(n AS DECIMAL(38,0)) * sy_b - " +

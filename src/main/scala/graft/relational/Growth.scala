@@ -50,7 +50,14 @@ object Growth {
         (col("nxt").isNull || col("nxt") > date_add(col("day"), 1)))
       .groupBy(date_add(col("day"), 1).as("day"))
       .agg(count(lit(1)).as("n_churned"))
-    byDay.join(churn, Seq("day"), "left")
+    // FULL outer: a day where every user went silent has no byDay row but
+    // still owes its churn count — a left join would drop it and break the
+    // delta identity (Δactives = new + resurrected − churned) across the gap
+    byDay.join(churn, Seq("day"), "full_outer")
+      .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
+      .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
       .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
       .withColumn("quick_x_permille",
         when(col("n_churned") === 0L, -1L).otherwise(expr(

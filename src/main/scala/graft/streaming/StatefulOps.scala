@@ -127,8 +127,13 @@ object StatefulOps {
           val wt = if (seq == 1L) 1L else 1L << (seq - 2)
           val s = math.addExact(s0, math.multiplyExact(x, wt))
           state.update((seq, s))
-          val ewmaMilli = 1000L * s / (1L << (seq - 1))
-          val dev = if (seq == 1L) 0L else 1000L * (x * wt - s0) / s0
+          // read-outs checked too: the state fold is addExact/multiplyExact,
+          // and an unchecked 1000·s here would silently wrap past s ≈ 9.2e15
+          // — reachable inside the 55-batch bound at large per-batch volumes
+          val ewmaMilli = math.multiplyExact(1000L, s) / (1L << (seq - 1))
+          val dev = if (seq == 1L) 0L
+            else math.multiplyExact(1000L,
+              math.subtractExact(math.multiplyExact(x, wt), s0)) / s0
           Iterator.single((k, seq, x, ewmaMilli, dev))
       }
   }

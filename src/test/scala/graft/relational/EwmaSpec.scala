@@ -47,4 +47,17 @@ class EwmaSpec extends SparkSpec {
     assert(e.getMessage.contains("dyadic") ||
       Option(e.getCause).exists(_.getMessage.contains("dyadic")))
   }
+
+  test("guard survives pruning: selecting only dev_permille/alarm still raises") {
+    // a consumer that never touches ewma_milli prunes that column (and any
+    // guard riding only it) out of the plan — the residual branch must carry
+    // its own raise, or past-55 charts go silently wrong on wrapped weights
+    val df = (1L to 60L).map(i => ("k", i, 10L)).toDF("key", "t", "x")
+    val e = intercept[Exception] {
+      Ewma.dyadicChart(df, Seq("key"), "t", "x", 500L)
+        .select("dev_permille", "alarm").collect()
+    }
+    assert(e.getMessage.contains("dyadic") ||
+      Option(e.getCause).exists(_.getMessage.contains("dyadic")))
+  }
 }

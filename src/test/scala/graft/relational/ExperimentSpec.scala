@@ -136,6 +136,18 @@ class ExperimentSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("cuped")))
   }
 
+  test("CUPED refuses an empty arm loudly instead of returning zero rows") {
+    // the old filtered-broadcast crossJoin silently yielded an EMPTY frame
+    // when one arm had no units — no row, no error; the conditional-agg
+    // form always emits its one row, and the guard raises on it
+    val df = (1L to 50L).map(i => (0L, i % 7, i)).toDF("arm", "x", "y")
+    val e = intercept[Exception] {
+      Experiment.cupedAdjustedLift(df).collect()
+    }
+    assert(e.getMessage.contains("empty arm") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty arm")))
+  }
+
   test("balanced A/A on the fixture: no SRM flag, conversions within noise") {
     val ev = graft.queries.Dsl.events(spark, sf0001)
     val row = Experiment.srmConversionCheck(ev, "user_id",
