@@ -1432,6 +1432,150 @@ object AnalyticsQueries {
             <= 24995790 AS uniform_ok
         FROM m""")),
 
+    // ---- O167: Benjamini–Hochberg FDR screen over per-segment SRMs ----------
+    // Screening m segments at α each pages at ≈ mα family-wise; BH keeps
+    // the FDR at q with NO p-values ever computed — p ≤ q·i/m is χ² ≥ a
+    // frozen critical literal per rank (chi2inv(1−0.05·i/5, 1) in micro,
+    // the transcendental-literal discipline; derivation: erf-bisection at
+    // definition time, anchored to the standard 3841459/6634897 table
+    // values). Planted-fault honesty: the 'purchase' segment's assignment
+    // is deliberately forced to arm 0, so the screen must reject exactly
+    // that segment while the four md5-balanced segments survive — both
+    // branches of the detector exercised, not theater.
+    DeclaredQuery("srm_fdr_screen",
+      (s, dir) => graft.relational.Experiment.fdrScreen(
+        events(s, dir), "event_type", "user_id",
+        when(col("event_type") === "purchase", lit(0L))
+          .otherwise(graft.relational.Experiment.arm(col("user_id"), "fdr1")),
+        critMicroByRank = Seq(6634897L, 5411894L, 4709292L, 4217885L, 3841459L))
+        .orderBy(col("bh_rank")),
+      Some("""WITH su AS (SELECT DISTINCT event_type AS segment, user_id AS u,
+                 CASE WHEN event_type = 'purchase' THEN 0 ELSE
+                   CAST(('0x' || substring(md5('fdr1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 2 END AS arm
+               FROM events),
+        ps AS (SELECT segment,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+               FROM su GROUP BY 1),
+        c AS (SELECT segment, n_a, n_b,
+                (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS chi2_micro
+              FROM ps),
+        r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, segment)
+                AS BIGINT) AS bh_rank FROM c),
+        r2 AS (SELECT *, CAST(CASE bh_rank WHEN 1 THEN 6634897 WHEN 2 THEN 5411894
+                 WHEN 3 THEN 4709292 WHEN 4 THEN 4217885 WHEN 5 THEN 3841459 END
+                 AS BIGINT) AS crit_micro FROM r),
+        r3 AS (SELECT *, MAX(CASE WHEN chi2_micro >= crit_micro THEN bh_rank
+                 ELSE 0 END) OVER () AS kmax FROM r2)
+        SELECT segment, n_a, n_b, chi2_micro, bh_rank, crit_micro,
+          bh_rank <= kmax AS bh_reject
+        FROM r3 ORDER BY bh_rank""")),
+
+    // ---- O168: delta-method ratio-metric readout (A/A) ----------------------
+    // Revenue per event is a RATIO of sums — unit-mean machinery cannot
+    // score it. Delta-method variance as one integer rational per arm
+    // (two fixed-order truncating divisions — see Experiment scaladoc for
+    // the overflow-reach rationale), significance sqrt-free by squaring
+    // against the frozen z² literal. Under the A/A null the flag must
+    // stay false with honestly non-degenerate variances.
+    DeclaredQuery("ratio_metric_delta",
+      (s, dir) => {
+        val per = events(s, dir).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("x"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+          .withColumn("arm",
+            graft.relational.Experiment.arm(col("user_id"), "exp1"))
+          .select("arm", "x", "y")
+        graft.relational.Experiment.ratioMetricDelta(per)
+      },
+      Some("""WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+        a AS (SELECT CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS arm, x, y FROM pu),
+        g AS (SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+                CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+                SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_a,
+                SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_a,
+                SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+                CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+                SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_b,
+                SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxy_b,
+                SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syy_b
+              FROM a),
+        j AS (SELECT *,
+                CAST(sx_a AS HUGEINT) * sx_a * (n_a * syy_a - CAST(sy_a AS HUGEINT) * sy_a)
+                  - 2 * CAST(sy_a AS HUGEINT) * sx_a * (n_a * sxy_a - CAST(sx_a AS HUGEINT) * sy_a)
+                  + CAST(sy_a AS HUGEINT) * sy_a * (n_a * sxx_a - CAST(sx_a AS HUGEINT) * sx_a) AS n1a,
+                CAST(sx_b AS HUGEINT) * sx_b * (n_b * syy_b - CAST(sy_b AS HUGEINT) * sy_b)
+                  - 2 * CAST(sy_b AS HUGEINT) * sx_b * (n_b * sxy_b - CAST(sx_b AS HUGEINT) * sy_b)
+                  + CAST(sy_b AS HUGEINT) * sy_b * (n_b * sxx_b - CAST(sx_b AS HUGEINT) * sx_b) AS n1b
+              FROM g),
+        k AS (SELECT n_a, n_b,
+                CAST((1000 * CAST(sy_a AS HUGEINT)) // sx_a AS BIGINT) AS ratio_a_milli,
+                CAST((1000 * CAST(sy_b AS HUGEINT)) // sx_b AS BIGINT) AS ratio_b_milli,
+                (1000 * (CAST(sy_b AS HUGEINT) * sx_a - CAST(sy_a AS HUGEINT) * sx_b))
+                  // (CAST(sx_a AS HUGEINT) * sx_b) AS dm,
+                ((1000000 * n1a) // (CAST(sx_a AS HUGEINT) * sx_a))
+                  // (CAST(sx_a AS HUGEINT) * sx_a * (n_a - 1)) AS va,
+                ((1000000 * n1b) // (CAST(sx_b AS HUGEINT) * sx_b))
+                  // (CAST(sx_b AS HUGEINT) * sx_b * (n_b - 1)) AS vb
+              FROM j)
+        SELECT n_a, n_b, ratio_a_milli, ratio_b_milli,
+          CAST(dm AS BIGINT) AS delta_milli,
+          CAST(va AS BIGINT) AS var_a_micro, CAST(vb AS BIGINT) AS var_b_micro,
+          1000000 * dm * dm >= 3841459 * (va + vb) AS significant
+        FROM k""")),
+
+    // ---- O169: winsorized mean lift (A/A) -----------------------------------
+    // Whale-robust value comparison: cap purchase cents at the POOLED
+    // exact p95 (GlobalRank — no single-partition window) and compare
+    // capped means; winsorizing keeps n identical across arms where
+    // trimming would drop different units per arm. Raw and capped lifts
+    // side by side — the gap IS the whale influence measurement.
+    DeclaredQuery("winsorized_lift",
+      (s, dir) => graft.relational.Experiment.winsorizedLift(
+        events(s, dir).filter(col("event_type") === "purchase"),
+        "user_id", "event_id",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        salt = "exp1", capPermille = 950L),
+      Some("""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                 event_id,
+                 CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm
+               FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS rn,
+                COUNT(*) OVER () AS n FROM e),
+        cap AS (SELECT CAST(v AS BIGINT) AS cap_value FROM r
+                WHERE rn = (950 * n + 999) // 1000),
+        w AS (SELECT arm, v, LEAST(v, cap_value) AS wv, cap_value
+              FROM e CROSS JOIN cap),
+        g AS (SELECT CAST(MAX(cap_value) AS BIGINT) AS cap_value,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS ra,
+                CAST(SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT) AS rb,
+                CAST(SUM(CASE WHEN arm = 0 THEN wv ELSE 0 END) AS BIGINT) AS wa,
+                CAST(SUM(CASE WHEN arm = 1 THEN wv ELSE 0 END) AS BIGINT) AS wb
+              FROM w)
+        SELECT n_a, n_b, cap_value,
+          (1000 * wa) // n_a AS mean_a_milli,
+          (1000 * wb) // n_b AS mean_b_milli,
+          CAST((1000 * (CAST(rb AS HUGEINT) * n_a - CAST(ra AS HUGEINT) * n_b))
+            // (CAST(ra AS HUGEINT) * n_b) AS BIGINT) AS raw_lift_permille,
+          CAST((1000 * (CAST(wb AS HUGEINT) * n_a - CAST(wa AS HUGEINT) * n_b))
+            // (CAST(wa AS HUGEINT) * n_b) AS BIGINT) AS winsorized_lift_permille
+        FROM g""")),
+
     // ---- O159: weekday seasonality index ------------------------------------
     // seasonal_naive_backtest (O150) scores the week-lag forecast; this is
     // its DIAGNOSTIC — which weekdays carry the cycle, as a permille index

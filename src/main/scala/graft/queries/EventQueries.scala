@@ -869,6 +869,49 @@ object EventQueries {
           cusum > 1800 AS alarm
         FROM s ORDER BY event_type, seq""")),
 
+    // ---- O158s: streaming SRM guard (O158 twin) -----------------------------
+    // The experiment guardrail IN the stream: cumulative per-arm row
+    // counts (O(1) state, one key — see StatefulOps.srmPerBatch for why
+    // rows, not units), χ² vs the frozen 3841459 literal per trigger. On
+    // the fixture's md5 A/A split the flag must stay false every batch —
+    // the honest null reading; the firing path is spec-exercised on a
+    // planted one-arm stream. 3 batches (the per-row constant budget).
+    DeclaredQuery("stream_srm_guard",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "3")
+          .load()
+        val arms = stream.select(
+          graft.relational.Experiment.arm(col("user_id"), "exp1").as("arm"))
+          .as[Long]
+        val out = graft.streaming.StatefulOps.srmPerBatch(arms)(identity)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("seq", "n_a", "n_b", "chi2_micro", "srm_flag"), "srm")
+          .orderBy(col("seq"))
+      },
+      Some("""WITH o AS (SELECT
+               CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 2 AS arm,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        c AS (SELECT rn // ((nn + 2) // 3) AS batch,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ba,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bb
+              FROM o CROSS JOIN n GROUP BY 1),
+        q AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY batch) AS BIGINT) AS seq,
+                CAST(SUM(ba) OVER (ORDER BY batch) AS BIGINT) AS n_a,
+                CAST(SUM(bb) OVER (ORDER BY batch) AS BIGINT) AS n_b
+              FROM c)
+        SELECT seq, n_a, n_b,
+          (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS chi2_micro,
+          (1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) > 3841459
+            AS srm_flag
+        FROM q ORDER BY seq""")),
+
     // ---- O103s: streaming interval-union coverage (O103 twin) --------------
     // Live per-user activity coverage with O(1) state (see
     // StatefulOps.coveragePerBatch — ordered-replay contract, running

@@ -304,6 +304,57 @@ object MaintenanceQueries {
           (1000 * rows_at_risk) // total AS rows_at_risk_permille
         FROM a ORDER BY l""")),
 
+    // ---- O166: t-closeness release audit ------------------------------------
+    // The triad's last gate: l-diversity misses the SKEWNESS attack — a
+    // (user, day) group can span l event types yet be 90% one of them,
+    // disclosing the activity mix anyway. At-risk = total-variation
+    // distance between the group's event-type distribution and the global
+    // one above t permille; absent-value terms folded into the present-only
+    // frame (see Privacy.tCloseness scaladoc), one truncating division per
+    // group. Thresholds 400/600/750 split the fixture 3175/1848/1388 of
+    // 4006 groups — each threshold exercises a different cut.
+    DeclaredQuery("t_closeness_audit",
+      (s, dir) => graft.relational.Privacy.tCloseness(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "day"), "event_type", Seq(400, 600, 750))
+        .orderBy(col("t_permille")),
+      Some("""WITH gv AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS c FROM events GROUP BY 1, 2, 3),
+        gl AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS cv
+               FROM events GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM events),
+        t1 AS (SELECT gv.user_id, gv.d, gv.c, gl.cv, n.nn,
+                 SUM(gv.c) OVER (PARTITION BY gv.user_id, gv.d) AS ng
+               FROM gv JOIN gl USING (event_type) CROSS JOIN n),
+        g AS (SELECT user_id, d, MAX(ng) AS ng, MAX(nn) AS nn,
+                SUM(ABS(c * nn - cv * ng)) AS sabs, SUM(cv) AS scv
+              FROM t1 GROUP BY 1, 2),
+        sz AS (SELECT ng AS sz,
+                 CAST((1000 * (sabs + (nn - scv) * ng)) // (2 * ng * nn)
+                   AS BIGINT) AS tvd
+               FROM g),
+        a AS (
+          SELECT CAST(400 AS BIGINT) AS t_permille,
+            CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(CASE WHEN tvd > 400 THEN 1 ELSE 0 END) AS BIGINT)
+              AS groups_at_risk,
+            CAST(SUM(CASE WHEN tvd > 400 THEN sz ELSE 0 END) AS BIGINT)
+              AS rows_at_risk,
+            CAST(SUM(sz) AS BIGINT) AS total FROM sz
+          UNION ALL
+          SELECT 600, COUNT(*),
+            CAST(SUM(CASE WHEN tvd > 600 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN tvd > 600 THEN sz ELSE 0 END) AS BIGINT),
+            CAST(SUM(sz) AS BIGINT) FROM sz
+          UNION ALL
+          SELECT 750, COUNT(*),
+            CAST(SUM(CASE WHEN tvd > 750 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(CASE WHEN tvd > 750 THEN sz ELSE 0 END) AS BIGINT),
+            CAST(SUM(sz) AS BIGINT) FROM sz)
+        SELECT t_permille, n_groups, groups_at_risk, rows_at_risk,
+          (1000 * rows_at_risk) // total AS rows_at_risk_permille
+        FROM a ORDER BY t_permille""")),
+
     // ---- data-quality constraint audit -----------------------------------
     // The write-gate report a healthy pipeline runs before publishing a
     // snapshot. All row-local constraints (nulls, ranges, domains,

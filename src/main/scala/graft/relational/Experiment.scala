@@ -177,6 +177,198 @@ object Experiment {
         expr("(1000L * (p90_b - p90_a)) div p90_a").as("p90_shift_permille"))
   }
 
+  /** Benjamini–Hochberg FDR screen over per-segment SRM χ²s (Benjamini &
+    * Hochberg 1995) — the multiple-testing discipline a segment-sliced
+    * guardrail needs: screening m segments at α each inflates the family
+    * false-alarm rate to ≈ mα, so a platform that pages on ANY segment's
+    * SRM pages constantly. BH controls the false-discovery rate instead:
+    * sort p ascending, reject ranks 1..k where k = max{i : p₍ᵢ₎ ≤ q·i/m}.
+    *
+    * Integer form without ever computing a p-value: p is a MONOTONE
+    * transform of the χ² statistic, so "p₍ᵢ₎ ≤ q·i/m" is exactly
+    * "χ²₍ᵢ₎ ≥ F⁻¹(1 − q·i/m)" — and those m critical values are frozen
+    * LITERALS at query-definition time (the transcendental-literal
+    * discipline: both engines compare against the same micro constants;
+    * rank i's critical value DECREASES with i). The caller's LUT length
+    * IS the family size m; a limit-probed count refuses loudly when the
+    * data disagrees, because a p = q·i/m quantile is only meaningful for
+    * the m it was frozen for.
+    *
+    * Scale: per-(segment, unit) distinct (map-side combined), one keyed
+    * aggregate to m rows, then rank/max windows over the m-row frame only
+    * (bounded by the LUT-arity require — never a corpus-wide window).
+    * Deterministic tie order: (χ² desc, segment asc).
+    */
+  def fdrScreen(df: DataFrame, segmentCol: String, unitCol: String,
+                armCol: Column, critMicroByRank: Seq[Long]): DataFrame = {
+    val m = critMicroByRank.size
+    require(m >= 1 && m <= 64, "fdrScreen: LUT arity must be in [1, 64]")
+    require(critMicroByRank.zip(critMicroByRank.tail).forall { case (a, b) => a >= b },
+      "fdrScreen: critical values must be non-increasing in rank (p = q*i/m grows with i)")
+    val su = df.select(col(segmentCol).as("segment"), col(unitCol).as("__u"),
+      armCol.cast("long").as("__arm")).distinct()
+    val perSeg = su.groupBy(col("segment")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_micro",
+        expr("(1000000L * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"))
+    val segProbe = perSeg.select(col("segment")).limit(m + 1).collect()
+    require(segProbe.length == m,
+      s"fdrScreen: ${segProbe.length} segments found (limit-probed at ${m + 1}) " +
+        s"but the frozen LUT is for m = $m — refreeze the critical values")
+    // the windows below are global over the m-row segment frame ONLY
+    // (m <= 64 by the requires above) — the bounded-frame window class,
+    // not a corpus window
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2_micro").desc, col("segment").asc)
+    val wAll = wRank.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val critMap = typedLit(critMicroByRank.zipWithIndex
+      .map { case (c, i) => (i + 1).toLong -> c }.toMap)
+    perSeg
+      .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+      .withColumn("crit_micro", element_at(critMap, col("bh_rank")))
+      .withColumn("__kmax", max(when(col("chi2_micro") >= col("crit_micro"),
+        col("bh_rank")).otherwise(0L)).over(wAll))
+      .withColumn("bh_reject", col("bh_rank") <= col("__kmax"))
+      .select(col("segment"), col("n_a"), col("n_b"), col("chi2_micro"),
+        col("bh_rank"), col("crit_micro"), col("bh_reject"))
+  }
+
+  /** Delta-method readout for RATIO metrics (Deng, Knoblich & Lu 2018) —
+    * the metric class unit-level means cannot express: revenue per
+    * session, clicks per view, items per order all divide two SUMS whose
+    * denominator varies per unit, so Var(R̂) needs the first-order
+    * expansion Var(R̂) ≈ (σ_y² − 2Rσ_xy + R²σ_x²)/(n·x̄²). Clearing
+    * denominators gives ONE integer rational per arm:
+    *   Var(R̂) = N1 / (Sx⁴·(n−1)),
+    *   N1 = Sx²(nΣy²−Sy²) − 2·Sy·Sx(nΣxy−SxSy) + Sy²(nΣx²−Sx²),
+    * carried in micro by TWO truncating divisions in a fixed order —
+    * ((10⁶·N1) div Sx²) div (Sx²(n−1)) — which caps the largest
+    * intermediate at 10⁶·N1 instead of Sx⁴·n (the overflow driver at
+    * 1e12-count scale; doubles the exact reach vs the one-shot division).
+    *
+    * Significance WITHOUT sqrt: |Δ| ≥ z·SE ⇔ Δ² ≥ z²·(Var_a + Var_b),
+    * compared exactly in integers — 10⁶·delta_milli² ≥ z²micro·(va+vb)
+    * with the frozen z² = χ²₁ literal. No libm anywhere.
+    *
+    * Input: per-unit (arm ∈ {0,1}, x ≥ 0, y) — x the denominator count,
+    * y the numerator. One row out: n_a, n_b, ratio_a_milli, ratio_b_milli,
+    * delta_milli (cross-multiplied, one truncation), var_a_micro,
+    * var_b_micro, significant. Empty arm / zero denominator / n = 1
+    * refuse loudly (guards ride every output column — the pruned-assert
+    * lesson).
+    */
+  def ratioMetricDelta(perUnit: DataFrame): DataFrame = {
+    def armAgg(a: Int, t: String) = Seq(
+      sum(when(col("arm") === a, 1L).otherwise(0L)).as(s"n_$t"),
+      sum(when(col("arm") === a, col("x")).otherwise(lit(0L))).as(s"sx_$t"),
+      sum(when(col("arm") === a, col("y")).otherwise(lit(0L))).as(s"sy_$t"),
+      sum(when(col("arm") === a,
+        expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(lit(0L))).as(s"sxx_$t"),
+      sum(when(col("arm") === a,
+        expr("CAST(x AS DECIMAL(38,0)) * y")).otherwise(lit(0L))).as(s"sxy_$t"),
+      sum(when(col("arm") === a,
+        expr("CAST(y AS DECIMAL(38,0)) * y")).otherwise(lit(0L))).as(s"syy_$t"))
+    val aggs = armAgg(0, "a") ++ armAgg(1, "b")
+    val g = perUnit.agg(aggs.head, aggs.tail: _*)
+    val guard = "COALESCE(n_a, 0) < 2 OR COALESCE(n_b, 0) < 2 " +
+      "OR sx_a = 0 OR sx_b = 0"
+    val raise = "raise_error('ratioMetricDelta: each arm needs >= 2 units " +
+      "and a nonzero denominator sum') "
+    val j = g
+      .withColumn("__n1a", expr(
+        "CAST(sx_a AS DECIMAL(38,0)) * sx_a * (n_a * syy_a - CAST(sy_a AS DECIMAL(38,0)) * sy_a) " +
+          "- 2 * CAST(sy_a AS DECIMAL(38,0)) * sx_a * (n_a * sxy_a - CAST(sx_a AS DECIMAL(38,0)) * sy_a) " +
+          "+ CAST(sy_a AS DECIMAL(38,0)) * sy_a * (n_a * sxx_a - CAST(sx_a AS DECIMAL(38,0)) * sx_a)"))
+      .withColumn("__n1b", expr(
+        "CAST(sx_b AS DECIMAL(38,0)) * sx_b * (n_b * syy_b - CAST(sy_b AS DECIMAL(38,0)) * sy_b) " +
+          "- 2 * CAST(sy_b AS DECIMAL(38,0)) * sx_b * (n_b * sxy_b - CAST(sx_b AS DECIMAL(38,0)) * sy_b) " +
+          "+ CAST(sy_b AS DECIMAL(38,0)) * sy_b * (n_b * sxx_b - CAST(sx_b AS DECIMAL(38,0)) * sx_b)"))
+      .withColumn("__va", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+        "((1000000 * __n1a) div (CAST(sx_a AS DECIMAL(38,0)) * sx_a)) " +
+        "div (CAST(sx_a AS DECIMAL(38,0)) * sx_a * (n_a - 1)) END"))
+      .withColumn("__vb", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+        "((1000000 * __n1b) div (CAST(sx_b AS DECIMAL(38,0)) * sx_b)) " +
+        "div (CAST(sx_b AS DECIMAL(38,0)) * sx_b * (n_b - 1)) END"))
+      .withColumn("__dm", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+        "(1000 * (CAST(sy_b AS DECIMAL(38,0)) * sx_a - CAST(sy_a AS DECIMAL(38,0)) * sx_b)) " +
+        "div (CAST(sx_a AS DECIMAL(38,0)) * sx_b) END"))
+    j.select(
+      expr(s"CASE WHEN $guard THEN ${raise}ELSE CAST(n_a AS BIGINT) END").as("n_a"),
+      expr(s"CASE WHEN $guard THEN ${raise}ELSE CAST(n_b AS BIGINT) END").as("n_b"),
+      expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+        "CAST((1000 * CAST(sy_a AS DECIMAL(38,0))) div sx_a AS BIGINT) END")
+        .as("ratio_a_milli"),
+      expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+        "CAST((1000 * CAST(sy_b AS DECIMAL(38,0))) div sx_b AS BIGINT) END")
+        .as("ratio_b_milli"),
+      expr("CAST(__dm AS BIGINT)").as("delta_milli"),
+      expr("CAST(__va AS BIGINT)").as("var_a_micro"),
+      expr("CAST(__vb AS BIGINT)").as("var_b_micro"),
+      expr(s"1000000 * CAST(__dm AS DECIMAL(38,0)) * __dm >= " +
+        s"$SrmChi2CritMicro * (CAST(__va AS DECIMAL(38,0)) + __vb)")
+        .as("significant"))
+  }
+
+  /** Winsorized mean lift — the robust readout for whale-skewed value
+    * metrics: a handful of extreme units dominates a raw mean comparison
+    * (one lottery-sized purchase flips the sign), so cap every value at
+    * the POOLED p-th percentile and compare capped means. Winsorizing
+    * (clamp) beats trimming (drop) for lifts because it keeps n and the
+    * unit population identical across arms — only the tail mass moves.
+    *
+    * The cap is the exact pooled order statistic via [[GlobalRank.byValue]]
+    * (no single-partition window; the value AT a rank is tie-permutation
+    * invariant), broadcast as a 1-row frame; means and lifts are integer
+    * milli/permille with cross-multiplied single truncations. Output one
+    * row: n_a, n_b, cap_value, mean_a_milli, mean_b_milli,
+    * raw_lift_permille, winsorized_lift_permille.
+    */
+  def winsorizedLift(df: DataFrame, unitCol: String, tieCol: String,
+                     value: Column, salt: String,
+                     capPermille: Long = 950L): DataFrame = {
+    require(capPermille >= 500L && capPermille < 1000L,
+      "winsorizedLift: capPermille must be in [500, 1000)")
+    val scored = df.select(arm(col(unitCol), salt).as("__arm"),
+      value.cast("long").as("v"), col(tieCol).as("__tie"))
+    val (ranked, n) = GlobalRank.byValue(
+      scored.select(col("v"), col("__tie")), "v", "__tie", "__r")
+    require(n >= 2, "winsorizedLift: need at least 2 values")
+    val rCap = (capPermille * n + 999L) / 1000L
+    val capFrame = ranked.filter(col("__r") === rCap)
+      .select(col("v").as("cap_value"))
+    scored.crossJoin(broadcast(capFrame))
+      .withColumn("__w", least(col("v"), col("cap_value")))
+      .agg(
+        max(col("cap_value")).as("cap_value"),
+        sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") === 0L, col("v")).otherwise(lit(0L))).as("__ra"),
+        sum(when(col("__arm") === 1L, col("v")).otherwise(lit(0L))).as("__rb"),
+        sum(when(col("__arm") === 0L, col("__w")).otherwise(lit(0L))).as("__wa"),
+        sum(when(col("__arm") === 1L, col("__w")).otherwise(lit(0L))).as("__wb"))
+      .select(col("n_a"), col("n_b"), col("cap_value"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN " +
+          "raise_error('winsorizedLift: empty arm') " +
+          "ELSE (1000L * __wa) div n_a END").as("mean_a_milli"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN " +
+          "raise_error('winsorizedLift: empty arm') " +
+          "ELSE (1000L * __wb) div n_b END").as("mean_b_milli"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 OR __ra = 0 THEN " +
+          "raise_error('winsorizedLift: empty arm or zero arm-A raw sum') " +
+          "ELSE (1000L * (CAST(__rb AS DECIMAL(38,0)) * n_a - " +
+          "CAST(__ra AS DECIMAL(38,0)) * n_b)) div " +
+          "(CAST(__ra AS DECIMAL(38,0)) * n_b) END").as("raw_lift_permille"),
+        expr("CASE WHEN n_a = 0 OR n_b = 0 OR __wa = 0 THEN " +
+          "raise_error('winsorizedLift: empty arm or zero arm-A capped sum') " +
+          "ELSE (1000L * (CAST(__wb AS DECIMAL(38,0)) * n_a - " +
+          "CAST(__wa AS DECIMAL(38,0)) * n_b)) div " +
+          "(CAST(__wa AS DECIMAL(38,0)) * n_b) END")
+          .as("winsorized_lift_permille"))
+  }
+
   /** Uniformity audit of the hash bucketing ITSELF — the meta-check under
     * every md5-derived split in this repo (experiment arms, conformal
     * halves, doc samples, rendezvous shards): Pearson χ² of distinct-unit

@@ -56,6 +56,75 @@ object Privacy {
     * One row per l: (l, n_groups, groups_at_risk, rows_at_risk,
     * rows_at_risk_permille), at-risk = distinct sensitive values < l.
     */
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — l-diversity's
+    * blind spot, closing the release-gate triad: a QI group can carry l
+    * distinct sensitive values yet still LEAK when its value DISTRIBUTION
+    * differs sharply from the table's (the skewness attack — "diverse but
+    * 90% one disease" discloses plenty). A group is at risk when the
+    * distance between its sensitive distribution and the global one
+    * exceeds t. For a categorical attribute the ground distance is flat,
+    * so the distance is total variation: TVD = ½·Σ_v |p_v − q_v|.
+    *
+    * Exact integer form: with group counts c_v (size n_g) and global
+    * counts C_v (total N), the absent-value terms fold into the present
+    * ones — Σ_v |c_v·N − C_v·n_g| over ALL v equals
+    * Σ_{present} |c_v·N − C_v·n_g| + (N − Σ_{present} C_v)·n_g — so the
+    * per-(group, value) frame alone suffices (no domain explode), and
+    *   tvd_permille = (1000·Σ) div (2·n_g·N)
+    * in one truncating division. Products are 38-digit decimals (counts
+    * reach 1e12 at 100 TB; the cross products need 24+ digits).
+    *
+    * Scale: one (QI, value) aggregation (map-side combined), one
+    * partitioned window for n_g, one broadcast of the GLOBAL value-count
+    * frame — bounded by the sensitive domain, enforced by a limit(cap+1)
+    * probe that refuses loudly rather than broadcasting a huge domain.
+    * The per-group (size, tvd) frame lands once; each t is a 1-row
+    * conditional aggregate over it.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 tsPermille: Seq[Int], maxDomain: Int = 10000): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(tsPermille.nonEmpty && tsPermille.forall(t => t >= 1 && t < 1000),
+      "each t must be a permille in [1, 1000)")
+    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__cv"))
+    val domProbe = glob.select(col(sensitiveCol)).limit(maxDomain + 1).collect()
+    require(domProbe.length <= maxDomain,
+      s"tCloseness: sensitive domain exceeds $maxDomain distinct values — " +
+        "the global distribution must stay broadcastable; bucket the " +
+        "attribute or raise maxDomain deliberately")
+    val total = df.agg(count(lit(1)).as("__N"))
+    val gv = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    val terms = gv
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__ng", sum(col("__c")).over(wg))
+      .withColumn("__term", abs(expr(
+        "CAST(__c AS DECIMAL(38,0)) * __N - CAST(__cv AS DECIMAL(38,0)) * __ng")))
+    val sizes = Stages.materialize(
+      terms.groupBy(qiCols.map(col): _*)
+        .agg(max(col("__ng")).as("__ng2"), max(col("__N")).as("__N2"),
+          sum(col("__term")).as("__sabs"), sum(col("__cv")).as("__scv"))
+        .select(col("__ng2").as("__sz"), expr(
+          "CAST((1000 * (__sabs + (CAST(__N2 AS DECIMAL(38,0)) - __scv) * __ng2)) " +
+            "div (2 * CAST(__ng2 AS DECIMAL(38,0)) * __N2) AS BIGINT)").as("__tvd")),
+      "tclose_sizes")
+    tsPermille.map { t =>
+      sizes.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__tvd") > t, 1L).otherwise(0L)).as("groups_at_risk"),
+        sum(when(col("__tvd") > t, col("__sz")).otherwise(lit(0L)))
+          .as("rows_at_risk"),
+        sum(col("__sz")).as("__total"))
+        .select(lit(t.toLong).as("t_permille"), col("n_groups"),
+          col("groups_at_risk"), col("rows_at_risk"),
+          expr("(1000L * rows_at_risk) div __total")
+            .as("rows_at_risk_permille"))
+    }.reduce(_ unionByName _)
+  }
+
   def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
                  ls: Seq[Int]): DataFrame = {
     require(qiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")

@@ -138,6 +138,42 @@ object StatefulOps {
       }
   }
 
+  /** Streaming SRM guard — [[graft.relational.Experiment]]'s sample-ratio
+    * check running INSIDE the stream: cumulative per-arm ROW counts (the
+    * batch op weighs distinct UNITS, which would need O(units) state; the
+    * live guard watches the traffic split instead — a broken assignment
+    * or a dropped-arm pipeline shows up in rows immediately), χ² in micro
+    * against the frozen 5% critical literal each trigger. State is two
+    * longs plus a sequence — O(1) forever, one group (a guard is a single
+    * global gauge; its state-store footprint is one key).
+    *
+    * Emits (seq, n_a, n_b, chi2_micro, srm_flag) per trigger; a bounded
+    * replay is batch-SQL-replayable via the standard row-range slicing.
+    */
+  def srmPerBatch[T: Encoder](ds: Dataset[T])(
+      arm: T => Long): Dataset[(Long, Long, Long, Long, Boolean)] = {
+    implicit val outEnc: Encoder[(Long, Long, Long, Long, Boolean)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val stEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(_ => "all")(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[(Long, Long, Long)]) =>
+          var ba = 0L; var bb = 0L
+          rows.foreach { r => if (arm(r) == 0L) ba += 1L else bb += 1L }
+          val (seq0, a0, b0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val na = math.addExact(a0, ba); val nb = math.addExact(b0, bb)
+          state.update((seq0 + 1L, na, nb))
+          val d = na - nb
+          val chi2 = math.multiplyExact(
+            math.multiplyExact(1000000L, d), d) / (na + nb)
+          Iterator.single((seq0 + 1L, na, nb, chi2,
+            chi2 > graft.relational.Experiment.SrmChi2CritMicro))
+      }
+  }
+
   def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
       key: T => String): Dataset[(String, Long, Long, Long)] = {
     implicit val outEnc: Encoder[(String, Long, Long, Long)] =

@@ -148,6 +148,144 @@ class ExperimentSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("empty arm")))
   }
 
+  test("BH-FDR screen rejects exactly the biased segments, in rank order") {
+    // 4 segments; s1 and s2 planted heavily biased, s3/s4 near-balanced.
+    // With q = 5% and m = 4 the frozen LUT is chi2inv(1 - .05*i/4):
+    // rank1 p=.0125 -> 6238533, rank2 p=.025 -> 5023886,
+    // rank3 p=.0375 -> 4327558, rank4 p=.05 -> 3841459 (derived by the
+    // same erf bisection as the m=5 LUT; anchor rank4 is the table value).
+    val rows =
+      (1 to 40).map(i => ("s1", i.toLong, 0L)) ++            // all arm 0
+      (1 to 40).map(i => ("s2", i.toLong, if (i <= 36) 0L else 1L)) ++
+      (1 to 40).map(i => ("s3", i.toLong, (i % 2).toLong)) ++
+      (1 to 40).map(i => ("s4", i.toLong, if (i <= 21) 0L else 1L))
+    val df = rows.toDF("seg", "u", "a")
+    val out = Experiment.fdrScreen(df, "seg", "u", col("a"),
+      Seq(6238533L, 5023886L, 4327558L, 3841459L))
+      .select("segment", "chi2_micro", "bh_rank", "bh_reject")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._3)
+    // chi2: s1 = 1e6*40 = 40000000; s2 = 1e6*32*32/40 = 25600000;
+    // s4 = 1e6*4/40 = 100000; s3 = 0
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq(
+      ("s1", 40000000L), ("s2", 25600000L), ("s4", 100000L), ("s3", 0L)))
+    assert(out.map(_._4).toSeq === Seq(true, true, false, false),
+      "the two planted SRMs must be rejected, the balanced pair kept")
+  }
+
+  test("BH-FDR step-up rule: a non-passing rank below a passing one is still rejected") {
+    // construct chi2s so rank 1 fails its (large) critical value but
+    // rank 2 passes its (smaller) one: BH rejects ranks 1 AND 2 (step-up
+    // from the largest passing index), the subtlety a naive per-rank
+    // threshold gets wrong.
+    val rows =
+      (1 to 40).map(i => ("s1", i.toLong, if (i <= 29) 0L else 1L)) ++ // chi2 = 8100000
+      (1 to 40).map(i => ("s2", i.toLong, if (i <= 28) 0L else 1L))    // chi2 = 6400000
+    val df = rows.toDF("seg", "u", "a")
+    // rank-1 crit deliberately ABOVE s1's chi2; rank-2 crit below s2's
+    val out = Experiment.fdrScreen(df, "seg", "u", col("a"),
+      Seq(9000000L, 5000000L))
+      .select("segment", "bh_rank", "bh_reject")
+      .as[(String, Long, Boolean)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq(("s1", 1L, true), ("s2", 2L, true)))
+  }
+
+  test("FDR screen refuses a wrong-arity or non-monotone LUT loudly") {
+    val df = Seq(("s1", 1L, 0L), ("s2", 2L, 1L)).toDF("seg", "u", "a")
+    val e = intercept[IllegalArgumentException] {
+      Experiment.fdrScreen(df, "seg", "u", col("a"), Seq(3841459L))
+    }
+    assert(e.getMessage.contains("LUT"))
+    val e2 = intercept[IllegalArgumentException] {
+      Experiment.fdrScreen(df, "seg", "u", col("a"),
+        Seq(3841459L, 6634897L))
+    }
+    assert(e2.getMessage.contains("non-increasing"))
+  }
+
+  test("delta-method ratio variance replays the exact integer formula") {
+    val rows = (1L to 200L).map { i =>
+      val arm = i % 2
+      val x = 1L + (i * 13L) % 9L
+      val y = 2L * x + (i * 7L) % 11L
+      (arm, x, y)
+    }
+    val df = rows.toDF("arm", "x", "y")
+    val out = Experiment.ratioMetricDelta(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    def sums(a: Long) = {
+      val s = rows.filter(_._1 == a)
+      (BigInt(s.size), BigInt(s.map(_._2).sum), BigInt(s.map(_._3).sum),
+        s.map(r => BigInt(r._2) * r._2).sum, s.map(r => BigInt(r._2) * r._3).sum,
+        s.map(r => BigInt(r._3) * r._3).sum)
+    }
+    val (na, sxa, sya, sxxa, sxya, syya) = sums(0L)
+    val (nb, sxb, syb, sxxb, sxyb, syyb) = sums(1L)
+    def n1(n: BigInt, sx: BigInt, sy: BigInt, sxx: BigInt, sxy: BigInt,
+           syy: BigInt) =
+      sx * sx * (n * syy - sy * sy) - 2 * sy * sx * (n * sxy - sx * sy) +
+        sy * sy * (n * sxx - sx * sx)
+    val va = (BigInt(1000000) * n1(na, sxa, sya, sxxa, sxya, syya) /
+      (sxa * sxa)) / (sxa * sxa * (na - 1))
+    val vb = (BigInt(1000000) * n1(nb, sxb, syb, sxxb, sxyb, syyb) /
+      (sxb * sxb)) / (sxb * sxb * (nb - 1))
+    val dm = BigInt(1000) * (syb * sxa - sya * sxb) / (sxa * sxb)
+    assert(out._1 === na.toLong && out._2 === nb.toLong)
+    assert(out._3 === (BigInt(1000) * sya / sxa).toLong)
+    assert(out._5 === dm.toLong)
+    assert(out._6 === va.toLong && out._7 === vb.toLong)
+    assert(out._8 ===
+      (BigInt(1000000) * dm * dm >= BigInt(3841459) * (va + vb)))
+  }
+
+  test("ratio readout refuses empty arm and zero denominator loudly") {
+    val oneArm = (1L to 10L).map(i => (0L, i, i)).toDF("arm", "x", "y")
+    val e = intercept[Exception] {
+      Experiment.ratioMetricDelta(oneArm).collect()
+    }
+    assert(e.getMessage.contains("ratioMetricDelta") ||
+      Option(e.getCause).exists(_.getMessage.contains("ratioMetricDelta")))
+    val zeroX = (1L to 10L).map(i => (i % 2, 0L, i)).toDF("arm", "x", "y")
+    val e2 = intercept[Exception] {
+      Experiment.ratioMetricDelta(zeroX).collect()
+    }
+    assert(e2.getMessage.contains("ratioMetricDelta") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ratioMetricDelta")))
+  }
+
+  test("winsorized lift caps the whale and keeps n per arm") {
+    // arm 0: nine 10s and one 10000 (the whale); arm 1: ten 12s.
+    // pooled p95 over n=20: rank ceil(.95*20)=19 in (value, tie) order
+    // -> the 19th smallest is 12 (whale is 20th) -> cap = 12.
+    val rows = (1L to 9L).map(i => (i, 10L)) ++ Seq((10L, 10000L)) ++
+      (11L to 20L).map(i => (i, 12L))
+    // the md5 split of these unit ids is deterministic but opaque — probe
+    // it first and derive the per-arm expectations from the actual split
+    val df = rows.toDF("u", "v").withColumn("eid", col("u"))
+    val arms = df.select(col("u"),
+      Experiment.arm(col("u"), "wtest").as("a"))
+      .as[(Long, Long)].collect().toMap
+    // derive expectations from the actual md5 split
+    val byArm = rows.groupBy { case (u, _) => arms(u) }
+    val out = Experiment.winsorizedLift(df, "u", "eid", col("v"), "wtest")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val n = rows.size
+    val sortedV = rows.map(_._2).sorted
+    val cap = sortedV((950 * n + 999) / 1000 - 1)
+    assert(out._3 === cap)
+    val a0 = byArm.getOrElse(0L, Seq.empty); val a1 = byArm.getOrElse(1L, Seq.empty)
+    assert(out._1 === a0.size.toLong && out._2 === a1.size.toLong)
+    val wa = a0.map(r => math.min(r._2, cap)).sum
+    val wb = a1.map(r => math.min(r._2, cap)).sum
+    assert(out._4 === 1000L * wa / a0.size)
+    assert(out._5 === 1000L * wb / a1.size)
+    // capped lift must replay the cross-multiplied integer form
+    val ra = a0.map(_._2).sum; val rb = a1.map(_._2).sum
+    assert(out._6 === (BigInt(1000) * (BigInt(rb) * a0.size - BigInt(ra) * a1.size) /
+      (BigInt(ra) * a1.size)).toLong)
+    assert(out._7 === (BigInt(1000) * (BigInt(wb) * a0.size - BigInt(wa) * a1.size) /
+      (BigInt(wa) * a1.size)).toLong)
+  }
+
   test("balanced A/A on the fixture: no SRM flag, conversions within noise") {
     val ev = graft.queries.Dsl.events(spark, sf0001)
     val row = Experiment.srmConversionCheck(ev, "user_id",

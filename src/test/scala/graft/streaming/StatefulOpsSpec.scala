@@ -91,6 +91,27 @@ class StatefulOpsSpec extends SparkSpec {
       ("a", 3L, 20L, 8L)))
   }
 
+  test("streaming SRM guard accumulates arms and fires on a planted one-arm drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[java.lang.Long]
+    val out = StatefulOps.srmPerBatch(input.toDS().map(_.longValue))(identity)
+    val q = out.writeStream.format("memory").queryName("srm_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: balanced 50/50 — chi2 0, quiet
+    input.addData((1 to 100).map(i => java.lang.Long.valueOf(i % 2)): _*)
+    q.processAllAvailable()
+    // batch 2: one hundred arm-0 rows only (the dropped-arm outage):
+    // cumulative 150/50 — chi2 = 1e6*100*100/200 = 50000000, fires
+    input.addData(Seq.fill(100)(java.lang.Long.valueOf(0L)): _*)
+    q.processAllAvailable()
+    val got = spark.table("srm_out").as[(Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    q.stop()
+    assert(got === Seq(
+      (1L, 50L, 50L, 0L, false),
+      (2L, 150L, 50L, 50000000L, true)))
+  }
+
   test("running counts accumulate state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
