@@ -374,6 +374,47 @@ object AnalyticsQueries {
         FROM r JOIN nd USING (event_type) WHERE rn = (m + 1) // 2
         ORDER BY r.event_type""")),
 
+    // ---- O170: Mann–Kendall trend test --------------------------------------
+    // Theil–Sen's significance companion on the SAME landed daily stage
+    // (materialize memo — one write, two readers): S = Σ sign pairs,
+    // tie-corrected 18·Var(S), verdict sqrt-free by squaring against the
+    // frozen z² literal (see MannKendall scaladoc). The fixture's flat
+    // generator must read not-significant on every type — the honest
+    // null; the firing path is spec-exercised on a monotone series.
+    DeclaredQuery("mann_kendall_trend",
+      (s, dir) => graft.relational.MannKendall
+        .dailyTrend(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        dx AS (SELECT event_type, y,
+                CAST(day - MIN(day) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS x
+              FROM daily),
+        s AS (SELECT a.event_type,
+                CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+              FROM dx a JOIN dx b ON a.event_type = b.event_type
+                AND a.x < b.x
+              GROUP BY 1),
+        tc AS (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY 1, 2),
+        ti AS (SELECT event_type,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+               FROM tc GROUP BY 1),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1),
+        j AS (SELECT s.event_type, nd.n_days, s.s_stat,
+                nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ti.tie
+                  AS var_num_18
+              FROM s JOIN ti USING (event_type) JOIN nd USING (event_type))
+        SELECT event_type, n_days, s_stat, var_num_18,
+          CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+            ELSE 'flat' END AS trend,
+          CAST(18 AS HUGEINT) * 1000000 * s_stat * s_stat >=
+            3841459 * CAST(var_num_18 AS HUGEINT) AS significant
+        FROM j ORDER BY event_type""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).
@@ -1431,6 +1472,82 @@ object AnalyticsQueries {
           CAST((1000000 * ss) // (CAST(16 AS HUGEINT) * n_units) AS BIGINT)
             <= 24995790 AS uniform_ok
         FROM m""")),
+
+    // ---- O171: McNemar paired period-flip test -------------------------------
+    // "Did big-ticket conversion change H1 → H2?" asked CORRECTLY: the
+    // same users sit in both periods, so only the FLIPS carry evidence —
+    // χ² = (b−c)²/(b+c) on the discordant cells, concordant behavior
+    // cancels (see Paired scaladoc). Fixture: 17 vs 15 flips of 150
+    // users — live discordance, flag honestly quiet under the flat
+    // generator; the firing path is spec-exercised on a planted drift.
+    DeclaredQuery("mcnemar_period_flip",
+      (s, dir) => graft.relational.Paired.mcnemarFlip(
+        events(s, dir), "user_id",
+        to_date(col("ts")) <= lit("2024-01-15").cast("date"),
+        to_date(col("ts")) > lit("2024-01-15").cast("date"),
+        col("event_type") === "purchase" &&
+          expr("CAST(value AS DECIMAL(12,2)) > 200")),
+      Some("""WITH u AS (SELECT user_id,
+                 MAX(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   AND event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS a,
+                 MAX(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   AND event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS b
+               FROM events GROUP BY 1),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                CAST(SUM(a * b) AS BIGINT) AS n_both,
+                CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n_neither,
+                CAST(SUM(a * (1 - b)) AS BIGINT) AS n_flip_10,
+                CAST(SUM((1 - a) * b) AS BIGINT) AS n_flip_01
+              FROM u)
+        SELECT n_units, n_both, n_neither, n_flip_10, n_flip_01,
+          (1000000 * (n_flip_10 - n_flip_01) * (n_flip_10 - n_flip_01))
+            // (n_flip_10 + n_flip_01) AS chi2_micro,
+          (1000000 * (n_flip_10 - n_flip_01) * (n_flip_10 - n_flip_01))
+            // (n_flip_10 + n_flip_01) > 3841459 AS flip_flag
+        FROM g""")),
+
+    // ---- O172: power / minimum-detectable-effect check ----------------------
+    // The preamble every flat readout owes its reader: could THIS n even
+    // see the lift we care about? MDE² in permille² (sqrt-free — the
+    // verdict squares the target), K = (z_{.975}+z_{.80})² frozen micro
+    // (see Experiment.powerCheck scaladoc). Gated at a 50‰ target on
+    // the big-ticket conversion: the fixture's 150 units are honestly
+    // UNDERpowered (measured mde² = 35091 permille², i.e. MDE ≈ 187‰
+    // ≫ the 50‰ target) — powered = false is the true reading, and the
+    // spec locks the powered path at constructed scale.
+    DeclaredQuery("experiment_power_check",
+      (s, dir) => graft.relational.Experiment.powerCheck(
+        events(s, dir), "user_id",
+        col("event_type") === "purchase" &&
+          expr("CAST(value AS DECIMAL(12,2)) > 200"),
+        salt = "exp1", targetLiftPermille = 50L),
+      Some("""WITH u AS (SELECT user_id AS u,
+                 MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY 1),
+        a AS (SELECT u, converted,
+                CAST(('0x' || substring(md5('exp1:' || CAST(u AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm
+              FROM u),
+        g AS (SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(converted) AS BIGINT) AS conv
+              FROM a),
+        p AS (SELECT n_a, n_b, (1000 * conv) // (n_a + n_b) AS pm FROM g)
+        SELECT n_a, n_b, pm AS conv_pooled_permille,
+          CAST((7848880 * CAST(pm AS HUGEINT) * (1000 - pm) * (n_a + n_b))
+            // (CAST(1000000 AS HUGEINT) * n_a * n_b) AS BIGINT)
+            AS mde2_permille2,
+          CAST(50 AS BIGINT) AS target_lift_permille,
+          2500 >= CAST((7848880 * CAST(pm AS HUGEINT) * (1000 - pm) * (n_a + n_b))
+            // (CAST(1000000 AS HUGEINT) * n_a * n_b) AS BIGINT) AS powered
+        FROM p""")),
 
     // ---- O167: Benjamini–Hochberg FDR screen over per-segment SRMs ----------
     // Screening m segments at α each pages at ≈ mα family-wise; BH keeps

@@ -369,6 +369,70 @@ object Experiment {
           .as("winsorized_lift_permille"))
   }
 
+  /** Two-proportion power constant (z_{0.975} + z_{0.80})² in micro —
+    * frozen literal (erf bisection at definition time; 1.959964 and
+    * 0.841621 are the standard table anchors). */
+  val PowerK80Micro: Long = 7848880L
+
+  /** Power / minimum-detectable-effect check — the question every
+    * experiment readout should open with: "at this n, COULD we even see
+    * the lift we care about?" An underpowered flat readout is not
+    * evidence of no effect. Two-proportion MDE at α = 5%, power = 80%:
+    *   MDE² = K · p(1−p) · (1/n_a + 1/n_b),   K = (z_{α/2} + z_β)²,
+    * kept SQRT-FREE end to end: the readout is MDE² in permille²
+    * (with p the pooled conversion in permille), and the verdict
+    * squares the target —
+    *   powered ⇔ target² ≥ mde2.
+    * All integer: mde2_permille2 = (K_micro · p‰ · (1000 − p‰) ·
+    * (n_a + n_b)) div (10⁶ · n_a · n_b). No libm, no float, both
+    * engines replay the same literals.
+    *
+    * Scale: one distinct-unit conditional aggregation — the same
+    * single-pass shape as [[srmConversionCheck]]; 1-row output:
+    * n_a, n_b, conv_pooled_permille, mde2_permille2,
+    * target_lift_permille, powered. Degenerate conversion (p = 0 or
+    * p = 1000: zero variance, MDE 0, "powered" vacuously) raises
+    * loudly instead — a gate that cannot fail is theater.
+    */
+  def powerCheck(events: DataFrame, unitCol: String, convWhen: Column,
+                 salt: String, targetLiftPermille: Long): DataFrame = {
+    require(targetLiftPermille >= 1L && targetLiftPermille <= 1000L,
+      "powerCheck: targetLiftPermille must be in [1, 1000]")
+    val units = events
+      .select(col(unitCol).as("u"),
+        when(convWhen, 1L).otherwise(0L).as("__c"))
+      .groupBy(col("u"))
+      .agg(max(col("__c")).as("converted"))
+      .withColumn("arm", arm(col("u"), salt))
+    val g = units.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(col("converted")).as("__conv"))
+    val guard = "COALESCE(n_a, 0) = 0 OR COALESCE(n_b, 0) = 0"
+    val raise = "raise_error('powerCheck: both arms need at least one unit') "
+    g.withColumn("__pm", expr(s"CASE WHEN $guard THEN $raise" +
+        "ELSE (1000L * __conv) div (n_a + n_b) END"))
+      .select(
+        expr(s"CASE WHEN $guard THEN ${raise}ELSE n_a END").as("n_a"),
+        expr(s"CASE WHEN $guard THEN ${raise}ELSE n_b END").as("n_b"),
+        expr("CASE WHEN __pm = 0 OR __pm = 1000 THEN " +
+          "raise_error('powerCheck: degenerate pooled conversion (0 or " +
+          "1000 permille) — zero-variance MDE is theater') " +
+          "ELSE __pm END").as("conv_pooled_permille"),
+        expr(s"CASE WHEN __pm = 0 OR __pm = 1000 THEN " +
+          "raise_error('powerCheck: degenerate pooled conversion (0 or " +
+          "1000 permille) — zero-variance MDE is theater') " +
+          // 38-digit products: K·p·(1000−p)·(n_a+n_b) passes 9.2e18 (long
+          // range) already at ~1e9 units
+          s"ELSE CAST((CAST($PowerK80Micro AS DECIMAL(38,0)) * __pm * " +
+          "(1000 - __pm) * (n_a + n_b)) " +
+          "div (CAST(1000000 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT) END")
+          .as("mde2_permille2"))
+      .withColumn("target_lift_permille", lit(targetLiftPermille))
+      .withColumn("powered",
+        lit(targetLiftPermille * targetLiftPermille) >= col("mde2_permille2"))
+  }
+
   /** Uniformity audit of the hash bucketing ITSELF — the meta-check under
     * every md5-derived split in this repo (experiment arms, conformal
     * halves, doc samples, rendezvous shards): Pearson χ² of distinct-unit

@@ -52,3 +52,57 @@ object TheilSen {
         col("__s").as("median_slope_micro_per_day"))
   }
 }
+
+/** Mann–Kendall trend TEST (Mann 1945, Kendall 1975) — [[TheilSen]]'s
+  * significance companion on the same series: the slope says how steep,
+  * MK says whether a monotone trend is THERE at all, distribution-free.
+  *   S = Σ_{i<j} sign(y_j − y_i),
+  *   18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)   (tie-corrected),
+  * and the normal-approximation verdict |S| ≥ z·σ is taken SQRT-FREE by
+  * squaring: 18·10⁶·S² ≥ z²micro·(18·Var) with the frozen χ²₁ literal —
+  * the same squaring trick as the ratio-metric readout, so no libm
+  * anywhere. (The normal approximation is textbook-valid for n ≥ 10;
+  * the fixture's 30-day series clears it. The continuity correction
+  * (|S|−1) is deliberately omitted — both engines replay the same
+  * statistic, and at n ≥ 10 the correction flips only hairline calls.)
+  *
+  * Scale shape: IDENTICAL daily stage as [[TheilSen.dailyTrend]] — the
+  * `Stages.materialize` memo keys on the canonicalized plan, so when
+  * both run in one session the stage lands ONCE and both read it. The
+  * pair join is per-key over the day-span-sized series (calendar-
+  * bounded, not data-bounded); ties and day counts are keyed aggs.
+  */
+object MannKendall {
+
+  /** (key, n_days, s_stat, var_num_18, trend, significant) per key;
+    * trend ∈ up/down/flat by sign(S), significant by the squared normal
+    * test at α = 5%. */
+  def dailyTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = Stages.materialize(
+      df.groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+        .agg(count(lit(1)).as("__y"))
+        .withColumn("__x", datediff(col("__day"),
+          min(col("__day")).over(Window.partitionBy(col(keyCol))))
+          .cast("long")), "theilsen_daily")
+    val s = daily.as("a").join(daily.as("b"),
+      col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.__x") < col("b.__x"))
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(sum(when(col("b.__y") > col("a.__y"), 1L)
+        .when(col("b.__y") < col("a.__y"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col(keyCol), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"),
+        count(lit(1)).as("__distinct_y"))
+    val nd = daily.groupBy(col(keyCol)).agg(count(lit(1)).as("n_days"))
+    s.join(ties, Seq(keyCol)).join(nd, Seq(keyCol))
+      .withColumn("var_num_18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - __tie"))
+      .select(col(keyCol), col("n_days"), col("s_stat"), col("var_num_18"),
+        when(col("s_stat") > 0L, "up").when(col("s_stat") < 0L, "down")
+          .otherwise("flat").as("trend"),
+        expr("CAST(18 AS DECIMAL(38,0)) * 1000000 * s_stat * s_stat >= " +
+          s"${graft.relational.Experiment.SrmChi2CritMicro} * " +
+          "CAST(var_num_18 AS DECIMAL(38,0))").as("significant"))
+  }
+}

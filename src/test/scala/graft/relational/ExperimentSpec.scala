@@ -286,6 +286,42 @@ class ExperimentSpec extends SparkSpec {
       (BigInt(wa) * a1.size)).toLong)
   }
 
+  test("power check replays the integer MDE formula and flips at scale") {
+    // 2000 units, conversion ~ 1/4 by md5-independent structure: at this
+    // n the MDE should be small enough to power a 100-permille target
+    // but not a 10-permille one — both verdicts from the same formula.
+    val ev = (1L to 2000L).map { i =>
+      (i, if (i % 4 == 0L) "purchase" else "view")
+    }.toDF("user_id", "event_type")
+    def run(target: Long) = Experiment.powerCheck(
+      ev, "user_id", col("event_type") === "purchase", "ptest", target)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().head
+    val r = run(100L)
+    val (na, nb, pm, mde2, _, powered100) = r
+    assert(na + nb === 2000L)
+    // exact replay
+    val conv = (1L to 2000L).count(_ % 4 == 0L)
+    val pmRef = 1000L * conv / 2000L
+    assert(pm === pmRef)
+    val mde2Ref = (BigInt(7848880) * pmRef * (1000 - pmRef) * (na + nb) /
+      (BigInt(1000000) * na * nb)).toLong
+    assert(mde2 === mde2Ref)
+    assert(powered100 === (100L * 100L >= mde2))
+    assert(powered100, "2000 units must power a 100-permille target here")
+    assert(!run(10L)._6, "10 permille must stay out of reach at n=2000")
+  }
+
+  test("power check refuses a degenerate conversion loudly") {
+    val allConv = (1L to 50L).map(i => (i, "purchase"))
+      .toDF("user_id", "event_type")
+    val e = intercept[Exception] {
+      Experiment.powerCheck(allConv, "user_id",
+        col("event_type") === "purchase", "ptest", 50L).collect()
+    }
+    assert(e.getMessage.contains("degenerate") ||
+      Option(e.getCause).exists(_.getMessage.contains("degenerate")))
+  }
+
   test("balanced A/A on the fixture: no SRM flag, conversions within noise") {
     val ev = graft.queries.Dsl.events(spark, sf0001)
     val row = Experiment.srmConversionCheck(ev, "user_id",

@@ -38,4 +38,37 @@ class TheilSenSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().head
     assert(out === (("a", 4L, 6L, 0L)))
   }
+
+  test("Mann-Kendall fires on a strictly monotone series and stays quiet on noise") {
+    // strictly increasing 12 days: S = 66 (every pair concordant), no
+    // ties -> 18Var = 12*11*29 = 3828; 18e6*66^2 = 78408e6 >=
+    // 3841459*3828 = 14.7e9 -> significant, trend up.
+    val up = eventsFor((1 to 12).map(d => ("a", d, d)))
+    val got = MannKendall.dailyTrend(up, "key", "ts")
+      .as[(String, Long, Long, Long, String, Boolean)].collect().head
+    assert(got === (("a", 12L, 66L, 3828L, "up", true)))
+    // alternating 5,6,5,6,... over 12 days: S is small, ties present —
+    // verify the tie-corrected variance and the quiet verdict exactly
+    val noisy = eventsFor((1 to 12).map(d => ("a", d, if (d % 2 == 0) 6 else 5)))
+    val g2 = MannKendall.dailyTrend(noisy, "key", "ts")
+      .as[(String, Long, Long, Long, String, Boolean)].collect().head
+    // pairs: 6x6 cross-parity twice... replay by brute force instead
+    val ys = (1 to 12).map(d => if (d % 2 == 0) 6L else 5L)
+    val sRef = (for (i <- ys.indices; j <- ys.indices if i < j)
+      yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+    val tieRef = ys.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varNum = 12L * 11L * 29L - tieRef
+    assert(g2._3 === sRef && g2._4 === varNum)
+    assert(g2._6 === (BigInt(18) * 1000000 * sRef * sRef >=
+      BigInt(3841459) * varNum))
+    assert(!g2._6, "alternating noise must not read as a trend")
+  }
+
+  test("Mann-Kendall trend labels follow the sign of S") {
+    val down = eventsFor((1 to 10).map(d => ("a", d, 20 - d)))
+    val got = MannKendall.dailyTrend(down, "key", "ts")
+      .as[(String, Long, Long, Long, String, Boolean)].collect().head
+    assert(got._3 === -45L && got._5 === "down" && got._6)
+  }
 }
