@@ -355,6 +355,61 @@ object MaintenanceQueries {
           (1000 * rows_at_risk) // total AS rows_at_risk_permille
         FROM a ORDER BY t_permille""")),
 
+    // ---- O173: DP contribution-bounding audit -------------------------------
+    // The clamp step every differential-privacy histogram release stands
+    // on: noise is calibrated to USER-LEVEL sensitivity, which is
+    // unbounded until per-(user, cell) contributions are capped. Per
+    // candidate cap: units clamped, signal discarded, and the post-clamp
+    // L1 sensitivity max_u Σ min(c, C) the noise scale actually uses.
+    // Fixture: cap 1 loses 195‰ of rows for sensitivity 69; cap 5 loses
+    // nothing but carries 86 — the tradeoff curve IS the deliverable.
+    DeclaredQuery("dp_contribution_bound",
+      (s, dir) => graft.relational.Privacy.contributionBound(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        "user_id", Seq("event_type", "day"), Seq(1, 2, 5))
+        .orderBy(col("cap")),
+      Some("""WITH uc AS (SELECT user_id AS u, event_type, CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2, 3),
+        p1 AS (SELECT u, CAST(SUM(c) AS BIGINT) AS rws,
+                 CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS lost,
+                 CAST(SUM(LEAST(c, 1)) AS BIGINT) AS kept,
+                 CAST(MAX(c) AS BIGINT) AS mx
+               FROM uc GROUP BY 1),
+        p2 AS (SELECT u, CAST(SUM(c) AS BIGINT) AS rws,
+                 CAST(SUM(CASE WHEN c > 2 THEN c - 2 ELSE 0 END) AS BIGINT) AS lost,
+                 CAST(SUM(LEAST(c, 2)) AS BIGINT) AS kept,
+                 CAST(MAX(c) AS BIGINT) AS mx
+               FROM uc GROUP BY 1),
+        p5 AS (SELECT u, CAST(SUM(c) AS BIGINT) AS rws,
+                 CAST(SUM(CASE WHEN c > 5 THEN c - 5 ELSE 0 END) AS BIGINT) AS lost,
+                 CAST(SUM(LEAST(c, 5)) AS BIGINT) AS kept,
+                 CAST(MAX(c) AS BIGINT) AS mx
+               FROM uc GROUP BY 1),
+        a AS (
+          SELECT CAST(1 AS BIGINT) AS cap, CAST(COUNT(*) AS BIGINT) AS n_units,
+            CAST(SUM(CASE WHEN mx > 1 THEN 1 ELSE 0 END) AS BIGINT) AS units_clamped,
+            CAST(SUM(lost) AS BIGINT) AS rows_lost,
+            CAST(SUM(rws) AS BIGINT) AS total,
+            CAST(MAX(kept) AS BIGINT) AS l1_sensitivity_after
+          FROM p1
+          UNION ALL
+          SELECT 2, COUNT(*),
+            CAST(SUM(CASE WHEN mx > 2 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(lost) AS BIGINT), CAST(SUM(rws) AS BIGINT),
+            CAST(MAX(kept) AS BIGINT)
+          FROM p2
+          UNION ALL
+          SELECT 5, COUNT(*),
+            CAST(SUM(CASE WHEN mx > 5 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(lost) AS BIGINT), CAST(SUM(rws) AS BIGINT),
+            CAST(MAX(kept) AS BIGINT)
+          FROM p5)
+        SELECT cap, n_units, units_clamped, rows_lost,
+          (1000 * rows_lost) // total AS rows_lost_permille,
+          l1_sensitivity_after
+        FROM a ORDER BY cap""")),
+
     // ---- data-quality constraint audit -----------------------------------
     // The write-gate report a healthy pipeline runs before publishing a
     // snapshot. All row-local constraints (nulls, ranges, domains,

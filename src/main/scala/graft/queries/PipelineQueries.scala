@@ -1868,6 +1868,49 @@ object PipelineQueries {
         WHERE (cw * 10) // total > ((cw - n_chars) * 10) // total
         ORDER BY doc_id""")),
 
+    // ---- O174: Horvitz–Thompson sampler-soundness audit ---------------------
+    // Does the weight-proportional sampler's inclusion structure actually
+    // hold? Estimate the corpus DOC COUNT from the size-biased sample
+    // with 1/π corrections (y = 1, the harshest test — the correction
+    // must exactly undo the deliberate size bias); the error shrinks
+    // k = 10 → 200 (measured −101 → −47‰), which is the audit's point.
+    // Certainty-unit clamp via GREATEST (backwards = estimate collapses
+    // to k, measured; see Sampling.htTotalAudit scaladoc).
+    DeclaredQuery("ht_estimator_audit",
+      (s, dir) => graft.text.Sampling.htTotalAudit(
+        tbl(s, dir, "documents"), "doc_id", col("n_chars"), lit(1L),
+        ks = Seq(10, 50, 200))
+        .orderBy(col("k")),
+      Some("""WITH c AS (SELECT doc_id, n_chars AS w,
+                 CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+               FROM documents),
+        t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tw,
+                CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+        s10 AS (SELECT c.w, t.tw, t.nn FROM c, t
+                WHERE (cw * 10) // tw > ((cw - w) * 10) // tw),
+        s50 AS (SELECT c.w, t.tw, t.nn FROM c, t
+                WHERE (cw * 50) // tw > ((cw - w) * 50) // tw),
+        s200 AS (SELECT c.w, t.tw, t.nn FROM c, t
+                 WHERE (cw * 200) // tw > ((cw - w) * 200) // tw),
+        h AS (
+          SELECT CAST(10 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+            MAX(nn) AS exact_total,
+            CAST(SUM(GREATEST(1000, (1000 * tw) // (10 * w))) AS BIGINT)
+              AS ht_estimate_milli
+          FROM s10
+          UNION ALL
+          SELECT 50, COUNT(*), MAX(nn),
+            CAST(SUM(GREATEST(1000, (1000 * tw) // (50 * w))) AS BIGINT)
+          FROM s50
+          UNION ALL
+          SELECT 200, COUNT(*), MAX(nn),
+            CAST(SUM(GREATEST(1000, (1000 * tw) // (200 * w))) AS BIGINT)
+          FROM s200)
+        SELECT k, n_sampled, exact_total, ht_estimate_milli,
+          CAST((1000 * (ht_estimate_milli - 1000 * exact_total))
+            // (1000 * exact_total) AS BIGINT) AS err_permille
+        FROM h ORDER BY k""")),
+
     // ---- end-to-end corpus curation: quality gate + lang gate + dedup -----
     // The operators composing: quality score ≥ 0.7, predicted language 'en',
     // one survivor per bag-fingerprint group (min doc_id) — then per-source

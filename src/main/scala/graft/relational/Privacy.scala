@@ -125,6 +125,50 @@ object Privacy {
     }.reduce(_ unionByName _)
   }
 
+  /** Differential-privacy contribution bounding audit — the preprocessing
+    * every DP histogram release stands on (the Abadi/Google-DP clamp
+    * step): noise calibrated to sensitivity is MEANINGLESS until each
+    * user's contribution is bounded, because one power user's thousand
+    * rows otherwise carry a thousand-row sensitivity. Before clamping
+    * per-(user, cell) counts at C, the release owner needs the tradeoff
+    * this audit measures per candidate cap:
+    * how many units get clamped, how much signal (rows) the clamp
+    * discards, and the post-clamp USER-LEVEL L1 sensitivity
+    * max_u Σ_cells min(c_{u,cell}, C) — the number the noise scale is
+    * actually calibrated to.
+    *
+    * Scale: ONE (unit, cell) aggregation (map-side combined) lands once;
+    * each cap is a per-unit agg + 1-row summary over it — the
+    * kAnonymity shape. All integer; truncating-division permille.
+    */
+  def contributionBound(df: DataFrame, unitCol: String, cellCols: Seq[String],
+                        caps: Seq[Int]): DataFrame = {
+    require(cellCols.nonEmpty, "contributionBound needs at least one cell column")
+    require(caps.nonEmpty && caps.forall(_ >= 1), "each cap must be >= 1")
+    val uc = Stages.materialize(
+      df.groupBy((unitCol +: cellCols).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .select(col(unitCol).as("__u"), col("__c")), "dp_contrib")
+    caps.map { c =>
+      val perUnit = uc.groupBy(col("__u")).agg(
+        sum(col("__c")).as("__rows"),
+        sum(when(col("__c") > c, col("__c") - c).otherwise(lit(0L)))
+          .as("__lost"),
+        sum(least(col("__c"), lit(c.toLong))).as("__kept"),
+        max(col("__c")).as("__mx"))
+      perUnit.agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("__mx") > c, 1L).otherwise(0L)).as("units_clamped"),
+        sum(col("__lost")).as("rows_lost"),
+        sum(col("__rows")).as("__total"),
+        max(col("__kept")).as("l1_sensitivity_after"))
+        .select(lit(c.toLong).as("cap"), col("n_units"),
+          col("units_clamped"), col("rows_lost"),
+          expr("(1000L * rows_lost) div __total").as("rows_lost_permille"),
+          col("l1_sensitivity_after"))
+    }.reduce(_ unionByName _)
+  }
+
   def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
                  ls: Seq[Int]): DataFrame = {
     require(qiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")

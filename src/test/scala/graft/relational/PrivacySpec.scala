@@ -68,6 +68,22 @@ class PrivacySpec extends SparkSpec {
     assert(out === ((200L, 2L, 1L, 2L, 333L)))
   }
 
+  test("DP contribution bound: clamp tradeoff counts replay by hand") {
+    // u1: cells (a:3, b:1) — total 4, max 3; u2: (a:1) — total 1, max 1.
+    // cap=2: u1 clamped (3>2), lost 1, kept min(3,2)+1=3; u2 kept 1.
+    // summary: units 2, clamped 1, rows_lost 1 of 5 -> 200 permille,
+    // l1_after = max(3, 1) = 3.
+    val rows = Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"))
+      .toDF("u", "cell")
+    val out = Privacy.contributionBound(rows, "u", Seq("cell"), Seq(2))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((2L, 2L, 1L, 1L, 200L, 3L)))
+    // cap=3: nothing clamped, sensitivity is the raw max total 4
+    val out3 = Privacy.contributionBound(rows, "u", Seq("cell"), Seq(3))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out3 === ((3L, 2L, 0L, 0L, 0L, 4L)))
+  }
+
   test("t-closeness refuses an unbounded sensitive domain loudly") {
     val rows = (1 to 50).map(i => ("g", s"v$i")).toDF("qi", "dx")
     val e = intercept[IllegalArgumentException] {

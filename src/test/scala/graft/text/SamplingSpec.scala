@@ -115,6 +115,57 @@ class SamplingSpec extends SparkSpec {
     assert(singleton.forall(t => docKeyed(t._1) == t._3))
   }
 
+  test("HT audit reconstructs a count from a size-biased sample, exactly replayed") {
+    // 100 docs, weights cycling 1..10 (W = 550): the k=20 systematic PPS
+    // sample is size-biased toward heavy docs; the 1/pi correction must
+    // pull the count estimate back toward 100. Brute-force local replay
+    // of the identical integer arithmetic is the assertion.
+    val rows = (1L to 100L).map(i => (i, 1L + (i - 1) % 10))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.htTotalAudit(df, "id", col("w"), lit(1L), Seq(20))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val total = rows.map(_._2).sum
+    var cw = 0L
+    val contrib = rows.flatMap { case (_, w) =>
+      val prev = cw; cw += w
+      if (cw * 20 / total > prev * 20 / total)
+        Some(math.max(1000L, 1000L * total / (20L * w)))
+      else None
+    }
+    assert(out._1 === 20L && out._2 === contrib.size.toLong)
+    assert(out._3 === 100L)
+    assert(out._4 === contrib.sum)
+    assert(out._5 === 1000L * (contrib.sum - 100000L) / 100000L)
+    // quality: the PERIODIC weight cycle deliberately aliases with the
+    // systematic grid (step W/k = 27.5 against period-10 weights — the
+    // textbook systematic-sampling pathology), so exactness not
+    // unbiasedness is the contract here; even so the 1/pi correction
+    // must land strictly closer to the truth than the uncorrected
+    // sample count (which reads 20 of 100)
+    assert(math.abs(out._4 - 100000L) < math.abs(1000L * out._2 - 100000L),
+      s"HT ${out._4} must improve on the uncorrected ${1000L * out._2}")
+  }
+
+  test("HT audit certainty clamp: a mega-unit contributes itself, not a deflated ratio") {
+    // one unit holds ~all the weight: k*w >= W makes pi = 1 — its
+    // contribution must be y (1000 milli), not W/(k*w) < 1
+    val rows = Seq((1L, 1000L), (2L, 1L), (3L, 1L))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.htTotalAudit(df, "id", col("w"), lit(1L), Seq(2))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // replay: W = 1002; unit 1 crosses (certainty, clamped to 1000 milli);
+    val total = 1002L
+    var cw = 0L
+    val contrib = rows.flatMap { case (_, w) =>
+      val prev = cw; cw += w
+      if (cw * 2 / total > prev * 2 / total)
+        Some(math.max(1000L, 1000L * total / (2L * w)))
+      else None
+    }
+    assert(out._4 === contrib.sum)
+    assert(contrib.head === 1000L, "the mega-unit must hit the clamp arm")
+  }
+
   test("stratified k-fold: exact ±1 balance per stratum, deterministic") {
     // 23 rows in stratum A (23 = 4·5+3 → folds sized 5,5,5,4,4),
     // 7 in stratum B (2,2,1,1,1)
