@@ -415,6 +415,44 @@ object AnalyticsQueries {
             3841459 * CAST(var_num_18 AS HUGEINT) AS significant
         FROM j ORDER BY event_type""")),
 
+    // ---- O175: top-k head-churn audit ---------------------------------------
+    // Did the IDENTITY of the top-k change between halves — the head
+    // monitor mass-share drift (O43) can't see. Top-20 users by events,
+    // sort-limit per half (TakeOrdered — never a window over the key
+    // universe), Jaccard + rank displacement. Fixture honesty: the flat
+    // generator gives every user ≈ the same rate, so the top-20 is
+    // noise-dominated and Jaccard reads LOW (52‰, 2 common) — the
+    // correct null for a skewless distribution; a production power-law
+    // head shows the opposite, and the spec locks the stable-head path
+    // on constructed skew.
+    DeclaredQuery("topk_churn_audit",
+      (s, dir) => graft.relational.Drift.topkChurn(
+        events(s, dir), "user_id", "ts", k = 20),
+      Some("""WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+                FROM events),
+        c AS (SELECT epoch_us(ts) < (SELECT mid FROM b) AS h1, user_id AS k,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+        t1 AS (SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, k) AS BIGINT)
+                 AS r1
+               FROM c WHERE h1 QUALIFY r1 <= 20),
+        t2 AS (SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, k) AS BIGINT)
+                 AS r2
+               FROM c WHERE NOT h1 QUALIFY r2 <= 20),
+        j AS (SELECT r1, r2 FROM t1 FULL OUTER JOIN t2 ON t1.k = t2.k)
+        SELECT CAST(20 AS BIGINT) AS k,
+          CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_h1,
+          CAST(SUM(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_h2,
+          CAST(SUM(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_common,
+          CAST((1000 * SUM(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1
+            ELSE 0 END)) // COUNT(*) AS BIGINT) AS jaccard_permille,
+          CAST(SUM(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+            THEN ABS(r1 - r2) ELSE 0 END) AS BIGINT) AS rank_shift_sum
+        FROM j""")),
+
     // ---- O43: distribution-drift audit ------------------------------------
     // Event-mix shares in the two time halves; integer permille deltas, no
     // logarithms (see Drift scaladoc).
@@ -1548,6 +1586,73 @@ object AnalyticsQueries {
           2500 >= CAST((7848880 * CAST(pm AS HUGEINT) * (1000 - pm) * (n_a + n_b))
             // (CAST(1000000 AS HUGEINT) * n_a * n_b) AS BIGINT) AS powered
         FROM p""")),
+
+    // ---- O176: sequential two-look guardrail (O'Brien–Fleming) --------------
+    // The PEEKING discipline beside O167's segment discipline: checking a
+    // 5% test twice inflates false alarms to ~8%; OBF spends α across
+    // looks (interim z²·2 = 7820466 micro, final 3910233 — derived by
+    // bivariate-normal integration at definition time, matching the
+    // published 2.797/1.977 table). Fixture honesty: the interim is
+    // quiet, but the FINAL look fires at z² = 5.32 — the md5 A/A split
+    // of 150 units lands 22-vs-10 big-ticket converters, a genuine
+    // 5%-level false alarm that O172 (underpowered at this n) predicts;
+    // the row reads as the cautionary tale it is. Both the quiet-interim
+    // and planted-effect paths are spec-exercised on constructed data.
+    DeclaredQuery("sequential_twolook_guard",
+      (s, dir) => graft.relational.Experiment.twoLookGuard(
+        events(s, dir), "user_id",
+        col("event_type") === "purchase" &&
+          expr("CAST(value AS DECIMAL(12,2)) > 200"),
+        "ts", salt = "exp1").orderBy(col("look")),
+      Some("""WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+                FROM events),
+        u1 AS (SELECT user_id AS u,
+                 MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS converted
+               FROM events WHERE epoch_us(ts) < (SELECT mid FROM b)
+               GROUP BY 1),
+        u2 AS (SELECT user_id AS u,
+                 MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(value AS DECIMAL(12,2)) > 200
+                   THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY 1),
+        a1 AS (SELECT converted,
+                 CAST(('0x' || substring(md5('exp1:' || CAST(u AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm FROM u1),
+        a2 AS (SELECT converted,
+                 CAST(('0x' || substring(md5('exp1:' || CAST(u AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm FROM u2),
+        g1 AS (SELECT
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+               FROM a1),
+        g2 AS (SELECT
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+               FROM a2),
+        z1 AS (SELECT *, CAST((1000000 *
+                 CAST(conv_a * n_b - conv_b * n_a AS HUGEINT) *
+                 (conv_a * n_b - conv_b * n_a) * (n_a + n_b)) //
+                 (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b) *
+                  (n_a + n_b - conv_a - conv_b)) AS BIGINT) AS z2 FROM g1),
+        z2t AS (SELECT *, CAST((1000000 *
+                 CAST(conv_a * n_b - conv_b * n_a AS HUGEINT) *
+                 (conv_a * n_b - conv_b * n_a) * (n_a + n_b)) //
+                 (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b) *
+                  (n_a + n_b - conv_a - conv_b)) AS BIGINT) AS z2 FROM g2)
+        SELECT CAST(1 AS BIGINT) AS look, n_a, n_b, conv_a, conv_b,
+          z2 AS z2_micro, CAST(7820466 AS BIGINT) AS boundary_z2_micro,
+          z2 > 7820466 AS reject
+        FROM z1
+        UNION ALL
+        SELECT 2, n_a, n_b, conv_a, conv_b, z2, 3910233, z2 > 3910233
+        FROM z2t
+        ORDER BY look""")),
 
     // ---- O167: Benjamini–Hochberg FDR screen over per-segment SRMs ----------
     // Screening m segments at α each pages at ≈ mα family-wise; BH keeps

@@ -1104,7 +1104,69 @@ object AuditQueries {
                ELSE (1000 * (se.sketch_estimate - ex.exact_value)) // ex.exact_value
           END AS err_permille
         FROM se JOIN ex ON ex.g = se.g AND ex.q_permille = se.q_permille
-        ORDER BY event_type, q_permille"""))
+        ORDER BY event_type, q_permille""")),
+
+    // ---- O136b: DDSketch daily→weekly rollup audit --------------------------
+    // The sketch's PRODUCTION pattern gated: per-(type, day) cells land
+    // once (≤16·64 cells/group-day), weekly p50/p99 answered by summing
+    // CELLS — no raw row re-touched — and audited against the exact
+    // weekly order statistic. Week = epoch-day div 7 (pure integers; the
+    // engines' week-truncation builtins disagree on boundaries). Every
+    // err_permille must sit in the one-sided sketch bound (−62..0‰),
+    // spec-asserted row by row.
+    DeclaredQuery("ddsketch_weekly_rollup",
+      (s, dir) => graft.relational.DdSketch.rollupAudit(
+        events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "day", "cents", Seq(500, 990)),
+      Some("""WITH b AS (SELECT event_type AS g,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS BIGINT) AS d,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+             FROM events),
+        kk AS (SELECT g, d // 7 AS wk, CASE WHEN v < 16 THEN v
+                 ELSE 16 * length(bin(v)) +
+                   (v // (CAST(1 AS BIGINT) << (length(bin(v)) - 5)) - 16)
+                 END AS k
+               FROM b),
+        c AS (SELECT g, wk, k, CAST(COUNT(*) AS BIGINT) AS c
+              FROM kk GROUP BY 1, 2, 3),
+        n AS (SELECT g, wk, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+        cum AS (SELECT g, wk, k,
+                  SUM(c) OVER (PARTITION BY g, wk ORDER BY k) AS cum
+                FROM c),
+        q AS (SELECT * FROM (VALUES (500), (990)) q(q_permille)),
+        sk AS (SELECT cum.g, cum.wk, q.q_permille, n.n, MIN(cum.k) AS pick
+               FROM cum JOIN n USING (g, wk) CROSS JOIN q
+               WHERE cum.cum >= (n.n * q.q_permille + 999) // 1000
+               GROUP BY 1, 2, 3, 4),
+        se AS (SELECT g, wk, q_permille, n,
+                 CASE WHEN pick < 16 THEN pick
+                      ELSE (16 + pick % 16) *
+                        (CAST(1 AS BIGINT) << CAST(pick // 16 - 5 AS INTEGER))
+                 END AS sketch_estimate
+               FROM sk),
+        gv AS (SELECT g, d // 7 AS wk, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2, 3),
+        vc AS (SELECT g, wk, v,
+                 SUM(c) OVER (PARTITION BY g, wk ORDER BY v) AS cum
+               FROM gv),
+        ex AS (SELECT vc.g, vc.wk, q.q_permille, MIN(vc.v) AS exact_value
+               FROM vc JOIN n USING (g, wk) CROSS JOIN q
+               WHERE vc.cum >= (n.n * q.q_permille + 999) // 1000
+               GROUP BY 1, 2, 3)
+        SELECT se.g AS event_type, CAST(se.wk AS BIGINT) AS week,
+          CAST(se.q_permille AS BIGINT) AS q_permille, se.n,
+          se.sketch_estimate, ex.exact_value,
+          CASE WHEN ex.exact_value = 0 THEN NULL
+               ELSE (1000 * (se.sketch_estimate - ex.exact_value))
+                 // ex.exact_value
+          END AS err_permille
+        FROM se JOIN ex ON ex.g = se.g AND ex.wk = se.wk
+          AND ex.q_permille = se.q_permille
+        ORDER BY event_type, week, q_permille"""))
   )
 
   /** DuckDB replay of [[graft.relational.MarkovAttribution]]: journeys →

@@ -111,4 +111,98 @@ object DdSketch {
           .as("err_permille"))
       .orderBy(col(groupCol), col("q_permille"))
   }
+
+  /** Pre-aggregated rollup audit — the sketch's PRODUCTION pattern under
+    * the gate: land per-(group, day) sketch cells ONCE, answer weekly
+    * quantiles by summing CELLS (merge = count addition — no row is ever
+    * re-touched), and audit the rolled-up read against the exact weekly
+    * order statistic. This is what "mergeable" buys at 100 TB: the daily
+    * sketch table is tiny (≤ 16·64 cells per group-day) and any window —
+    * week, month, arbitrary range — rolls up from it in cell-space. Week
+    * is epoch-day div 7 (pure integers; the engines' week-truncation
+    * builtins disagree on boundaries).
+    *
+    * Output per (group, week, q): n, sketch_estimate, exact_value,
+    * err_permille — the error must sit inside the sketch's one-sided
+    * bound (−1/16 < err ≤ 0), which a spec asserts for every row.
+    * Same bounded-domain contract as [[quantileAudit]] for the exact
+    * side; values non-negative, loudly.
+    */
+  def rollupAudit(df: DataFrame, groupCol: String, dayCol: String,
+                  valueCol: String, qsPermille: Seq[Int] = Seq(500, 990),
+                  maxDistinct: Int = 200000): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"rollupAudit: quantiles $qsPermille outside 1..1000 permille")
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).as("g"),
+      expr(s"datediff($dayCol, DATE '1970-01-01')").cast("long").as("d"),
+      col(valueCol).cast("long").as("v"))
+    val negs = base.filter(col("v") < 0L).limit(1).collect()
+    require(negs.isEmpty,
+      s"rollupAudit: negative $valueCol — the geometric bucket mapping " +
+        "is defined for non-negative values; shift or split the domain")
+    // the landed daily sketch table: ≤ 16·64 cells per (group, day)
+    val daily = Stages.materialize(
+      base.withColumn("k",
+        when(col("v") < 16L, col("v"))
+          .otherwise(expr(
+            "16L * length(bin(v)) + (v div shiftleft(1L, length(bin(v)) - 5) - 16L)")))
+        .groupBy(col("g"), col("d"), col("k"))
+        .agg(count(lit(1)).as("c")), "ddsketch_daily")
+    // weekly rollup IN CELL SPACE — merge is count addition, no raw rows
+    val weekly = daily.withColumn("wk", expr("d div 7"))
+      .groupBy(col("g"), col("wk"), col("k"))
+      .agg(sum(col("c")).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("wk")).orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = weekly.groupBy(col("g"), col("wk")).agg(sum(col("c")).as("n"))
+    val sketchCum = weekly.withColumn("cum", sum(col("c")).over(wCum))
+      .join(totals, Seq("g", "wk"))
+    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
+    require(probe.length <= maxDistinct,
+      s"rollupAudit: > $maxDistinct distinct values — the exact audit " +
+        "side needs a bounded domain; run the rollup without the audit")
+    val gv = base.withColumn("wk", expr("d div 7"))
+      .groupBy(col("g"), col("wk"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("wk")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exactCum = gv.withColumn("cum", sum(col("c")).over(wVal))
+      .join(totals, Seq("g", "wk"))
+    import scala.jdk.CollectionConverters._
+    val qDf = broadcast(spark.createDataFrame(
+      qsPermille.sorted.map(q =>
+        org.apache.spark.sql.Row(q.toLong)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_permille",
+          org.apache.spark.sql.types.LongType)))))
+    def pick(cumFrame: DataFrame, outCol: String, fromKey: Boolean) = {
+      val target = expr("(n * q_permille + 999) div 1000")
+      val hit = cumFrame.crossJoin(qDf)
+        .filter(col("cum") >= target)
+        .groupBy(col("g"), col("wk"), col("q_permille"), col("n"))
+        .agg(min(if (fromKey) col("k") else col("v")).as("__pick"))
+      if (fromKey)
+        hit.withColumn(outCol,
+          when(col("__pick") < 16L, col("__pick"))
+            .otherwise(expr(
+              "(16L + __pick % 16L) * " +
+                "shiftleft(1L, CAST(__pick div 16L - 5L AS INT))")))
+          .drop("__pick")
+      else hit.withColumnRenamed("__pick", outCol)
+    }
+    pick(sketchCum, "sketch_estimate", fromKey = true)
+      .join(pick(exactCum, "exact_value", fromKey = false),
+        Seq("g", "wk", "q_permille", "n"))
+      .select(col("g").as(groupCol), col("wk").as("week"), col("q_permille"),
+        col("n"), col("sketch_estimate"), col("exact_value"),
+        when(col("exact_value") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000L * (sketch_estimate - exact_value)) div exact_value"))
+          .as("err_permille"))
+      .orderBy(col(groupCol), col("week"), col("q_permille"))
+  }
 }

@@ -23,6 +23,60 @@ object Drift {
     * integer midpoint of [min ts, max ts] in epoch micros; rows at exactly
     * the midpoint fall into the SECOND half.
     */
+  /** Top-k SET churn between time halves — the drift read share-deltas
+    * miss: [[tvByCategory]] weighs every category by mass, but a head
+    * monitor asks a different question — did the IDENTITY of the top-k
+    * change? (A vocabulary/entity/key dashboard pages on newcomers to
+    * the head, not on a 2‰ mass shift.) Jaccard of the two top-k sets
+    * in permille plus the summed rank displacement over the common
+    * members — set stability and ORDER stability as separate signals.
+    *
+    * Scale shape: per-(half, key) counts (one map-side-combined agg),
+    * then each half's top-k via sort-limit — TakeOrdered, never a
+    * window over the key universe — and all set arithmetic on the two
+    * k-row frames. Ties break by key ascending, so the sets are
+    * deterministic under any partitioning.
+    */
+  def topkChurn(df: DataFrame, keyCol: String, tsCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "topkChurn: k must be in [1, 10000]")
+    require(df.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "drift split needs a TIMESTAMP column (unix_micros midpoint math)")
+    val bounds = df.agg(
+      min(unix_micros(col(tsCol))).as("__mn"),
+      max(unix_micros(col(tsCol))).as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("__mid"))
+    val counts = df.crossJoin(broadcast(bounds))
+      .groupBy((unix_micros(col(tsCol)) < col("__mid")).as("__h1"),
+        col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    def top(h1: Boolean, tag: String): DataFrame = {
+      val lim = counts.filter(col("__h1") === h1)
+        .orderBy(col("__n").desc, col("__k").asc).limit(k)
+      // rank over the k-row frame only — bounded by the limit above
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__n").desc, col("__k").asc)
+      lim.withColumn(s"r_$tag", row_number().over(w).cast("long"))
+        .select(col("__k"), col(s"r_$tag"))
+    }
+    val j = top(h1 = true, "h1").join(top(h1 = false, "h2"),
+      Seq("__k"), "full_outer")
+    j.agg(
+      sum(when(col("r_h1").isNotNull, 1L).otherwise(0L)).as("n_h1"),
+      sum(when(col("r_h2").isNotNull, 1L).otherwise(0L)).as("n_h2"),
+      sum(when(col("r_h1").isNotNull && col("r_h2").isNotNull, 1L)
+        .otherwise(0L)).as("n_common"),
+      count(lit(1)).as("__union"),
+      sum(when(col("r_h1").isNotNull && col("r_h2").isNotNull,
+        abs(col("r_h1") - col("r_h2"))).otherwise(lit(0L)))
+        .as("rank_shift_sum"))
+      .select(lit(k.toLong).as("k"), col("n_h1"), col("n_h2"),
+        col("n_common"),
+        expr("(1000L * n_common) div __union").as("jaccard_permille"),
+        col("rank_shift_sum"))
+  }
+
   def tvByCategory(df: DataFrame, catCol: String, tsCol: String): DataFrame = {
     require(df.schema(tsCol).dataType ==
       org.apache.spark.sql.types.TimestampType,

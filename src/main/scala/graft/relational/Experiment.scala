@@ -433,6 +433,75 @@ object Experiment {
         lit(targetLiftPermille * targetLiftPermille) >= col("mde2_permille2"))
   }
 
+  /** O'Brien–Fleming two-look boundary z² in micro — frozen literals,
+    * derived at definition time by bivariate-normal integration
+    * (conditional decomposition + Simpson over erf; corr = √(t₁/t₂) =
+    * √½): P(|Z₁| < c√2, |Z₂| < c) = 0.95 gives c = 1.977431 — matching
+    * the published OBF K=2 table (2.797/1.977). Interim boundary is
+    * 2c² (the √2-inflated interim z, squared). */
+  val ObfInterimZ2Micro: Long = 7820466L
+  val ObfFinalZ2Micro: Long = 3910233L
+
+  /** Sequential two-look guardrail — the PEEKING discipline: reading a
+    * 5%-threshold test twice inflates the family false-alarm rate to
+    * ~8%, so a readout that is checked mid-experiment MUST spend its α
+    * across looks. O'Brien–Fleming spends almost nothing early (interim
+    * boundary z²·2 — only a blatant effect stops the experiment at half
+    * time) and keeps the final look near-nominal (3.910 vs 3.841 χ²).
+    *
+    * The two-proportion z² at each look, all integer:
+    *   z² = D²·n / (n_a·n_b·c·(n−c)),  D = c_a·n_b − c_b·n_a,
+    * carried micro with one truncating division; verdicts compare
+    * against the frozen boundary literals. D² needs ~4·log₁₀(n) digits —
+    * a loud guard refuses past 3×10⁹ units (D² would pass 38 digits)
+    * rather than wrapping.
+    *
+    * Look 1 = events in the first time half (the Drift midpoint idiom),
+    * look 2 = everything; units keyed by md5 arm. One row per look:
+    * (look, n_a, n_b, conv_a, conv_b, z2_micro, boundary_z2_micro,
+    * reject). Degenerate looks (zero or all conversions) raise loudly.
+    */
+  def twoLookGuard(events: DataFrame, unitCol: String, convWhen: Column,
+                   tsCol: String, salt: String): DataFrame = {
+    val bounds = events.agg(
+      min(unix_micros(col(tsCol))).as("__mn"),
+      max(unix_micros(col(tsCol))).as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("__mid"))
+    val base = events.crossJoin(broadcast(bounds))
+    def look(lookNo: Int, withinLook: Column, boundary: Long): DataFrame = {
+      val units = base.filter(withinLook)
+        .select(col(unitCol).as("u"),
+          when(convWhen, 1L).otherwise(0L).as("__c"))
+        .groupBy(col("u"))
+        .agg(max(col("__c")).as("converted"))
+        .withColumn("arm", arm(col("u"), salt))
+      val g = units.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("conv_b"))
+      val guard = "COALESCE(n_a, 0) = 0 OR COALESCE(n_b, 0) = 0 " +
+        "OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b"
+      val raise = "raise_error('twoLookGuard: degenerate look — both arms " +
+        "need units and conversions must be strictly between 0 and n') "
+      val sizeGuard = "n_a + n_b > 3000000000"
+      val sizeRaise = "raise_error('twoLookGuard: past 3e9 units D^2 " +
+        "escapes 38-digit decimals — shard the z computation first') "
+      g.withColumn("__z2", expr(s"CASE WHEN $guard THEN $raise" +
+          s"WHEN $sizeGuard THEN $sizeRaise ELSE " +
+          "CAST((1000000 * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0)) " +
+          "* (conv_a * n_b - conv_b * n_a) * (n_a + n_b)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b) * " +
+          "(n_a + n_b - conv_a - conv_b)) AS BIGINT) END"))
+        .select(lit(lookNo.toLong).as("look"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"), col("__z2").as("z2_micro"),
+          lit(boundary).as("boundary_z2_micro"),
+          (col("__z2") > boundary).as("reject"))
+    }
+    look(1, unix_micros(col(tsCol)) < col("__mid"), ObfInterimZ2Micro)
+      .unionByName(look(2, lit(true), ObfFinalZ2Micro))
+  }
+
   /** Uniformity audit of the hash bucketing ITSELF — the meta-check under
     * every md5-derived split in this repo (experiment arms, conformal
     * halves, doc samples, rendezvous shards): Pearson χ² of distinct-unit

@@ -33,6 +33,43 @@ class DdSketchSpec extends SparkSpec {
     }
   }
 
+  test("weekly rollup from daily cells equals the direct weekly sketch, inside the bound") {
+    // two weeks of per-day values; the rollup answers weekly quantiles
+    // from daily CELLS only — assert (a) every error is inside the
+    // one-sided sketch bound and (b) the rolled estimate equals a direct
+    // quantileAudit run on the same weekly slices (merge = addition).
+    val days = (0 until 14)
+    val rows = days.flatMap { d =>
+      (1 to 50).map { i =>
+        val v = ((d * 50 + i).toLong * 2654435761L) % 100000L
+        ("a", java.sql.Date.valueOf(java.time.LocalDate.of(1970, 1, 1).plusDays(d)), v)
+      }
+    }
+    val df = rows.toDF("g", "day", "v")
+    val out = DdSketch.rollupAudit(df, "g", "day", "v", Seq(500, 990))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.length === 4, "2 weeks x 2 quantiles")
+    out.foreach { case (_, wk, q, n, est, exact, err) =>
+      assert(n === 350L,
+        s"wk=$wk q=$q: 7 days x 50 values per week, got $n")
+      assert(est <= exact && exact * 16L < est * 17L || est == exact,
+        s"wk=$wk q=$q: $est vs $exact escapes the sketch bound")
+      assert(err.forall(e => e <= 0L && e > -63L),
+        s"wk=$wk q=$q: err $err outside (-63, 0]")
+    }
+    // cross-check vs direct per-week sketches (epoch-day div 7 slicing)
+    val direct = DdSketch.quantileAudit(
+      df.withColumn("gw", concat(col("g"), lit(":"),
+        expr("datediff(day, DATE '1970-01-01') div 7"))),
+      "gw", "v", Seq(500, 990))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => ((r._1, r._2), (r._4, r._5))).toMap
+    out.foreach { case (g, wk, q, _, est, exact, _) =>
+      assert(direct((s"$g:$wk", q)) === ((est, exact)),
+        s"rollup disagrees with the direct weekly sketch at wk=$wk q=$q")
+    }
+  }
+
   test("bucket key replicates an independent reference on random values") {
     val vals = (1 to 500).map(i => ((i.toLong * 40503L) % 100000L))
     def refKey(v: Long): Long =

@@ -40,6 +40,36 @@ class DriftSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 0L, 2L, 0L, 666L), ("b", 0L, 1L, 0L, 333L)))
   }
 
+  test("top-k churn: a stable skewed head reads high Jaccard, a swap is seen") {
+    // keys 1..3 dominate BOTH halves (stable head); key 4 appears only
+    // in h1's top-k and key 5 only in h2's. k=4:
+    // h1 top4 = {1,2,3,4}, h2 top4 = {1,2,3,5} -> common 3, union 5,
+    // jaccard 600. Ranks: 1,2,3 hold positions -> shift 0.
+    val h1 = Seq.fill(40)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L) ++
+      Seq.fill(10)(4L)
+    val h2 = Seq.fill(40)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L) ++
+      Seq.fill(10)(5L)
+    val d = (h1.zipWithIndex.map { case (k, i) => (k, ts(i.toLong)) } ++
+      h2.zipWithIndex.map { case (k, i) => (k, ts(1000L + i)) })
+      .toDF("k", "ts")
+    val out = Drift.topkChurn(d, "k", "ts", k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((4L, 4L, 4L, 3L, 600L, 0L)))
+  }
+
+  test("top-k churn rank displacement counts order moves among common members") {
+    // h1: a>b>c; h2: c>b>a — same set, fully reversed order:
+    // shifts |1-3| + |2-2| + |3-1| = 4, jaccard 1000
+    val h1 = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    val h2 = Seq.fill(10)("a") ++ Seq.fill(20)("b") ++ Seq.fill(30)("c")
+    val d = (h1.zipWithIndex.map { case (k, i) => (k, ts(i.toLong)) } ++
+      h2.zipWithIndex.map { case (k, i) => (k, ts(1000L + i)) })
+      .toDF("k", "ts")
+    val out = Drift.topkChurn(d, "k", "ts", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out === ((3L, 3L, 3L, 3L, 1000L, 4L)))
+  }
+
   test("stable mix yields zero delta") {
     val d = Seq(
       ("a", ts(0)), ("b", ts(10)), ("a", ts(60)), ("b", ts(70)))

@@ -322,6 +322,60 @@ class ExperimentSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("degenerate")))
   }
 
+  test("two-look guard: quiet interim on noise, reject at final when the effect arrives") {
+    val armOf = spark.range(1, 2001).toDF("u")
+      .withColumn("a", Experiment.arm(col("u"), "sq"))
+      .as[(Long, Long)].collect().toMap
+    // units 1..100 exist in BOTH halves with an arm-independent ~10%
+    // conversion (null at look 1); units 101..2000 arrive in the second
+    // half carrying a strong arm-1 effect — look 1 must hold fire, the
+    // final look must reject.
+    val early = (1L to 100L).flatMap { u =>
+      val conv = u % 10L == 0L
+      Seq((u, 100L + u, conv), (u, 5000L + u, conv))
+    }
+    val late = (101L to 2000L).map { u =>
+      (u, 5000L + u, armOf(u) == 1L && u % 4L == 0L)
+    }
+    val df = (early ++ late).map { case (u, sec, conv) =>
+      (u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        if (conv) "purchase" else "view")
+    }.toDF("user_id", "ts", "event_type")
+    val out = Experiment.twoLookGuard(df, "user_id",
+      col("event_type") === "purchase", "ts", "sq")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0)._7 === 7820466L && out(1)._7 === 3910233L)
+    // exact z2 replay at both looks from the constructed unit flags
+    def z2Of(units: Seq[Long], conv: Long => Boolean): Long = {
+      val byArm = units.groupBy(armOf)
+      val (na, nb) = (byArm(0L).size.toLong, byArm(1L).size.toLong)
+      val ca = byArm(0L).count(conv).toLong
+      val cb = byArm(1L).count(conv).toLong
+      val d = BigInt(ca) * nb - BigInt(cb) * na
+      (BigInt(1000000) * d * d * (na + nb) /
+        (BigInt(na) * nb * (ca + cb) * (na + nb - ca - cb))).toLong
+    }
+    val z1 = z2Of((1L to 100L), u => u % 10L == 0L)
+    val z2 = z2Of((1L to 2000L),
+      u => if (u <= 100L) u % 10L == 0L else armOf(u) == 1L && u % 4L == 0L)
+    assert(out(0)._6 === z1 && out(1)._6 === z2)
+    assert(!out(0)._8, s"interim z2=$z1 must stay under the OBF boundary")
+    assert(out(1)._8, s"final z2=$z2 must reject")
+  }
+
+  test("two-look guard refuses a degenerate look loudly") {
+    val noConv = (1L to 40L).map(i =>
+      (i, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val e = intercept[Exception] {
+      Experiment.twoLookGuard(noConv, "user_id",
+        col("event_type") === "purchase", "ts", "sq").collect()
+    }
+    assert(e.getMessage.contains("degenerate") ||
+      Option(e.getCause).exists(_.getMessage.contains("degenerate")))
+  }
+
   test("balanced A/A on the fixture: no SRM flag, conversions within noise") {
     val ev = graft.queries.Dsl.events(spark, sf0001)
     val row = Experiment.srmConversionCheck(ev, "user_id",
