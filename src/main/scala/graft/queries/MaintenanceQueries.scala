@@ -132,6 +132,58 @@ object MaintenanceQueries {
         FROM orders
         ORDER BY 1, 4, 2""")),
 
+    // ---- O177: point-in-time SCD2 enrichment --------------------------------
+    // The consumer the SCD2 build exists FOR: enrich each purchase event
+    // with the customer's order-status state in effect AT the event's
+    // timestamp — a backward as-of against the state stream, which is
+    // the same thing as probing the SCD2 validity interval [eff_from,
+    // eff_to) without ever materializing eff_to. Events before a user's
+    // first state surface as NULL (the honest "no state yet" answer,
+    // kept as its own row). Summarized per state to keep the gate
+    // answer-sized; the as-of machinery itself is hash-gated row-level
+    // by the asof_* family. Fixture note: every purchaser has a prior
+    // order state (measured F/O/P = 669/617/695 events, no NULL row),
+    // so the before-first-state branch is exercised by the asof family's
+    // specs rather than this gate.
+    DeclaredQuery("pit_status_enrichment",
+      (s, dir) => {
+        val purchases = events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), (col("user_id") + 1).as("custkey"),
+            col("ts"))
+        // one state per (custkey, date), latest orderkey wins — equal-time
+        // ties in an as-of probe are engine-implementation-defined, so the
+        // state stream must be tie-free to be deterministic
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val states = tbl(s, dir, "orders")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("eff_from"))
+        graft.relational.AsOfJoin.backward(purchases, states,
+          Seq("custkey"), "ts", "eff_from", Seq("status"))
+          .groupBy(col("asof_status").as("status_at_event"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("custkey")).as("n_customers"))
+          .orderBy(col("status_at_event").asc_nulls_first)
+      },
+      Some("""WITH p AS (SELECT event_id, user_id + 1 AS custkey, ts
+               FROM events WHERE event_type = 'purchase'),
+        s AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+                o_orderdate AS eff_from
+              FROM orders
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                ORDER BY o_orderkey DESC) = 1),
+        j AS (SELECT p.custkey, s.status
+              FROM p ASOF LEFT JOIN s
+                ON p.custkey = s.custkey AND p.ts >= s.eff_from)
+        SELECT status AS status_at_event, CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers
+        FROM j GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
     // ---- compaction planner: bin-pack simulated files to ~64 KB ----------
     // "Files" are (source, doc_id mod 50) groups of documents; the plan
     // assigns each to an output bin by bytes-before-it div target.
