@@ -1149,6 +1149,83 @@ object ProfilingQueries {
           CAST(100 AS BIGINT) AS alpha_permille, tau,
           (1000 * (SELECT CAST(COUNT(*) AS BIGINT) FROM tst WHERE s >= tau))
             // (SELECT COUNT(*) FROM tst) AS coverage_permille
-        FROM nc, tau"""))
+        FROM nc, tau""")),
+
+    // ---- O178: all-pairs Pearson matrix in one scan --------------------------
+    // The profiling read per-pair APIs force into 6 scans: every pairwise
+    // r over lineitem's 4 numeric columns from the 15 conditional sums of
+    // ONE pass (at 100 TB the scan is the cost); r² permille by the CUPED
+    // fixed-order truncation (never A², which passes 38 digits here),
+    // sign separate. Fixture honesty: this generator draws the numeric
+    // columns INDEPENDENTLY (measured corr(qty, price) = 0.003), so the
+    // all-zero matrix is the correct null — real TPC-H would light up
+    // qty↔extendedprice; the correlated path (y = 2x → r² = 1000) and
+    // the constant-column flagging are spec-locked.
+    DeclaredQuery("numeric_corr_matrix",
+      (s, dir) => graft.relational.Correlation.pearsonMatrix(
+        tbl(s, dir, "lineitem"), Seq(
+          "qty" -> col("l_quantity"),
+          "price_cents" ->
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"),
+          "disc_pct" ->
+            expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)"),
+          "tax_pct" ->
+            expr("CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+        .orderBy(col("col_x"), col("col_y")),
+      Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+                   AS price_cents,
+                 CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                   AS disc_pct,
+                 CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+               FROM lineitem),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(qty) AS BIGINT) AS s_q, CAST(SUM(price_cents) AS BIGINT) AS s_p,
+                CAST(SUM(disc_pct) AS BIGINT) AS s_d, CAST(SUM(tax_pct) AS BIGINT) AS s_t,
+                SUM(CAST(qty AS HUGEINT) * qty) AS q_q,
+                SUM(CAST(price_cents AS HUGEINT) * price_cents) AS q_p,
+                SUM(CAST(disc_pct AS HUGEINT) * disc_pct) AS q_d,
+                SUM(CAST(tax_pct AS HUGEINT) * tax_pct) AS q_t,
+                SUM(CAST(qty AS HUGEINT) * price_cents) AS p_qp,
+                SUM(CAST(qty AS HUGEINT) * disc_pct) AS p_qd,
+                SUM(CAST(qty AS HUGEINT) * tax_pct) AS p_qt,
+                SUM(CAST(price_cents AS HUGEINT) * disc_pct) AS p_pd,
+                SUM(CAST(price_cents AS HUGEINT) * tax_pct) AS p_pt,
+                SUM(CAST(disc_pct AS HUGEINT) * tax_pct) AS p_dt
+              FROM b),
+        r AS (
+          SELECT 'qty' AS col_x, 'price_cents' AS col_y, n,
+            n * p_qp - CAST(s_q AS HUGEINT) * s_p AS A,
+            n * q_q - CAST(s_q AS HUGEINT) * s_q AS B,
+            n * q_p - CAST(s_p AS HUGEINT) * s_p AS C FROM g
+          UNION ALL SELECT 'qty', 'disc_pct', n,
+            n * p_qd - CAST(s_q AS HUGEINT) * s_d,
+            n * q_q - CAST(s_q AS HUGEINT) * s_q,
+            n * q_d - CAST(s_d AS HUGEINT) * s_d FROM g
+          UNION ALL SELECT 'qty', 'tax_pct', n,
+            n * p_qt - CAST(s_q AS HUGEINT) * s_t,
+            n * q_q - CAST(s_q AS HUGEINT) * s_q,
+            n * q_t - CAST(s_t AS HUGEINT) * s_t FROM g
+          UNION ALL SELECT 'price_cents', 'disc_pct', n,
+            n * p_pd - CAST(s_p AS HUGEINT) * s_d,
+            n * q_p - CAST(s_p AS HUGEINT) * s_p,
+            n * q_d - CAST(s_d AS HUGEINT) * s_d FROM g
+          UNION ALL SELECT 'price_cents', 'tax_pct', n,
+            n * p_pt - CAST(s_p AS HUGEINT) * s_t,
+            n * q_p - CAST(s_p AS HUGEINT) * s_p,
+            n * q_t - CAST(s_t AS HUGEINT) * s_t FROM g
+          UNION ALL SELECT 'disc_pct', 'tax_pct', n,
+            n * p_dt - CAST(s_d AS HUGEINT) * s_t,
+            n * q_d - CAST(s_d AS HUGEINT) * s_d,
+            n * q_t - CAST(s_t AS HUGEINT) * s_t FROM g)
+        SELECT col_x, col_y, n,
+          CASE WHEN B = 0 OR C = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((((1000 * A) // B) * A) // C AS BIGINT) END
+            AS r2_permille,
+          CASE WHEN B = 0 OR C = 0 THEN CAST(0 AS BIGINT)
+            WHEN A > 0 THEN CAST(1 AS BIGINT)
+            WHEN A < 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS r_sign
+        FROM r ORDER BY col_x, col_y"""))
   )
 }

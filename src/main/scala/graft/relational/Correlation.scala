@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
@@ -166,5 +166,62 @@ object Correlation {
           (sqrt(col("__dx").cast(DecimalType(38, 0)).cast("double")) *
             sqrt(col("__dy").cast(DecimalType(38, 0)).cast("double"))))
           .as("kendall_tau_b"))
+  }
+
+  /** All-pairs Pearson matrix in ONE table scan — the profiling read a
+    * per-pair API forces into k(k−1)/2 separate scans: every pairwise
+    * correlation over k numeric columns needs only the k sums, k sums of
+    * squares, and k(k−1)/2 cross sums, all conditional aggregates of a
+    * single pass (map-side combined; at 100 TB the scan IS the cost, so
+    * one pass vs 6 is the whole game).
+    *
+    * Exact integer read-out: per pair, A = nΣxy − ΣxΣy, B = nΣxx − Σx²,
+    * C = nΣyy − Σy², and r² is carried permille via the CUPED
+    * fixed-order double truncation ((1000·A) div B)·A div C — never A²,
+    * which passes 38 digits at ~1e23 (reachable: n·Σxy at 6e5 rows of
+    * 1e7-cent values). Sign reported separately (r² forgets it). A
+    * CONSTANT column (B or C = 0) yields NULL r² with sign 0 — in a
+    * profiling matrix that degenerate pair is a finding to report, not
+    * a reason to kill the other pairs.
+    */
+  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      "pearsonMatrix: 2..8 columns (aggregate count is quadratic in k)")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "pearsonMatrix: column names must be unique")
+    val names = cols.map(_._1)
+    val base = df.select(cols.map { case (n, c) =>
+      c.cast("long").as(s"__$n") }: _*)
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("__n") +:
+        names.map(n => sum(col(s"__$n")).as(s"__s_$n"))) ++
+        names.map(n => sum(expr(s"CAST(__$n AS DECIMAL(38,0)) * __$n"))
+          .as(s"__q_$n")) ++
+        pairs.map { case (a, b) =>
+          sum(expr(s"CAST(__$a AS DECIMAL(38,0)) * __$b")).as(s"__p_${a}_$b") }
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    // ONE stack projection over the single agg row — a per-pair select
+    // union would prune the agg differently per branch, defeat
+    // ReuseExchange, and re-run the scan k(k−1)/2 times (the measured
+    // stage-landing lesson)
+    val stackArgs = pairs.map { case (a, b) =>
+      val A = s"(__n * __p_${a}_$b - CAST(__s_$a AS DECIMAL(38,0)) * __s_$b)"
+      val B = s"(__n * __q_$a - CAST(__s_$a AS DECIMAL(38,0)) * __s_$a)"
+      val C = s"(__n * __q_$b - CAST(__s_$b AS DECIMAL(38,0)) * __s_$b)"
+      s"'$a', '$b', " +
+        s"CASE WHEN $B = 0 OR $C = 0 THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST((((1000 * $A) div $B) * $A) div $C AS BIGINT) END, " +
+        s"CASE WHEN $B = 0 OR $C = 0 THEN CAST(0 AS BIGINT) " +
+        s"WHEN $A > 0 THEN CAST(1 AS BIGINT) " +
+        s"WHEN $A < 0 THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(", ")
+    g.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, r2_permille, r_sign)",
+      "__n")
+      .select(col("col_x"), col("col_y"), col("__n").as("n"),
+        col("r2_permille"), col("r_sign"))
   }
 }

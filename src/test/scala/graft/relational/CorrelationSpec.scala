@@ -56,4 +56,51 @@ class CorrelationSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("distinct"))
   }
+
+  test("pearson matrix: one scan, exact r2 per pair, constant column flagged not fatal") {
+    import org.apache.spark.sql.functions.col
+    // y = 2x (r = 1), z anti-correlated with x (r < 0), w constant
+    val rows = (1L to 40L).map(i => (i, 2L * i, 100L - i + (i % 3), 7L))
+    val df = rows.toDF("x", "y", "z", "w")
+    val out = Correlation.pearsonMatrix(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "w" -> col("w")))
+      .as[(String, String, Long, Option[Long], Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size === 6)
+    // exact replay of the fixed-order truncated r2 for (x, y)
+    def sums(f: ((Long, Long, Long, Long)) => Long,
+             g: ((Long, Long, Long, Long)) => Long) = {
+      val n = BigInt(rows.size)
+      val sx = rows.map(f).map(BigInt(_)).sum
+      val sy = rows.map(g).map(BigInt(_)).sum
+      val sxx = rows.map(r => BigInt(f(r)) * f(r)).sum
+      val syy = rows.map(r => BigInt(g(r)) * g(r)).sum
+      val sxy = rows.map(r => BigInt(f(r)) * g(r)).sum
+      val a = n * sxy - sx * sy
+      val b = n * sxx - sx * sx
+      val c = n * syy - sy * sy
+      ((BigInt(1000) * a / b * a / c).toLong, a.signum.toLong)
+    }
+    val (r2xy, sgnXy) = sums(_._1, _._2)
+    assert(out(("x", "y")) === ((40L, Some(r2xy), sgnXy)))
+    assert(r2xy === 1000L && sgnXy === 1L, "y = 2x must read r2 = 1000, sign +")
+    val (r2xz, sgnXz) = sums(_._1, _._3)
+    assert(out(("x", "z")) === ((40L, Some(r2xz), sgnXz)))
+    assert(sgnXz === -1L, "z decreases in x")
+    // every pair against the constant column is NULL r2 with sign 0
+    Seq(("x", "w"), ("y", "w"), ("z", "w")).foreach { p =>
+      assert(out(p) === ((40L, None, 0L)), s"pair $p must flag the constant")
+    }
+  }
+
+  test("pearson matrix refuses duplicate names and silly arity") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Correlation.pearsonMatrix(df, Seq("x" -> col("x")))
+    }
+    intercept[IllegalArgumentException] {
+      Correlation.pearsonMatrix(df, Seq("x" -> col("x"), "x" -> col("y")))
+    }
+  }
 }
