@@ -50,15 +50,24 @@ object Growth {
         (col("nxt").isNull || col("nxt") > date_add(col("day"), 1)))
       .groupBy(date_add(col("day"), 1).as("day"))
       .agg(count(lit(1)).as("n_churned"))
-    // FULL outer: a day where every user went silent has no byDay row but
-    // still owes its churn count — a left join would drop it and break the
-    // delta identity (Δactives = new + resurrected − churned) across the gap
-    byDay.join(churn, Seq("day"), "full_outer")
-      .withColumn("n_active", coalesce(col("n_active"), lit(0L)))
-      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-      .withColumn("n_retained", coalesce(col("n_retained"), lit(0L)))
-      .withColumn("n_resurrected", coalesce(col("n_resurrected"), lit(0L)))
-      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+    // FULL-outer semantics WITHOUT the join: a day where every user went
+    // silent has no byDay row but still owes its churn count (a left join
+    // dropped it and broke Δactives = new + resurrected − churned across
+    // the gap, r9 advice), and Spark cannot broadcast a full outer (both
+    // sides unpreserved → forced sort-merge, measured bhj→smj at the r10
+    // close). Both sides are per-day unique, so full outer ≡ union + one
+    // keyed re-aggregation — one shuffle, no join, no sort.
+    byDay
+      .withColumn("n_churned", lit(0L))
+      .unionByName(churn
+        .withColumn("n_active", lit(0L)).withColumn("n_new", lit(0L))
+        .withColumn("n_retained", lit(0L))
+        .withColumn("n_resurrected", lit(0L)))
+      .groupBy(col("day"))
+      .agg(sum(col("n_active")).as("n_active"), sum(col("n_new")).as("n_new"),
+        sum(col("n_retained")).as("n_retained"),
+        sum(col("n_resurrected")).as("n_resurrected"),
+        sum(col("n_churned")).as("n_churned"))
       .withColumn("quick_x_permille",
         when(col("n_churned") === 0L, -1L).otherwise(expr(
           "(1000L * (n_new + n_resurrected)) div n_churned")))
