@@ -1123,6 +1123,71 @@ object AnalyticsQueries {
           post_mean_milli, post_mean_milli - pre_mean_milli AS shift_milli
         FROM f ORDER BY event_type""")),
 
+    // ---- O179: broken-stick fit around the located changepoint --------------
+    // changepoint_location says WHERE the level moved; this says whether
+    // each side was itself trending — a ramp mislabeled as a step is the
+    // classic triage mistake. Integer OLS slope per side over raw
+    // epoch-days (slope is translation-invariant — no per-key min-day
+    // window), ONE conditional aggregation for both sides, degenerate
+    // sides NULL. See Changepoint.segmentedTrend scaladoc.
+    DeclaredQuery("segmented_trend_fit",
+      (s, dir) => graft.relational.Changepoint
+        .segmentedTrend(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(SUM(y) AS BIGINT) AS tot,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1),
+        r AS (SELECT d.event_type, d.day, t.n_days, t.tot,
+                CAST(SUM(d.y) OVER (PARTITION BY d.event_type
+                  ORDER BY d.day) AS BIGINT) AS p,
+                CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                  ORDER BY d.day) AS BIGINT) AS tt
+              FROM daily d JOIN t USING (event_type)),
+        x AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY abs(n_days * p - tt * tot) DESC, day) AS rk
+              FROM r),
+        sp AS (SELECT event_type, day AS split_day FROM x WHERE rk = 1),
+        dj AS (SELECT daily.event_type, sp.split_day,
+                 CAST(datediff('day', DATE '1970-01-01', daily.day)
+                   AS BIGINT) AS xd,
+                 daily.y, daily.day <= sp.split_day AS pre
+               FROM daily JOIN sp USING (event_type)),
+        g AS (SELECT event_type, split_day,
+                CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+                CAST(SUM(CASE WHEN pre THEN xd ELSE 0 END) AS BIGINT) AS sx_pre,
+                CAST(SUM(CASE WHEN pre THEN y ELSE 0 END) AS BIGINT) AS sy_pre,
+                SUM(CASE WHEN pre THEN CAST(xd AS HUGEINT) * xd ELSE 0 END) AS sxx_pre,
+                SUM(CASE WHEN pre THEN CAST(xd AS HUGEINT) * y ELSE 0 END) AS sxy_pre,
+                CAST(SUM(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
+                CAST(SUM(CASE WHEN pre THEN 0 ELSE xd END) AS BIGINT) AS sx_post,
+                CAST(SUM(CASE WHEN pre THEN 0 ELSE y END) AS BIGINT) AS sy_post,
+                SUM(CASE WHEN pre THEN 0 ELSE CAST(xd AS HUGEINT) * xd END) AS sxx_post,
+                SUM(CASE WHEN pre THEN 0 ELSE CAST(xd AS HUGEINT) * y END) AS sxy_post
+              FROM dj GROUP BY 1, 2)
+        SELECT event_type, split_day, n_pre, n_post,
+          CASE WHEN n_pre < 2 OR n_pre * sxx_pre - CAST(sx_pre AS HUGEINT) * sx_pre = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST((1000000 * (n_pre * sxy_pre - CAST(sx_pre AS HUGEINT) * sy_pre))
+              // (n_pre * sxx_pre - CAST(sx_pre AS HUGEINT) * sx_pre) AS BIGINT)
+          END AS pre_slope_micro,
+          CASE WHEN n_post < 2 OR n_post * sxx_post - CAST(sx_post AS HUGEINT) * sx_post = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST((1000000 * (n_post * sxy_post - CAST(sx_post AS HUGEINT) * sy_post))
+              // (n_post * sxx_post - CAST(sx_post AS HUGEINT) * sx_post) AS BIGINT)
+          END AS post_slope_micro,
+          CASE WHEN n_post < 2 OR n_post * sxx_post - CAST(sx_post AS HUGEINT) * sx_post = 0
+            OR n_pre < 2 OR n_pre * sxx_pre - CAST(sx_pre AS HUGEINT) * sx_pre = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST((1000000 * (n_post * sxy_post - CAST(sx_post AS HUGEINT) * sy_post))
+              // (n_post * sxx_post - CAST(sx_post AS HUGEINT) * sx_post)
+              - (1000000 * (n_pre * sxy_pre - CAST(sx_pre AS HUGEINT) * sy_pre))
+              // (n_pre * sxx_pre - CAST(sx_pre AS HUGEINT) * sx_pre) AS BIGINT)
+          END AS slope_change_micro
+        FROM g ORDER BY event_type""")),
+
     // ---- O142: entity resolution end to end ----------------------------------
     // The full ER loop as one gated row: FS-blocked comparisons → match
     // rule (≥2 of 3 fields agree — partial agreement is what makes the

@@ -55,6 +55,56 @@ object Changepoint {
     * last day. Scale: the same (key, day) aggregation as the alarm, two
     * per-key day-span windows, one rank-1 filter.
     */
+  /** Broken-stick triage around the located shift — [[locateShift]] says
+    * WHERE the level moved; the next triage question is whether each side
+    * was itself trending (a ramp mislabeled as a step, or a step that
+    * also changed the growth rate). Integer OLS slope per side:
+    *   slope_micro = (10⁶·(nΣxy − ΣxΣy)) div (nΣxx − Σx²)
+    * with x the raw epoch-day (slope is translation-invariant, so no
+    * per-key min-day window is needed) and y the daily count. A side
+    * with < 2 days or zero x-variance reads NULL (nothing to fit), like
+    * the engines' own regr_slope.
+    *
+    * Scale shape: the same (key, day) aggregation as the alarm, one
+    * broadcast of locateShift's answer-sized split frame, ONE
+    * conditional aggregation for both sides (no per-side scans).
+    */
+  def segmentedTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", expr("datediff(day, DATE '1970-01-01')").cast("long"))
+    val split = locateShift(df, keyCol, tsCol)
+      .select(col(keyCol), col("split_day"))
+    def sideAgg(pre: Boolean, t: String) = {
+      val in = if (pre) col("day") <= col("split_day")
+        else col("day") > col("split_day")
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(in, col("x")).otherwise(lit(0L))).as(s"sx_$t"),
+        sum(when(in, col("y")).otherwise(lit(0L))).as(s"sy_$t"),
+        sum(when(in, expr("CAST(x AS DECIMAL(38,0)) * x")).otherwise(lit(0L)))
+          .as(s"sxx_$t"),
+        sum(when(in, expr("CAST(x AS DECIMAL(38,0)) * y")).otherwise(lit(0L)))
+          .as(s"sxy_$t"))
+    }
+    val aggs = sideAgg(pre = true, "pre") ++ sideAgg(pre = false, "post")
+    def slope(t: String) =
+      expr(s"CASE WHEN n_$t < 2 OR n_$t * sxx_$t - " +
+        s"CAST(sx_$t AS DECIMAL(38,0)) * sx_$t = 0 THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST((1000000 * (n_$t * sxy_$t - " +
+        s"CAST(sx_$t AS DECIMAL(38,0)) * sy_$t)) div " +
+        s"(n_$t * sxx_$t - CAST(sx_$t AS DECIMAL(38,0)) * sx_$t) AS BIGINT) " +
+        "END").as(s"${t}_slope_micro")
+    daily.join(broadcast(split), Seq(keyCol))
+      .groupBy(col(keyCol), col("split_day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), col("split_day"), col("n_pre"), col("n_post"),
+        slope("pre"), slope("post"))
+      .withColumn("slope_change_micro",
+        col("post_slope_micro") - col("pre_slope_micro"))
+  }
+
   def locateShift(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val daily = df
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))

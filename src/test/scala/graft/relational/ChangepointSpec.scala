@@ -76,4 +76,52 @@ class ChangepointSpec extends SparkSpec {
       .select("post_mean_milli").as[Option[Long]].collect().toSeq
     assert(o1 === Seq(None))
   }
+
+  test("segmented trend separates a ramp from a step, exact integer slopes") {
+    // days 1..6 flat at 10 (slope 0), days 7..12 ramping 20,25,..,45
+    // (slope 5/day): the located split is inside [6, 7); the pre side
+    // must read ~0 and the post side exactly 5e6 micro/day.
+    val df = eventsFor((1 to 6).map(d => ("a", d, 10)) ++
+      (7 to 12).map(d => ("a", d, 20 + 5 * (d - 7))))
+    val out = Changepoint.segmentedTrend(df, "key", "ts")
+      .as[(String, java.sql.Date, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().head
+    val (_, splitDay, nPre, nPost, preS, postS, change) = out
+    assert(nPre + nPost === 12L)
+    // exact replay on whichever split locateShift picked
+    val daily = (1 to 6).map(d => (d, 10L)) ++
+      (7 to 12).map(d => (d, 20L + 5L * (d - 7)))
+    val splitDom = splitDay.toLocalDate.getDayOfMonth
+    def slopeOf(side: Seq[(Int, Long)]): Option[Long] =
+      if (side.size < 2) None
+      else {
+        val n = BigInt(side.size)
+        val xs = side.map(p => BigInt(p._1)); val ys = side.map(p => BigInt(p._2))
+        val sx = xs.sum; val sy = ys.sum
+        val sxx = xs.map(x => x * x).sum
+        val sxy = side.map(p => BigInt(p._1) * p._2).sum
+        val varx = n * sxx - sx * sx
+        if (varx == 0) None
+        else Some((BigInt(1000000) * (n * sxy - sx * sy) / varx).toLong)
+      }
+    // x in the op is epoch-day; slope is translation-invariant so the
+    // day-of-month replay gives identical slopes
+    val (pre, post) = daily.partition(_._1 <= splitDom)
+    assert(preS === slopeOf(pre) && postS === slopeOf(post))
+    assert(postS.contains(5000000L), "the ramp side must read exactly 5/day")
+    // locateShift picks the max-|deviation| day, which on a flat+ramp
+    // series can sit a little inside the ramp — the broken-stick READ
+    // (post side steeper than pre) holds wherever the split lands
+    assert(preS.get < postS.get, "the post side must be the steeper stick")
+    assert(change === Some(postS.get - preS.get))
+  }
+
+  test("segmented trend: a 1-day side reads NULL, not a fake slope") {
+    // shift on the LAST day → post side is a single day
+    val df = eventsFor((1 to 9).map(d => ("a", d, 10)) ++ Seq(("a", 10, 100)))
+    val out = Changepoint.segmentedTrend(df, "key", "ts")
+      .as[(String, java.sql.Date, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().head
+    assert(out._4 === 1L && out._6 === None && out._7 === None)
+  }
 }
