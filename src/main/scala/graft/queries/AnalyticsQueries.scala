@@ -411,7 +411,8 @@ object AnalyticsQueries {
         SELECT event_type, n_days, s_stat, var_num_18,
           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
             ELSE 'flat' END AS trend,
-          CAST(18 AS HUGEINT) * 1000000 * s_stat * s_stat >=
+          var_num_18 > 0 AND
+            CAST(18 AS HUGEINT) * 1000000 * s_stat * s_stat >=
             3841459 * CAST(var_num_18 AS HUGEINT) AS significant
         FROM j ORDER BY event_type""")),
 

@@ -73,7 +73,13 @@ object Drift {
         .as("rank_shift_sum"))
       .select(lit(k.toLong).as("k"), col("n_h1"), col("n_h2"),
         col("n_common"),
-        expr("(1000L * n_common) div __union").as("jaccard_permille"),
+        // empty input → both top-k sets empty → __union = 0: the Jaccard
+        // is undefined and must refuse loudly, not null through div-by-0
+        // (r10 advice; the guard rides the output expression per the
+        // pruned-assert lesson)
+        expr("CASE WHEN __union = 0 THEN raise_error('topkChurn: empty " +
+          "input — both halves have no keys, Jaccard is undefined') " +
+          "ELSE (1000L * n_common) div __union END").as("jaccard_permille"),
         col("rank_shift_sum"))
   }
 

@@ -210,8 +210,15 @@ object Experiment {
     val perSeg = su.groupBy(col("segment")).agg(
       sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      // DECIMAL(38,0) carry for the squared imbalance (the powerCheck
+      // discipline): a planted whole-segment fault makes |n_a − n_b| the
+      // segment size, and plain long wrapped past ≈3.03e6 (r10 advice)
       .withColumn("chi2_micro",
-        expr("(1000000L * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"))
+        expr("CASE WHEN n_a + n_b > 3000000000000 THEN " +
+          "raise_error('fdrScreen: past 3e12 units per segment chi2_micro " +
+          "escapes BIGINT — shard the segment counts first') ELSE " +
+          "(1000000 * CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b)) " +
+          "div (n_a + n_b) END"))
     val segProbe = perSeg.select(col("segment")).limit(m + 1).collect()
     require(segProbe.length == m,
       s"fdrScreen: ${segProbe.length} segments found (limit-probed at ${m + 1}) " +
@@ -277,6 +284,20 @@ object Experiment {
       "OR sx_a = 0 OR sx_b = 0"
     val raise = "raise_error('ratioMetricDelta: each arm needs >= 2 units " +
       "and a nonzero denominator sum') "
+    // loud exact-reach guards (r10 advice): the first fixed-order quotient
+    // (10⁶·N1) div Sx² is an IntegralDivide whose BIGINT result silently
+    // nulls past long range in non-ANSI Spark while the oracle's HUGEINT
+    // keeps precision — refuse BEFORE the quotient instead. Two stages:
+    // Sx ≤ 3e12 so the 9e12·Sx² comparison below stays inside 38 digits,
+    // then |N1| ≤ 9e12·Sx² so the quotient (×10⁶) stays inside BIGINT.
+    def reachGuard(t: String): String =
+      s"WHEN sx_$t > 3000000000000 THEN raise_error('ratioMetricDelta: " +
+        s"past 3e12 denominator units per arm the exact-reach check itself " +
+        s"escapes 38-digit decimals — shard the arm sums first') " +
+        s"WHEN abs(__n1$t) > CAST(9000000000000 AS DECIMAL(38,0)) * " +
+        s"(CAST(sx_$t AS DECIMAL(38,0)) * sx_$t) THEN raise_error(" +
+        s"'ratioMetricDelta: variance numerator exceeds the exact micro " +
+        s"reach (|N1| > 9e12*Sx^2) — de-scale the metric first') "
     val j = g
       .withColumn("__n1a", expr(
         "CAST(sx_a AS DECIMAL(38,0)) * sx_a * (n_a * syy_a - CAST(sy_a AS DECIMAL(38,0)) * sy_a) " +
@@ -286,10 +307,12 @@ object Experiment {
         "CAST(sx_b AS DECIMAL(38,0)) * sx_b * (n_b * syy_b - CAST(sy_b AS DECIMAL(38,0)) * sy_b) " +
           "- 2 * CAST(sy_b AS DECIMAL(38,0)) * sx_b * (n_b * sxy_b - CAST(sx_b AS DECIMAL(38,0)) * sy_b) " +
           "+ CAST(sy_b AS DECIMAL(38,0)) * sy_b * (n_b * sxx_b - CAST(sx_b AS DECIMAL(38,0)) * sx_b)"))
-      .withColumn("__va", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+      .withColumn("__va", expr(s"CASE WHEN $guard THEN $raise" +
+        s"${reachGuard("a")}ELSE " +
         "((1000000 * __n1a) div (CAST(sx_a AS DECIMAL(38,0)) * sx_a)) " +
         "div (CAST(sx_a AS DECIMAL(38,0)) * sx_a * (n_a - 1)) END"))
-      .withColumn("__vb", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +
+      .withColumn("__vb", expr(s"CASE WHEN $guard THEN $raise" +
+        s"${reachGuard("b")}ELSE " +
         "((1000000 * __n1b) div (CAST(sx_b AS DECIMAL(38,0)) * sx_b)) " +
         "div (CAST(sx_b AS DECIMAL(38,0)) * sx_b * (n_b - 1)) END"))
       .withColumn("__dm", expr(s"CASE WHEN $guard THEN ${raise}ELSE " +

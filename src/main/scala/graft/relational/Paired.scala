@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE conditional aggregation per unit (map-side
   * combined) folds each user's two period outcomes, then ONE 1-row
-  * aggregate counts the 2×2 table — no join, no window, any n.
+  * aggregate counts the 2×2 table — no join, no window. The squared
+  * discordance is carried in DECIMAL(38,0) (exact to b + c ≤ 3×10¹²
+  * discordant units, where the micro readout itself would escape
+  * BIGINT — past that it refuses loudly rather than overflowing).
   * Zero discordance (b + c = 0) makes the statistic undefined and
   * raises inside every output column (the pruned-assert lesson):
   * a dataset where nobody flips has nothing to test.
@@ -41,16 +44,22 @@ object Paired {
       sum(expr("(1 - __a) * __b")).as("n_flip_01"))
     val raise = "raise_error('mcnemarFlip: zero discordant units — " +
       "nobody flipped between the periods, the statistic is undefined') "
+    // the squared discordance rides DECIMAL(38,0) (the powerCheck carry —
+    // plain long wrapped past |b−c| ≈ 3.03e6, r10 advice); past 3e12
+    // discordant units even the micro READOUT escapes BIGINT (max χ²micro
+    // = 10⁶·(b+c)), so refuse loudly there rather than overflow the cast
+    val sizeGuard = "n_flip_10 + n_flip_01 > 3000000000000"
+    val sizeRaise = "raise_error('mcnemarFlip: past 3e12 discordant units " +
+      "chi2_micro escapes BIGINT — de-scale or shard the readout first') "
+    val chi2 = "(1000000 * CAST(n_flip_10 - n_flip_01 AS DECIMAL(38,0)) * " +
+      "(n_flip_10 - n_flip_01)) div (n_flip_10 + n_flip_01)"
     g.select(col("n_units"), col("n_both"), col("n_neither"),
       col("n_flip_10"), col("n_flip_01"),
       expr("CASE WHEN COALESCE(n_flip_10, 0) + COALESCE(n_flip_01, 0) = 0 " +
-        s"THEN $raise ELSE " +
-        "(1000000L * (n_flip_10 - n_flip_01) * (n_flip_10 - n_flip_01)) " +
-        "div (n_flip_10 + n_flip_01) END").as("chi2_micro"),
+        s"THEN $raise WHEN $sizeGuard THEN $sizeRaise ELSE " +
+        s"$chi2 END").as("chi2_micro"),
       expr("CASE WHEN COALESCE(n_flip_10, 0) + COALESCE(n_flip_01, 0) = 0 " +
-        s"THEN $raise ELSE " +
-        "(1000000L * (n_flip_10 - n_flip_01) * (n_flip_10 - n_flip_01)) " +
-        "div (n_flip_10 + n_flip_01) > " +
-        s"${Experiment.SrmChi2CritMicro} END").as("flip_flag"))
+        s"THEN $raise WHEN $sizeGuard THEN $sizeRaise ELSE " +
+        s"$chi2 > ${Experiment.SrmChi2CritMicro} END").as("flip_flag"))
   }
 }

@@ -101,7 +101,13 @@ object MannKendall {
       .select(col(keyCol), col("n_days"), col("s_stat"), col("var_num_18"),
         when(col("s_stat") > 0L, "up").when(col("s_stat") < 0L, "down")
           .otherwise("flat").as("trend"),
-        expr("CAST(18 AS DECIMAL(38,0)) * 1000000 * s_stat * s_stat >= " +
+        // var_num_18 = 0 means every daily y is tied (or n_days < 2): no
+        // variance, no trend, and the bare inequality would read 0 >= 0 =
+        // true — a constant series flagged significant (r10 advice). A
+        // constant series is a legitimate input, so force false rather
+        // than raise; the firing path still needs positive variance.
+        expr("var_num_18 > 0 AND " +
+          "CAST(18 AS DECIMAL(38,0)) * 1000000 * s_stat * s_stat >= " +
           s"${graft.relational.Experiment.SrmChi2CritMicro} * " +
           "CAST(var_num_18 AS DECIMAL(38,0))").as("significant"))
   }

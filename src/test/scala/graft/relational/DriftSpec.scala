@@ -70,6 +70,15 @@ class DriftSpec extends SparkSpec {
     assert(out === ((3L, 3L, 3L, 3L, 1000L, 4L)))
   }
 
+  test("top-k churn refuses an empty input loudly (Jaccard undefined)") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("k", "ts")
+    val e = intercept[Exception] {
+      Drift.topkChurn(empty, "k", "ts", k = 3).collect()
+    }
+    assert(e.getMessage.contains("topkChurn") ||
+      Option(e.getCause).exists(_.getMessage.contains("topkChurn")))
+  }
+
   test("stable mix yields zero delta") {
     val d = Seq(
       ("a", ts(0)), ("b", ts(10)), ("a", ts(60)), ("b", ts(70)))

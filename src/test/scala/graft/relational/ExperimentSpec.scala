@@ -252,6 +252,18 @@ class ExperimentSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("ratioMetricDelta")))
   }
 
+  test("ratio readout refuses loudly past the exact micro reach") {
+    // x = 1 per unit (Sx = 2, Sx^2 = 4 per arm) with y = +-1e7 makes
+    // N1 ~ n*Sx^2*Var(y) ~ 4e14 > 9e12*Sx^2 = 3.6e13: the first quotient
+    // (1e6*N1) div Sx^2 would exceed BIGINT downstream at scale, so the
+    // reach guard raises a named error instead of nulling (r10 advice)
+    val hot = Seq((0L, 1L, 10000000L), (0L, 1L, -10000000L),
+      (1L, 1L, 10000000L), (1L, 1L, -10000000L)).toDF("arm", "x", "y")
+    val e = intercept[Exception] { Experiment.ratioMetricDelta(hot).collect() }
+    assert(e.getMessage.contains("exact micro reach") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact micro reach")))
+  }
+
   test("winsorized lift caps the whale and keeps n per arm") {
     // arm 0: nine 10s and one 10000 (the whale); arm 1: ten 12s.
     // pooled p95 over n=20: rank ceil(.95*20)=19 in (value, tie) order

@@ -44,6 +44,20 @@ class PairedSpec extends SparkSpec {
     assert(out._6 === 9307692L && out._7)
   }
 
+  test("DECIMAL carry is exact past the long-wrap point (|b-c| = 3.1e6)") {
+    // 3,100,001 users each flipping 0->1 in period 2 only: plain long
+    // arithmetic wrapped at |b-c| ~ 3.03e6 (1e6*d^2 > 2^63); the
+    // DECIMAL(38,0) carry keeps chi2_micro = 1e6*d^2/d = 1e6*d exact
+    val d = 3100001L
+    val df = spark.range(d)
+      .select(col("id").as("user_id"),
+        to_timestamp(lit("2024-01-20")).as("ts"),
+        lit("purchase").as("event_type"))
+    val out = run(df).select("chi2_micro", "flip_flag")
+      .as[(Long, Boolean)].collect().head
+    assert(out === ((1000000L * d, true)))
+  }
+
   test("zero discordance refuses loudly — nothing to test") {
     val df = log(Seq((1L, 1, true), (1L, 2, true),
       (2L, 1, false), (2L, 2, false)))

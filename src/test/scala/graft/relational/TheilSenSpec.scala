@@ -65,6 +65,20 @@ class TheilSenSpec extends SparkSpec {
     assert(!g2._6, "alternating noise must not read as a trend")
   }
 
+  test("Mann-Kendall: a constant series is flat and NOT significant") {
+    // all-tied y: S = 0 and the tie correction cancels the variance
+    // entirely (var_num_18 = 0) — the bare inequality 0 >= 0 used to flag
+    // a zero-variance no-trend series significant (r10 advice)
+    val flat = eventsFor((1 to 8).map(d => ("a", d, 3)))
+    val got = MannKendall.dailyTrend(flat, "key", "ts")
+      .as[(String, Long, Long, Long, String, Boolean)].collect().head
+    assert(got === (("a", 8L, 0L, 0L, "flat", false)))
+    // a single observed day has no pairs at all — the key contributes no
+    // row (the S self-join is empty), it cannot read significant
+    val one = eventsFor(Seq(("b", 1, 5)))
+    assert(MannKendall.dailyTrend(one, "key", "ts").count() === 0L)
+  }
+
   test("Mann-Kendall trend labels follow the sign of S") {
     val down = eventsFor((1 to 10).map(d => ("a", d, 20 - d)))
     val got = MannKendall.dailyTrend(down, "key", "ts")
