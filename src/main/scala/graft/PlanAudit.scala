@@ -29,6 +29,73 @@ object PlanAudit {
     }
   }
 
+  /** Per-table parquet scan counts from a FINAL plan string.
+    *
+    * The r10 lesson: `segmented_trend_fit` aggregated the events table twice
+    * in one query — correct answers, 2× the dominant cost at 100 TB — and no
+    * close gate saw it. This walks every `Location: InMemoryFileIndex[...]`
+    * entry in the finalized plan and buckets scans by table: base testdata
+    * tables keep their file stem (`lineitem`, `events`), landed stage
+    * re-reads (the [[graft.relational.Stages.materialize]] temp dirs) are
+    * EXCLUDED — re-reading an answer-sized landed stage is the intended
+    * multi-consumer pattern, not a recompute. close_round.sh refuses any
+    * query whose max base-table scan count exceeds [[scanBound]].
+    */
+  def tableScans(plan: String): Map[String, Int] =
+    "Location: [A-Za-z]+\\(\\d+ paths?\\)\\[([^\\]]+)\\]".r
+      .findAllMatchIn(plan)
+      .map(_.group(1).split(",")(0).trim)
+      .filterNot(_.contains("graft_stage_"))
+      .map(p => p.split("/").last.stripSuffix(".parquet"))
+      .toSeq.groupBy(identity).map { case (t, hits) => t -> hits.size }
+
+  /** Max allowed scans of any single BASE table per query. Default 2: the
+    * engine's own landing doctrine (`Stages.scala`) accepts a bare-scan
+    * re-read as cheaper than a shuffle, so a second scan of the source is a
+    * legitimate plan choice; a THIRD is the multiplicative fan-out the
+    * landing rule exists to prevent and must be individually declared here
+    * with its reason.
+    */
+  val defaultScanBound = 2
+  /** Measured-and-frozen per-query exceptions (r11 audit, sf0.001). Every
+    * entry is a plan whose re-scans are ARMS, not recomputes: each scan
+    * carries its own pushed filter or its own derived stage, and landing
+    * the unfiltered source would cost a full-table shuffle to save partial
+    * scans. The bound is the measured value — a rise above it means a new
+    * consumer started re-deriving an upstream and must either land a stage
+    * (Stages.materialize) or raise its declared bound here WITH a reason.
+    */
+  val scanBounds: Map[String, Int] = Map(
+    // set/diff/merge semantics: one scan per operand side or snapshot
+    "set_ops_nations" -> 3, "snapshot_diff" -> 3,
+    "incremental_agg_merge" -> 4, "components_incremental_merge" -> 6,
+    "dq_constraint_report" -> 3, "fd_discovery_audit" -> 4,
+    // funnel/attribution/interval arms: per-stage pushed event_type filters
+    "funnel_view_click_purchase" -> 5, "funnel_windowed_2h" -> 5,
+    "attribution_first_touch" -> 3, "interval_click_counts" -> 3,
+    "sequential_twolook_guard" -> 4, "topk_churn_audit" -> 3,
+    // TPC-H q21: the textbook lineitem self-join pair (l2/l3 exists clauses)
+    "q21_sole_late_supplier" -> 3,
+    // gap-fill: calendar bounds + per-key spine + values are three cheap
+    // pushed-projection scans of a small dimension table
+    "gapfill_daily_orders" -> 3, "gapfill_ffill_orders" -> 3,
+    // sketch-vs-exact audits: the estimate arm and the truth arm each scan
+    "countmin_user_est" -> 3, "robust_value_outliers" -> 3,
+    // retrieval audits: query slice + corpus side + exact-truth arm(s);
+    // the sweep rows scan once per probed configuration by design
+    "ann_ndcg_audit" -> 4, "ivf_recall_audit" -> 4, "ivf_nprobe_sweep" -> 8,
+    "mrl_prefix_recall" -> 4, "jl_projection_topk" -> 4,
+    "bq_hamming_topk" -> 3, "knn_pagerank_centrality" -> 3,
+    "bm25_topk" -> 6, "hybrid_rrf_topk" -> 8,
+    // corpus statistics with query-slice + corpus + vocabulary arms
+    "decontaminate_ngram_overlap" -> 6, "weak_label_agreement" -> 6,
+    "ngram_lm_surprisal" -> 4, "tfidf_top_terms" -> 3,
+    "vocab_growth_curve" -> 3, "leakage_safe_split" -> 3,
+    "source_mix_quota" -> 3, "span_corruption_plan" -> 3)
+
+  def scanBound(name: String): Int =
+    scanBounds.getOrElse(name, defaultScanBound)
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.headOption
@@ -62,9 +129,14 @@ object PlanAudit {
           // prefix, not the word "WholeStageCodegen" — count distinct ids.
           val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
           val dec = decimalColumns(df.schema)
+          val scans = tableScans(plan)
+          val maxScan = if (scans.isEmpty) 0 else scans.values.max
+          val over = scans.count { case (_, n) => n > scanBound(name) }
+          val scanDetail = scans.toSeq.sortBy(-_._2)
+            .map { case (t, n) => s"$t:$n" }.mkString(",")
           println(f"[plan] $name%-32s shuf=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d " +
             f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d " +
-            f"dec=$dec%-2d")
+            f"dec=$dec%-2d maxscan=$maxScan%-2d over=$over%-2d scans=$scanDetail")
           if (only.isDefined) println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         } catch {

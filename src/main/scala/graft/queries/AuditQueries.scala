@@ -493,6 +493,75 @@ object AuditQueries {
         LEFT JOIN ds ON thr.t = ds.t
         ORDER BY threshold_permille""")),
 
+    // ---- O110b: threshold sweep on a deterministic doc sample --------------
+    // The 100 TB posture for the sweep (the O140b/O111b discipline): the
+    // SAME savings curve on the deterministic 1-in-2 md5(doc_id) sample —
+    // identical rows in both engines at any scale, exact-pair cost down
+    // ~sample-rate² — so the knob is tuned on the sample and the chosen
+    // threshold applied full-corpus. Pair survival at each cutoff is a
+    // per-pair property (both endpoints sampled together or the pair is
+    // absent), so the CURVE SHAPE — the ratio between adjacent thresholds,
+    // which is what the knob decision reads — is an unbiased estimate; the
+    // absolute token ledger scales by ~the pair sampling rate.
+    DeclaredQuery("dedup_threshold_sweep_sampled",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(
+          pmod(graft.functions.HashFunctions.md5Bits60(
+            col("doc_id").cast("string")), lit(2L)) === 0L)
+        val pairs = graft.relational.Stages.materialize(
+          graft.dedup.Dedup.prefixJaccardPairs(
+            docs, "doc_id", "text", shingleN = 3, minJaccard = 0.5),
+          "sweep_pairs_sampled")
+        val f = pairs
+          .withColumn("thr",
+            explode(array(Seq(500, 600, 700, 800, 900).map(lit): _*)))
+          .filter(col("jaccard") >= col("thr").cast("double") / 1000.0)
+        val np = f.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+        val ds = f.select(col("thr"), col("id2")).distinct()
+          .join(docs.select(col("doc_id").as("id2"),
+            size(split(col("text"), " ")).cast("long").as("tok")), Seq("id2"))
+          .groupBy(col("thr"))
+          .agg(count(lit(1)).as("docs_dropped"),
+            sum(col("tok")).as("tokens_saved"))
+        s.range(5, 10).select((col("id") * 100).cast("int").as("thr"))
+          .join(np, Seq("thr"), "left").join(ds, Seq("thr"), "left")
+          .select(col("thr").cast("long").as("threshold_permille"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("docs_dropped"), lit(0L)).as("docs_dropped"),
+            coalesce(col("tokens_saved"), lit(0L)).as("tokens_saved"))
+          .orderBy(col("threshold_permille"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+          WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 2) = 0),
+        tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+        sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(ts) - 1), i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS sh
+          FROM tk WHERE len(ts) >= 3),
+        p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+            CAST(len(a.sh) AS DOUBLE) AS na, CAST(len(b.sh) AS DOUBLE) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pj AS (SELECT id1, id2, inter / (na + nb - inter) AS j FROM p
+               WHERE inter / (na + nb - inter) >= 0.5),
+        thr AS (SELECT 500 + 100 * i AS t FROM range(5) r(i)),
+        f AS (SELECT t, id1, id2 FROM thr JOIN pj
+              ON j >= CAST(t AS DOUBLE) / 1000),
+        np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+        dr AS (SELECT DISTINCT t, id2 FROM f),
+        tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS tok FROM d),
+        ds AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS docs_dropped,
+                 CAST(SUM(tok) AS BIGINT) AS tokens_saved
+               FROM dr JOIN tok ON id2 = doc_id GROUP BY 1)
+        SELECT CAST(thr.t AS BIGINT) AS threshold_permille,
+          COALESCE(np.n_pairs, 0) AS n_pairs,
+          COALESCE(ds.docs_dropped, 0) AS docs_dropped,
+          COALESCE(ds.tokens_saved, 0) AS tokens_saved
+        FROM thr LEFT JOIN np ON thr.t = np.t
+        LEFT JOIN ds ON thr.t = ds.t
+        ORDER BY threshold_permille""")),
+
     // ---- O113: trimmed mean beside the raw mean ----------------------------
     // 5%-per-tail trimmed value mean per event type in exact cents (see
     // RobustStats.trimmedMean — the gap to the raw mean is the tail

@@ -43,6 +43,79 @@ object CurationQueries {
 
   val queries: Seq[DeclaredQuery] = Seq(
 
+    // ---- O181: URL/domain curation ledger (C4 discipline) -----------------
+    // Host extraction (portable anchored regex, NOT parse_url), last-two-
+    // labels registrable-domain roll-up, domain blocklist, per-domain doc
+    // cap (keep-lowest-id), exact-dup share per domain — the pass every
+    // web-scale corpus runs before any text filter. The fixture has no URL
+    // column, so the query synthesizes a deterministic URL per doc from
+    // (source, lang, doc_id) — subdomain/port/path variation exercises the
+    // extraction; both engines build the identical string (the attachBinary
+    // stub discipline). Caps refuse loudly on the domain-cardinality
+    // contract (DomainCuration.ledger scaladoc).
+    DeclaredQuery("domain_cap_curation",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").withColumn("url",
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(3L)) === 0L, lit("www."))
+              .when(pmod(col("doc_id"), lit(3L)) === 1L, lit("cdn."))
+              .otherwise(lit("")),
+            col("source"), lit(".com"),
+            when(pmod(col("doc_id"), lit(5L)) === 0L, lit(":8080"))
+              .otherwise(lit("")),
+            lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
+        graft.text.DomainCuration.ledger(docs, "doc_id", "url", "text",
+          tokens = size(split(col("text"), " ")),
+          maxDocsPerDomain = 100L,
+          blocklist = Seq("src3.com", "src7.com"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH u AS (SELECT doc_id, text, source, lang,
+               'https://' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                    WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+               source || '.com' ||
+               CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+               '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+             FROM documents),
+        h AS (SELECT doc_id, text,
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+                  AS host,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+              FROM u),
+        d AS (SELECT doc_id, tok,
+                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     ELSE string_split(host, '.')[-2] || '.' ||
+                          string_split(host, '.')[-1] END AS domain,
+                CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fp
+              FROM h),
+        r AS (SELECT *, domain IN ('src3.com', 'src7.com') AS blocked,
+                ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+              FROM d),
+        st AS (SELECT domain, tok, fp,
+                 CASE WHEN blocked THEN 'blocked'
+                      WHEN rn <= 100 THEN 'kept' ELSE 'capped' END AS status,
+                 blocked
+               FROM r),
+        g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MAX(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                  AS is_blocked,
+                CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN status = 'capped' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_capped,
+                CAST(SUM(tok) AS BIGINT) AS tokens_total,
+                CAST(SUM(CASE WHEN status = 'kept' THEN tok ELSE 0 END)
+                  AS BIGINT) AS tokens_kept,
+                CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts
+              FROM st GROUP BY 1)
+        SELECT domain, n_docs, is_blocked, n_kept, n_capped, tokens_total,
+          tokens_kept,
+          CAST((1000 * n_kept) // n_docs AS BIGINT) AS kept_permille,
+          CAST((1000 * (n_docs - n_unique_texts)) // n_docs AS BIGINT)
+            AS dup_permille
+        FROM g ORDER BY domain""")),
+
     // C4-style boilerplate removal: 3-word segments occurring in more than 2
     // distinct documents are dropped corpus-wide; per-doc keep/drop ledger.
     DeclaredQuery("line_dedup_stats",

@@ -913,6 +913,72 @@ object EventQueries {
         FROM q ORDER BY seq""")),
 
     // ---- O103s: streaming interval-union coverage (O103 twin) --------------
+    // ---- O155s: streaming growth accounting (O155 twin) --------------------
+    // The retention dashboard's LIVE ledger: per-user last-active-day state
+    // (O(1) forever), each arriving (user, day) classified new / retained /
+    // resurrected on the spot, churn surfaced lazily on return (see
+    // StatefulOps.growthPerBatch for why mid-stream horizon churn is
+    // unknowable — the batch O155 row stays the daily truth). Emissions
+    // drained and rolled up per (discovery batch, day); the oracle replays
+    // the classification — which depends only on each user's previous
+    // distinct day — plus the dense-rank batch seq from the replay source's
+    // deterministic row slicing. 3 batches (the per-row constant budget).
+    DeclaredQuery("stream_growth_accounting",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "3")
+          .load()
+        val evs = Dsl.normalizeTs(stream)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("eday"))
+          .as[(Long, Long)]
+        val out = graft.streaming.StatefulOps.growthPerBatch(evs)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("user_id", "seq", "day", "cls"), "growth")
+          .groupBy(col("seq"), col("day"))
+          .agg(
+            sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("cls") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when(col("cls") === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .orderBy(col("seq"), col("day"))
+      },
+      Some("""WITH o AS (SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        b AS (SELECT user_id, d, MIN(rn // ((nn + 2) // 3)) AS fb
+              FROM o CROSS JOIN n GROUP BY 1, 2),
+        s AS (SELECT user_id, d, fb,
+                LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+                DENSE_RANK() OVER (PARTITION BY user_id ORDER BY fb) AS seq
+              FROM b),
+        cls AS (SELECT seq, d AS day,
+                  CASE WHEN prev IS NULL THEN 'new'
+                       WHEN d = prev + 1 THEN 'retained'
+                       ELSE 'resurrected' END AS cls
+                FROM s
+                UNION ALL
+                SELECT seq, prev + 1 AS day, 'churned' AS cls FROM s
+                WHERE prev IS NOT NULL AND d > prev + 1)
+        SELECT CAST(seq AS BIGINT) AS seq, CAST(day AS BIGINT) AS day,
+          CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_retained,
+          CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+          CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_churned
+        FROM cls GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Live per-user activity coverage with O(1) state (see
     // StatefulOps.coveragePerBatch — ordered-replay contract, running
     // snapshot per batch; the final snapshot equals the batch sweep-line

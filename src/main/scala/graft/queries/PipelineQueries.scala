@@ -408,6 +408,37 @@ object PipelineQueries {
     * the row, so the audit stays runnable at 100 TB as the audit it
     * claims to be.
     */
+  /** DuckDB replay of the PerceptualHash stub chain: the 60-cell token grid,
+    * aHash (exact 60·c > Σc cross-multiply) and dHash (neighbor gradient,
+    * wrap at 59→0) as 0/1 bit LISTS — the oracle never needs the packed
+    * long, so no 1<<59 games — and the all-pairs Hamming frame `p`
+    * (fixture-scale; the Spark side's pigeonhole banding is lossless for
+    * Hamming ≤ 3, which is what makes the direct definition a valid oracle).
+    */
+  private def phashOracleCtes(where: String = ""): String = {
+    val n = 60
+    val sums = (0 until n)
+      .map(g => s"SUM(CASE WHEN cell = $g THEN 1 ELSE 0 END) AS c$g")
+      .mkString(", ")
+    val tot = (0 until n).map(g => s"c$g").mkString(" + ")
+    val dbits = (0 until n)
+      .map(g => s"CASE WHEN c$g > c${(g + 1) % n} THEN 1 ELSE 0 END")
+      .mkString(", ")
+    val abits = (0 until n)
+      .map(g => s"CASE WHEN $n * c$g > tot THEN 1 ELSE 0 END")
+      .mkString(", ")
+    s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents${if (where.isEmpty) "" else s" WHERE $where"}),
+       |h AS (SELECT id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $n AS cell FROM tk),
+       |g AS (SELECT id, $sums FROM h GROUP BY id),
+       |tt AS (SELECT *, $tot AS tot FROM g),
+       |bits AS (SELECT id, [$dbits] AS db, [$abits] AS ab FROM tt),
+       |p AS (SELECT x.id AS id1, y.id AS id2,
+       |        len(list_filter(list_zip(x.db, y.db), z -> z[1] <> z[2])) AS hamming_d,
+       |        len(list_filter(list_zip(x.ab, y.ab), z -> z[1] <> z[2])) AS hamming_a
+       |      FROM bits x JOIN bits y ON x.id < y.id)""".stripMargin
+  }
+
   private def sampleWhere(den: Int): String =
     s"(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $den) = 0"
 
@@ -572,10 +603,11 @@ object PipelineQueries {
     * (matching mins / k) set beside the exact verify.
     */
   private def minhashCalibrationOracleSql(k: Int, b: Int,
-                                          minJaccard: Double): String = {
+                                          minJaccard: Double,
+                                          where: String = ""): String = {
     val matchSum = (0 until k)
       .map(i => s"CASE WHEN a.m$i = c.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""${portableBandCtes(k, b)},
+    s"""${portableBandCtes(k, b, where)},
        |cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
        |         FROM bk x JOIN bk y USING (band, band_key) WHERE x.id < y.id),
        |sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
@@ -1473,6 +1505,61 @@ object PipelineQueries {
           COUNT(*) AS n_docs, MAX(w2) AS max_w, MAX(h2) AS max_h
         FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O180: perceptual-hash image near-dup (aHash + dHash) -------------
+    // Image-side dedup over the multimodal binary column: 60-bit aHash and
+    // dHash from the deterministic stub pixel grid (PerceptualHash scaladoc
+    // has the codec-swap contract), candidates from lossless 4×15-bit
+    // pigeonhole banding — never an all-pairs scan. The oracle replays the
+    // grid, both hashes, and the Hamming verify; banding losslessness for
+    // Hamming ≤ 3 is what lets the oracle use the direct pair definition
+    // (the simhash_banding_equiv argument).
+    DeclaredQuery("image_phash_neardup",
+      (s, dir) => graft.relational.Stages.materialize(
+        graft.multimodal.PerceptualHash.nearDupPairs(
+          Multimodal.attachBinary(tbl(s, dir, "documents"), "text"),
+          "doc_id", maxHamming = 3), "phash_pairs")
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""${phashOracleCtes()}
+        SELECT id1, id2, CAST(hamming_d AS BIGINT) AS hamming_d,
+          CAST(hamming_a AS BIGINT) AS hamming_a
+        FROM p WHERE hamming_d <= 3 ORDER BY id1, id2""")),
+
+    // ---- O180b: Hamming-threshold sweep beside the near-dup gate ----------
+    // The dedup-knob curve for the image side (the dedup_threshold_sweep
+    // shape): pairs surviving and docs flagged (distinct higher-id
+    // endpoint, keep-lowest-id greedy) at every Hamming cutoff the banding
+    // covers. Rides the SAME landed pair frame as image_phash_neardup
+    // (identical materialize key) — the banded join runs once per session.
+    DeclaredQuery("image_phash_hamming_sweep",
+      (s, dir) => {
+        val pairs = graft.relational.Stages.materialize(
+          graft.multimodal.PerceptualHash.nearDupPairs(
+            Multimodal.attachBinary(tbl(s, dir, "documents"), "text"),
+            "doc_id", maxHamming = 3), "phash_pairs")
+        val f = pairs.withColumn("thr",
+          explode(array((0 to 3).map(i => lit(i.toLong)): _*)))
+          .filter(col("hamming_d") <= col("thr"))
+        val np = f.groupBy(col("thr"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id2")).as("docs_flagged"))
+        s.range(0, 4).select(col("id").as("thr"))
+          .join(np, Seq("thr"), "left")
+          .select(col("thr").as("max_hamming"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("docs_flagged"), lit(0L)).as("docs_flagged"))
+          .orderBy(col("max_hamming"))
+      },
+      Some(s"""${phashOracleCtes()},
+        thr AS (SELECT unnest(range(0, 4)) AS t),
+        f AS (SELECT t, id1, id2 FROM thr JOIN p ON hamming_d <= t),
+        np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(COUNT(DISTINCT id2) AS BIGINT) AS docs_flagged
+               FROM f GROUP BY 1)
+        SELECT CAST(thr.t AS BIGINT) AS max_hamming,
+          COALESCE(np.n_pairs, 0) AS n_pairs,
+          COALESCE(np.docs_flagged, 0) AS docs_flagged
+        FROM thr LEFT JOIN np ON thr.t = np.t ORDER BY max_hamming""")),
+
     // ---- incremental dedup: new batch vs existing corpus ------------------
     // The production shape of corpus growth: fingerprint the incoming batch,
     // anti-join against the existing fingerprint set, admit only novel docs.
@@ -2277,6 +2364,46 @@ object PipelineQueries {
           .orderBy(col("id1"), col("id2"))
       },
       Some(minhashCalibrationOracleSql(k = 16, b = 8, minJaccard = 0.5))),
+
+    // ---- O111b: minhash calibration on a deterministic doc sample ----------
+    // The 100 TB posture for the calibration audit (the suite's most
+    // expensive batch row at r10 close, 3.10 s): the SAME sketch-vs-truth
+    // comparison on the deterministic 1-in-2 md5(doc_id) sample the O140b
+    // precedent established — identical rows in both engines at any scale
+    // (rand() is not), exact-verify cost shrinks ~quadratically (sample
+    // rate² of the surviving pairs), and the signed-error distribution the
+    // audit exists to measure is unbiased: signatures and banding are
+    // per-doc, so a sampled pair's estimate and exact Jaccard are both
+    // unchanged — only WHICH pairs appear is thinned. At production scale
+    // this row is the one that runs daily; the full-audit row stays as the
+    // fixture-exact gate.
+    DeclaredQuery("minhash_jaccard_calibration_sampled",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(
+          pmod(graft.functions.HashFunctions.md5Bits60(
+            col("doc_id").cast("string")), lit(2L)) === 0L)
+        val pairs = MinHash.nearDupPairsPortable(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+        val sig = MinHash.portableSignatures(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16)
+        val a = sig.select(col("id").as("id1") +:
+          (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+        val b = sig.select(col("id").as("id2") +:
+          (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs.join(a, "id1").join(b, "id2")
+          .withColumn("matches", matches)
+          .select(col("id1"), col("id2"),
+            floor(col("jaccard") * 1000).cast("long").as("exact_permille"),
+            expr("(1000L * matches) div 16").as("est_permille"))
+          .withColumn("err_permille",
+            col("est_permille") - col("exact_permille"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(minhashCalibrationOracleSql(k = 16, b = 8, minJaccard = 0.5,
+        where = sampleWhere(2)))),
 
     // SimHash fast-path gate: the banded pipeline must EQUAL the brute-force
     // hamming filter over the same seeded fingerprints — banding 64 bits

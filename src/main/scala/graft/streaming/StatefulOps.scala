@@ -174,6 +174,72 @@ object StatefulOps {
       }
   }
 
+  /** Streaming growth accounting — [[graft.relational.Growth]]'s live twin:
+    * each user's activity days classified new / retained / resurrected as
+    * they arrive, with O(1) state per user (last active epoch-day + a
+    * batch-appearance counter). Input rows are (user, epochDay).
+    *
+    * Emits one (user, seq, day, cls) row per NEWLY OBSERVED (user, day) —
+    * cls ∈ {new, retained, resurrected} — plus a (user, seq, prev+1,
+    * churned) row whenever a gap ≥ 2 days reveals a PAST churn. Churn here
+    * is LAZY: it surfaces when the user returns, because "active on d,
+    * silent on d+1" is unknowable mid-stream without a horizon — the live
+    * dashboard reads new/retained/resurrected immediately and the batch
+    * [[graft.relational.Growth.dailyAccounting]] remains the daily truth
+    * that also counts never-returned churn at the horizon. `seq` counts the
+    * batches in which the user contributed at least one new day (equal to
+    * the dense rank of first-observation batches — the oracle-replayable
+    * definition; batches where every day was already counted emit nothing
+    * and advance nothing).
+    *
+    * ORDER CONTRACT (the coveragePerBatch class): per-user days must be
+    * non-decreasing ACROSS batches — the replay source's global (ts,
+    * event_id) order guarantees it; a day earlier than the state's last
+    * would need the full day set to reclassify and is refused loudly.
+    */
+  def growthPerBatch(ds: Dataset[(Long, Long)])
+      : Dataset[(Long, Long, Long, String)] = {
+    implicit val outEnc: Encoder[(Long, Long, Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING)
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          // distinct-sort the batch's days: the shuffle into groupByKey
+          // drops intra-batch order; per user per batch this is bounded by
+          // the user's distinct active days in one trigger
+          val days = rows.map(_._2).toArray.distinct.sorted
+          val (last0, seq0) = state.getOption.getOrElse((Long.MinValue, 0L))
+          if (days.nonEmpty && last0 != Long.MinValue && days.head < last0)
+            throw new IllegalStateException(
+              s"growthPerBatch: user $user day ${days.head} arrived after " +
+                s"state day $last0 — out-of-order replay; this operator's " +
+                "O(1) state cannot reclassify the past")
+          val fresh = days.filter(_ > last0)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val seq = seq0 + 1L
+            val out = Array.newBuilder[(Long, Long, Long, String)]
+            var prev = last0
+            fresh.foreach { d =>
+              if (prev == Long.MinValue) out += ((user, seq, d, "new"))
+              else if (d == prev + 1L) out += ((user, seq, d, "retained"))
+              else {
+                out += ((user, seq, prev + 1L, "churned"))
+                out += ((user, seq, d, "resurrected"))
+              }
+              prev = d
+            }
+            state.update((prev, seq))
+            out.result().iterator
+          }
+      }
+  }
+
   def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
       key: T => String): Dataset[(String, Long, Long, Long)] = {
     implicit val outEnc: Encoder[(String, Long, Long, Long)] =

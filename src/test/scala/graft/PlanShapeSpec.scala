@@ -263,6 +263,60 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("routing 32 registered schemas is ONE scan, no shuffle, one partitioned write") {
+    // SCALE.md's routing-kernel centerpiece, pinned as a value: the route
+    // tag is one projection whatever the registry size — source scanned
+    // once, zero exchanges — and writeRouted fans out every branch plus
+    // badmsg/skipped in a single tag-partitioned pass whose layout gives
+    // readers partition pruning (the J1b bucketed-layout precedent).
+    import graft.routing._
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types._
+    val envelopeId = "com.acme/stream/1-0-0"
+    val n = 32
+    val registry = (0 until n).map { i =>
+      s"com.acme/t$i/1-0-0" -> Router.Registration(
+        RegisteredSchema(s"com.acme/t$i/1-0-0",
+          Seq(Required("qty"), NumRange("qty", Some(0), Some(100)))),
+        identity[DataFrame])
+    }.toMap
+    val cfg = Router.Config(envelopeId,
+      RegisteredSchema(envelopeId, Nil), registry)
+    val payloadSchema = StructType(Seq(
+      StructField("schema", StringType),
+      StructField("data", StructType(Seq(
+        StructField("schema", StringType),
+        StructField("qty", LongType))))))
+    val tmp = java.nio.file.Files.createTempDirectory("route32").toString
+    import spark.implicits._
+    val rows = (0 until 320).map { k =>
+      (k.toLong, s"""{"schema":"$envelopeId","data":{"schema":"com.acme/t${k % n}/1-0-0","qty":${k % 100}}}""")
+    } ++ Seq(
+      (320L, s"""{"schema":"$envelopeId","data":{"schema":"com.acme/unknown/1-0-0","qty":1}}"""),
+      (321L, s"""{"schema":"$envelopeId","data":{"schema":"com.acme/t0/1-0-0","qty":999}}"""))
+    rows.toDF("id", "json").write.mode("overwrite").parquet(s"$tmp/src")
+    val decoded = spark.read.parquet(s"$tmp/src")
+      .withColumn("event", from_json(col("json"), payloadSchema))
+    val tagged = Router.tag(decoded, cfg)
+    val plan = finalPlan(tagged)
+    assert(count(plan, "Scan parquet") === 1,
+      s"32-schema tag must stay ONE source scan:\n$plan")
+    assert(count(plan, "Exchange") === 0,
+      s"32-schema tag must stay shuffle-free:\n$plan")
+    Router.writeRouted(decoded, cfg, s"$tmp/out")
+    val partDirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith(s"${Router.TagCol}="))
+    assert(partDirs.length === n + 2,
+      s"expected $n branches + badmsg + skipped, got:\n${partDirs.mkString("\n")}")
+    // downstream partition pruning: a one-branch read touches one partition
+    val one = spark.read.parquet(s"$tmp/out")
+      .filter(col(Router.TagCol) === "branch:com.acme/t7/1-0-0")
+    assert(one.count() === 10L)
+    val prunedPlan = finalPlan(one)
+    assert(!prunedPlan.contains("PartitionFilters: []"),
+      s"branch read must prune on the tag partition:\n$prunedPlan")
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan

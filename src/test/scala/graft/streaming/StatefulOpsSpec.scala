@@ -274,4 +274,50 @@ class StatefulOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative") ||
       Option(e.getCause).exists(_.getMessage.contains("non-negative")))
   }
+
+  test("streaming growth accounting classifies new/retained/resurrected and lazy churn") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, epochDay)
+    val out = StatefulOps.growthPerBatch(input.toDS())
+    val q = out.writeStream.format("memory").queryName("growth_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: u1 day 10 (new); u2 days 10,11 (new + retained);
+    //          u3 days 10,13 in ONE batch (new + churn@11 + resurrected@13)
+    input.addData((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 13L))
+    q.processAllAvailable()
+    // batch 2: u1 day 11 (retained, seq 2); u2 repeats day 11 (no emission,
+    //          seq must NOT advance); u3 silent
+    input.addData((1L, 11L), (2L, 11L))
+    q.processAllAvailable()
+    // batch 3: u2 day 14 (churn@12 discovered + resurrected@14, seq 2 —
+    //          the repeat-only batch 2 advanced nothing)
+    input.addData((2L, 14L))
+    q.processAllAvailable()
+    val got = spark.table("growth_out").as[(Long, Long, Long, String)]
+      .collect().toSet
+    q.stop()
+    assert(got === Set(
+      (1L, 1L, 10L, "new"), (1L, 2L, 11L, "retained"),
+      (2L, 1L, 10L, "new"), (2L, 1L, 11L, "retained"),
+      (2L, 2L, 12L, "churned"), (2L, 2L, 14L, "resurrected"),
+      (3L, 1L, 10L, "new"), (3L, 1L, 11L, "churned"),
+      (3L, 1L, 13L, "resurrected")))
+  }
+
+  test("streaming growth accounting refuses out-of-order replay loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = StatefulOps.growthPerBatch(input.toDS())
+    val q = out.writeStream.format("memory").queryName("growth_ooo")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, 10L))
+    q.processAllAvailable()
+    input.addData((1L, 8L))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def hasMsg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("out-of-order replay")) ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), s"unexpected: ${e.getMessage}")
+  }
 }

@@ -53,6 +53,14 @@ echo "declared=${N_DECLARED} audited=${N_AUDIT}"
   echo "CLOSE FAILED: ${AUDIT} has ${N_AUDIT} rows, expected ${N_DECLARED}"; exit 1; }
 if grep -E "cart=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: cartesian product in a declared plan"; exit 1; fi
+# r10 lesson: segmented_trend_fit aggregated the events table twice in one
+# query and no gate saw it — PlanAudit now counts base-table scans per query
+# against PlanAudit.scanBounds (default 2; measured exceptions declared with
+# reasons). over>0 = a table scanned above its declared bound: land the
+# stage or declare the bound, never ship the silent recompute.
+if grep -E "over=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: a query scans a base table above its declared bound"
+  exit 1; fi
 if grep -q "FAILED" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
 # r8 lesson: DECIMAL-typed output columns were the only driver-gate hash
