@@ -66,9 +66,13 @@ object PlanAudit {
     * (Stages.materialize) or raise its declared bound here WITH a reason.
     */
   val scanBounds: Map[String, Int] = Map(
+    // NOTE: counts are plan-shape dependent across scale factors (AQE
+    // broadcast choices change which subtrees ReuseExchange can dedup), so
+    // each bound is the MAX measured across the gate scales (sf0.001 dev,
+    // sf0.01 close) — the gate catches growth above that envelope.
     // set/diff/merge semantics: one scan per operand side or snapshot
     "set_ops_nations" -> 3, "snapshot_diff" -> 3,
-    "incremental_agg_merge" -> 4, "components_incremental_merge" -> 6,
+    "incremental_agg_merge" -> 4, "components_incremental_merge" -> 7,
     "dq_constraint_report" -> 3, "fd_discovery_audit" -> 4,
     // funnel/attribution/interval arms: per-stage pushed event_type filters
     "funnel_view_click_purchase" -> 5, "funnel_windowed_2h" -> 5,
@@ -86,7 +90,7 @@ object PlanAudit {
     "ann_ndcg_audit" -> 4, "ivf_recall_audit" -> 4, "ivf_nprobe_sweep" -> 8,
     "mrl_prefix_recall" -> 4, "jl_projection_topk" -> 4,
     "bq_hamming_topk" -> 3, "knn_pagerank_centrality" -> 3,
-    "bm25_topk" -> 6, "hybrid_rrf_topk" -> 8,
+    "bm25_topk" -> 6, "hybrid_rrf_topk" -> 10,
     // corpus statistics with query-slice + corpus + vocabulary arms
     "decontaminate_ngram_overlap" -> 6, "weak_label_agreement" -> 6,
     "ngram_lm_surprisal" -> 4, "tfidf_top_terms" -> 3,

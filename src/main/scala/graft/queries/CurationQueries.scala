@@ -41,6 +41,40 @@ object CurationQueries {
           SELECT rr.id, e.dst FROM rr JOIN edges e ON e.src = rr.reach)
         SELECT id, MIN(reach) AS comp FROM rr GROUP BY id)"""
 
+  /** Deterministic URL synthesis shared by the O181/O187/O188 domain rows
+    * (the fixture has no URL column): subdomain/port/path variation from
+    * (doc_id, source, lang), identical string in both engines.
+    */
+  private def synthUrl = concat(lit("https://"),
+    when(pmod(col("doc_id"), lit(3L)) === 0L, lit("www."))
+      .when(pmod(col("doc_id"), lit(3L)) === 1L, lit("cdn."))
+      .otherwise(lit("")),
+    col("source"), lit(".com"),
+    when(pmod(col("doc_id"), lit(5L)) === 0L, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"))
+
+  private val synthUrlSql =
+    """'https://' ||
+       CASE WHEN doc_id % 3 = 0 THEN 'www.'
+            WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END ||
+       source || '.com' ||
+       CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+       '/' || lang || '/' || CAST(doc_id AS VARCHAR)"""
+
+  /** Oracle CTE pair url→host→registrable domain (O181's extraction SQL). */
+  private val domainCtes =
+    s"""u AS (SELECT doc_id, text, $synthUrlSql AS url FROM documents),
+       hx AS (SELECT doc_id, text,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+                 AS host
+             FROM u),
+       dom AS (SELECT doc_id, text,
+               CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                    ELSE string_split(host, '.')[-2] || '.' ||
+                         string_split(host, '.')[-1] END AS domain
+             FROM hx)"""
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     // ---- O181: URL/domain curation ledger (C4 discipline) -----------------
@@ -55,18 +89,10 @@ object CurationQueries {
     // contract (DomainCuration.ledger scaladoc).
     DeclaredQuery("domain_cap_curation",
       (s, dir) => {
-        val docs = tbl(s, dir, "documents").withColumn("url",
-          concat(lit("https://"),
-            when(pmod(col("doc_id"), lit(3L)) === 0L, lit("www."))
-              .when(pmod(col("doc_id"), lit(3L)) === 1L, lit("cdn."))
-              .otherwise(lit("")),
-            col("source"), lit(".com"),
-            when(pmod(col("doc_id"), lit(5L)) === 0L, lit(":8080"))
-              .otherwise(lit("")),
-            lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
+        val docs = tbl(s, dir, "documents").withColumn("url", synthUrl)
         graft.text.DomainCuration.ledger(docs, "doc_id", "url", "text",
           tokens = size(split(col("text"), " ")),
-          maxDocsPerDomain = 100L,
+          maxDocsPerDomain = 20L,
           blocklist = Seq("src3.com", "src7.com"))
           .orderBy(col("domain"))
       },
@@ -94,7 +120,7 @@ object CurationQueries {
               FROM d),
         st AS (SELECT domain, tok, fp,
                  CASE WHEN blocked THEN 'blocked'
-                      WHEN rn <= 100 THEN 'kept' ELSE 'capped' END AS status,
+                      WHEN rn <= 20 THEN 'kept' ELSE 'capped' END AS status,
                  blocked
                FROM r),
         g AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -115,6 +141,99 @@ object CurationQueries {
           CAST((1000 * (n_docs - n_unique_texts)) // n_docs AS BIGINT)
             AS dup_permille
         FROM g ORDER BY domain""")),
+
+    // ---- O187: per-domain quality profile ----------------------------------
+    // The "which hosts ship garbage" dashboard: the NB quality filter's
+    // verdict rate and mean margin rolled up per registrable domain — the
+    // number that decides a HOST-level cap or block before any per-doc
+    // filter runs (host-level actions are how web curation actually
+    // operates; per-doc scores alone can't see a domain-shaped problem).
+    // Pure composition: rides the LANDED nb_scores stage the classifier
+    // family already ships + the O181 domain projection; one keyed agg.
+    DeclaredQuery("domain_quality_profile",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val dom = docs.withColumn("url", synthUrl)
+          .select(col("doc_id"),
+            graft.text.DomainCuration.registrableDomain(
+              graft.text.DomainCuration.host(col("url"))).as("domain"))
+        val scored = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+        scored.join(dom, Seq("doc_id"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("predicted") === "pos", 1L).otherwise(0L))
+              .as("n_pos"),
+            sum(col("margin_bits")).as("__sm"))
+          .select(col("domain"), col("n_docs"), col("n_pos"),
+            expr("(1000L * n_pos) div n_docs").as("pos_permille"),
+            expr("(1000L * __sm) div n_docs").as("mean_margin_milli"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents),
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        cc AS (SELECT t,
+                 CAST(SUM(CASE WHEN l.pos THEN cnt ELSE 0 END) AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN l.pos THEN 0 ELSE cnt END) AS BIGINT) AS cneg
+               FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp, CAST(SUM(cneg) AS BIGINT) AS tn,
+                 COUNT(*) AS v FROM cc),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc CROSS JOIN tot),
+        sc AS (SELECT tf.doc_id,
+                 CAST(SUM(cnt * bp) AS BIGINT) AS bits_pos,
+                 CAST(SUM(cnt * bn) AS BIGINT) AS bits_neg
+               FROM tf JOIN wt USING (t) GROUP BY 1),
+        $domainCtes,
+        j AS (SELECT dom.domain,
+                sc.bits_neg - sc.bits_pos AS margin,
+                CASE WHEN sc.bits_pos < sc.bits_neg THEN 1 ELSE 0 END AS pos
+              FROM sc JOIN dom USING (doc_id))
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST((1000 * SUM(pos)) // COUNT(*) AS BIGINT) AS pos_permille,
+          CAST((1000 * SUM(margin)) // COUNT(*) AS BIGINT)
+            AS mean_margin_milli
+        FROM j GROUP BY 1 ORDER BY domain""")),
+
+    // ---- O188: domain-grouped train/val/test split --------------------------
+    // Leakage-safe splitting at the granularity web data actually leaks at:
+    // ALL documents of a registrable domain land in ONE split (near-dups
+    // concentrate within hosts — a doc-level split puts one copy in train
+    // and its sibling in test). Split = md5(domain) mod 10 → 8/1/1; the
+    // zero-cross-split-leakage property holds BY CONSTRUCTION (split is a
+    // function of domain) and the spec asserts it as a value rather than
+    // trusting the argument.
+    DeclaredQuery("domain_grouped_split",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").withColumn("url", synthUrl)
+          .withColumn("domain",
+            graft.text.DomainCuration.registrableDomain(
+              graft.text.DomainCuration.host(col("url"))))
+        graft.text.DomainCuration.groupedSplit(docs, "domain")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("domain")).as("n_domains"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH $domainCtes,
+        b AS (SELECT doc_id, text, domain,
+                CAST(('0x' || substring(md5(domain), 1, 15)) AS BIGINT) % 10
+                  AS bucket
+              FROM dom),
+        sp AS (SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+                 domain,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+               FROM b)
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens
+        FROM sp GROUP BY 1 ORDER BY split""")),
 
     // C4-style boilerplate removal: 3-word segments occurring in more than 2
     // distinct documents are dropped corpus-wide; per-doc keep/drop ledger.

@@ -913,6 +913,63 @@ object EventQueries {
         FROM q ORDER BY seq""")),
 
     // ---- O103s: streaming interval-union coverage (O103 twin) --------------
+    // ---- O186: streaming Holt linear forecast -------------------------------
+    // The EWMA family's trend-aware member, live: per event type, level +
+    // trend from per-trigger counts at the dyadic α = β = 1/2 point where
+    // the recurrence is EXACT in scaled integers (StatefulOps.holtPerBatch
+    // derivation), one-step-ahead forecast in truncating milli. The oracle
+    // replays the recurrence with a recursive CTE over the replay source's
+    // deterministic batch slicing — both engines carry the identical
+    // 4^(t−1)-scaled integers, so every digit hash-matches. 5 batches.
+    DeclaredQuery("stream_holt_forecast",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "5")
+          .load()
+        val ds = stream.select(col("event_type")).as[String]
+        val out = graft.streaming.StatefulOps.holtPerBatch(ds)(identity)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("event_type", "seq", "n_events", "level_milli",
+            "trend_milli", "forecast_milli"), "holt")
+          .orderBy(col("event_type"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+             FROM events),
+        n AS (SELECT COUNT(*) AS nn FROM o),
+        c AS (SELECT event_type, rn // ((nn + 4) // 5) AS batch,
+                CAST(COUNT(*) AS BIGINT) AS x
+              FROM o CROSS JOIN n GROUP BY 1, 2),
+        s AS (SELECT event_type, x,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY batch) AS BIGINT) AS seq
+              FROM c),
+        h AS (
+          WITH RECURSIVE hh(event_type, seq, x, L, B) AS (
+            SELECT event_type, seq, x, x, CAST(0 AS BIGINT)
+            FROM s WHERE seq = 1
+            UNION ALL
+            SELECT s.event_type, s.seq, s.x,
+              2 * s.x * (CAST(1 AS BIGINT) << (2 * (s.seq - 2)))
+                + 2 * (hh.L + hh.B),
+              2 * hh.B +
+                (2 * s.x * (CAST(1 AS BIGINT) << (2 * (s.seq - 2)))
+                  + 2 * (hh.L + hh.B) - 4 * hh.L) // 2
+            FROM hh JOIN s ON s.event_type = hh.event_type
+              AND s.seq = hh.seq + 1)
+          SELECT * FROM hh)
+        SELECT event_type, seq, x AS n_events,
+          (1000 * L) // (CAST(1 AS BIGINT) << (2 * (seq - 1)))
+            AS level_milli,
+          (1000 * B) // (CAST(1 AS BIGINT) << (2 * (seq - 1)))
+            AS trend_milli,
+          (1000 * (L + B)) // (CAST(1 AS BIGINT) << (2 * (seq - 1)))
+            AS forecast_milli
+        FROM h ORDER BY event_type, seq""")),
+
     // ---- O155s: streaming growth accounting (O155 twin) --------------------
     // The retention dashboard's LIVE ledger: per-user last-active-day state
     // (O(1) forever), each arriving (user, day) classified new / retained /

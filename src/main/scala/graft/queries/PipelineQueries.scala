@@ -415,8 +415,10 @@ object PipelineQueries {
     * (fixture-scale; the Spark side's pigeonhole banding is lossless for
     * Hamming ≤ 3, which is what makes the direct definition a valid oracle).
     */
-  private def phashOracleCtes(where: String = ""): String = {
+  private def phashOracleCtes(where: String = "", prefix: String = "",
+                              lead: Boolean = true): String = {
     val n = 60
+    val q = prefix // CTE-name prefix so the block composes with other WITHs
     val sums = (0 until n)
       .map(g => s"SUM(CASE WHEN cell = $g THEN 1 ELSE 0 END) AS c$g")
       .mkString(", ")
@@ -427,16 +429,16 @@ object PipelineQueries {
     val abits = (0 until n)
       .map(g => s"CASE WHEN $n * c$g > tot THEN 1 ELSE 0 END")
       .mkString(", ")
-    s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t
+    s"""${if (lead) "WITH " else ""}${q}tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t
        |        FROM documents${if (where.isEmpty) "" else s" WHERE $where"}),
-       |h AS (SELECT id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $n AS cell FROM tk),
-       |g AS (SELECT id, $sums FROM h GROUP BY id),
-       |tt AS (SELECT *, $tot AS tot FROM g),
-       |bits AS (SELECT id, [$dbits] AS db, [$abits] AS ab FROM tt),
-       |p AS (SELECT x.id AS id1, y.id AS id2,
+       |${q}h AS (SELECT id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % $n AS cell FROM ${q}tk),
+       |${q}g AS (SELECT id, $sums FROM ${q}h GROUP BY id),
+       |${q}tt AS (SELECT *, $tot AS tot FROM ${q}g),
+       |${q}bits AS (SELECT id, [$dbits] AS db, [$abits] AS ab FROM ${q}tt),
+       |${q}p AS (SELECT x.id AS id1, y.id AS id2,
        |        len(list_filter(list_zip(x.db, y.db), z -> z[1] <> z[2])) AS hamming_d,
        |        len(list_filter(list_zip(x.ab, y.ab), z -> z[1] <> z[2])) AS hamming_a
-       |      FROM bits x JOIN bits y ON x.id < y.id)""".stripMargin
+       |      FROM ${q}bits x JOIN ${q}bits y ON x.id < y.id)""".stripMargin
   }
 
   private def sampleWhere(den: Int): String =
@@ -1505,6 +1507,76 @@ object PipelineQueries {
           COUNT(*) AS n_docs, MAX(w2) AS max_w, MAX(h2) AS max_h
         FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O183: audio silence-trim ledger -----------------------------------
+    // The audio-side curation pass: per-window mean "amplitude" from the
+    // stub waveform (deterministic 0-99 per payload token — a codec swap
+    // replaces only the amplitude source, MediaAnalysis scaladoc), silent =
+    // mean below 30 in exact cross-multiplied integers, lead/trail trims as
+    // MIN/MAX of the non-silent window index — no window function, two
+    // keyed aggs, per-doc ledger.
+    DeclaredQuery("audio_silence_trim",
+      (s, dir) => graft.multimodal.MediaAnalysis.silenceTrimStub(
+        Multimodal.attachBinary(tbl(s, dir, "documents"), "text"), "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+             FROM documents),
+        a AS (SELECT id, pos // 8 AS w,
+                CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 100 AS amp
+              FROM tk),
+        wn AS (SELECT id, w, SUM(amp) AS s, COUNT(*) AS n FROM a GROUP BY 1, 2),
+        f AS (SELECT id, w, s < 30 * n AS silent FROM wn),
+        g AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+                CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_silent,
+                MIN(CASE WHEN NOT silent THEN w END) AS fw,
+                MAX(CASE WHEN NOT silent THEN w END) AS lw
+              FROM f GROUP BY 1)
+        SELECT id AS doc_id, n_windows, n_silent,
+          CAST(COALESCE(fw, n_windows) AS BIGINT) AS lead_trim,
+          CAST(CASE WHEN fw IS NULL THEN 0 ELSE n_windows - 1 - lw END
+            AS BIGINT) AS trail_trim,
+          CAST(CASE WHEN fw IS NULL THEN 0 ELSE lw - fw + 1 END AS BIGINT)
+            AS kept_windows
+        FROM g ORDER BY doc_id""")),
+
+    // ---- O184: video scene-cut detection ------------------------------------
+    // The video-side segmentation pass, as a DETECTION gate: the stub
+    // decoder plants shot structure (frames of one shot share a signature,
+    // shot length = bytes % 7 + 3 from the decode metadata) and the
+    // detector — which sees only the signature stream — recovers it via a
+    // per-doc lag window and a Hamming cut threshold. Same-shot hamming is
+    // 0, cross-shot ~30 of 60 bits: the margin is real, not an echo of the
+    // generator. Per-scene frame sampling is what this ledger feeds.
+    DeclaredQuery("video_scene_cuts",
+      (s, dir) => graft.multimodal.MediaAnalysis.sceneCutLedger(
+        graft.multimodal.MediaAnalysis.frameSignaturesStub(
+          Multimodal.attachBinary(tbl(s, dir, "documents"), "text"), "doc_id"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS b
+               FROM documents),
+        d AS (SELECT doc_id, b % 30 + 1 AS nf, b % 7 + 3 AS sl FROM m),
+        fr AS (SELECT doc_id, unnest(range(nf)) AS f, sl FROM d),
+        sg AS (SELECT doc_id, f,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(f // sl AS VARCHAR)), 1, 15)) AS BIGINT) AS sig
+              FROM fr),
+        lg AS (SELECT doc_id, f, sig,
+                LAG(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+              FROM sg),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND
+                  bit_count(xor(sig, prev)) > 8 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_cuts
+              FROM lg GROUP BY 1)
+        SELECT doc_id, n_frames, n_cuts,
+          CAST(n_cuts + 1 AS BIGINT) AS n_scenes,
+          CAST((1000 * n_frames) // (n_cuts + 1) AS BIGINT)
+            AS mean_scene_len_milli
+        FROM g ORDER BY doc_id""")),
+
     // ---- O180: perceptual-hash image near-dup (aHash + dHash) -------------
     // Image-side dedup over the multimodal binary column: 60-bit aHash and
     // dHash from the deterministic stub pixel grid (PerceptualHash scaladoc
@@ -1559,6 +1631,63 @@ object PipelineQueries {
           COALESCE(np.n_pairs, 0) AS n_pairs,
           COALESCE(np.docs_flagged, 0) AS docs_flagged
         FROM thr LEFT JOIN np ON thr.t = np.t ORDER BY max_hamming""")),
+
+    // ---- O185: cross-modal dup consistency audit ---------------------------
+    // The pipeline sanity check a paired text+image corpus runs after both
+    // dedup passes: of the TEXT near-dup pairs (minhash-banded, verified
+    // J ≥ 0.5), what share are ALSO image near-dups (pHash Hamming ≤ 3)?
+    // A paired corpus whose text dups aren't image dups (or vice versa)
+    // has a pairing bug or an aggressive re-encode — either way the number
+    // belongs on a dashboard before any dedup verdict is trusted. Pure
+    // composition: both pair frames are the landed stages the O2/O180
+    // gates already ship (identical materialize keys — nothing recomputes),
+    // fused by one answer-sized join.
+    DeclaredQuery("crossmodal_dup_consistency",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val text = MinHash.nearDupPairsPortable(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+          .select(col("id1"), col("id2"))
+        val img = graft.relational.Stages.materialize(
+          graft.multimodal.PerceptualHash.nearDupPairs(
+            Multimodal.attachBinary(docs, "text"), "doc_id", maxHamming = 3),
+          "phash_pairs")
+          .select(col("id1"), col("id2"))
+        val nText = text.agg(count(lit(1)).as("n_text_pairs"))
+        val nImg = img.agg(count(lit(1)).as("n_image_pairs"))
+        val nBoth = text.join(img, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_both"))
+        nText.crossJoin(broadcast(nImg)).crossJoin(broadcast(nBoth))
+          .select(col("n_text_pairs"), col("n_image_pairs"), col("n_both"),
+            when(col("n_text_pairs") === 0L, -1L)
+              .otherwise(expr("(1000L * n_both) div n_text_pairs"))
+              .as("text_also_image_permille"))
+      },
+      Some(s"""${portableBandCtes(16, 8)},
+        cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
+                 FROM bk x JOIN bk y USING (band, band_key) WHERE x.id < y.id),
+        sizes AS (SELECT id, COUNT(*) AS n FROM hs GROUP BY id),
+        inter AS (SELECT cand.id1, cand.id2, COUNT(*) AS i FROM cand
+          JOIN hs h1 ON h1.id = cand.id1
+          JOIN hs h2 ON h2.id = cand.id2 AND h2.h = h1.h
+          GROUP BY 1, 2),
+        tp AS (SELECT id1, id2 FROM inter
+          JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+          WHERE CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) >= 0.5),
+        ${phashOracleCtes(prefix = "im", lead = false)},
+        m AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_text_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM imp
+             WHERE hamming_d <= 3) AS n_image_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tp
+             WHERE EXISTS (SELECT 1 FROM imp
+               WHERE imp.id1 = tp.id1 AND imp.id2 = tp.id2
+                 AND imp.hamming_d <= 3)) AS n_both)
+        SELECT n_text_pairs, n_image_pairs, n_both,
+          CAST(CASE WHEN n_text_pairs = 0 THEN -1
+               ELSE (1000 * n_both) // n_text_pairs END AS BIGINT)
+            AS text_also_image_permille
+        FROM m""")),
 
     // ---- incremental dedup: new batch vs existing corpus ------------------
     // The production shape of corpus growth: fingerprint the incoming batch,

@@ -240,6 +240,60 @@ object StatefulOps {
       }
   }
 
+  /** Streaming Holt linear forecast (double exponential smoothing) at
+    * α = β = 1/2 — the EWMA family's trend-aware member: per key, level and
+    * trend updated each trigger from the batch row count, one-step-ahead
+    * forecast emitted in exact milli units. α = β = 1/2 is the dyadic
+    * point where the recurrence stays EXACT in integers (the ewmaPerBatch
+    * discipline): carrying L_t = l_t·4^(t−1), B_t = b_t·4^(t−1),
+    *   L_t = 2·4^(t−2)·x_t + 2(L_{t−1} + B_{t−1})
+    *   B_t = 2·B_{t−1} + (L_t − 4·L_{t−1})/2   (always an even numerator)
+    * with l_1 = x_1, b_1 = 0. State is three longs; scaled terms grow two
+    * bits per batch, so the op REFUSES past 20 batches (≈ 2⁴⁰ scale —
+    * room for x up to ~8e5 per trigger inside long range, all arithmetic
+    * multiplyExact/addExact so an overflow raises rather than wraps);
+    * re-window the series beyond that, exactly like the EWMA cap.
+    *
+    * Emits (key, seq, n_events, level_milli, trend_milli, forecast_milli)
+    * per trigger, forecast = level + trend (one step ahead), truncating
+    * milli division.
+    */
+  def holtPerBatch[T: Encoder](ds: Dataset[T])(
+      key: T => String): Dataset[(String, Long, Long, Long, Long, Long)] = {
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long, Long)] =
+      Encoders.product[(String, Long, Long, Long, Long, Long)]
+    implicit val stEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[T], state: GroupState[(Long, Long, Long)]) =>
+          val x = rows.size.toLong
+          val (seq0, l0, b0) = state.getOption.getOrElse((0L, 0L, 0L))
+          val seq = seq0 + 1L
+          if (seq > 20L) throw new ArithmeticException(
+            s"holtPerBatch: key '$k' past 20 batches — the 4^t exact scale " +
+              "leaves long range; re-window the series")
+          val (lt, bt) =
+            if (seq == 1L) (x, 0L)
+            else {
+              val l = math.addExact(
+                math.multiplyExact(math.multiplyExact(2L, x),
+                  1L << (2 * (seq - 2))),
+                math.multiplyExact(2L, math.addExact(l0, b0)))
+              val b = math.addExact(math.multiplyExact(2L, b0),
+                math.subtractExact(l, math.multiplyExact(4L, l0)) / 2L)
+              (l, b)
+            }
+          state.update((seq, lt, bt))
+          val den = 1L << (2 * (seq - 1))
+          Iterator.single((k, seq, x,
+            math.multiplyExact(1000L, lt) / den,
+            math.multiplyExact(1000L, bt) / den,
+            math.multiplyExact(1000L, math.addExact(lt, bt)) / den))
+      }
+  }
+
   def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
       key: T => String): Dataset[(String, Long, Long, Long)] = {
     implicit val outEnc: Encoder[(String, Long, Long, Long)] =

@@ -275,6 +275,44 @@ class StatefulOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("non-negative")))
   }
 
+  test("streaming Holt forecast matches the hand-computed dyadic recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StatefulOps.holtPerBatch(input.toDS())(identity)
+    val q = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode(OutputMode.Append()).start()
+    // batches of 4, 8, 6 'a' rows:
+    // t=1: l=4, b=0 → level 4000, trend 0, forecast 4000
+    // t=2: l=(8+4+0)/2=6, b=(0+6-4)/2=1 → 6000, 1000, 7000
+    // t=3: l=(6+6+1)/2=6.5, b=(1+6.5-6)/2=0.75 → 6500, 750, 7250
+    Seq(4, 8, 6).foreach { k =>
+      input.addData(Seq.fill(k)("a"): _*); q.processAllAvailable()
+    }
+    val got = spark.table("holt_out")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    q.stop()
+    assert(got === Seq(
+      ("a", 1L, 4L, 4000L, 0L, 4000L),
+      ("a", 2L, 8L, 6000L, 1000L, 7000L),
+      ("a", 3L, 6L, 6500L, 750L, 7250L)))
+  }
+
+  test("streaming Holt forecast refuses past the 20-batch exact scale") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = StatefulOps.holtPerBatch(input.toDS())(identity)
+    val q = out.writeStream.format("memory").queryName("holt_cap")
+      .outputMode(OutputMode.Append()).start()
+    val e = intercept[Exception] {
+      (1 to 21).foreach { _ => input.addData("a"); q.processAllAvailable() }
+    }
+    q.stop()
+    def hasMsg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("past 20 batches")) ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), s"unexpected: ${e.getMessage}")
+  }
+
   test("streaming growth accounting classifies new/retained/resurrected and lazy churn") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (user, epochDay)

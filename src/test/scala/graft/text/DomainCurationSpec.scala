@@ -51,6 +51,21 @@ class DomainCurationSpec extends SparkSpec {
       (("b.org", 1L, 0L, 1L, 0L, 2L, 2L, 1000L, 0L)))
   }
 
+  test("grouped split puts every domain in exactly one split, ~8/1/1") {
+    val docs = (1L to 900L)
+      .map(i => (i, s"d${i % 300}.com")).toDF("doc_id", "domain")
+    val sp = DomainCuration.groupedSplit(docs, "domain")
+    val leaky = sp.select("domain", "split").distinct()
+      .groupBy("domain").count().filter(col("count") > 1).count()
+    assert(leaky === 0L, "a domain appeared in more than one split")
+    val byName = sp.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // md5 mod 10 over 300 domains: train ≈ 80% — loose band, deterministic
+    assert(byName("train") > 600L && byName("train") < 800L,
+      s"train share off: $byName")
+  }
+
   test("domain-cardinality contract refuses loudly") {
     val docs = (1L to 10L)
       .map(i => (i, s"https://host$i.com/x", "t")).toDF("doc_id", "url", "text")
