@@ -235,6 +235,47 @@ object CurationQueries {
           CAST(SUM(tok) AS BIGINT) AS n_tokens
         FROM sp GROUP BY 1 ORDER BY split""")),
 
+    // ---- O190: boilerplate-phrase occurrence audit ---------------------------
+    // The canned-phrase counter every web corpus runs (the "all rights
+    // reserved" / "click here" class): exact substring OCCURRENCE counts
+    // per phrase via the portable (len − len(replace))/len(phrase) identity
+    // — integer-exact, no regex engine differences — rolled up per source:
+    // docs flagged, flag permille, total occurrences. The phrase list here
+    // is drawn from the fixture vocabulary (documented stand-ins for the
+    // production blocklist, the synthUrl discipline); the operator is the
+    // counter, not the list.
+    DeclaredQuery("boilerplate_phrase_audit",
+      (s, dir) => {
+        val phrases = Seq("big table", "fast scan", "slow filter")
+        val occ = phrases.map { p =>
+          expr(s"CAST(length(text) - length(replace(text, '$p', '')) AS BIGINT)" +
+            s" div ${p.length}")
+        }.reduce(_ + _)
+        tbl(s, dir, "documents")
+          .withColumn("occ", occ)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("occ") > 0L, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("occ")).as("total_occurrences"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            expr("(1000L * n_flagged) div n_docs").as("flag_permille"),
+            col("total_occurrences"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH o AS (SELECT source,
+               (length(text) - length(replace(text, 'big table', ''))) // 9
+             + (length(text) - length(replace(text, 'fast scan', ''))) // 9
+             + (length(text) - length(replace(text, 'slow filter', ''))) // 11
+               AS occ
+             FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged,
+          CAST((1000 * SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS flag_permille,
+          CAST(SUM(occ) AS BIGINT) AS total_occurrences
+        FROM o GROUP BY 1 ORDER BY source""")),
+
     // C4-style boilerplate removal: 3-word segments occurring in more than 2
     // distinct documents are dropped corpus-wide; per-doc keep/drop ledger.
     DeclaredQuery("line_dedup_stats",

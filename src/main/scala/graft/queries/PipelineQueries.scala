@@ -1507,6 +1507,43 @@ object PipelineQueries {
           COUNT(*) AS n_docs, MAX(w2) AS max_w, MAX(h2) AS max_h
         FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // ---- O189: embedding decontamination margin audit -----------------------
+    // The preamble every embedding-level decontamination needs BEFORE its
+    // threshold is trusted: for each benchmark (eval) vector, the nearest
+    // corpus cosine — the margin distribution that says whether 0.9 is a
+    // cliff or a knife-edge. On this fixture the honest reading is the null
+    // one (max cross cosine ≈ 0.49, zero contaminated) — gated as values,
+    // the simhash_banding_equiv empty-result discipline. Scale shape is the
+    // production one: the EVAL side broadcasts (benchmarks are small by
+    // nature), the corpus stays distributed, one per-eval top-1 window.
+    DeclaredQuery("decontamination_margin_audit",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val evalSet = emb.filter(col("vec_id") < 50)
+        val corpus = emb.filter(col("vec_id") >= 50)
+        Similarity.bruteForceTopK(evalSet, "vec_id", corpus, "vec_id",
+          "embedding", k = 1, excludeSelf = false)
+          .select(col("qid").as("eval_id"),
+            col("cid").as("nearest_corpus_id"),
+            col("score").as("nearest_cosine"),
+            (col("score") >= 0.9).as("contaminated"))
+          .orderBy(col("eval_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+        c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id >= 50),
+        sc AS (SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qv, v), x -> x[1] * x[2]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(list_zip(qv, qv), x -> x[1] * x[2]), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))) AS score
+          FROM c CROSS JOIN q),
+        r AS (SELECT qid, cid, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+          FROM sc)
+        SELECT qid AS eval_id, cid AS nearest_corpus_id,
+          score AS nearest_cosine, score >= 0.9 AS contaminated
+        FROM r WHERE rk = 1 ORDER BY eval_id""")),
+
     // ---- O183: audio silence-trim ledger -----------------------------------
     // The audio-side curation pass: per-window mean "amplitude" from the
     // stub waveform (deterministic 0-99 per payload token — a codec swap
@@ -1645,8 +1682,13 @@ object PipelineQueries {
     DeclaredQuery("crossmodal_dup_consistency",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val text = MinHash.nearDupPairsPortable(docs, "doc_id", "text",
-          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+        // the verified J >= 0.5 pair frame now has TWO gated consumers
+        // (this audit and minhash_jaccard_calibration) — the landing rule
+        // applies; identical call = identical memo key, banding runs once
+        val text = graft.relational.Stages.materialize(
+          MinHash.nearDupPairsPortable(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5),
+          "minhash_pairs_05")
           .select(col("id1"), col("id2"))
         val img = graft.relational.Stages.materialize(
           graft.multimodal.PerceptualHash.nearDupPairs(
@@ -2472,8 +2514,11 @@ object PipelineQueries {
     DeclaredQuery("minhash_jaccard_calibration",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val pairs = MinHash.nearDupPairsPortable(docs, "doc_id", "text",
-          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+        // landed: shared with crossmodal_dup_consistency (same memo key)
+        val pairs = graft.relational.Stages.materialize(
+          MinHash.nearDupPairsPortable(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5),
+          "minhash_pairs_05")
         val sig = MinHash.portableSignatures(docs, "doc_id", "text",
           shingleN = 3, numHashes = 16)
         val a = sig.select(col("id").as("id1") +:

@@ -102,7 +102,9 @@ python3 -m json.tool < /tmp/close_bench_short.json >/dev/null || {
   echo "CLOSE FAILED: bench short line did not parse"; exit 1; }
 echo "bench total: $(python3 -c "import json;print(json.load(open('bench_out.json'))['value'])") s"
 
-PREV=$(ls -t bench_history/*.json 2>/dev/null | head -1 || true)
+# sort -V by filename, not mtime: a fresh checkout resets every mtime to the
+# clone instant, and `ls -t` then picks an arbitrary (observed: r7) baseline
+PREV=$(ls bench_history/r*_close.json 2>/dev/null | sort -V | tail -1 || true)
 if [ -n "${PREV}" ]; then
   echo "== close_round: bench_diff vs ${PREV} (advisory) =="
   python3 tools/bench_diff.py "${PREV}" bench_out.json || \
