@@ -1517,6 +1517,116 @@ object AnalyticsQueries {
         FROM j"""))
 
     ,
+    // ---- O191: post-stratified lift (A/A) ------------------------------------
+    // CUPED's categorical sibling: per-stratum arm means recombined by
+    // population share — strata here are pre-period activity tiers
+    // (least(greatest(x div 10, 2), 4): 20-29 / 30-39 / 40+ first-half
+    // events; every (stratum, arm) cell measured non-empty at both gate
+    // scales, min cell 9). Under the A/A null post-stratified ≈ raw lift;
+    // a stratum with an empty arm refuses loudly (Experiment scaladoc).
+    DeclaredQuery("ab_poststratified_lift",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+        val per = ev.groupBy(col("user_id"))
+          .agg(
+            sum(when(col("day") <= lit("2024-01-15").cast("date"), 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(col("day") > lit("2024-01-15").cast("date") &&
+              col("event_type") === "purchase",
+              expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+          .select(
+            graft.relational.Experiment.arm(col("user_id"), "exp1").as("arm"),
+            least(greatest(expr("x div 10"), lit(2L)), lit(4L)).as("stratum"),
+            col("y"))
+        graft.relational.Experiment.postStratifiedLift(per)
+      },
+      Some("""WITH pu AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                   AND event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+        a AS (SELECT CAST(('0x' || substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS arm,
+                LEAST(GREATEST(x // 10, 2), 4) AS s, y FROM pu),
+        bs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_s,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sa,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sb,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_sa,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_sb
+               FROM a GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(SUM(n_sa) AS BIGINT) AS n_a, CAST(SUM(n_sb) AS BIGINT) AS n_b,
+                CAST(SUM(sy_sa) AS BIGINT) AS sy_a, CAST(SUM(sy_sb) AS BIGINT) AS sy_b
+              FROM bs),
+        terms AS (SELECT CAST(SUM(
+                 (1000 * CAST(n_s AS HUGEINT) *
+                   (CAST(sy_sb AS HUGEINT) * n_sa - CAST(sy_sa AS HUGEINT) * n_sb))
+                 // (CAST(t.n AS HUGEINT) * n_sa * n_sb)) AS BIGINT) AS ps
+               FROM bs, t)
+        SELECT n AS n_units, n_strata,
+          CAST((1000 * (CAST(sy_b AS HUGEINT) * n_a - CAST(sy_a AS HUGEINT) * n_b))
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS raw_lift_milli,
+          ps AS poststrat_lift_milli
+        FROM t, terms""")),
+
+    // ---- O192: cluster-randomized lift ----------------------------------------
+    // The analysis a cluster-randomized rollout needs (assignment by
+    // domain / household / geo, never by unit): per-unit "naive" lift
+    // BESIDE the cluster-mean lift whose analysis unit matches the
+    // randomization unit. Clusters here are user-id blocks of 20 (a
+    // documented household/geo stand-in, the synthUrl discipline), arm =
+    // md5 of the CLUSTER — a unit-level arm inside a cluster would raise
+    // (the within-cluster-constant contract is asserted in the plan).
+    DeclaredQuery("cluster_randomized_lift",
+      (s, dir) => {
+        val per = events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+          .withColumn("cluster", expr("user_id div 20"))
+          .withColumn("arm",
+            graft.relational.Experiment.arm(col("cluster"), "clu"))
+          .select(col("cluster"), col("arm"), col("y"))
+        graft.relational.Experiment.clusterRandomizedLift(per)
+      },
+      Some("""WITH pu AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+        cu AS (SELECT user_id // 20 AS cluster, y,
+                CAST(('0x' || substring(md5('clu:' || CAST(user_id // 20 AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm
+              FROM pu),
+        bc AS (SELECT cluster, arm, CAST(COUNT(*) AS BIGINT) AS n_c,
+                 CAST(SUM(y) AS BIGINT) AS sy_c
+               FROM cu GROUP BY 1, 2),
+        cm AS (SELECT cluster, arm, n_c, sy_c,
+                 CAST((1000 * CAST(sy_c AS HUGEINT)) // n_c AS BIGINT) AS cm_milli
+               FROM bc),
+        g AS (SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_b,
+                CAST(SUM(n_c) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN arm = 0 THEN n_c ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN n_c ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN arm = 0 THEN sy_c ELSE 0 END) AS BIGINT) AS sy_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN sy_c ELSE 0 END) AS BIGINT) AS sy_b,
+                CAST(SUM(CASE WHEN arm = 0 THEN cm_milli ELSE 0 END) AS BIGINT) AS scm_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN cm_milli ELSE 0 END) AS BIGINT) AS scm_b
+              FROM cm)
+        SELECT k_a AS n_clusters_a, k_b AS n_clusters_b, n AS n_units,
+          CAST((1000 * (CAST(sy_b AS HUGEINT) * n_a - CAST(sy_a AS HUGEINT) * n_b))
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS unit_lift_milli,
+          scm_b // k_b - scm_a // k_a AS clustermean_lift_milli
+        FROM g""")),
+
     // ---- O164: per-arm exact quantile shift (A/A) ---------------------------
     // The readout mean lifts wash out: exact p50/p90 of purchase cents per
     // md5 arm (GlobalRank — no single-partition window; lower-bound picks

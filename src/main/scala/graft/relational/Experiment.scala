@@ -562,4 +562,138 @@ object Experiment {
           .as("chi2_micro"))
       .withColumn("uniform_ok", col("chi2_micro") <= Chi2Crit15Micro)
   }
+
+  /** Post-stratified lift — CUPED's categorical sibling (the estimator
+    * survey texts call post-stratification): within each pre-treatment
+    * stratum the arms are compared on their own means, and the per-stratum
+    * differences are recombined weighted by the stratum's population share
+    *   Δ_ps = Σ_s (n_s/N) · (ȳ_sb − ȳ_sa)
+    * — removing the between-strata share of the variance exactly as CUPED
+    * removes the covariate's linear share, but with no linearity
+    * assumption (any categorical covariate works: platform, country,
+    * activity tier).
+    *
+    * Exactness: per-stratum arm sums via ONE keyed conditional
+    * aggregation; each stratum's term is carried cross-multiplied in
+    * DECIMAL(38,0) and truncated ONCE to milli —
+    *   term_milli(s) = (1000·n_s·(sy_sb·n_sa − sy_sa·n_sb)) div (N·n_sa·n_sb)
+    * — then summed (per-stratum truncation order is well-defined, so both
+    * engines replay it bit-for-bit). A stratum with an EMPTY arm makes the
+    * estimator undefined and refuses loudly (collapse strata first — the
+    * usual remedy — rather than silently dropping the stratum's units).
+    *
+    * Input: per-unit frame (arm ∈ {0,1}, stratum, y). One-row output:
+    * n_units, n_strata, raw_lift_milli, poststrat_lift_milli.
+    */
+  def postStratifiedLift(perUnit: DataFrame): DataFrame = {
+    val byStratum = perUnit.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n_s"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_sa"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_sb"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(lit(0L))).as("sy_sa"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(lit(0L))).as("sy_sb"))
+    val tot = byStratum.agg(
+      sum(col("n_s")).as("n"),
+      count(lit(1)).as("n_strata"),
+      sum(col("n_sa")).as("n_a"), sum(col("n_sb")).as("n_b"),
+      sum(col("sy_sa")).as("sy_a"), sum(col("sy_sb")).as("sy_b"),
+      min(least(col("n_sa"), col("n_sb"))).as("__min_arm"))
+    // per-stratum milli terms need N, a 1-row broadcast back onto the
+    // answer-sized stratum frame; the empty-arm guard rides every output
+    val terms = byStratum
+      .crossJoin(broadcast(tot.select(col("n").as("__N"))))
+      .agg(sum(expr(
+        """CASE WHEN n_sa = 0 OR n_sb = 0 THEN NULL ELSE
+           (1000 * CAST(n_s AS DECIMAL(38,0)) *
+             (CAST(sy_sb AS DECIMAL(38,0)) * n_sa -
+              CAST(sy_sa AS DECIMAL(38,0)) * n_sb)) div
+           (CAST(__N AS DECIMAL(38,0)) * n_sa * n_sb) END"""))
+        .as("__ps"))
+    val emptyArm = "__min_arm = 0"
+    tot.crossJoin(broadcast(terms)).select(
+      expr(s"CASE WHEN $emptyArm THEN raise_error('postStratifiedLift: a " +
+        "stratum has an empty arm — collapse strata before estimating') " +
+        "ELSE CAST(n AS BIGINT) END").as("n_units"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('postStratifiedLift: a " +
+        "stratum has an empty arm — collapse strata before estimating') " +
+        "ELSE CAST(n_strata AS BIGINT) END").as("n_strata"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('postStratifiedLift: a " +
+        "stratum has an empty arm — collapse strata before estimating') " +
+        "ELSE CAST((1000 * (CAST(sy_b AS DECIMAL(38,0)) * n_a - " +
+        "CAST(sy_a AS DECIMAL(38,0)) * n_b)) div " +
+        "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END")
+        .as("raw_lift_milli"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('postStratifiedLift: a " +
+        "stratum has an empty arm — collapse strata before estimating') " +
+        "ELSE CAST(__ps AS BIGINT) END").as("poststrat_lift_milli"))
+  }
+
+  /** Cluster-randomized lift — the analysis a CLUSTER-randomized rollout
+    * needs (assignment by domain / household / geo, not by unit): the
+    * per-unit "naive" lift is reported beside the cluster-mean lift, whose
+    * analysis unit matches the randomization unit. When cluster size
+    * correlates with outcome the two diverge — exactly the bias the
+    * cluster-mean estimator exists to avoid; equal-weighting clusters is
+    * the standard first-line estimator (Donner & Klar).
+    *
+    * Exactness: per-cluster means truncate ONCE to milli
+    * (cm_c = (1000·sy_c) div n_c), then each arm averages those integers
+    * with one more truncating division — a documented, engine-replayable
+    * two-step truncation (exact rational averaging would need a common
+    * denominator over all clusters). Arms with zero clusters refuse
+    * loudly. Input: per-unit frame (cluster, arm ∈ {0,1} CONSTANT within
+    * cluster, y); the within-cluster-constant contract is asserted: any
+    * cluster seen with both arms raises.
+    *
+    * One-row output: n_clusters_a, n_clusters_b, n_units,
+    * unit_lift_milli, clustermean_lift_milli.
+    */
+  def clusterRandomizedLift(perUnit: DataFrame): DataFrame = {
+    val byCluster = perUnit.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_c"),
+      sum(col("y")).as("sy_c"),
+      min(col("arm")).as("arm"),
+      countDistinct(col("arm")).as("__arms"))
+    val g = byCluster
+      .withColumn("cm_milli", expr(
+        // contract guard INSIDE the consumed column: a cluster spanning
+        // arms means the assignment was not cluster-randomized at all
+        """CASE WHEN __arms > 1 THEN raise_error(CONCAT(
+             'clusterRandomizedLift: cluster ', CAST(cluster AS STRING),
+             ' spans both arms — assignment is not cluster-randomized'))
+           ELSE (1000 * CAST(sy_c AS DECIMAL(38,0))) div n_c END"""))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("k_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("k_b"),
+        sum(col("n_c")).as("n"),
+        sum(when(col("arm") === 0L, col("n_c")).otherwise(lit(0L))).as("n_a"),
+        sum(when(col("arm") === 1L, col("n_c")).otherwise(lit(0L))).as("n_b"),
+        sum(when(col("arm") === 0L, col("sy_c")).otherwise(lit(0L))).as("sy_a"),
+        sum(when(col("arm") === 1L, col("sy_c")).otherwise(lit(0L))).as("sy_b"),
+        sum(when(col("arm") === 0L, col("cm_milli")).otherwise(lit(0L)))
+          .as("scm_a"),
+        sum(when(col("arm") === 1L, col("cm_milli")).otherwise(lit(0L)))
+          .as("scm_b"))
+    val emptyArm = "k_a = 0 OR k_b = 0"
+    g.select(
+      expr(s"CASE WHEN $emptyArm THEN raise_error('clusterRandomizedLift: " +
+        "an arm has zero clusters') ELSE CAST(k_a AS BIGINT) END")
+        .as("n_clusters_a"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('clusterRandomizedLift: " +
+        "an arm has zero clusters') ELSE CAST(k_b AS BIGINT) END")
+        .as("n_clusters_b"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('clusterRandomizedLift: " +
+        "an arm has zero clusters') ELSE CAST(n AS BIGINT) END")
+        .as("n_units"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('clusterRandomizedLift: " +
+        "an arm has zero clusters') ELSE " +
+        "CAST((1000 * (CAST(sy_b AS DECIMAL(38,0)) * n_a - " +
+        "CAST(sy_a AS DECIMAL(38,0)) * n_b)) div " +
+        "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END")
+        .as("unit_lift_milli"),
+      expr(s"CASE WHEN $emptyArm THEN raise_error('clusterRandomizedLift: " +
+        "an arm has zero clusters') ELSE " +
+        "CAST(scm_b div k_b - scm_a div k_a AS BIGINT) END")
+        .as("clustermean_lift_milli"))
+  }
 }

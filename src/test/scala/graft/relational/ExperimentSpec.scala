@@ -395,4 +395,59 @@ class ExperimentSpec extends SparkSpec {
       .select("srm_flag").as[Boolean].collect().head
     assert(!row, "md5 assignment must not trip SRM on null data")
   }
+
+  test("post-stratification corrects a stratum-confounded raw lift") {
+    // stratum 0: low outcome (y=100), arm B over-sampled; stratum 1: high
+    // outcome (y=900), arm A over-sampled. True within-stratum effect is 0
+    // everywhere, but the raw lift reads NEGATIVE (B concentrated in the
+    // low stratum); post-stratification recombines to ~0.
+    val rows =
+      Seq.fill(10)((0L, 0L, 100L)) ++ Seq.fill(30)((1L, 0L, 100L)) ++
+      Seq.fill(30)((0L, 1L, 900L)) ++ Seq.fill(10)((1L, 1L, 900L))
+    val per = rows.toDF("arm", "stratum", "y")
+    val r = Experiment.postStratifiedLift(per)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (n, k, raw, ps) = r
+    assert(n === 80L && k === 2L)
+    // raw: mean_b = (30*100+10*900)/40 = 300; mean_a = (10*100+30*900)/40 = 700
+    assert(raw === -400000L, s"raw lift should read the confound: $raw")
+    assert(ps === 0L, s"post-stratified lift must remove it: $ps")
+  }
+
+  test("post-stratification refuses a stratum with an empty arm") {
+    val per = (Seq.fill(5)((0L, 0L, 10L)) ++ Seq.fill(5)((1L, 0L, 10L)) ++
+      Seq.fill(5)((0L, 1L, 10L))).toDF("arm", "stratum", "y")
+    val e = intercept[Exception] {
+      Experiment.postStratifiedLift(per).collect()
+    }
+    assert(e.getMessage.contains("empty arm"))
+  }
+
+  test("cluster-mean lift diverges from unit lift when size tracks outcome") {
+    // arm 0: one big low-outcome cluster (80 units, y=10) + one small
+    // high-outcome cluster (20 units, y=90); arm 1: two equal clusters at
+    // the same values. Unit means differ (26 vs 50) though cluster means
+    // are identical (50 vs 50) — the classic size-outcome confound.
+    val rows =
+      Seq.tabulate(80)(i => (1L, 0L, 10L)) ++
+      Seq.tabulate(20)(i => (2L, 0L, 90L)) ++
+      Seq.tabulate(50)(i => (3L, 1L, 10L)) ++
+      Seq.tabulate(50)(i => (4L, 1L, 90L))
+    val per = rows.toDF("cluster", "arm", "y")
+    val r = Experiment.clusterRandomizedLift(per)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (ka, kb, n, unit, cm) = r
+    assert((ka, kb, n) === ((2L, 2L, 200L)))
+    assert(unit === 24000L, s"unit lift reads the size confound: $unit")
+    assert(cm === 0L, s"cluster-mean lift must not: $cm")
+  }
+
+  test("cluster-randomized analysis refuses a cluster spanning both arms") {
+    val per = Seq((1L, 0L, 10L), (1L, 1L, 20L), (2L, 1L, 30L))
+      .toDF("cluster", "arm", "y")
+    val e = intercept[Exception] {
+      Experiment.clusterRandomizedLift(per).collect()
+    }
+    assert(e.getMessage.contains("spans both arms"))
+  }
 }
