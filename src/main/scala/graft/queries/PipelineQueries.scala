@@ -1173,8 +1173,11 @@ object PipelineQueries {
     // lemma), then one bounded array_intersect verifies each candidate. Same
     // results as the full postings join — the oracle IS the full join.
     DeclaredQuery("prefix_jaccard_pairs",
-      (s, dir) => Dedup.prefixJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.5)
+      // landed: dedup_threshold_sweep materializes this identical PPJoin
+      // frame (same memo key) — two gated consumers, the landing rule
+      (s, dir) => graft.relational.Stages.materialize(
+        Dedup.prefixJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5), "sweep_pairs")
         .orderBy(col("id1"), col("id2")),
       Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         sh AS (SELECT doc_id,
@@ -2325,8 +2328,13 @@ object PipelineQueries {
     // generated oracle — proving the minhash algorithm itself, while the
     // xxhash64 variant above stays the fast path (rows-only + recall specs).
     DeclaredQuery("minhash_portable_pairs",
-      (s, dir) => MinHash.nearDupPairsPortable(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5)
+      // landed: THREE gated consumers share this identical frame (this row,
+      // minhash_jaccard_calibration, crossmodal_dup_consistency) — same
+      // memo key, the full banding+verify runs once per session
+      (s, dir) => graft.relational.Stages.materialize(
+        MinHash.nearDupPairsPortable(tbl(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 16, numBands = 8, minJaccard = 0.5),
+        "minhash_pairs_05")
         .orderBy(col("id1"), col("id2")),
       Some(portableMinhashOracleSql(k = 16, b = 8, minJaccard = 0.5))),
 
