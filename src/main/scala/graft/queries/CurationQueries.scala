@@ -276,6 +276,37 @@ object CurationQueries {
           CAST(SUM(occ) AS BIGINT) AS total_occurrences
         FROM o GROUP BY 1 ORDER BY source""")),
 
+    // ---- O193: within-document segment dedup ledger --------------------------
+    // The Gopher-family cleanup line_dedup_stats does NOT do: a page whose
+    // own nav/menu repeats INSIDE it keeps the first copy and drops the
+    // rest, however rare the segment is corpus-wide. Entirely row-local
+    // array expressions — zero pre-output shuffles, rides the scan at any
+    // scale. The fixture's honest reading is sparse (3 docs carry a
+    // within-doc repeat at sf0.01 — random text rarely self-repeats); the
+    // planted-repeat path is spec-exercised.
+    DeclaredQuery("withindoc_segment_dedup",
+      (s, dir) => LineDedup.withinDocDedupStats(
+        tbl(s, dir, "documents"), "doc_id", "text", segWords = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+               FROM documents),
+        sg AS (SELECT doc_id, list_transform(range(0, (len(ts) + 2) // 3),
+                i -> array_to_string(list_slice(ts, 3*i + 1, 3*i + 3), ' '))
+                  AS segs
+              FROM tk),
+        d AS (SELECT doc_id, segs, len(segs) AS n_seg,
+                len(list_distinct(segs)) AS n_unique_seg FROM sg)
+        SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+          CAST(n_unique_seg AS BIGINT) AS n_unique_seg,
+          CAST(n_seg - n_unique_seg AS BIGINT) AS dup_seg,
+          CAST(list_sum(list_transform(segs,
+            s -> len(string_split(s, ' ')))) AS BIGINT) AS words_total,
+          CAST(COALESCE(list_sum(list_transform(range(1, len(segs) + 1),
+            i -> CASE WHEN list_position(segs[1:i-1], segs[i]) > 0
+                 THEN len(string_split(segs[i], ' ')) ELSE 0 END)), 0)
+            AS BIGINT) AS words_saved
+        FROM d ORDER BY doc_id""")),
+
     // C4-style boilerplate removal: 3-word segments occurring in more than 2
     // distinct documents are dropped corpus-wide; per-doc keep/drop ledger.
     DeclaredQuery("line_dedup_stats",

@@ -129,4 +129,43 @@ object LineDedup {
       .filter(size(col("__kept")) > 0)
       .select(col(idCol), array_join(col("__kept"), " ").as(textCol))
   }
+
+  /** WITHIN-document segment dedup ledger — the Gopher-family cleanup the
+    * corpus-wide pass above does not do: a page whose own nav/menu/footer
+    * repeats INSIDE it keeps one copy (first occurrence) and drops the
+    * rest, regardless of how rare the segment is corpus-wide. Entirely
+    * ROW-LOCAL (array expressions over each doc's own segments — zero
+    * shuffles before the output ordering), so at 100 TB it rides the scan.
+    *
+    * Emits per doc: n_seg, n_unique_seg, dup_seg, words_total,
+    * words_saved (word count of every dropped duplicate segment — exact,
+    * tail segments count their true 1–2 words).
+    */
+  def withinDocDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                          segWords: Int = 3): DataFrame = {
+    val w = segWords
+    val ts = split(col(textCol), " ")
+    // ceil(n/w) segments; the double division is exact (n ≪ 2^53) and the
+    // int cast truncates = floors for the positive operands here
+    val nseg = ((size(ts) + lit(w - 1)) / lit(w)).cast("int")
+    val segs = transform(
+      sequence(lit(0), nseg - 1),
+      i => concat_ws(" ", slice(ts, i * w + 1, lit(w))))
+    docs.select(col(idCol), segs.as("__segs"))
+      .select(col(idCol),
+        size(col("__segs")).as("n_seg"),
+        size(array_distinct(col("__segs"))).as("n_unique_seg"),
+        (size(col("__segs")) - size(array_distinct(col("__segs"))))
+          .cast("long").as("dup_seg"),
+        aggregate(col("__segs"), lit(0L),
+          (acc, s) => acc + size(split(s, " "))).as("words_total"),
+        // a segment is a DROPPED duplicate iff an earlier equal segment
+        // exists; first occurrences always survive
+        aggregate(sequence(lit(1), size(col("__segs"))), lit(0L),
+          (acc, i) => acc + when(
+            array_position(slice(col("__segs"), lit(1), i - 1),
+              element_at(col("__segs"), i)) > 0,
+            size(split(element_at(col("__segs"), i), " ")).cast("long"))
+            .otherwise(0L)).as("words_saved"))
+  }
 }

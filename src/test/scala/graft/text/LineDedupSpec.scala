@@ -60,4 +60,21 @@ class LineDedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(one === many)
   }
+
+  test("within-doc dedup keeps first occurrences and counts saved words exactly") {
+    val docs = Seq(
+      (1L, "a b c a b c d"),      // segs: [a b c][a b c][d] → 1 dup, 3 saved
+      (2L, "p q r s t u"),        // no repeats
+      (3L, "z"),                  // single short segment
+      (4L, "m n o m n o m n o")   // 2 dups, 6 saved
+    ).toDF("doc_id", "text")
+    val got = LineDedup.withinDocDedupStats(docs, "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3, 2, 1L, 7L, 3L),
+      (2L, 2, 2, 0L, 6L, 0L),
+      (3L, 1, 1, 0L, 1L, 0L),
+      (4L, 3, 1, 2L, 9L, 6L)))
+  }
 }
