@@ -20,6 +20,19 @@ object CorpusQueries {
   private val dkGram: String =
     "t || ' ' || " + (1 until dk).map(i => s"t$i").mkString(" || ' ' || ")
 
+  /** The per-train-doc 8-gram contamination report, LANDED once per session
+    * and shared by `decontaminate_ngram_overlap` (reads it whole) and
+    * `decontamination_verdict` (fuses its flag with the embedding arm) —
+    * identical plan on both call sites, so `Stages.materialize`'s plan-keyed
+    * memo lands it once.
+    */
+  private def ngramReport(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    graft.relational.Stages.materialize(
+      graft.text.Decontaminate.report(tbl(s, dir, "documents"),
+        "doc_id", "text", dk, col("doc_id") % 10 === 7, flagPermille = 200),
+      "decontam_report")
+
   /** The k-center greedy trajectory replayed as chained CTEs: c1 = farthest
     * from origin; m_r = running min-dist after r picks; c_{r+1} = argmax.
     */
@@ -104,12 +117,12 @@ object CorpusQueries {
     // ---- O38: eval-benchmark n-gram decontamination -----------------------
     // Eval set = doc_id % 10 = 7 (a deterministic stand-in benchmark);
     // a training doc is contaminated when ≥20% of its distinct 8-grams
-    // appear anywhere in the eval set.
+    // appear anywhere in the eval set. The report frame LANDS once per
+    // session (shared with decontamination_verdict — the O185 composition
+    // pattern), so this query's former 6-scan final plan reads one compact
+    // landed stage.
     DeclaredQuery("decontaminate_ngram_overlap",
-      (s, dir) => graft.text.Decontaminate
-        .report(tbl(s, dir, "documents"), "doc_id", "text", dk,
-          col("doc_id") % 10 === 7, flagPermille = 200)
-        .orderBy(col("doc_id")),
+      (s, dir) => ngramReport(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS t,
                  generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -133,6 +146,109 @@ object CorpusQueries {
         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         WHERE d.doc_id % 10 <> 7
         ORDER BY d.doc_id""")),
+
+    // ---- O195: combined contamination verdict -------------------------------
+    // The suite's two decontamination readings fused into the decision a
+    // release actually makes: a train doc is flagged iff EITHER the n-gram
+    // arm (the landed O38 report, doc_id %10 = 7 benchmark) or the
+    // embedding arm (max cosine vs the SAME benchmark's vectors — eval
+    // broadcast, one keyed agg, landed) fires — plus the disagreement
+    // split, because "what embeddings see that n-grams miss" is the reason
+    // to run both. Two threshold rows exercise different cuts: 900‰ is the
+    // standard cliff (honestly null on this fixture — the O189 discipline),
+    // 450‰ the sensitivity read where the arms genuinely disagree (fixture:
+    // 6 n-gram-only, 3 embedding-only, 0 both). Pure composition of two
+    // landed stages + answer-sized fusion (the O185 pattern); threshold
+    // compare is the single shared IEEE op (max_cos · 1000 ≥ t).
+    DeclaredQuery("decontamination_verdict",
+      (s, dir) => {
+        val ng = ngramReport(s, dir)
+          .select(col("doc_id"), col("contaminated").as("ng_flag"))
+        val emb = tbl(s, dir, "embeddings")
+        val evalV = emb.filter(col("vec_id") % 10 === 7)
+          .select(col("embedding").cast("array<double>").as("qv"))
+        val mx = graft.relational.Stages.materialize(
+          emb.filter(col("vec_id") % 10 =!= 7)
+            .select(col("vec_id").as("doc_id"),
+              col("embedding").cast("array<double>").as("v"))
+            .crossJoin(broadcast(evalV))
+            .withColumn("cos",
+              graft.vector.VectorFunctions.cosine(col("v"), col("qv")))
+            .groupBy(col("doc_id")).agg(max(col("cos")).as("max_cos")),
+          "decontam_embarm")
+        val joined = ng.join(mx, Seq("doc_id"))
+        Seq(900L, 450L).map { t =>
+          joined
+            .withColumn("emb_flag",
+              col("max_cos") * lit(1000.0) >= lit(t.toDouble))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("ng_flag"), 1L).otherwise(0L)).as("n_ngram_flagged"),
+              sum(when(col("emb_flag"), 1L).otherwise(0L)).as("n_emb_flagged"),
+              sum(when(col("ng_flag") && col("emb_flag"), 1L).otherwise(0L))
+                .as("n_both"),
+              sum(when(col("ng_flag") || col("emb_flag"), 1L).otherwise(0L))
+                .as("n_flagged"),
+              sum(when(col("emb_flag") && !col("ng_flag"), col("doc_id"))
+                .otherwise(0L)).as("emb_only_checksum"))
+            .select(lit(t).as("threshold_milli"), col("n_docs"),
+              col("n_ngram_flagged"), col("n_emb_flagged"), col("n_both"),
+              col("n_flagged"),
+              (col("n_ngram_flagged") - col("n_both")).as("n_only_ngram"),
+              (col("n_emb_flagged") - col("n_both")).as("n_only_emb"),
+              col("emb_only_checksum"))
+        }.reduce(_ unionByName _).orderBy(col("threshold_milli"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        g0 AS (SELECT doc_id, t, $dkLeads
+               FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT DISTINCT doc_id, substring(md5($dkGram), 1, 16) AS fp
+              FROM g0 WHERE t${dk - 1} IS NOT NULL),
+        ev AS (SELECT DISTINCT fp FROM g WHERE doc_id % 10 = 7),
+        tr AS (SELECT doc_id, fp FROM g WHERE doc_id % 10 <> 7),
+        pd AS (SELECT tr.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hit
+               FROM tr LEFT JOIN ev ON tr.fp = ev.fp GROUP BY 1),
+        ng AS (SELECT d.doc_id,
+                 CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN FALSE
+                      ELSE (1000 * pd.n_hit) // pd.n_grams >= 200 END AS ngflag
+               FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+               WHERE d.doc_id % 10 <> 7),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS (SELECT v AS q FROM e WHERE vec_id % 10 = 7),
+        cv AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+        mx AS (SELECT vec_id AS doc_id,
+            MAX(list_reduce(list_transform(list_zip(v, q), x -> x[1] * x[2]), (a, b) -> a + b)
+              / (sqrt(list_reduce(list_transform(list_zip(v, v), x -> x[1] * x[2]), (a, b) -> a + b))
+               * sqrt(list_reduce(list_transform(list_zip(q, q), x -> x[1] * x[2]), (a, b) -> a + b)))) AS m
+          FROM cv CROSS JOIN qv GROUP BY 1),
+        j AS (SELECT ng.doc_id, ng.ngflag, mx.m FROM ng JOIN mx USING (doc_id)),
+        one AS (SELECT CAST(900 AS BIGINT) AS threshold_milli,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN ngflag THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram_flagged,
+            CAST(SUM(CASE WHEN m * 1000.0 >= 900.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_flagged,
+            CAST(SUM(CASE WHEN ngflag AND m * 1000.0 >= 900.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+            CAST(SUM(CASE WHEN ngflag OR m * 1000.0 >= 900.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+            CAST(SUM(CASE WHEN m * 1000.0 >= 900.0 AND NOT ngflag THEN doc_id ELSE 0 END) AS BIGINT) AS emb_only_checksum
+          FROM j),
+        two AS (SELECT CAST(450 AS BIGINT) AS threshold_milli,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN ngflag THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram_flagged,
+            CAST(SUM(CASE WHEN m * 1000.0 >= 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_flagged,
+            CAST(SUM(CASE WHEN ngflag AND m * 1000.0 >= 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+            CAST(SUM(CASE WHEN ngflag OR m * 1000.0 >= 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+            CAST(SUM(CASE WHEN m * 1000.0 >= 450.0 AND NOT ngflag THEN doc_id ELSE 0 END) AS BIGINT) AS emb_only_checksum
+          FROM j),
+        u AS (SELECT * FROM one UNION ALL SELECT * FROM two)
+        SELECT threshold_milli, n_docs, n_ngram_flagged, n_emb_flagged,
+          n_both, n_flagged,
+          n_ngram_flagged - n_both AS n_only_ngram,
+          n_emb_flagged - n_both AS n_only_emb,
+          emb_only_checksum
+        FROM u ORDER BY threshold_milli""")),
 
     // ---- O46: Pareto-front curation filter --------------------------------
     // Documents no other document beats on BOTH length and lexical

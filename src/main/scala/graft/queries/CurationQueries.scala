@@ -788,7 +788,55 @@ object CurationQueries {
     DeclaredQuery("coverage_select_greedy",
       (s, dir) => graft.dedup.CoverageSelect.greedyCoverage(
         tbl(s, dir, "documents"), "doc_id", "text", k = 6),
-      Some(coverageOracle(6)))
+      Some(coverageOracle(6))),
+
+    // ---- O194: main-content extraction (boilerplate DOM removal) ----------
+    // The trafilatura/jusText pass between raw HTML and every text filter:
+    // block the page, classify blocks by link density + length
+    // (cross-multiplied integers, no division), rescue short blocks beside
+    // good ones (one-step jusText smoothing), report the per-source
+    // kept-block/kept-token ledger. Parse is stubbed (md5-mod-5 word link
+    // flag — the MediaAnalysis swap contract); the whole classifier is
+    // row-local array expressions — the pass rides the corpus scan, zero
+    // pre-ledger shuffles. Fixture mix at the gate: 2000 good / 164 bad /
+    // 1445 short blocks, so classification AND smoothing both fire.
+    DeclaredQuery("main_content_extract",
+      (s, dir) => graft.text.MainContent.ledger(
+        tbl(s, dir, "documents"), "doc_id", "text", "source",
+        blockWords = 8, minGoodWords = 6)
+        .orderBy(col("source")),
+      Some("""WITH w AS (SELECT doc_id, source,
+                 unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+               FROM documents),
+        blk AS (SELECT doc_id, source, (pos - 1) // 8 AS b,
+                  CAST(COUNT(*) AS BIGINT) AS nw,
+                  CAST(SUM(CASE WHEN CAST(('0x' || substring(md5(word), 1, 15))
+                      AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl
+                FROM w GROUP BY 1, 2, 3),
+        cls AS (SELECT doc_id, source, b, nw,
+                  CASE WHEN 2 * nl >= nw THEN 0
+                       WHEN nw >= 6 AND 5 * nl <= nw THEN 2
+                       ELSE 1 END AS c
+                FROM blk),
+        sm AS (SELECT doc_id, source, b, nw, c,
+                 LAG(c) OVER (PARTITION BY doc_id ORDER BY b) AS pc,
+                 LEAD(c) OVER (PARTITION BY doc_id ORDER BY b) AS nc
+               FROM cls),
+        k AS (SELECT doc_id, source, nw,
+                (c = 2 OR (c = 1 AND (COALESCE(pc, 0) = 2
+                                      OR COALESCE(nc, 0) = 2))) AS keep
+              FROM sm)
+        SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS blocks_kept,
+          CAST(SUM(nw) AS BIGINT) AS tokens_total,
+          CAST(SUM(CASE WHEN keep THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept,
+          CAST((1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS kept_block_permille,
+          CAST((1000 * SUM(CASE WHEN keep THEN nw ELSE 0 END)) // SUM(nw)
+            AS BIGINT) AS kept_token_permille
+        FROM k GROUP BY 1 ORDER BY 1"""))
   )
 
   /** DuckDB replay of [[graft.dedup.CoverageSelect.greedyCoverage]]: the

@@ -1036,6 +1036,72 @@ object EventQueries {
             AS n_churned
         FROM cls GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // ---- O181s: streaming domain-cap ledger (O181 twin) ---------------------
+    // Host-level flood detection as production ingest runs it: the SAME
+    // row-local url→host→registrable-domain extraction as the batch
+    // domain_cap_curation ledger, piped through flatMapGroupsWithState
+    // keyed by domain — O(1) state (running total + appearance counter),
+    // cap verdict per trigger, `newly_capped` = the alert row the verdict
+    // FLIPPED on. Synthetic host from event columns (the fixture has no
+    // URL; skewed a/b/c/d buckets so cap 400 crosses in different batches
+    // — fixture: 0/20 capped in batch 1, 5 in batch 2, 10 in batch 3).
+    // Counting is order-free, so no replay-order contract is needed.
+    DeclaredQuery("stream_domain_caps",
+      (s, dir) => {
+        import s.implicits._
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/events.parquet")
+          .option("numBatches", "3")
+          .load()
+        val url = concat(lit("https://www."), col("event_type"), lit("-"),
+          when(pmod(col("user_id"), lit(16L)) < 8L, lit("a"))
+            .when(pmod(col("user_id"), lit(16L)) < 12L, lit("b"))
+            .when(pmod(col("user_id"), lit(16L)) < 14L, lit("c"))
+            .otherwise(lit("d")),
+          lit(".com/"), col("event_id").cast("string"))
+        val evs = Dsl.normalizeTs(stream)
+          .withColumn("url", url)
+          .select(graft.text.DomainCuration.registrableDomain(
+            graft.text.DomainCuration.host(col("url"))).as("dom"),
+            lit(1L).as("one"))
+          .as[(String, Long)]
+        val out = graft.streaming.StatefulOps.domainCapsPerBatch(evs, cap = 400L)
+        graft.streaming.StreamingRouter.drainToParquet(
+          out.toDF("domain", "seq", "n_batch", "n_total", "over_cap",
+            "capped", "newly_capped"), "domcaps")
+          .orderBy(col("domain"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT event_type, user_id, event_id, ts,
+               row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+               COUNT(*) OVER () AS nn
+             FROM events),
+        u AS (SELECT 'https://www.' || event_type || '-' ||
+                CASE WHEN user_id % 16 < 8 THEN 'a'
+                     WHEN user_id % 16 < 12 THEN 'b'
+                     WHEN user_id % 16 < 14 THEN 'c' ELSE 'd' END ||
+                '.com/' || CAST(event_id AS VARCHAR) AS url,
+                rn // ((nn + 2) // 3) AS batch
+              FROM o),
+        hx AS (SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+                 AS host, batch FROM u),
+        dm AS (SELECT CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                      ELSE string_split(host, '.')[-2] || '.' ||
+                           string_split(host, '.')[-1] END AS domain, batch
+               FROM hx),
+        pb AS (SELECT domain, batch, CAST(COUNT(*) AS BIGINT) AS n_batch
+               FROM dm GROUP BY 1, 2),
+        r AS (SELECT domain, batch, n_batch,
+                CAST(SUM(n_batch) OVER (PARTITION BY domain ORDER BY batch)
+                  AS BIGINT) AS n_total,
+                DENSE_RANK() OVER (PARTITION BY domain ORDER BY batch) AS seq
+              FROM pb)
+        SELECT domain, CAST(seq AS BIGINT) AS seq, n_batch, n_total,
+          GREATEST(CAST(0 AS BIGINT), n_total - 400) AS over_cap,
+          n_total > 400 AS capped,
+          n_total > 400 AND (n_total - n_batch) <= 400 AS newly_capped
+        FROM r ORDER BY domain, seq""")),
+
     // Live per-user activity coverage with O(1) state (see
     // StatefulOps.coveragePerBatch — ordered-replay contract, running
     // snapshot per batch; the final snapshot equals the batch sweep-line

@@ -39,22 +39,27 @@ object PipelineQueries {
     * Query-term tfs pivot to columns, so the score is ONE fixed-order
     * arithmetic expression per row — each double op appears in the same
     * structural position as in [[bm25OracleCte]], making scores bitwise
-    * cross-engine. Corpus stats (N, Σlen, per-term df) are a broadcast
-    * one-row frame; no driver-side jobs.
+    * cross-engine (the tf/df/len/N values are the same integers however
+    * they are computed, so the double arithmetic is unchanged).
+    *
+    * Shape (r12 rewrite): per-doc query-term tf is ROW-LOCAL —
+    * `size(filter(tokens, _ = term))` — so the old explode + per-doc
+    * groupBy shuffle is gone, and ALL corpus stats (N, Σlen, and df per
+    * term = docs with tf>0) collapse into ONE one-row aggregate over the
+    * same per-doc frame. The corpus is scanned twice (per-doc frame feeds
+    * the stats aggregate and the scoring projection), down from the six
+    * scans of the explode/groupBy formulation; no driver-side jobs.
     */
   private def bm25Scores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
-    val lens = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("len"))
-    val qtoks = toks.filter(col("term").isin(bm25Terms: _*))
-    val tfAggs = bm25Terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
-    val tfp = qtoks.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
-    val dfAggs = bm25Terms.zipWithIndex.map { case (t, i) =>
-      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df$i") }
-    val dstat = qtoks.agg(dfAggs.head, dfAggs.tail: _*)
-    val nstat = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("totlen"))
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }
+    val perdoc = docs.select(
+      col("doc_id") +: size(toks).cast("long").as("len") +: tfCols: _*)
+    val statAggs = Seq(count(lit(1)).as("n"), sum(col("len")).as("totlen")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perdoc.agg(statAggs.head, statAggs.tail: _*)
     val nd = col("n").cast("double")
     val termScore = (i: Int) => {
       val dfd = col(s"df$i").cast("double")
@@ -64,11 +69,24 @@ object PipelineQueries {
         ((tfd * lit(2.2)) / (tfd + lit(1.2) *
           (lit(0.25) + lit(0.75) * (lend / (col("totlen").cast("double") / nd)))))
     }
-    lens.join(tfp, Seq("doc_id"), "left")
-      .crossJoin(broadcast(nstat.crossJoin(dstat)))
+    perdoc.crossJoin(broadcast(stats))
       .withColumn("score", termScore(0) + termScore(1) + termScore(2) + termScore(3))
       .select(col("doc_id"), col("score"))
   }
+
+  /** The BM25 top-100 shortlist, LANDED once per session: `bm25_topk`
+    * takes its top-20 from this frame and `hybrid_rrf_topk` ranks it —
+    * identical logical plan on both call sites, so `Stages.materialize`'s
+    * plan-keyed memo shares one landing (the pair-frame discipline applied
+    * to retrieval arms; r11 verdict item 2). Also keeps `Ranks.boundedRank`
+    * from duplicating the whole scoring subtree — the probe side re-reads
+    * the answer-sized landed parquet instead.
+    */
+  private def bm25Top100(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.relational.Stages.materialize(
+      bm25Scores(tbl(s, dir, "documents"))
+        .filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col("doc_id")).limit(100), "bm25_top100")
 
   /** Oracle CTE prefix ending in `scored(doc_id, score)` — the exact SQL
     * mirror of [[bm25Scores]], op for op.
@@ -1903,17 +1921,17 @@ object PipelineQueries {
     // bitwise-portable (the tfidf precedent above; libm ln is not). The
     // 4 query terms pivot to COLUMNS so the score is one fixed-order
     // expression — no double-sum aggregation whose order could differ
-    // between engines. One pass over the corpus: tf for the query terms,
-    // doc length, and the broadcast one-row stats frame (N, Σlen, df per
-    // term) all fold into the plan; no driver-side counts.
+    // between engines. Per-doc tfs are row-local (size of a filtered token
+    // array — no explode, no per-doc shuffle); N, Σlen, and per-term df are
+    // ONE broadcast one-row aggregate; no driver-side counts. The top-100
+    // shortlist lands once per session and is shared with hybrid_rrf_topk.
     // Ranking: orderBy+limit lowers to TakeOrderedAndProject (per-partition
     // heap, answer-sized merge), then the 20 survivors get exact ranks via
     // Ranks.boundedRank — NO global row_number window anywhere: the old
     // unpartitioned window collapsed the whole scored corpus into one task.
     DeclaredQuery("bm25_topk",
       (s, dir) => {
-        val top = bm25Scores(tbl(s, dir, "documents"))
-          .filter(col("score") > 0.0)
+        val top = bm25Top100(s, dir)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
         graft.relational.Ranks
@@ -1947,20 +1965,23 @@ object PipelineQueries {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val k = 100
-        val bmTop = bm25Scores(tbl(s, dir, "documents"))
-          .filter(col("score") > 0.0)
-          .orderBy(col("score").desc, col("doc_id")).limit(k)
+        // the lexical arm IS bm25_topk's landed shortlist (one landing per
+        // session shared by both queries — plan-keyed materialize memo)
         val bm = graft.relational.Ranks
-          .boundedRank(bmTop, "rb", Seq("score" -> false, "doc_id" -> true))
+          .boundedRank(bm25Top100(s, dir), "rb",
+            Seq("score" -> false, "doc_id" -> true))
           .select(col("doc_id"), col("rb"))
         val emb = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("v").as("qv"))
-        val csTop = emb.crossJoin(broadcast(qv))
-          .withColumn("cscore", graft.vector.VectorFunctions.cosine(col("v"), col("qv")))
-          .select(col("vec_id"), col("cscore"))
-          .orderBy(col("cscore").desc, col("vec_id")).limit(k)
+        // dense arm landed too: boundedRank's probe side re-reads the
+        // 100-row parquet instead of re-scoring the corpus
+        val csTop = graft.relational.Stages.materialize(
+          emb.crossJoin(broadcast(qv))
+            .withColumn("cscore", graft.vector.VectorFunctions.cosine(col("v"), col("qv")))
+            .select(col("vec_id"), col("cscore"))
+            .orderBy(col("cscore").desc, col("vec_id")).limit(k), "dense_top100")
         val cs = graft.relational.Ranks
           .boundedRank(csTop, "rc", Seq("cscore" -> false, "vec_id" -> true))
           .select(col("vec_id"), col("rc"))

@@ -103,11 +103,18 @@ object TokenizerQueries {
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("t").as("a"), col("b"))
     // collapse the exploded corpus to per-doc distinct-bigram counts in ONE
-    // pass; the model tables then derive from this compact frame instead of
-    // rescanning the corpus — cab by re-aggregation, ca as the row-sum of
-    // cab over its continuations (Σ_b cab(a,b) == prefix occurrences of a).
-    // The corpus-scale explode+window is referenced exactly once per branch.
-    val db = big.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    // pass and LAND it; the model tables then derive from the compact landed
+    // frame instead of rescanning the corpus — cab by re-aggregation, ca as
+    // the row-sum of cab over its continuations (Σ_b cab(a,b) == prefix
+    // occurrences of a). Landing is load-bearing, not cosmetic: as separate
+    // plan branches, cab and ca each re-derived the whole explode+window
+    // subtree (column pruning defeats exchange reuse), so one lm score pass
+    // scanned the corpus 4× — the r12 aux-job scan gate caught it. The
+    // landed model is also shared across ngram_lm_surprisal and
+    // ccnet_quality_buckets (same plan key → one landing per session).
+    val db = graft.relational.Stages.materialize(
+      big.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("cnt")),
+      "lm_doc_bigrams")
     val cab = db.groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     // vocabulary still needs the token stream (a doc-final token may never

@@ -50,23 +50,34 @@ object MarkovAttribution {
       "markov: channel names collide with the reserved state names")
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"), col(tieCol).as("__tie"))
-    val conv = ev.filter(col("__t") === convType)
-      .groupBy(col("__u")).agg(min(col("__ts")).as("__cts"))
+    // conv and the windowed journey sequence are each consumed by SEVERAL
+    // union branches below (steps, terminal, direct) — as plan branches
+    // each one re-derived the whole event scan + window (the r12 aux-job
+    // scan gate measured events:5 in the one transition-collect job), so
+    // both land as compact stages: conv is user-sized, seq is touch-sized
+    // (the filtered journey projection a warehouse pipeline would land
+    // anyway between sessionization and modeling).
+    val conv = graft.relational.Stages.materialize(
+      ev.filter(col("__t") === convType)
+        .groupBy(col("__u")).agg(min(col("__ts")).as("__cts")), "mk_conv")
     val touches = ev.filter(col("__t").isin(channels: _*))
       .join(conv, Seq("__u"), "left")
       .filter(col("__cts").isNull || col("__ts") < col("__cts"))
     val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
-    val seq = touches
-      .withColumn("__prev", lag(col("__t"), 1).over(w))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__u"))))
+    val seq = graft.relational.Stages.materialize(
+      touches
+        .withColumn("__prev", lag(col("__t"), 1).over(w))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__u"))))
+        .select(col("__u"), col("__t"), col("__prev"), col("__rn"),
+          col("__n"), col("__cts")), "mk_seq")
     val steps = seq.select(
       coalesce(col("__prev"), lit(Start)).as("src"), col("__t").as("dst"))
     val terminal = seq.filter(col("__rn") === col("__n"))
       .select(col("__t").as("src"),
         when(col("__cts").isNotNull, lit(Conv)).otherwise(lit(Null_)).as("dst"))
     val direct = ev.select(col("__u")).distinct()
-      .join(touches.select(col("__u")).distinct(), Seq("__u"), "left_anti")
+      .join(seq.select(col("__u")).distinct(), Seq("__u"), "left_anti")
       .join(conv, Seq("__u"), "left")
       .select(lit(Start).as("src"),
         when(col("__cts").isNotNull, lit(Conv)).otherwise(lit(Null_)).as("dst"))

@@ -37,22 +37,51 @@ object PrefixSum {
   def runningSum(df: DataFrame, idCol: String, valueCol: String,
                  outCol: String, numParts: Int = 32): (DataFrame, Long) = {
     require(numParts > 0)
-    val bounds = df.agg(
-      min(col(idCol).cast("double")).as("lo"),
-      max(col(idCol).cast("double")).as("hi"),
-      count(lit(1)).as("n"),
-      count(col(idCol).cast("double")).as("nn")).head()
-    if (bounds.getLong(2) == 0L) {
+    // The prefix model — (n, lo, hi, per-bucket totals) — is memoized per
+    // (canonicalized input plan, idCol, valueCol, numParts), the same
+    // bounded-model-collect discipline as GlobalRank.byValue: the two
+    // driver-synchronous model jobs run once per session per distinct
+    // input (a contended driver pays each job launch once, not per run);
+    // the loud non-null contract re-checks from the memoized scalars.
+    val memoKey = (df.queryExecution.analyzed.canonicalized,
+      idCol, valueCol, numParts)
+    val model: (Long, Double, Double, Map[Int, Long]) = {
+      val hit = modelMemo.get(memoKey)
+      if (hit != null) hit
+      else {
+        val bounds = df.agg(
+          min(col(idCol).cast("double")).as("lo"),
+          max(col(idCol).cast("double")).as("hi"),
+          count(lit(1)).as("n"),
+          count(col(idCol).cast("double")).as("nn")).head()
+        val m =
+          if (bounds.getLong(2) == 0L) (0L, 0.0, 0.0, Map.empty[Int, Long])
+          else {
+            // a non-empty frame whose ids cast to null would otherwise ride
+            // the empty-input path and silently return outCol = 0 everywhere
+            require(bounds.getLong(3) == bounds.getLong(2),
+              s"$idCol must be numeric and non-null: " +
+                s"${bounds.getLong(2) - bounds.getLong(3)} of " +
+                s"${bounds.getLong(2)} rows have ids that cast to null")
+            val lo0 = bounds.getDouble(0)
+            val span0 = bounds.getDouble(1) - lo0 + 1.0
+            val bucket0 = least(lit(numParts - 1),
+              floor((col(idCol).cast("double") - lit(lo0)) / lit(span0) * numParts))
+              .cast("int")
+            val t = df.withColumn("__b", bucket0)
+              .groupBy(col("__b")).agg(sum(col(valueCol)).as("t"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            (bounds.getLong(2), lo0, bounds.getDouble(1), t)
+          }
+        modelMemo.put(memoKey, m)
+        m
+      }
+    }
+    val (nRows, lo, hi, totals) = model
+    if (nRows == 0L) {
       // empty input: zero rows — just type the output column
       return (df.withColumn(outCol, lit(0L)), 0L)
     }
-    // a non-empty frame whose ids cast to null would otherwise ride the
-    // empty-input path and silently return outCol = 0 for every row
-    require(bounds.getLong(3) == bounds.getLong(2),
-      s"$idCol must be numeric and non-null: " +
-        s"${bounds.getLong(2) - bounds.getLong(3)} of ${bounds.getLong(2)} " +
-        "rows have ids that cast to null")
-    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val span = hi - lo + 1.0
     // monotone in id: (id−lo)/span ∈ [0,1), ×P then floor ∈ [0,P−1]; the
     // least() guards the hi endpoint against rounding up to P
@@ -60,8 +89,6 @@ object PrefixSum {
       floor((col(idCol).cast("double") - lit(lo)) / lit(span) * numParts))
       .cast("int")
     val withB = df.withColumn("__b", bucket)
-    val totals = withB.groupBy(col("__b")).agg(sum(col(valueCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bs = totals.keys.toSeq.sorted
     val offs = bs.zip(bs.scanLeft(0L)((a, b) => a + totals(b)).dropRight(1)).toMap
     val offsetOf = bs.foldRight(lit(0L): org.apache.spark.sql.Column) { (b, acc) =>
@@ -151,4 +178,13 @@ object PrefixSum {
         coalesce(col("__off"), lit(0L)) + sum(col(valueCol)).over(w))
       .drop("__b", "__g", "__ob", "__off")
   }
+
+  /** (canonicalized input plan, idCol, valueCol, numParts) -> (n, lo, hi,
+    * per-bucket totals). Bounded: ≤ numParts scalars per distinct summed
+    * input a session sees; same per-session-memo contract as
+    * `Stages.materialize` (source files immutable mid-session).
+    */
+  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+    (Long, Double, Double, Map[Int, Long])]()
 }

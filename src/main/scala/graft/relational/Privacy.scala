@@ -86,15 +86,21 @@ object Privacy {
     require(qiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
     require(tsPermille.nonEmpty && tsPermille.forall(t => t >= 1 && t < 1000),
       "each t must be a permille in [1, 1000)")
-    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__cv"))
+    // ONE corpus aggregation lands; the global distribution and the total
+    // are RE-AGGREGATIONS of the landed (qi, sensitive) counts (Σ__c per
+    // sensitive value == its global count), not separate corpus scans — as
+    // plan branches, glob/total/gv each re-scanned the source (the r12
+    // aux-job scan gate measured 3 scans inside the sizes landing).
+    val gv = Stages.materialize(
+      df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+        .agg(count(lit(1)).as("__c")), "tclose_gv")
+    val glob = gv.groupBy(col(sensitiveCol)).agg(sum(col("__c")).as("__cv"))
     val domProbe = glob.select(col(sensitiveCol)).limit(maxDomain + 1).collect()
     require(domProbe.length <= maxDomain,
       s"tCloseness: sensitive domain exceeds $maxDomain distinct values — " +
         "the global distribution must stay broadcastable; bucket the " +
         "attribute or raise maxDomain deliberately")
-    val total = df.agg(count(lit(1)).as("__N"))
-    val gv = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("__c"))
+    val total = gv.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols.map(col): _*)
     val terms = gv

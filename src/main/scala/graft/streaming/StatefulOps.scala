@@ -294,6 +294,45 @@ object StatefulOps {
       }
   }
 
+  /** Streaming per-domain cap ledger — [[graft.text.DomainCuration]]'s live
+    * twin (O181s): host-level flood detection as a production ingest runs
+    * it, per-domain arrival counts with the cap verdict PER TRIGGER rather
+    * than once per batch build. State is O(1) per domain forever (running
+    * total + appearance-batch counter); counting is order-free, so unlike
+    * [[growthPerBatch]] no replay-order contract is needed.
+    *
+    * Emits per trigger, for each domain with arrivals in that trigger:
+    * (domain, seq, n_batch, n_total, over_cap, capped, newly_capped) —
+    * `over_cap` = arrivals beyond the cap so far (what the batch ledger
+    * would mark `capped`), `capped` = the verdict, `newly_capped` = the
+    * verdict FLIPPED this trigger (the alert row a flood monitor pages on).
+    * `seq` counts the domain's appearance batches (dense, replayable).
+    */
+  def domainCapsPerBatch(ds: Dataset[(String, Long)], cap: Long)
+      : Dataset[(String, Long, Long, Long, Long, Boolean, Boolean)] = {
+    require(cap > 0, s"domainCapsPerBatch: cap must be positive, got $cap")
+    implicit val outEnc: Encoder[(String, Long, Long, Long, Long, Boolean, Boolean)] =
+      Encoders.product[(String, Long, Long, Long, Long, Boolean, Boolean)]
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long, Long, Boolean, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (dom: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val n = rows.size.toLong
+          if (n == 0L) Iterator.empty
+          else {
+            val (tot0, seq0) = state.getOption.getOrElse((0L, 0L))
+            val tot = math.addExact(tot0, n)
+            val seq = seq0 + 1L
+            state.update((tot, seq))
+            Iterator.single((dom, seq, n, tot,
+              math.max(0L, tot - cap), tot > cap, tot0 <= cap && tot > cap))
+          }
+      }
+  }
+
   def cusumPerBatch[T: Encoder](ds: Dataset[T], allowance: Long)(
       key: T => String): Dataset[(String, Long, Long, Long)] = {
     implicit val outEnc: Encoder[(String, Long, Long, Long)] =

@@ -52,8 +52,16 @@ object CorpusStats {
     val newTerms = firstDoc.crossJoin(broadcast(cuts))
       .select(bucketOf(col("fd")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
-    val merged = perDocStats.join(newTerms, Seq("bucket"), "left")
-      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+    // LAND the nBuckets-row bucket frame before the two prefix sums: each
+    // runningSum issues bounded model jobs over its input, and as a plan
+    // subtree `merged` re-derived all three corpus aggregation arms (cuts,
+    // per-doc token counts, first-occurrence index) PER JOB — the r12
+    // aux-job scan gate measured documents:9 across the four model jobs.
+    // Landed, the arms run once; every later job reads nBuckets rows.
+    val merged = graft.relational.Stages.materialize(
+      perDocStats.join(newTerms, Seq("bucket"), "left")
+        .withColumn("new_terms", coalesce(col("new_terms"), lit(0L))),
+      "vocab_buckets")
     val (c1, _) = graft.relational.PrefixSum.runningSum(
       merged, "bucket", "new_terms", "cum_vocab")
     val (c2, _) = graft.relational.PrefixSum.runningSum(

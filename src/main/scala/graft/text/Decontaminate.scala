@@ -43,8 +43,15 @@ object Decontaminate {
   def report(docs: DataFrame, idCol: String, textCol: String, k: Int,
              isEval: Column, flagPermille: Long = 200): DataFrame = {
     val tagged = docs.withColumn("__eval", isEval)
-    val g = docGrams(tagged, idCol, textCol, k)
-      .join(tagged.select(col(idCol).as("doc_id"), col("__eval")), Seq("doc_id"))
+    // The tagged gram index is consumed by BOTH the eval-fingerprint set
+    // and the train side — as plan branches each re-derived the whole
+    // row-local gram build (documents scanned 6× in one job, r12 aux-job
+    // scan gate); landed, the gram build runs once and both sides read the
+    // compact (doc_id, fp, __eval) stage.
+    val g = graft.relational.Stages.materialize(
+      docGrams(tagged, idCol, textCol, k)
+        .join(tagged.select(col(idCol).as("doc_id"), col("__eval")), Seq("doc_id")),
+      "decontam_grams")
     val evalFps = g.filter(col("__eval")).select("fp").distinct()
     val train = g.filter(!col("__eval"))
     val perDoc = train.groupBy("doc_id")

@@ -45,6 +45,21 @@ object DomainCuration {
         element_at(labels, -1)))
   }
 
+  /** Domain-grouped split assignment: adds a `split` column ∈ {train, val,
+    * test} as a pure function of the domain column (md5 mod 10 → 8/1/1), so
+    * every document of a host lands in ONE split — the leakage granularity
+    * web data actually has (near-dups concentrate within hosts; a doc-level
+    * split trains on one copy and tests on its sibling).
+    */
+  def groupedSplit(df: DataFrame, domainCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val bucket = pmod(
+      graft.functions.HashFunctions.md5Bits60(col(domainCol)), lit(10L))
+    df.withColumn("split",
+      when(bucket < 8L, lit("train")).when(bucket === 8L, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-domain curation ledger: docs seen / blocked / kept / capped, token
     * totals, exact-dup share, and the kept permille — one row per domain.
     *
@@ -61,21 +76,6 @@ object DomainCuration {
     * own "domain"), which silently turns every cap into a no-op and blows
     * the "answer-sized ledger" promise.
     */
-  /** Domain-grouped split assignment: adds a `split` column ∈ {train, val,
-    * test} as a pure function of the domain column (md5 mod 10 → 8/1/1), so
-    * every document of a host lands in ONE split — the leakage granularity
-    * web data actually has (near-dups concentrate within hosts; a doc-level
-    * split trains on one copy and tests on its sibling).
-    */
-  def groupedSplit(df: DataFrame, domainCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val bucket = pmod(
-      graft.functions.HashFunctions.md5Bits60(col(domainCol)), lit(10L))
-    df.withColumn("split",
-      when(bucket < 8L, lit("train")).when(bucket === 8L, lit("val"))
-        .otherwise(lit("test")))
-  }
-
   def ledger(docs: DataFrame, idCol: String, urlCol: String, textCol: String,
              tokens: Column, maxDocsPerDomain: Long, blocklist: Seq[String],
              maxDomains: Int = 5000000): DataFrame = {

@@ -33,5 +33,22 @@ class PlanAuditScanSpec extends AnyFunSuite {
     assert(PlanAudit.scanBound("funnel_view_click_purchase") === 5)
     assert(PlanAudit.scanBounds.values.forall(_ > PlanAudit.defaultScanBound),
       "an exception at or below the default is dead weight")
+    assert(PlanAudit.auxScanBound("some_new_query") === PlanAudit.defaultScanBound)
+    assert(PlanAudit.auxScanBounds.values.forall(_ > PlanAudit.defaultScanBound),
+      "an aux exception at or below the default is dead weight")
+  }
+
+  test("locationMismatch flags truncated or format-drifted Location entries") {
+    val good =
+      """+- FileScan parquet Location: InMemoryFileIndex(1 paths)[file:/root/testdata/sf0.01/lineitem.parquet]
+        |""".stripMargin
+    assert(PlanAudit.locationMismatch(good) === 0)
+    // the default spark.sql.maxMetadataStringLength=100 truncation shape:
+    // the bracketed path list is cut and "..." appended — no closing ']'
+    val truncated =
+      """+- FileScan parquet Location: InMemoryFileIndex(1 paths)[file:/root/testdata/some/very/long/path/that/got/cut...
+        |+- FileScan parquet Location: InMemoryFileIndex(1 paths)[file:/root/testdata/sf0.01/orders.parquet]
+        |""".stripMargin
+    assert(PlanAudit.locationMismatch(truncated) === 1)
   }
 }

@@ -342,6 +342,33 @@ class StatefulOpsSpec extends SparkSpec {
       (3L, 1L, 13L, "resurrected")))
   }
 
+  test("streaming domain caps: running totals, verdicts, and the flip row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StatefulOps.domainCapsPerBatch(input.toDS(), cap = 3L)
+    val q = out.writeStream.format("memory").queryName("domcaps_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: a×2 (ok), b×4 (capped immediately — also the flip row)
+    input.addData(Seq.fill(2)(("a.com", 1L)) ++ Seq.fill(4)(("b.com", 1L)): _*)
+    q.processAllAvailable()
+    // batch 2: a×2 (total 4 > 3 — flips NOW), b×1 (still capped, no flip);
+    //          c absent — no row, seq must not advance for it
+    input.addData(("a.com", 1L), ("a.com", 1L), ("b.com", 1L))
+    q.processAllAvailable()
+    // batch 3: c appears first time (seq 1 for c, not 3)
+    input.addData(("c.org", 1L))
+    q.processAllAvailable()
+    val got = spark.table("domcaps_out")
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      ("a.com", 1L, 2L, 2L, 0L, false, false),
+      ("b.com", 1L, 4L, 4L, 1L, true, true),
+      ("a.com", 2L, 2L, 4L, 1L, true, true),
+      ("b.com", 2L, 1L, 5L, 2L, true, false),
+      ("c.org", 1L, 1L, 1L, 0L, false, false)))
+  }
+
   test("streaming growth accounting refuses out-of-order replay loudly") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]

@@ -61,6 +61,16 @@ if grep -E "cart=[1-9]" "${AUDIT}"; then
 if grep -E "over=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: a query scans a base table above its declared bound"
   exit 1; fi
+# r11 advisory: the final plan cannot see scans inside eagerly-executed
+# landing/probe jobs — PlanAudit now gates every auxiliary job's plan too
+if grep -E "auxover=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: an auxiliary job (landing/probe) scans a base table above its bound"
+  exit 1; fi
+# locbad>0 = a Location: entry the scan-count regex failed to parse
+# (metadata truncation or plan-format drift) — scan counts untrustworthy
+if grep -E "locbad=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: unparsed Location entries — scan counting is untrustworthy"
+  exit 1; fi
 if grep -q "FAILED" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
 # r8 lesson: DECIMAL-typed output columns were the only driver-gate hash
