@@ -1565,6 +1565,38 @@ object PipelineQueries {
           score AS nearest_cosine, score >= 0.9 AS contaminated
         FROM r WHERE rk = 1 ORDER BY eval_id""")),
 
+    // ---- O196: hard-negative mining (contrastive training pairs) ----------
+    // The DPR/ANCE mining step: per anchor vector, the top-k HIGH-similarity
+    // non-duplicates in the band [0.30, 0.45) — ≥ 0.45 is the potential-dup
+    // zone (mining a positive as a negative poisons the loss with false
+    // negatives; 1 pair excluded on this fixture), < 0.30 the easy
+    // negatives the in-batch sampler gets for free (9891 pruned). Anchors
+    // broadcast, band filter prunes BEFORE the per-anchor top-k window; at
+    // corpus scale the brute-force scan swaps for the IVF/LSH candidate
+    // join with the identical band + window on top.
+    DeclaredQuery("hard_negative_mining",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        graft.vector.Mining.hardNegatives(
+          emb.filter(col("vec_id") < 20), "vec_id", emb, "vec_id", "v",
+          k = 3, loBand = 0.30, hiBand = 0.45)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        sc AS (SELECT qid, vec_id AS cid, ${sqlCos("qv", "v")} AS score
+               FROM e CROSS JOIN q WHERE vec_id <> qid),
+        b AS (SELECT qid, cid, score FROM sc
+              WHERE score >= 0.30 AND score < 0.45),
+        r AS (SELECT qid, cid, score,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score DESC, cid) AS rank
+              FROM b)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, cid, score
+        FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // ---- O183: audio silence-trim ledger -----------------------------------
     // The audio-side curation pass: per-window mean "amplitude" from the
     // stub waveform (deterministic 0-99 per payload token — a codec swap
@@ -2748,6 +2780,70 @@ object PipelineQueries {
           .orderBy(col("comp"))
       },
       Some(fullCcSummaryOracleSql)),
+
+    // ---- O199: dedup transitivity audit -------------------------------------
+    // What connected components ADDS to the pairwise verdicts before a
+    // canonical-pick ships: a wedge (A~B, B~C) whose third edge (A~C) was
+    // NOT scored ≥ threshold is transitive glue — docs merged into one
+    // cluster that no direct comparison supports. This audit counts the
+    // wedges and their closure rate over the SAME landed pair frame the
+    // clustering consumes (Dedup.cosinePairs lands its result; this is a
+    // pure extra consumer — zero recompute). Fixture: 42 edges, 12 wedges,
+    // closure 500‰ — half the glue is unsupported, the number a dedup
+    // owner reads before trusting cluster-level canonical picks (the
+    // cluster_cohesion_audit is the per-pair follow-up on the same frame).
+    DeclaredQuery("dedup_transitivity_audit",
+      (s, dir) => {
+        val e = Dedup.cosinePairs(tbl(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9).select(col("id1"), col("id2"))
+        val sym = e.select(col("id1").as("v"), col("id2").as("u"))
+          .unionByName(e.select(col("id2").as("v"), col("id1").as("u")))
+        val wedges = sym.as("wa").join(sym.as("wb"),
+            col("wa.v") === col("wb.v") && col("wa.u") < col("wb.u"))
+          .select(col("wa.u").as("x"), col("wb.u").as("y"))
+        val third = e.select(col("id1").as("x"), col("id2").as("y"),
+          lit(1L).as("__closed"))
+        val c = wedges.join(third, Seq("x", "y"), "left")
+          .select(coalesce(col("__closed"), lit(0L)).as("closed"))
+        val ecnt = e.agg(count(lit(1)).as("n_edges"))
+        c.agg(count(lit(1)).as("n_wedges"),
+            coalesce(sum(col("closed")), lit(0L)).as("n_closed"))
+          .crossJoin(broadcast(ecnt))
+          .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+            (col("n_wedges") - col("n_closed")).as("n_open"),
+            when(col("n_wedges") === 0L, lit(null).cast("long"))
+              .otherwise(expr("(1000L * n_closed) div n_wedges"))
+              .as("closure_permille"))
+      },
+      Some("""WITH tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1, 2),
+        p AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS tk, tf FROM tf),
+        dots AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+          FROM p a JOIN p b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2 FROM tf GROUP BY 1),
+        e AS (SELECT id1, id2 FROM dots
+              JOIN norms n1 ON n1.doc_id = id1
+              JOIN norms n2 ON n2.doc_id = id2
+              WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1.s2 AS DOUBLE))
+                * sqrt(CAST(n2.s2 AS DOUBLE))) >= 0.9),
+        sym AS (SELECT id1 AS v, id2 AS u FROM e
+                UNION ALL SELECT id2, id1 FROM e),
+        w AS (SELECT a.u AS x, b.u AS y FROM sym a
+              JOIN sym b ON a.v = b.v AND a.u < b.u),
+        c AS (SELECT CASE WHEN e2.id1 IS NOT NULL THEN 1 ELSE 0 END AS closed
+              FROM w LEFT JOIN e e2 ON e2.id1 = w.x AND e2.id2 = w.y)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_wedges,
+          (SELECT CAST(COALESCE(SUM(closed), 0) AS BIGINT) FROM c) AS n_closed,
+          (SELECT CAST(COUNT(*) - COALESCE(SUM(closed), 0) AS BIGINT) FROM c)
+            AS n_open,
+          (SELECT CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+             ELSE (1000 * COALESCE(SUM(closed), 0)) // COUNT(*) END AS BIGINT)
+             FROM c) AS closure_permille""")),
 
     // ---- O102: cluster cohesion audit --------------------------------------
     // Per dedup component, edit similarity of every intra-cluster pair —

@@ -159,13 +159,16 @@ object LineDedup {
           .cast("long").as("dup_seg"),
         aggregate(col("__segs"), lit(0L),
           (acc, s) => acc + size(split(s, " "))).as("words_total"),
-        // a segment is a DROPPED duplicate iff an earlier equal segment
-        // exists; first occurrences always survive
-        aggregate(sequence(lit(1), size(col("__segs"))), lit(0L),
-          (acc, i) => acc + when(
-            array_position(slice(col("__segs"), lit(1), i - 1),
-              element_at(col("__segs"), i)) > 0,
-            size(split(element_at(col("__segs"), i), " ")).cast("long"))
-            .otherwise(0L)).as("words_saved"))
+        // words saved = total − Σ word counts over DISTINCT segments: a
+        // segment appearing k times saves (k−1)·|seg| words, and equal
+        // segments have equal word counts, so the two folds' difference is
+        // EXACTLY the dropped-duplicate word count. This form is LINEAR in
+        // segments (r12 — the first formulation tested each segment
+        // against its whole prefix with slice+array_position, O(segments²)
+        // per row: fine on web pages, quadratic on book-length texts).
+        (aggregate(col("__segs"), lit(0L),
+          (acc, s) => acc + size(split(s, " "))) -
+          aggregate(array_distinct(col("__segs")), lit(0L),
+            (acc, s) => acc + size(split(s, " ")))).as("words_saved"))
   }
 }

@@ -209,4 +209,5 @@ object Sampling {
       .orderBy(md5(keyCol.cast("string")))
     df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
   }
+
 }

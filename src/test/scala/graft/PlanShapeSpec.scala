@@ -317,6 +317,48 @@ class PlanShapeSpec extends SparkSpec {
       s"branch read must prune on the tag partition:\n$prunedPlan")
   }
 
+  test("the verified minhash pair frame lands ONCE for its three consumers") {
+    // The r11 landing-sweep headline, spec-locked (r11 verdict stretch
+    // item): minhash_portable_pairs, minhash_jaccard_calibration, and
+    // crossmodal_dup_consistency all materialize the IDENTICAL verified
+    // pair frame (tag minhash_pairs_05) — the plan-keyed memo must write
+    // it at most once per session ("one write, N readers"), never once
+    // per consumer. ≤ 1 rather than == 1 because another suite sharing
+    // this session may already have landed it (the memo is the point).
+    val events = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        events.add((qe.analyzed.toString, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("minhash_portable_pairs", "minhash_jaccard_calibration",
+        "crossmodal_dup_consistency").foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf0001).count() > 0, s"$q empty")
+      }
+      // listener delivery is async — flush with a sentinel and poll
+      val marker = "__landing_lock_sentinel"
+      spark.range(1).select(org.apache.spark.sql.functions.lit(marker)).collect()
+      val deadline = System.currentTimeMillis + 30000
+      def snap() = events.synchronized {
+        scala.jdk.CollectionConverters.ListHasAsScala(events).asScala.toList }
+      while (System.currentTimeMillis < deadline &&
+        !snap().exists(_._1.contains(marker))) Thread.sleep(10)
+      val pairFrameWrites = snap().count { case (_, exec) =>
+        exec.contains("InsertIntoHadoopFsRelationCommand") &&
+          exec.contains("graft_stage_minhash_pairs_05") }
+      assert(pairFrameWrites <= 1,
+        s"the shared pair frame landed $pairFrameWrites times — " +
+          "the materialize memo is not deduplicating its consumers")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan

@@ -182,4 +182,5 @@ class SamplingSpec extends SparkSpec {
       .select("id", "fold").as[(Long, Long)].collect().toMap
     assert(folded.forall(t => again(t._3) == t._2))
   }
+
 }
