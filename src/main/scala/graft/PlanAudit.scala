@@ -107,6 +107,11 @@ object PlanAudit {
     "ann_ndcg_audit" -> 4, "ivf_recall_audit" -> 4, "ivf_nprobe_sweep" -> 8,
     "mrl_prefix_recall" -> 4, "jl_projection_topk" -> 4,
     "bq_hamming_topk" -> 3, "knn_pagerank_centrality" -> 3,
+    // text arm + the image-stub's three arms (dense-id count probe, id
+    // projection, embedding lookup) — all bare-scan re-reads of the
+    // embeddings table; the stub stays a self-contained swap unit
+    // (AlignmentFilter scaladoc) rather than being folded into the query
+    "clip_alignment_filter" -> 4,
     // (bm25_topk and hybrid_rrf_topk dropped to the default in r12: the
     // BM25 scorer is now a row-local per-doc frame + one stats aggregate,
     // and both retrieval shortlists land once per session — their former

@@ -513,6 +513,157 @@ object CurationQueries {
           id AS canonical_id, n_chars AS canonical_chars
         FROM rk WHERE rn = 1 AND n_members > 1 ORDER BY comp""")),
 
+    // ---- O201: URL canonicalization ledger ----------------------------------
+    // The duplicate-URL collapse before content dedup: scheme/host case,
+    // default ports, fragments, trailing slashes, tracking params
+    // (utm_*/gclid/fbclid), and query-param ORDER are transport noise —
+    // the same page arrives under many spellings, double-counting it in
+    // every cap and dedup pass downstream. Row-local regex/array
+    // normalization (UrlCanonical scaladoc lists the steps and the
+    // deliberate keep-www choice); the fixture synthesizes one page per
+    // (source, doc_id div 80) under FOUR rotating spellings, so every
+    // normalization step fires and the per-source collapse permille is the
+    // gated reading.
+    DeclaredQuery("url_canonicalization",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
+            .otherwise(lit("HTTPS")),
+          lit("://"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, lit("WWW."))
+            .otherwise(lit("www.")),
+          col("source"), lit(".com"),
+          when(pmod(col("doc_id"), lit(4L)) === 0L, lit(":443"))
+            .otherwise(lit("")),
+          lit("/p"), expr("doc_id div 80").cast("string"),
+          when(pmod(col("doc_id"), lit(5L)) === 0L, lit("/"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2L)) === 1L,
+            lit("?utm_source=feed&ref=1"))
+            .otherwise(lit("?ref=1&utm_campaign=x")),
+          when(pmod(col("doc_id"), lit(7L)) === 0L, lit("#sec2"))
+            .otherwise(lit("")))
+        graft.text.UrlCanonical.ledger(
+          docs.withColumn("url", url), "url", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH u AS (SELECT source,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+               '://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+               source || '.com' ||
+               (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+               '/p' || CAST(doc_id // 80 AS VARCHAR) ||
+               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&ref=1'
+                     ELSE '?ref=1&utm_campaign=x' END) ||
+               (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+             FROM documents),
+        parts AS (SELECT source, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+              AS auth,
+            regexp_replace(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+              '#.*$', '') AS nofrag
+          FROM u),
+        norm AS (SELECT source, url, scheme,
+            CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                 WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                 ELSE auth END AS auth2,
+            regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '')
+              AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+              p -> NOT regexp_matches(p,
+                     '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')
+                   AND len(p) > 0)), '&') AS q2
+          FROM parts),
+        canon AS (SELECT source, url,
+            scheme || '://' || auth2 || path ||
+              (CASE WHEN len(q2) > 0 THEN '?' || q2 ELSE '' END) AS c
+          FROM norm)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          CAST(SUM(CASE WHEN url <> c THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_changed,
+          CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical,
+          CAST(COUNT(*) - COUNT(DISTINCT c) AS BIGINT) AS n_collapsed,
+          CAST((1000 * (COUNT(*) - COUNT(DISTINCT c))) // COUNT(*) AS BIGINT)
+            AS collapse_permille
+        FROM canon GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O200: quality-ranked canonical pick --------------------------------
+    // The canonical-doc decision production dedup actually makes: keep the
+    // BEST-WRITTEN member of each near-dup cluster (highest NB quality
+    // margin), not the longest — boilerplate-padded variants are often the
+    // longest copy. Pure composition of three landed/memoized stages: the
+    // cosine pair frame (landed), the union-find labels (memoized per edge
+    // plan), and the NB score stage (landed nb_scores); both picks come
+    // from max-of-struct aggregates (no per-cluster sort), and the row
+    // carries the length pick BESIDE the quality pick with a picks_differ
+    // verdict — fixture: 28 of 35 clusters choose a DIFFERENT canonical,
+    // the measured reason this operator exists.
+    DeclaredQuery("canonical_by_quality",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val labels = Components.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
+        val scores = graft.text.QualityClassifier
+          .score(docs, "doc_id", "text", isPositive = col("lang") === "en")
+          .select(col("doc_id"), col("margin_bits"))
+        labels.join(scores, col("id") === scores("doc_id"))
+          .join(docs.select(col("doc_id").as("__d2"), col("n_chars")),
+            col("id") === col("__d2"))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("margin_bits"), (-col("id")).as("nid"))).as("__q"),
+            max(struct(col("n_chars"), (-col("id")).as("nid"))).as("__l"))
+          .filter(col("n_members") > 1L)
+          .select(col("comp"), col("n_members"),
+            (-col("__q.nid")).as("quality_canonical_id"),
+            col("__q.margin_bits").as("canonical_margin_bits"),
+            (-col("__l.nid")).as("length_canonical_id"),
+            ((-col("__q.nid")) =!= (-col("__l.nid"))).as("picks_differ"))
+          .orderBy(col("comp"))
+      },
+      Some(componentsCte + """,
+        lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        cc2 AS (SELECT t,
+                  CAST(SUM(CASE WHEN l.pos THEN tf ELSE 0 END) AS BIGINT) AS cpos,
+                  CAST(SUM(CASE WHEN l.pos THEN 0 ELSE tf END) AS BIGINT) AS cneg
+                FROM tf JOIN lab l USING (doc_id) GROUP BY t),
+        tot2 AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tp,
+                   CAST(SUM(cneg) AS BIGINT) AS tn, COUNT(*) AS v FROM cc2),
+        wt AS (SELECT t, length(bin((tp + v) // (cpos + 1))) - 1 AS bp,
+                 length(bin((tn + v) // (cneg + 1))) - 1 AS bn
+               FROM cc2 CROSS JOIN tot2),
+        sc AS (SELECT tt.doc_id,
+                 CAST(SUM(tt.tf * bn) AS BIGINT) -
+                   CAST(SUM(tt.tf * bp) AS BIGINT) AS margin_bits
+               FROM tf tt JOIN wt USING (t) GROUP BY 1),
+        m AS (SELECT r.comp, r.id, s.margin_bits, d.n_chars
+              FROM r JOIN sc s ON s.doc_id = r.id
+              JOIN documents d ON d.doc_id = r.id),
+        rk AS (SELECT comp, id, margin_bits, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY margin_bits DESC, id) AS rq,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                   ORDER BY n_chars DESC, id) AS rl,
+                 COUNT(*) OVER (PARTITION BY comp) AS n_members
+               FROM m),
+        qp AS (SELECT comp, CAST(n_members AS BIGINT) AS n_members,
+                 id AS quality_canonical_id,
+                 margin_bits AS canonical_margin_bits
+               FROM rk WHERE rq = 1 AND n_members > 1),
+        lp AS (SELECT comp, id AS length_canonical_id FROM rk WHERE rl = 1)
+        SELECT qp.comp, qp.n_members, qp.quality_canonical_id,
+          qp.canonical_margin_bits, lp.length_canonical_id,
+          qp.quality_canonical_id <> lp.length_canonical_id AS picks_differ
+        FROM qp JOIN lp USING (comp) ORDER BY qp.comp""")),
+
     // Skew-salted equi join: events (150 hot user keys) against the customer
     // dim on a derived key, salted 8 ways so each hot key spreads over 8
     // shuffle partitions; the result is identical to the plain join.

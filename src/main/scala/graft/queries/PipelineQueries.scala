@@ -1597,6 +1597,53 @@ object PipelineQueries {
         SELECT qid, CAST(rank AS BIGINT) AS rank, cid, score
         FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // ---- O202: CLIP-style alignment filter ----------------------------------
+    // The LAION/DataComp paired-data curation step: score each
+    // (caption, image) pair by embedding cosine, keep above threshold —
+    // web-paired captions frequently don't describe their image, and
+    // misaligned pairs poison contrastive training. Image encoder is
+    // STUBBED as a detection gate (AlignmentFilter scaladoc): matched pairs
+    // carry the text embedding itself (cos ≈ 1.0), every id ≡ 3 (mod 10)
+    // gets a DIFFERENT doc's embedding (cos ≤ ~0.5 on this fixture), and
+    // the 900-milli filter must RECOVER exactly the planted set — the
+    // flagged checksum is the assertion. One self equi-join on the derived
+    // source id + row-local cosine + keyed ledger; no corpus broadcast.
+    DeclaredQuery("clip_alignment_filter",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val img = graft.multimodal.AlignmentFilter
+          .imageEmbeddingStub(emb, "vec_id", "v")
+        val pairs = emb.join(img, col("vec_id") === img("id"))
+          .join(tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+            col("vec_id") === col("doc_id"))
+        graft.multimodal.AlignmentFilter.ledger(pairs, "doc_id", "source",
+          col("v"), col("img_v"), minAlignMilli = 900L)
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        nn AS (SELECT COUNT(*) AS n FROM e),
+        src AS (SELECT vec_id AS id,
+                  CASE WHEN vec_id % 10 = 3 THEN (vec_id + 7) % n
+                       ELSE vec_id END AS s
+                FROM e CROSS JOIN nn),
+        img AS (SELECT src.id, e2.v AS iv
+                FROM src JOIN e e2 ON e2.vec_id = src.s),
+        p AS (SELECT d.source, e.vec_id AS id,
+                CAST(floor(${sqlCos("e.v", "img.iv")} * 1000.0) AS BIGINT)
+                  AS a
+              FROM e JOIN img ON img.id = e.vec_id
+              JOIN documents d ON d.doc_id = e.vec_id)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CASE WHEN a >= 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN a < 900 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_flagged,
+          CAST(SUM(CASE WHEN a < 900 THEN id ELSE 0 END) AS BIGINT)
+            AS flagged_checksum,
+          MIN(a) AS min_align_milli
+        FROM p GROUP BY 1 ORDER BY 1""")),
+
     // ---- O183: audio silence-trim ledger -----------------------------------
     // The audio-side curation pass: per-window mean "amplitude" from the
     // stub waveform (deterministic 0-99 per payload token — a codec swap
