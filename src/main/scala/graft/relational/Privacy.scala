@@ -95,8 +95,21 @@ object Privacy {
       df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
         .agg(count(lit(1)).as("__c")), "tclose_gv")
     val glob = gv.groupBy(col(sensitiveCol)).agg(sum(col("__c")).as("__cv"))
-    val domProbe = glob.select(col(sensitiveCol)).limit(maxDomain + 1).collect()
-    require(domProbe.length <= maxDomain,
+    // bounded domain probe, memoized per canonicalized plan (the
+    // GlobalRank/PrefixSum driver-model discipline — one probe job per
+    // session per distinct input, not one per run)
+    val probeKey = (glob.queryExecution.analyzed.canonicalized, maxDomain)
+    val domSize: Int = {
+      val hit = domProbeMemo.get(probeKey)
+      if (hit != null) hit.intValue
+      else {
+        val n = glob.select(col(sensitiveCol)).limit(maxDomain + 1)
+          .collect().length
+        domProbeMemo.put(probeKey, Integer.valueOf(n))
+        n
+      }
+    }
+    require(domSize <= maxDomain,
       s"tCloseness: sensitive domain exceeds $maxDomain distinct values — " +
         "the global distribution must stay broadcastable; bucket the " +
         "attribute or raise maxDomain deliberately")
@@ -197,4 +210,11 @@ object Privacy {
             .as("rows_at_risk_permille"))
     }.reduce(_ unionByName _)
   }
+
+  /** (canonicalized global-distribution plan, maxDomain) -> probed domain
+    * size. Bounded scalars; same per-session-memo contract as
+    * `Stages.materialize`.
+    */
+  private val domProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Integer]()
 }
