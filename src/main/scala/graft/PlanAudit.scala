@@ -104,7 +104,10 @@ object PlanAudit {
     "countmin_user_est" -> 3, "robust_value_outliers" -> 3,
     // retrieval audits: query slice + corpus side + exact-truth arm(s);
     // the sweep rows scan once per probed configuration by design
-    "ann_ndcg_audit" -> 4, "ivf_recall_audit" -> 4, "ivf_nprobe_sweep" -> 8,
+    // (r12: the IVF assignment lands once as the index artifact — the
+    // sweep's bound halved from 8, the audits dropped from 4; the
+    // remaining scans are per-configuration pushed-filter QUERY slices)
+    "ann_ndcg_audit" -> 3, "ivf_recall_audit" -> 3, "ivf_nprobe_sweep" -> 4,
     "mrl_prefix_recall" -> 4, "jl_projection_topk" -> 4,
     "bq_hamming_topk" -> 3, "knn_pagerank_centrality" -> 3,
     // text arm + the image-stub's three arms (dense-id count probe, id

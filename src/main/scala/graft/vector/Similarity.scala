@@ -161,13 +161,8 @@ object Similarity {
     // `trainedSeeds` plugs in Clustering.kmeans centroids ((cellId, vec))
     // as the coarse quantizer; the default falls back to the nlist
     // lowest-id vectors (deterministic, untrained).
-    val seeds: Seq[(Long, Seq[Double])] = trainedSeeds.getOrElse {
-      candidates
-        .select(col(cidCol).cast("long").as("sid"),
-          col(vecCol).cast("array<double>").as("svec"))
-        .orderBy(col("sid")).limit(nlist).collect()
-        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    }
+    val seeds: Seq[(Long, Seq[Double])] =
+      trainedSeeds.getOrElse(seedVectors(candidates, cidCol, vecCol, nlist))
 
     // Nearest-nCells cell ids for each row: sort struct(-cosine, sid) asc ==
     // cosine desc with sid tiebreak — identical ordering to the old window.
@@ -181,8 +176,15 @@ object Similarity {
         .drop("__cell_s")
     }
 
-    val cells = assign(candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec")),
-      "cvec", 1, "cell")
+    // The assignment IS the IVF index — nprobe-independent, so it LANDS
+    // once per (corpus plan, quantizer literals) per session, exactly like
+    // the persisted index file a production ANN deployment serves from: an
+    // nprobe sweep's four configurations (and every other same-quantizer
+    // consumer) read the one landed assignment instead of re-running the
+    // nlist-cosine encode pass over the corpus per call.
+    val cells = graft.relational.Stages.materialize(
+      assign(candidates.select(col(cidCol).as("cid"), col(vecCol).as("cvec")),
+        "cvec", 1, "cell"), "ivf_cells")
     val probed = assign(queries.select(col(qidCol).as("qid"), col(vecCol).as("qvec")),
       "qvec", nprobe, "cell")
 
@@ -227,11 +229,11 @@ object Similarity {
     // ncode lowest-id candidates brought to the driver ONCE (a PQ codebook
     // is tiny at any data scale). codebook(j)(c) = codeword c of subspace j.
     val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] = trainedCodebooks.getOrElse {
-      val cbRows = candidates
-        .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
-        .orderBy(col("c")).limit(ncode).collect()
+      // codebook rows ride the SAME memoized bounded collect as the coarse
+      // seeds when ncode == nlist; otherwise their own memo entry
+      val cbRows = seedVectors(candidates, cidCol, vecCol, ncode)
       (0 until m).map { j =>
-        cbRows.toIndexedSeq.map(r => r.getSeq[Double](1).slice(j * ds, (j + 1) * ds))
+        cbRows.toIndexedSeq.map(r => r._2.slice(j * ds, (j + 1) * ds))
       }
     }
     // |codeword|² as sequential left folds — same order as the oracle's fold
@@ -310,19 +312,14 @@ object Similarity {
     require(dim % m == 0, "dim must be divisible by m")
     val ds = dim / m
 
-    val seeds: Seq[(Long, Seq[Double])] = trainedSeeds.getOrElse {
-      candidates
-        .select(col(cidCol).cast("long").as("sid"),
-          col(vecCol).cast("array<double>").as("svec"))
-        .orderBy(col("sid")).limit(nlist).collect()
-        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    }
+    val seeds: Seq[(Long, Seq[Double])] =
+      trainedSeeds.getOrElse(seedVectors(candidates, cidCol, vecCol, nlist))
     val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] = trainedCodebooks.getOrElse {
-      val cbRows = candidates
-        .select(col(cidCol).cast("long").as("c"), col(vecCol).cast("array<double>").as("v"))
-        .orderBy(col("c")).limit(ncode).collect()
+      // codebook rows ride the SAME memoized bounded collect as the coarse
+      // seeds when ncode == nlist; otherwise their own memo entry
+      val cbRows = seedVectors(candidates, cidCol, vecCol, ncode)
       (0 until m).map { j =>
-        cbRows.toIndexedSeq.map(r => r.getSeq[Double](1).slice(j * ds, (j + 1) * ds))
+        cbRows.toIndexedSeq.map(r => r._2.slice(j * ds, (j + 1) * ds))
       }
     }
 
@@ -339,15 +336,19 @@ object Similarity {
 
     // index side: cell + m codes per candidate, vectors dropped after encode
     val cw2 = codebook.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
-    val coded = (0 until m).foldLeft(
-      cells(candidates.select(col(cidCol).as("cid"),
-        col(vecCol).cast("array<double>").as("cvec")), "cvec", 1)) { (d, j) =>
-      val scored = codebook(j).indices.map { c =>
-        struct((lit(cw2(j)(c)) - lit(2.0) * VectorFunctions.dot(sub(col("cvec"), j),
-          array(codebook(j)(c).map(lit): _*))).as("d2"), lit(c).as("c"))
-      }
-      d.withColumn(s"code_$j", element_at(array_sort(array(scored: _*)), 1).getField("c"))
-    }.drop("cvec")
+    // the encoded index (cell + m codes, floats dropped) is the PQ index
+    // artifact — nprobe-independent, landed once per (corpus, quantizer,
+    // codebook) per session like the ivfTopK assignment
+    val coded = graft.relational.Stages.materialize(
+      (0 until m).foldLeft(
+        cells(candidates.select(col(cidCol).as("cid"),
+          col(vecCol).cast("array<double>").as("cvec")), "cvec", 1)) { (d, j) =>
+        val scored = codebook(j).indices.map { c =>
+          struct((lit(cw2(j)(c)) - lit(2.0) * VectorFunctions.dot(sub(col("cvec"), j),
+            array(codebook(j)(c).map(lit): _*))).as("d2"), lit(c).as("c"))
+        }
+        d.withColumn(s"code_$j", element_at(array_sort(array(scored: _*)), 1).getField("c"))
+      }.drop("cvec"), "ivf_pq_codes")
 
     // query side: nprobe cells + per-subspace LUTs
     val q = (0 until m).foldLeft(
@@ -419,4 +420,35 @@ object Similarity {
     summed.select(col("label"), col("n"),
       transform(col("sums"), s => s / col("n").cast("double")).as("centroid"))
   }
+
+  /** The `n` lowest-id (id, vector) rows — the deterministic untrained
+    * quantizer seeds / PQ codebook rows — MEMOIZED per canonicalized
+    * candidates plan (the bounded-driver-model discipline): one collect job
+    * per session per distinct corpus, not one per index build. An nprobe
+    * sweep builds the index 4×; each repeat reads the memo.
+    */
+  private def seedVectors(candidates: DataFrame, cidCol: String,
+                          vecCol: String, n: Int): Seq[(Long, Seq[Double])] = {
+    val memoKey = (candidates.queryExecution.analyzed.canonicalized,
+      cidCol, vecCol, n)
+    val hit = seedsMemo.get(memoKey)
+    if (hit != null) hit
+    else {
+      val s = candidates
+        .select(col(cidCol).cast("long").as("sid"),
+          col(vecCol).cast("array<double>").as("svec"))
+        .orderBy(col("sid")).limit(n).collect()
+        .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      seedsMemo.put(memoKey, s)
+      s
+    }
+  }
+
+  /** (canonicalized candidates plan, cidCol, vecCol, n) -> seed rows.
+    * Bounded: ≤ n (id, dim-vector) rows per distinct corpus/width a session
+    * sees; same per-session-memo contract as `Stages.materialize`.
+    */
+  private val seedsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+    Seq[(Long, Seq[Double])]]()
 }
