@@ -192,11 +192,20 @@ object PlanAudit {
       val marker = s"__planaudit_sentinel_$sentinelSeq"
       spark.range(1).select(org.apache.spark.sql.functions.lit(marker)).collect()
       val deadline = System.currentTimeMillis + 30000
-      while (System.currentTimeMillis < deadline && !{
+      def sentinelSeen: Boolean = {
         val snap = events.synchronized {
           scala.jdk.CollectionConverters.ListHasAsScala(events).asScala.toList }
         snap.exists(_.analyzed.toString.contains(marker))
-      }) Thread.sleep(10)
+      }
+      while (System.currentTimeMillis < deadline && !sentinelSeen)
+        Thread.sleep(10)
+      // A silent fall-through here would under-count auxiliary events —
+      // auxover/locbad would pass the close gate on PARTIAL data, the exact
+      // blind-spot class the aux gate exists to close. Throwing surfaces as
+      // a FAILED row, which close_round.sh refuses.
+      if (!sentinelSeen) throw new IllegalStateException(
+        "flushListener: sentinel not observed within 30s — listener " +
+          "delivery lagged and auxiliary scan counts would be incomplete")
     }
 
     SparkEntry.queries.toSeq.sortBy(_._1)

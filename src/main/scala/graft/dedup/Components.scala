@@ -96,6 +96,11 @@ object Components {
     // (the r11 driver-bench outlier diagnosis). Big graphs — where the
     // edge probe exceeds the cap — take the iterative path below
     // unchanged.
+    // Set by the bounded probe below; on probe overflow the iterative
+    // fallback repartitions FROM this cache so the (typically
+    // pair-similarity-join) edge subtree computed by the probe is reused
+    // rather than re-derived.
+    var probeCached: Option[DataFrame] = None
     locally {
       def integral(t: org.apache.spark.sql.types.DataType) =
         t == org.apache.spark.sql.types.LongType ||
@@ -110,12 +115,20 @@ object Components {
         val labelArr: Array[(Long, Long)] = {
           val hit = unionFindMemo.get(memoKey)
           if (hit != null) hit
+          // a failed probe is memoized too: a same-session re-run of a
+          // big graph goes straight to the iterative path instead of
+          // repaying the cap+1 collect every run
+          else if (overflowMemo.containsKey(memoKey)) null
           else {
-            val es = symBase
+            val cached = symBase.cache()
+            probeCached = Some(cached)
+            val es = cached
               .select(col("src").cast("long"), col("dst").cast("long"))
               .limit(driverEdgeCap.toInt + 1)
               .collect().map(r => (r.getLong(0), r.getLong(1)))
-            if (es.length > driverEdgeCap) null
+            if (es.length > driverEdgeCap) {
+              overflowMemo.put(memoKey, java.lang.Boolean.TRUE); null
+            }
             else {
               val parent = new java.util.HashMap[Long, Long]()
               def find(x0: Long): Long = {
@@ -141,6 +154,8 @@ object Components {
           }
         }
         if (labelArr != null) {
+          // the result is driver-local label rows — the cache is done
+          probeCached.foreach(_.unpersist())
           val spark = nodes.sparkSession
           val labelRows = labelArr.map { case (e, c) =>
             org.apache.spark.sql.Row(e, c) }
@@ -170,8 +185,11 @@ object Components {
     // a 10¹⁰-edge graph keeps the session's parallelism — per query, with
     // no session-conf mutation (the previous measured-count conf override
     // silently re-planned concurrent queries on the same session).
-    val sym = symBase.repartition(col("dst")).cache()
+    val sym = probeCached.getOrElse(symBase).repartition(col("dst")).cache()
     sym.count() // forces the cache before the loop's consumers
+    // sym's own cache now holds the rows; the probe's pre-repartition cache
+    // (partially materialized by the overflowed limit collect) is released
+    probeCached.foreach(_.unpersist())
     // Round results land through a stage boundary, NOT a bare
     // `localCheckpoint`: checkpointing rewrites the new leaf's statistics
     // FROM THE PRE-CHECKPOINT PLAN, and a join's size estimate is the
@@ -302,6 +320,14 @@ object Components {
   private val unionFindMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
     Array[(Long, Long)]]()
+
+  /** Edge plans whose bounded probe OVERFLOWED driverEdgeCap — a re-run
+    * dispatches straight to the iterative path without repaying the cap+1
+    * collect. Keyed and bounded like [[unionFindMemo]].
+    */
+  private val overflowMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    java.lang.Boolean]()
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into
     * an existing labeling without recomputing history. The previous labels

@@ -35,9 +35,20 @@ object AlignmentFilter {
   def imageEmbeddingStub(emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
     val n = emb.agg(count(lit(1)).as("__n"))
+    // Degenerate-fixture refusal, INSIDE the derived column so pruning
+    // can't drop it: when n divides the +7 offset (n ∈ {1, 7}) the planted
+    // mismatch s(d) = (d+7) mod n collapses to s(d) = d — "planted" rows
+    // would carry their own embedding (cosine 1.0) and the detection gate
+    // becomes vacuous, failing the recovery assertion confusingly far
+    // downstream. n ≤ 7 refuses loudly instead (covers both divisors and
+    // leaves every non-degenerate small fixture n ≥ 8 with a real shift).
     val src = emb.select(col(idCol).as("id")).crossJoin(broadcast(n))
-      .select(col("id"), when(pmod(col("id"), lit(10L)) === 3L,
-        pmod(col("id") + 7L, col("__n"))).otherwise(col("id")).as("__src"))
+      .select(col("id"), when(col("__n") <= 7L, raise_error(concat(
+          lit("imageEmbeddingStub: corpus of "), col("__n"),
+          lit(" rows degenerates the planted (+7 mod n) mismatch — need n > 7")))
+          .cast("long"))
+        .when(pmod(col("id"), lit(10L)) === 3L,
+          pmod(col("id") + 7L, col("__n"))).otherwise(col("id")).as("__src"))
     src.join(emb.select(col(idCol).as("__sid"), col(vecCol).as("img_v")),
         col("__src") === col("__sid"))
       .select(col("id"), col("img_v"))

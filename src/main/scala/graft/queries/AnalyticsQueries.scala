@@ -943,19 +943,24 @@ object AnalyticsQueries {
             sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
               .as("monetary_cents"))
         val mx = base.agg(max(col("last_order")).as("mxd"))
-        // feeds three byValue passes (2 driver actions each) + the final
-        // aggregate — land once
+        // ONE landing + ONE multi-column rank model: all three signals'
+        // bounds and cell counts come back in two fused jobs
+        // (GlobalRank.byValues), and all three rank columns ride a single
+        // composed final plan — 4 driver-synchronous jobs cold, 1 warm.
+        // The r12 shape (three chained byValue passes with a landing
+        // between each) launched ~10 sequential jobs cold and was the one
+        // driver-bench row outside the drift band (3.0/7.1 s under driver
+        // contention vs 0.7 s quiet — each synchronous launch eats a
+        // scheduling/GC pause; SCALE.md "Round-13 notes" has the probes).
         val withRec = graft.relational.Stages.materialize(
           base.crossJoin(broadcast(mx))
             .withColumn("recency_days",
               datediff(col("mxd"), col("last_order")).cast("long"))
             .drop("mxd", "last_order"), "rfm_base")
         import graft.relational.GlobalRank
-        val (r1, n) = GlobalRank.byValue(withRec, "recency_days", "c", "__rr")
-        val l1 = graft.relational.Stages.materialize(r1, "rfm_r")
-        val (r2, _) = GlobalRank.byValue(l1, "frequency", "c", "__rf")
-        val l2 = graft.relational.Stages.materialize(r2, "rfm_f")
-        val (r3, _) = GlobalRank.byValue(l2, "monetary_cents", "c", "__rm")
+        val (r3, n) = GlobalRank.byValues(withRec,
+          Seq("recency_days", "frequency", "monetary_cents"), "c",
+          Seq("__rr", "__rf", "__rm"))
         r3.select(
           ((lit(6L) - GlobalRank.ntileFromRank("__rr", n, 5)) * 100L +
             GlobalRank.ntileFromRank("__rf", n, 5) * 10L +

@@ -578,7 +578,7 @@ object CurationQueries {
             array_to_string(list_sort(list_filter(
               string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
               p -> NOT regexp_matches(p,
-                     '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')
+                     '(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)')
                    AND len(p) > 0)), '&') AS q2
           FROM parts),
         canon AS (SELECT source, url,

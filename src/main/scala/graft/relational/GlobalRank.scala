@@ -101,6 +101,129 @@ object GlobalRank {
       .drop("__cell", "__off"), n)
   }
 
+  /** Rank by SEVERAL value columns off one input in ONE model round-trip:
+    * `outCols(i)` = exact global rank by (`valueCols(i)` asc, tieCol asc),
+    * all added to the same frame. Semantically identical to chaining
+    * [[byValue]] once per column, but the whole model — every column's
+    * (lo, hi, non-null count) and every column's per-cell counts — costs
+    * exactly TWO driver-synchronous jobs regardless of column count: one
+    * bounds aggregate, then one GROUPING SETS ((cell_0), …, (cell_{k−1}))
+    * count (k·numBuckets scalars, map-side combined). The chained form
+    * pays 2 jobs PER column plus a landing between columns (each rank
+    * column must be materialized before the next model can run against a
+    * stable plan) — ~3× the driver-synchronous job launches, which is the
+    * r12 `rfm_segments` driver-bench sensitivity (each synchronous launch
+    * eats a scheduling/GC pause on a contended driver). The final frame is
+    * one composed plan: k broadcast offset joins + k per-cell windows, no
+    * intermediate landings.
+    *
+    * Same contract as [[byValue]] per column (numeric non-null values,
+    * unique non-null tie key, `maxCellShare` refusal), same memoization
+    * (one model entry per (canonicalized input, valueCols, numBuckets)).
+    */
+  def byValues(df: DataFrame, valueCols: Seq[String], tieCol: String,
+               outCols: Seq[String], numBuckets: Int = 64,
+               maxCellShare: Int = 4): (DataFrame, Long) = {
+    require(valueCols.nonEmpty && valueCols.distinct == valueCols,
+      s"valueCols must be nonempty and distinct, got ${valueCols.mkString(", ")}")
+    require(outCols.size == valueCols.size,
+      s"outCols (${outCols.size}) must match valueCols (${valueCols.size})")
+    require(numBuckets > 0)
+    val k = valueCols.size
+    val memoKey = (df.queryExecution.analyzed.canonicalized,
+      valueCols, numBuckets)
+    // n, per-column (lo, hi), per-column sorted (cell -> count)
+    val model: (Long, Array[(Double, Double)], Array[Array[(Long, Long)]]) = {
+      val hit = multiMemo.get(memoKey)
+      if (hit != null) hit
+      else {
+        val aggs = valueCols.flatMap { c => Seq(
+          min(col(c).cast("double")), max(col(c).cast("double")),
+          count(col(c).cast("double"))) } :+ count(lit(1))
+        val b = df.agg(aggs.head, aggs.tail: _*).head()
+        val n0 = b.getLong(3 * k)
+        val m =
+          if (n0 == 0L)
+            (0L, Array.empty[(Double, Double)],
+              Array.empty[Array[(Long, Long)]])
+          else {
+            valueCols.zipWithIndex.foreach { case (c, i) =>
+              require(b.getLong(3 * i + 2) == n0,
+                s"globalRank: $c must be numeric and non-null — " +
+                  s"${n0 - b.getLong(3 * i + 2)} of $n0 rows cast to null")
+            }
+            val bounds = valueCols.indices.map(i =>
+              (b.getDouble(3 * i), b.getDouble(3 * i + 1))).toArray
+            val withCells = valueCols.zipWithIndex.foldLeft(df) {
+              case (d, (c, i)) =>
+                val (lo0, hi0) = bounds(i)
+                d.withColumn(s"__cell_$i", least(lit(numBuckets - 1),
+                  floor((col(c).cast("double") - lit(lo0)) /
+                    lit(hi0 - lo0 + 1.0) * numBuckets)))
+            }
+            val cellCols = valueCols.indices.map(i => col(s"__cell_$i"))
+            // grouping_id bit i is SET when __cell_i is aggregated; the
+            // single-column set {__cell_i} therefore has gid =
+            // (2^k − 1) − 2^(k−1−i). Sets are distinct by construction
+            // (one per column), so no Expand duplication is possible.
+            val rows = withCells
+              .groupingSets(cellCols.map(Seq(_)), cellCols: _*)
+              .agg(grouping_id().as("__gid"), count(lit(1)).as("__c"))
+              .collect()
+            val all = (1L << k) - 1L
+            val byCol = valueCols.indices.map { i =>
+              val gid = all - (1L << (k - 1 - i))
+              rows.filter(_.getAs[Long]("__gid") == gid)
+                .map(r => r.getAs[Long](s"__cell_$i") -> r.getAs[Long]("__c"))
+                .sortBy(_._1)
+            }.toArray
+            (n0, bounds, byCol)
+          }
+        multiMemo.put(memoKey, m)
+        m
+      }
+    }
+    val (n, bounds, cellsByCol) = model
+    if (n == 0L)
+      return (outCols.foldLeft(df)((d, o) => d.withColumn(o, lit(0L))), 0L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var out = valueCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val (lo0, hi0) = bounds(i)
+      d.withColumn(s"__cell_$i", least(lit(numBuckets - 1),
+        floor((col(c).cast("double") - lit(lo0)) /
+          lit(hi0 - lo0 + 1.0) * numBuckets)))
+    }
+    valueCols.zipWithIndex.foreach { case (c, i) =>
+      val cc = cellsByCol(i)
+      val biggest = cc.map(_._2).max
+      require(biggest * maxCellShare <= math.max(n, numBuckets.toLong) ||
+        biggest <= 1000000L,
+        s"globalRank: one $c cell holds $biggest of $n rows — the value " +
+          "distribution is too concentrated for uniform cells; pre-transform " +
+          s"the column (rank a log/bucketized view) or raise maxCellShare")
+      var acc = 0L
+      val offsets = cc.map { case (cell, cnt) =>
+        val off = (cell, acc); acc += cnt; off }.toSeq
+      val offDf = broadcast(offsets.toDF(s"__cell_$i", s"__off_$i"))
+      val w = Window.partitionBy(col(s"__cell_$i"))
+        .orderBy(col(c), col(tieCol))
+      out = out.join(offDf, Seq(s"__cell_$i"))
+        .withColumn(outCols(i), col(s"__off_$i") + row_number().over(w))
+        .drop(s"__off_$i")
+    }
+    (valueCols.indices.foldLeft(out)((d, i) => d.drop(s"__cell_$i")), n)
+  }
+
+  /** (canonicalized input plan, valueCols, numBuckets) -> the [[byValues]]
+    * model. Bounded: ≤ k·numBuckets scalars per distinct ranked input a
+    * session sees; same per-session-memo contract as `Stages.materialize`.
+    */
+  private val multiMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[String], Int),
+    (Long, Array[(Double, Double)], Array[Array[(Long, Long)]])]()
+
   /** (canonicalized input plan, valueCol, numBuckets) -> (n, lo, hi,
     * per-cell counts). Bounded: ≤ numBuckets scalars per distinct ranked
     * input a session sees; same per-session-memo contract as

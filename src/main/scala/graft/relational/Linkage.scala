@@ -45,6 +45,16 @@ object Linkage {
                  mPermille: Long = 950L, maxBlock: Int = 4096): DataFrame = {
     require(fieldCols.nonEmpty && fieldCols.size <= 6,
       s"1..6 comparison fields keep num/den within int64; got ${fieldCols.size}")
+    // Duplicate grouping sets share ONE grouping_id: Expand would emit each
+    // row once per duplicate set and the gid-keyed merge would double the
+    // counts — u permille inflates ~4× and the hot-block guard reads 2×,
+    // silently. Repeated names are refused loudly; a block set that
+    // COINCIDES with a field set is legal (the sets are deduped below and
+    // both logical consumers read the one shared gid).
+    require(fieldCols.distinct == fieldCols,
+      s"fieldCols must be distinct, got ${fieldCols.mkString(", ")}")
+    require(blockCols.nonEmpty && blockCols.distinct == blockCols,
+      s"blockCols must be nonempty and distinct, got ${blockCols.mkString(", ")}")
     require(mPermille >= 1 && mPermille <= 999,
       s"mPermille must be in [1,999], got $mPermille")
 
@@ -71,9 +81,14 @@ object Linkage {
       val hit = probeMemo.get(memoKey)
       if (hit != null) hit
       else {
+        // DEDUPED sets: when blockCols == Seq(f) the block set and the
+        // field set are ONE set with one gid — gidOf maps both consumers to
+        // it, so the lookup stays correct without Expand ever duplicating
+        val setKeys: Seq[Seq[String]] =
+          (fieldCols.map(Seq(_)) :+ blockCols :+ Seq.empty[String])
+            .map(_.sorted).distinct
         val sets: Seq[Seq[org.apache.spark.sql.Column]] =
-          fieldCols.map(f => Seq(col(f))) :+ blockCols.map(col) :+
-            Seq.empty[org.apache.spark.sql.Column]
+          setKeys.map(_.map(col))
         val m = records.groupingSets(sets, probeCols.map(col): _*)
           .agg(grouping_id().as("__gid"), count(lit(1)).as("__c"))
           .groupBy(col("__gid")).agg(

@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanonical {
 
-  private val trackingParam = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)="
+  // (?i): real crawl data mixes case (UTM_SOURCE=x, Gclid=y); (=|$): a
+  // VALUELESS tracking param is still tracking noise. Mirrored verbatim in
+  // the DuckDB oracle (both are RE2/Java-compatible syntax) — change in
+  // lockstep only.
+  private val trackingParam = "(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"
 
   /** The canonical form of `url` (expects scheme://authority[/path][?q][#f];
     * non-URL strings come out mangled — gate inputs with

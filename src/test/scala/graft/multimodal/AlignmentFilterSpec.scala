@@ -25,6 +25,16 @@ class AlignmentFilterSpec extends SparkSpec {
     assert(diff === (0L until n).filter(_ % 10 == 3).toSet)
   }
 
+  test("degenerate fixtures (n <= 7) refuse loudly instead of planting no-ops") {
+    // n = 7: (id+7) mod 7 == id — every "planted" row would carry its own
+    // embedding and the detection gate silently becomes vacuous
+    val tiny = emb.limit(7)
+    val e = intercept[Exception] {
+      AlignmentFilter.imageEmbeddingStub(tiny, "vec_id", "v").count()
+    }
+    assert(e.getMessage.contains("degenerates"))
+  }
+
   test("the 900-milli filter recovers exactly the planted set") {
     val img = AlignmentFilter.imageEmbeddingStub(emb, "vec_id", "v")
     val pairs = emb.join(img, col("vec_id") === col("id"))

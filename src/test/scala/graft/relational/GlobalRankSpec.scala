@@ -57,6 +57,45 @@ class GlobalRankSpec extends SparkSpec {
     assert(ok.filter(col("r") === 100L).count() === 1L)
   }
 
+  test("byValues matches chained byValue on every column") {
+    // three signal columns with different distributions and duplicates
+    val df = (1L to 400L).map(i =>
+      (i, (i * 2654435761L) % 97L, (i * 40503L) % 13L, i % 5L))
+      .toDF("id", "a", "b", "c")
+    val (multi, n) = GlobalRank.byValues(df, Seq("a", "b", "c"), "id",
+      Seq("ra", "rb", "rc"), numBuckets = 8)
+    assert(n === 400L)
+    def exp(v: String) = row_number().over(Window.orderBy(col(v), col("id")))
+    val expected = df.withColumn("ea", exp("a"))
+      .withColumn("eb", exp("b")).withColumn("ec", exp("c"))
+    val diff = multi.join(expected, Seq("id"))
+      .filter(col("ra") =!= col("ea") || col("rb") =!= col("eb") ||
+        col("rc") =!= col("ec")).count()
+    assert(diff === 0L)
+    // no scratch columns leak
+    assert(!multi.columns.exists(c => c.startsWith("__cell") ||
+      c.startsWith("__off")))
+  }
+
+  test("byValues misuse fails loudly: null column, duplicate valueCols") {
+    val withNull = Seq((1L, 5L, Some(5L)), (2L, 4L, None)).toDF("id", "a", "b")
+    val e = intercept[IllegalArgumentException](
+      GlobalRank.byValues(withNull, Seq("a", "b"), "id", Seq("ra", "rb")))
+    assert(e.getMessage.contains("non-null"))
+    val dup = intercept[IllegalArgumentException](
+      GlobalRank.byValues(withNull, Seq("a", "a"), "id", Seq("r1", "r2")))
+    assert(dup.getMessage.contains("distinct"))
+  }
+
+  test("byValues on an empty frame returns zero and typed columns") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "a", "b")
+    val (ranked, n) = GlobalRank.byValues(empty, Seq("a", "b"), "id",
+      Seq("ra", "rb"))
+    assert(n === 0L)
+    assert(ranked.columns.contains("ra") && ranked.columns.contains("rb") &&
+      ranked.count() === 0L)
+  }
+
   test("empty frame returns zero total and a typed rank column") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "v")
     val (ranked, n) = GlobalRank.byValue(empty, "v", "id", "r")

@@ -48,6 +48,26 @@ class LinkageSpec extends SparkSpec {
     assert(e.getMessage.contains("hottest block"))
   }
 
+  test("block set colliding with a field set dedups to one grouping set") {
+    // blockCols == Seq(f1): the block set and f1's field set are ONE
+    // grouping set. Before the r13 dedup, Expand emitted each row once per
+    // duplicate set and the shared gid's counts doubled — u(f1) inflated
+    // from 500‰ to clamp(2000)=999‰ silently. Pair (1,2) is blocked on f1,
+    // agrees on f1, disagrees on f2: den must read 500·500.
+    val out = Linkage.scorePairs(recs, "rid", Seq("f1"), Seq("f1", "f2"))
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("score_num", "score_den", "ratio_permille")
+      .as[(Long, Long, Long)].collect().head
+    assert(out === ((950L * 50L, 500L * 500L, 190L)))
+  }
+
+  test("duplicate comparison fields are refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Linkage.scorePairs(recs, "rid", Seq("blk"), Seq("f1", "f1"))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("more than six comparison fields is refused (int64 product bound)") {
     val df = Seq((1L, "b", "x")).toDF("rid", "blk", "f1")
     intercept[IllegalArgumentException] {

@@ -40,6 +40,20 @@ class UrlCanonicalSpec extends SparkSpec {
     assert(got(4) === "https://www.a.com/p", "www is deliberately kept")
   }
 
+  test("tracking params drop case-insensitively and when valueless") {
+    val got = canon(
+      "https://a.com/p?UTM_SOURCE=x&ref=1",
+      "https://a.com/p?Gclid=y&ref=1",
+      "https://a.com/p?utm_source&ref=1",   // bare param, no '='
+      "https://a.com/p?FBCLID&ref=1",
+      "https://a.com/p?utm=1&ref=1")        // 'utm' alone is NOT utm_*
+    assert(got(0) === "https://a.com/p?ref=1")
+    assert(got(1) === "https://a.com/p?ref=1")
+    assert(got(2) === "https://a.com/p?ref=1")
+    assert(got(3) === "https://a.com/p?ref=1")
+    assert(got(4) === "https://a.com/p?ref=1&utm=1")
+  }
+
   test("ledger counts changed, canonical, and collapsed per group") {
     val df = Seq(
       ("s1", "https://a.com/p?utm_source=x"), // -> https://a.com/p
