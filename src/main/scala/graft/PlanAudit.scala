@@ -163,6 +163,25 @@ object PlanAudit {
   def auxScanBound(name: String): Int =
     auxScanBounds.getOrElse(name, defaultScanBound)
 
+  /** Bound for PER-TRIGGER scans inside a streaming micro-batch plan. The
+    * r12 verdict's blind spot: Structured Streaming's per-trigger
+    * `IncrementalExecution`s are NOT delivered through the
+    * QueryExecutionListener, so a regression that re-scans the replay
+    * source or a static join side inside every trigger was mechanically
+    * invisible — the same class the aux gate closed for batch. PlanAudit
+    * now captures every started streaming query (onQueryStarted is
+    * delivered synchronously) and gates the final trigger's
+    * `lastExecution` plan — triggers of one bounded drain share a plan
+    * shape, so the last is representative of each. A static parquet side
+    * legitimately scans once per trigger (the stream-static join
+    * contract); twice is an arm; more means a consumer started re-deriving
+    * inside the trigger and must land or declare here with a reason.
+    */
+  val streamScanBounds: Map[String, Int] = Map.empty
+
+  def streamScanBound(name: String): Int =
+    streamScanBounds.getOrElse(name, defaultScanBound)
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val only = args.headOption
@@ -186,6 +205,14 @@ object PlanAudit {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     })
+    // Streaming capture: per-trigger IncrementalExecutions never reach the
+    // QueryExecutionListener, and the engine drains streams on newSession()
+    // CLONES whose StreamingQueryManagers a root-session listener cannot
+    // see — StreamCapture rides the clone factory (Dsl.streamSession) and
+    // hands back each started query so its last trigger's plan is gated
+    // after the declared query drains it.
+    graft.streaming.StreamCapture.enable()
+    graft.streaming.StreamCapture.attach(spark)
     var sentinelSeq = 0L
     def flushListener(): Unit = {
       sentinelSeq += 1
@@ -213,6 +240,7 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           events.clear()
+          graft.streaming.StreamCapture.reset()
           val df = fn(spark, dir)
           // Execute first: AQE only inserts WholeStageCodegen spans (and its
           // runtime join/partition re-plans) while stages materialize, so the
@@ -260,12 +288,48 @@ object PlanAudit {
           val auxDetail = auxScans.flatMap(_.toSeq)
             .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
             .toSeq.sortBy(-_._2).map { case (t, n) => s"$t:$n" }.mkString(",")
-          val locBad = (plan +: auxPlans).map(locationMismatch).sum
+          // Streaming micro-batch plans: gate the last trigger's
+          // IncrementalExecution per started query. `sbad` is loud
+          // bookkeeping — a started query the listener failed to capture
+          // would silently exempt its triggers from the gate.
+          val (sStarted, sq) = graft.streaming.StreamCapture.snapshot
+          val sPlans = sq.flatMap { w =>
+            // StreamingQueryWrapper.streamingQuery (a StreamExecution) and
+            // its lastExecution are private[sql] at the Scala level but
+            // public bytecode — reflection reads them; the result is an
+            // IncrementalExecution (a QueryExecution subclass, itself
+            // public). null when the bounded source was empty and no
+            // trigger ever ran.
+            try {
+              val se = w.getClass.getMethod("streamingQuery").invoke(w)
+              val m = se.getClass.getMethod("lastExecution")
+              Option(m.invoke(se))
+                .map(_.asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
+                  .executedPlan.toString.split("== Initial Plan ==")(0))
+            } catch { case _: NoSuchMethodException => None }
+          }
+          if (sys.env.contains("GRAFT_AUDIT_DEBUG") && sq.nonEmpty) {
+            System.err.println(s"[dbg] $name sq=${sq.size} classes=" +
+              sq.map(_.getClass.getName).mkString(",") +
+              s" plans=${sPlans.size}")
+            sPlans.foreach(p => System.err.println(
+              "[dbg-plan] " + p.take(2500)))
+          }
+          val sBad = sStarted - sq.size
+          val sScans = sPlans.map(tableScans)
+          val sMax = (0 +: sScans.flatMap(_.values)).max
+          val sOver = sScans.map(
+            _.count { case (_, n) => n > streamScanBound(name) }).sum
+          val sDetail = sScans.flatMap(_.toSeq)
+            .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+            .toSeq.sortBy(-_._2).map { case (t, n) => s"$t:$n" }.mkString(",")
+          val locBad = (plan +: (auxPlans ++ sPlans)).map(locationMismatch).sum
           println(f"[plan] $name%-32s shuf=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d " +
             f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d " +
             f"dec=$dec%-2d maxscan=$maxScan%-2d over=$over%-2d locbad=$locBad%-2d " +
             f"auxjobs=${auxQes.size}%-2d auxmax=$auxMax%-2d auxover=$auxOver%-2d " +
-            f"scans=$scanDetail auxscans=$auxDetail")
+            f"sq=${sq.size}%-2d strigmax=$sMax%-2d strigover=$sOver%-2d sbad=$sBad%-2d " +
+            f"scans=$scanDetail auxscans=$auxDetail strigscans=$sDetail")
           if (only.isDefined) println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         } catch {

@@ -75,6 +75,11 @@ object Dsl {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     graft.functions.GraftFunctions.register(ss)
+    // the clone's StreamingQueryManager is its own — PlanAudit's
+    // per-trigger scan gate can only see this session's queries if the
+    // capture hook rides the clone factory (no-op outside an audit run)
+    if (graft.streaming.StreamCapture.enabled)
+      graft.streaming.StreamCapture.attach(ss)
     ss
   }
 

@@ -38,6 +38,13 @@ class PlanAuditScanSpec extends AnyFunSuite {
       "an aux exception at or below the default is dead weight")
   }
 
+  test("stream bounds: default 2, declared exceptions above it") {
+    assert(PlanAudit.streamScanBound("stream_whatever") ===
+      PlanAudit.defaultScanBound)
+    assert(PlanAudit.streamScanBounds.values.forall(_ > PlanAudit.defaultScanBound),
+      "a stream exception at or below the default is dead weight")
+  }
+
   test("locationMismatch flags truncated or format-drifted Location entries") {
     val good =
       """+- FileScan parquet Location: InMemoryFileIndex(1 paths)[file:/root/testdata/sf0.01/lineitem.parquet]

@@ -62,9 +62,25 @@ if grep -E "over=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: a query scans a base table above its declared bound"
   exit 1; fi
 # r11 advisory: the final plan cannot see scans inside eagerly-executed
-# landing/probe jobs — PlanAudit now gates every auxiliary job's plan too
+# landing/probe jobs — PlanAudit now gates every auxiliary job's plan too.
+# CAVEAT (PlanAudit.auxScanBounds scaladoc): landings are memoized per
+# session, so an aux job is charged to the FIRST consumer in sorted run
+# order — renaming a query can silently MOVE a charge to a different row;
+# re-measure and move the auxScanBounds entry when a rename shifts it.
+echo "NOTE: aux-job charges follow sorted run order (first consumer pays) —"
+echo "      a query rename can move a charge; re-measure auxScanBounds then."
 if grep -E "auxover=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: an auxiliary job (landing/probe) scans a base table above its bound"
+  exit 1; fi
+# r12 verdict: per-trigger IncrementalExecutions are invisible to the
+# QueryExecutionListener — PlanAudit now captures every started streaming
+# query and gates the last trigger's plan (strigover); sbad>0 means a
+# started query escaped capture and its triggers went ungated.
+if grep -E "strigover=[1-9]" "${AUDIT}"; then
+  echo "CLOSE FAILED: a streaming trigger scans a base table above its bound"
+  exit 1; fi
+if grep -E "sbad=[1-9-]" "${AUDIT}"; then
+  echo "CLOSE FAILED: a started streaming query escaped per-trigger capture"
   exit 1; fi
 # locbad>0 = a Location: entry the scan-count regex failed to parse
 # (metadata truncation or plan-format drift) — scan counts untrustworthy
