@@ -127,6 +127,93 @@ object TokenizerQueries {
       .withColumn("mean_millibits", expr("surp_bits * 1000 div n_bigrams"))
   }
 
+  private val uniK = graft.text.UnigramLm.SeedMultiK
+  private val uniRounds = graft.text.UnigramLm.EmRounds
+
+  /** The trained unigram vocabulary, LANDED once per session: the training
+    * chain is ~34 vocabulary-sized shuffle stages (EmRounds lattice +
+    * rescore rounds) whose scheduling constant dwarfs its data; both the
+    * train row and the fertility row read the one landed (piece, usage,
+    * bits) table instead of re-deriving the chain (same memo key → one
+    * landing). The word histogram lands beneath it for the same reason.
+    */
+  private def uniVocabLanded(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val wh = graft.relational.Stages.materialize(
+      wordHist(tbl(s, dir, "documents")), "uni_wh")
+    graft.relational.Stages.materialize(
+      graft.text.UnigramLm.trainVocab(wh), "uni_vocab")
+  }
+
+  /** DuckDB replay of unigram-LM training (graft.text.UnigramLm): word
+    * histogram → seed vocabulary (all chars + top-K multi-char substrings)
+    * → [[uniRounds]] hard-EM rounds, each a recursive-CTE Viterbi lattice
+    * (the int64 `bits<<10 | n_pieces<<5 | back_pointer` encoding, plain
+    * integer min), a recursive back-pointer walk, usage recount, integer-
+    * bits rescore, and zero-usage pruning. Ends with CTE `uv{uniRounds}`
+    * (piece, usage, bits) and keeps `uwh`/`udp{r}` visible for fertility
+    * consumers.
+    */
+  private def sqlUnigramCtes: String = {
+    // one Viterbi-lattice recursive CTE: DP over uwh under cost map `mref`
+    def dpCte(name: String, mref: String): String =
+      s"""$name AS (WITH RECURSIVE d(w, ct, i, acc) AS (
+            SELECT w, ct, 0, [CAST(0 AS BIGINT)] FROM uwh
+            UNION ALL
+            SELECT d.w, d.ct, d.i + 1,
+              list_append(d.acc, list_aggregate(
+                list_transform(range(greatest(0, d.i + 1 - 4), d.i + 1),
+                  j -> ((((d.acc[j+1] >> 10) + coalesce(
+                           $mref.mm[substring(d.w, j+1, d.i+1-j)][1],
+                           CAST(1048576 AS BIGINT))) << 10)
+                        + ((((d.acc[j+1] >> 5) & 31) + 1) << 5) + j)), 'min'))
+            FROM d CROSS JOIN $mref WHERE d.i < length(d.w))
+          SELECT w, ct, acc FROM d WHERE i = length(w))"""
+    // the map CTEs are MATERIALIZED: DuckDB misevaluates a map-building
+    // CTE referenced inside a LATER recursive CTE once the map's own
+    // lineage contains recursive CTEs (every lookup came back missing —
+    // observed on round 2; round 1, whose map descends only from plain
+    // CTEs, was fine). Materializing pins the one-row map before the
+    // lattice recursion reads it.
+    def round(r: Int): String =
+      s"""um$r AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM uv${r - 1}),
+        ${dpCte(s"udp$r", s"um$r")},
+        ubt$r AS (WITH RECURSIVE b(w, ct, pos, ps) AS (
+            SELECT w, ct, length(w), CAST([] AS VARCHAR[]) FROM udp$r
+            UNION ALL
+            SELECT b.w, b.ct, CAST(d.acc[b.pos + 1] & 31 AS INTEGER),
+              list_append(b.ps, substring(b.w,
+                CAST((d.acc[b.pos+1] & 31) + 1 AS INTEGER),
+                CAST(b.pos - (d.acc[b.pos+1] & 31) AS INTEGER)))
+            FROM b JOIN udp$r d ON d.w = b.w WHERE b.pos > 0)
+          SELECT w, ct, ps FROM b WHERE pos = 0),
+        uu$r AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS u FROM (
+                  SELECT ct, unnest(ps) AS piece FROM ubt$r) GROUP BY 1),
+        ut$r AS (SELECT CAST(SUM(u) AS BIGINT) AS U FROM uu$r),
+        uv$r AS (SELECT v.piece, coalesce(u.u, CAST(0 AS BIGINT)) AS usage,
+                   length(bin(t.U // (coalesce(u.u, CAST(0 AS BIGINT)) + 1))) - 1 AS bits
+                 FROM uv${r - 1} v LEFT JOIN uu$r u USING (piece)
+                 CROSS JOIN ut$r t
+                 WHERE length(v.piece) = 1 OR coalesce(u.u, 0) > 0)"""
+    s"""uwh AS (SELECT t AS w, COUNT(*) AS ct FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+          GROUP BY 1),
+        usp AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS cnt FROM (
+            SELECT ct, unnest(flatten(list_transform(range(1, length(w) + 1),
+              i -> list_transform(range(1, least(4, length(w) - i + 1) + 1),
+                k -> substring(w, i, k))))) AS piece FROM uwh) GROUP BY 1),
+        uch AS (SELECT piece, cnt FROM usp WHERE length(piece) = 1),
+        umu AS (SELECT piece, cnt FROM usp WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT $uniK),
+        uv0p AS (SELECT * FROM uch UNION ALL SELECT * FROM umu),
+        ut0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM uv0p),
+        uv0 AS (SELECT piece, cnt AS usage, length(bin(t.T // cnt)) - 1 AS bits
+                FROM uv0p CROSS JOIN ut0 t),
+        ${(1 to uniRounds).map(round).mkString(",\n        ")},
+        umF AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM uv$uniRounds),
+        ${dpCte("udpF", "umF")}"""
+  }
+
   val queries: Seq[DeclaredQuery] = Seq(
 
     // ---- bigram-LM surprisal per document ---------------------------------
@@ -251,6 +338,70 @@ object TokenizerQueries {
         JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
           ON d.t = s.w
         GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O203: unigram-LM tokenizer induction (SentencePiece family) ------
+    // The production tokenizer family beside BPE (Kudo 2018): seed chars +
+    // top-K substrings, hard-EM Viterbi rounds with integer-bits costs,
+    // zero-usage pruning. All training stages are vocabulary-sized; the
+    // corpus is touched once (the landed word histogram). The Viterbi
+    // lattice is row-local array arithmetic under a one-row broadcast cost
+    // map — no driver collect anywhere in training.
+    DeclaredQuery("unigram_lm_train",
+      (s, dir) => {
+        uniVocabLanded(s, dir)
+          .select(col("piece"),
+            length(col("piece")).cast("long").as("piece_len"),
+            col("usage"), col("bits"))
+          .orderBy(col("piece"))
+      },
+      Some(s"""WITH $sqlUnigramCtes
+        SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+          CAST(usage AS BIGINT) AS usage, CAST(bits AS BIGINT) AS bits
+        FROM uv$uniRounds ORDER BY piece""")),
+
+    // ---- O204: BPE vs unigram fertility by language ------------------------
+    // The tokenizer-selection reading: subwords-per-word of BOTH trained
+    // tokenizers per language, side by side. Both apply tables are
+    // vocabulary-sized broadcast joins; the corpus token stream is scanned
+    // once and never shuffles for the apply.
+    DeclaredQuery("unigram_bpe_fertility",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val wh = graft.relational.Stages.materialize(wordHist(docs), "uni_wh")
+        val uni = graft.text.UnigramLm.pieceCounts(wh, uniVocabLanded(s, dir))
+        val (_, segmented) = Bpe.trainMerges(wordHist(docs), bpeRounds)
+        val nsub = segmented.select(col("w").as("__bw"),
+          size(split(col("sym"), " ")).cast("long").as("n_sub"))
+        docs.select(col("lang"),
+            explode(graft.text.TextFunctions.tokens(col("text"))).as("t"))
+          .join(broadcast(nsub), col("t") === col("__bw"))
+          .join(broadcast(uni), col("t") === uni("w"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("ws_tokens"),
+            sum(col("n_sub")).as("bpe_tokens"),
+            sum(col("n_uni")).as("uni_tokens"))
+          .withColumn("bpe_fertility_permille",
+            expr("(1000L * bpe_tokens) div ws_tokens"))
+          .withColumn("uni_fertility_permille",
+            expr("(1000L * uni_tokens) div ws_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        s"""$sqlBpeCtes,
+        $sqlUnigramCtes,
+        uns AS (SELECT w, ((acc[length(w) + 1] >> 5) & 31) AS n_uni
+                FROM udpF)
+        SELECT d.lang, COUNT(*) AS ws_tokens,
+          CAST(SUM(s.n_sub) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(uns.n_uni) AS BIGINT) AS uni_tokens,
+          (1000 * CAST(SUM(s.n_sub) AS BIGINT)) // COUNT(*) AS bpe_fertility_permille,
+          (1000 * CAST(SUM(uns.n_uni) AS BIGINT)) // COUNT(*) AS uni_fertility_permille
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) d
+        JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
+          ON d.t = s.w
+        JOIN uns ON d.t = uns.w
+        GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ---- O54: tokenizer fertility by language -----------------------------
     // The tokenizer-evaluation staple: subwords-per-word (fertility) of the

@@ -72,6 +72,19 @@ object Bpe {
     */
   def trainMerges(words: DataFrame, rounds: Int): (Seq[MergeRule], DataFrame) = {
     val base = words.select(col("w"), col("ct"), initSym(col("w")).as("sym"))
+    // The learned rules are a bounded driver model (rounds × 4 scalars) —
+    // memoized per canonicalized histogram plan like every other bounded
+    // model since r12 (GlobalRank, Linkage, union-find): four declared
+    // queries train on the same histogram, and the driver loop is
+    // `rounds` sequential argmax collects that a warm re-run should never
+    // repay. Same source-immutability contract as Stages.materialize.
+    val memoKey = (words.queryExecution.analyzed.canonicalized, rounds)
+    val memoHit = mergeMemo.get(memoKey)
+    if (memoHit != null) {
+      val sym = memoHit.foldLeft(initSym(col("w")))(
+        (c, m) => applyRule(c, m.lhs, m.rhs))
+      return (memoHit, words.select(col("w"), col("ct"), sym.as("sym")))
+    }
     val hist = base.persist()
     try {
       var learned = List.empty[MergeRule]
@@ -98,6 +111,7 @@ object Bpe {
         }
       }
       val rules = learned.reverse
+      mergeMemo.put(memoKey, rules)
       val finalSym = rules.foldLeft(col("sym")) { (c, m) => applyRule(c, m.lhs, m.rhs) }
       (rules, base.withColumn("sym", finalSym))
     } finally {
@@ -105,4 +119,12 @@ object Bpe {
       ()
     }
   }
+
+  /** (canonicalized word-histogram plan, rounds) -> learned merge rules.
+    * Bounded: `rounds` small rules per distinct histogram a session trains
+    * on; same per-session-memo contract as `Stages.materialize`.
+    */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Seq[MergeRule]]()
 }
