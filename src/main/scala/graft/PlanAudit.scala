@@ -110,11 +110,9 @@ object PlanAudit {
     "ann_ndcg_audit" -> 3, "ivf_recall_audit" -> 3, "ivf_nprobe_sweep" -> 4,
     "mrl_prefix_recall" -> 4, "jl_projection_topk" -> 4,
     "bq_hamming_topk" -> 3, "knn_pagerank_centrality" -> 3,
-    // text arm + the image-stub's three arms (dense-id count probe, id
-    // projection, embedding lookup) — all bare-scan re-reads of the
-    // embeddings table; the stub stays a self-contained swap unit
-    // (AlignmentFilter scaladoc) rather than being folded into the query
-    "clip_alignment_filter" -> 4,
+    // (clip_alignment_filter dropped to the default in r13: the scored
+    // pair frame lands once per session — its former bound was 4, now an
+    // auxScanBounds entry on the landing job)
     // (bm25_topk and hybrid_rrf_topk dropped to the default in r12: the
     // BM25 scorer is now a row-local per-doc frame + one stats aggregate,
     // and both retrieval shortlists land once per session — their former
@@ -158,7 +156,14 @@ object PlanAudit {
     "curation_pipeline_e2e" -> 3,
     // the bucket-frame landing has three aggregation arms over documents:
     // quantile cuts, per-doc token counts, first-occurrence term index
-    "vocab_growth_curve" -> 3)
+    "vocab_growth_curve" -> 3,
+    // the clip_scored landing carries the text arm + the image-stub's
+    // three arms (dense-id count probe, id projection, embedding lookup) —
+    // all bare-scan re-reads of the embeddings table; the stub stays a
+    // self-contained swap unit (AlignmentFilter scaladoc). Formerly the
+    // final-plan bound 4; the r13 landing moved it here (charged to the
+    // filter, the first consumer in sorted order, before the sweep)
+    "clip_alignment_filter" -> 4)
 
   def auxScanBound(name: String): Int =
     auxScanBounds.getOrElse(name, defaultScanBound)

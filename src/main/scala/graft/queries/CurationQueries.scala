@@ -54,6 +54,73 @@ object CurationQueries {
       .otherwise(lit("")),
     lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"))
 
+  /** The O201 rotating-spelling URL fixture: one page per
+    * (source, doc_id div 80) under four rotating spellings, so every
+    * normalization step fires. Shared by `url_canonicalization` and the
+    * incremental-ingest composition.
+    */
+  private def variantUrl = concat(
+    when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
+      .otherwise(lit("HTTPS")),
+    lit("://"),
+    when(pmod(col("doc_id"), lit(3L)) === 0L, lit("WWW."))
+      .otherwise(lit("www.")),
+    col("source"), lit(".com"),
+    when(pmod(col("doc_id"), lit(4L)) === 0L, lit(":443"))
+      .otherwise(lit("")),
+    lit("/p"), expr("doc_id div 80").cast("string"),
+    when(pmod(col("doc_id"), lit(5L)) === 0L, lit("/"))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(2L)) === 1L,
+      lit("?utm_source=feed&ref=1"))
+      .otherwise(lit("?ref=1&utm_campaign=x")),
+    when(pmod(col("doc_id"), lit(7L)) === 0L, lit("#sec2"))
+      .otherwise(lit("")))
+
+  /** DuckDB replay of [[variantUrl]] + UrlCanonical.canonicalUrl over all
+    * documents → CTE `ucanon(doc_id, source, url, c)`. Shared by the O201
+    * ledger and the incremental-ingest composition (identical expressions;
+    * change in lockstep with UrlCanonical only).
+    */
+  private val urlVariantCanonCtes =
+    """uu AS (SELECT doc_id, source,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+           '://' ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+           source || '.com' ||
+           (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+           '/p' || CAST(doc_id // 80 AS VARCHAR) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&ref=1'
+                 ELSE '?ref=1&utm_campaign=x' END) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+         FROM documents),
+      uparts AS (SELECT doc_id, source, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+            AS auth,
+          regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+            '#.*$', '') AS nofrag
+        FROM uu),
+      unorm AS (SELECT doc_id, source, url, scheme,
+          CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+               WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+               ELSE auth END AS auth2,
+          regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '')
+            AS path,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+            p -> NOT regexp_matches(p,
+                   '(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)')
+                 AND len(p) > 0)), '&') AS q2
+        FROM uparts),
+      ucanon AS (SELECT doc_id, source, url,
+          scheme || '://' || auth2 || path ||
+            (CASE WHEN len(q2) > 0 THEN '?' || q2 ELSE '' END) AS c
+        FROM unorm)"""
+
   private val synthUrlSql =
     """'https://' ||
        CASE WHEN doc_id % 3 = 0 THEN 'www.'
@@ -275,6 +342,176 @@ object CurationQueries {
             AS BIGINT) AS flag_permille,
           CAST(SUM(occ) AS BIGINT) AS total_occurrences
         FROM o GROUP BY 1 ORDER BY source""")),
+
+    // ---- O205: C4 blocklist filter verdict ------------------------------------
+    // O190 counts phrase occurrences; this row makes the DECISION C4 makes
+    // with its word blocklist (Raffel et al. 2020 §2.2: drop any page
+    // containing a listed phrase): per-doc ANY-HIT drop verdict, per-source
+    // dropped-doc and dropped-token permille, and per-phrase attribution
+    // (docs each phrase would drop — overlapping by design; the sum can
+    // exceed n_dropped). Same portable substring-count identity as O190,
+    // entirely row-local — the verdict rides the corpus scan and the only
+    // shuffle is the source-sized ledger. Composition contract: the
+    // per-doc `drop` column is the filter a curation pipeline applies
+    // BEFORE dedup/quality stages (the curation_pipeline_e2e slot between
+    // URL canonicalization and near-dup scoring); the phrase list is the
+    // fixture stand-in for the production blocklist (the O190/synthUrl
+    // discipline — the operator is the verdict, not the list).
+    DeclaredQuery("blocklist_filter_ledger",
+      (s, dir) => {
+        val phrases = Seq("big table", "fast scan", "slow filter")
+        def occ(p: String) = expr(
+          s"CAST(length(text) - length(replace(text, '$p', '')) AS BIGINT)" +
+            s" div ${p.length}")
+        def slug(p: String) = p.replace(' ', '_')
+        val flagged = phrases.foldLeft(
+          tbl(s, dir, "documents")
+            .withColumn("toks", size(split(col("text"), " ")).cast("long"))) {
+          (d, p) => d.withColumn(s"hit_${slug(p)}",
+            when(occ(p) > 0L, 1L).otherwise(0L))
+        }.withColumn("dropped",
+          phrases.map(p => col(s"hit_${slug(p)}") === 1L).reduce(_ || _))
+        flagged.groupBy(col("source"))
+          .agg((Seq(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(col("toks")).as("tokens_total"),
+            sum(when(col("dropped"), col("toks")).otherwise(0L))
+              .as("tokens_dropped")) ++
+            phrases.map(p => sum(col(s"hit_${slug(p)}"))
+              .as(s"docs_${slug(p)}"))).head,
+            (Seq(
+              sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+              sum(col("toks")).as("tokens_total"),
+              sum(when(col("dropped"), col("toks")).otherwise(0L))
+                .as("tokens_dropped")) ++
+              phrases.map(p => sum(col(s"hit_${slug(p)}"))
+                .as(s"docs_${slug(p)}"))): _*)
+          .select(col("source"), col("n_docs"), col("n_dropped"),
+            expr("(1000L * n_dropped) div n_docs").as("dropped_permille"),
+            col("tokens_total"), col("tokens_dropped"),
+            expr("(1000L * tokens_dropped) div tokens_total")
+              .as("tokens_dropped_permille"),
+            col("docs_big_table"), col("docs_fast_scan"),
+            col("docs_slow_filter"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               CASE WHEN (length(text) - length(replace(text, 'big table', ''))) // 9 > 0
+                    THEN 1 ELSE 0 END AS h1,
+               CASE WHEN (length(text) - length(replace(text, 'fast scan', ''))) // 9 > 0
+                    THEN 1 ELSE 0 END AS h2,
+               CASE WHEN (length(text) - length(replace(text, 'slow filter', ''))) // 11 > 0
+                    THEN 1 ELSE 0 END AS h3
+             FROM documents),
+        v AS (SELECT source, toks, h1, h2, h3,
+                CASE WHEN h1 + h2 + h3 > 0 THEN 1 ELSE 0 END AS dropped
+              FROM f)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+          CAST((1000 * SUM(dropped)) // COUNT(*) AS BIGINT) AS dropped_permille,
+          CAST(SUM(toks) AS BIGINT) AS tokens_total,
+          CAST(SUM(dropped * toks) AS BIGINT) AS tokens_dropped,
+          CAST((1000 * SUM(dropped * toks)) // SUM(toks) AS BIGINT)
+            AS tokens_dropped_permille,
+          CAST(SUM(h1) AS BIGINT) AS docs_big_table,
+          CAST(SUM(h2) AS BIGINT) AS docs_fast_scan,
+          CAST(SUM(h3) AS BIGINT) AS docs_slow_filter
+        FROM v GROUP BY 1 ORDER BY source""")),
+
+    // ---- O206: incremental-ingest end-to-end composition ----------------------
+    // The nightly-batch production shape no single row proved before: a new
+    // batch (doc_id >= 250) flows URL-canonicalize → exact dedup against the
+    // EXISTING corpus → near-dup clustering against the existing index via
+    // INCREMENTAL component maintenance — and the row carries the equality
+    // verdict that the incremental labels match the full recompute
+    // (label_mismatches, 0 by the O80 contract; the oracle pins the 0, so a
+    // divergent incremental path fails the driver gate). Pure composition of
+    // landed/memoized stages: the cosine pair frame, the existing-only and
+    // full label sets, and the incremental merge are the SAME plans
+    // dedup_components / components_incremental_merge consume (one landing /
+    // one bounded model each per session). Near-dup semantics are
+    // conservative by construction: membership uses the full pair graph, so
+    // a batch doc dropped at the URL/exact stage still glues its variants
+    // (they are the same page). kept_new_docs counts one canonical (min id)
+    // per purely-new component.
+    DeclaredQuery("incremental_ingest_e2e",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") >= 250L)
+        // stage 1: URL-collapse the batch (min doc_id per canonical URL)
+        val uk = graft.relational.Stages.materialize(
+          batch.withColumn("__c",
+              graft.text.UrlCanonical.canonicalUrl(variantUrl))
+            .groupBy(col("__c")).agg(min(col("doc_id")).as("doc_id")),
+          "ingest_urlkept")
+        // stage 2: exact-fingerprint anti-join against the existing corpus
+        val ek = graft.relational.Stages.materialize(
+          uk.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+            .join(docs.filter(col("doc_id") < 250L)
+                .select(md5(col("text")).as("__fp")),
+              md5(col("text")) === col("__fp"), "left_anti")
+            .select(col("doc_id")),
+          "ingest_exactkept")
+        // stage 3: incremental near-dup labels + the full-recompute arm
+        val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.9)
+        val oldLabels = Components.connectedComponents(
+          docs.filter(col("doc_id") < 250).select(col("doc_id")), "doc_id",
+          pairs.filter(col("id1") < 250 && col("id2") < 250), "id1", "id2")
+        val merged = Components.incrementalComponents(
+          oldLabels,
+          docs.filter(col("doc_id") >= 250).select(col("doc_id")), "doc_id",
+          pairs.filter(col("id1") >= 250 || col("id2") >= 250), "id1", "id2")
+        val full = Components.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
+        val mism = broadcast(
+          merged.join(full.select(col("id"), col("comp").as("__fc")), Seq("id"))
+            .agg(sum(when(col("comp") =!= col("__fc"), 1L).otherwise(0L))
+              .as("label_mismatches")))
+        val sv = ek.select(col("doc_id").as("id")).join(merged, Seq("id"))
+        val a1 = batch.agg(count(lit(1)).as("batch_in"))
+        val a2 = uk.agg(count(lit(1)).as("after_url"))
+        val a3 = ek.agg(count(lit(1)).as("after_exact"))
+        val a4 = sv.agg(
+          sum(when(col("comp") < 250L, 1L).otherwise(0L)).as("joined_existing"),
+          countDistinct(when(col("comp") >= 250L, col("comp")))
+            .as("kept_new_docs"))
+        a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+          .crossJoin(broadcast(a4)).crossJoin(mism)
+          .select(col("batch_in"),
+            (col("batch_in") - col("after_url")).as("url_collapsed"),
+            (col("after_url") - col("after_exact")).as("exact_dropped"),
+            col("joined_existing").as("neardup_existing_dropped"),
+            (col("after_exact") - col("joined_existing") -
+              col("kept_new_docs")).as("neardup_batch_dropped"),
+            col("kept_new_docs"),
+            col("label_mismatches"))
+      },
+      Some(s"""$componentsCte,
+        $urlVariantCanonCtes,
+        iuk AS (SELECT MIN(doc_id) AS doc_id FROM ucanon
+                WHERE doc_id >= 250 GROUP BY c),
+        iek AS (SELECT iuk.doc_id FROM iuk JOIN documents d USING (doc_id)
+                WHERE NOT EXISTS (SELECT 1 FROM documents e
+                  WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))),
+        isv AS (SELECT iek.doc_id, r.comp FROM iek JOIN r ON r.id = iek.doc_id),
+        im AS (SELECT
+            (SELECT COUNT(*) FROM documents WHERE doc_id >= 250) AS batch_in,
+            (SELECT COUNT(*) FROM iuk) AS after_url,
+            (SELECT COUNT(*) FROM iek) AS after_exact,
+            (SELECT COUNT(*) FROM isv WHERE comp < 250) AS joined_existing,
+            (SELECT COUNT(DISTINCT comp) FROM isv WHERE comp >= 250)
+              AS kept_new_docs)
+        SELECT CAST(batch_in AS BIGINT) AS batch_in,
+          CAST(batch_in - after_url AS BIGINT) AS url_collapsed,
+          CAST(after_url - after_exact AS BIGINT) AS exact_dropped,
+          CAST(joined_existing AS BIGINT) AS neardup_existing_dropped,
+          CAST(after_exact - joined_existing - kept_new_docs AS BIGINT)
+            AS neardup_batch_dropped,
+          CAST(kept_new_docs AS BIGINT) AS kept_new_docs,
+          CAST(0 AS BIGINT) AS label_mismatches
+        FROM im""")),
 
     // ---- O193: within-document segment dedup ledger --------------------------
     // The Gopher-family cleanup line_dedup_stats does NOT do: a page whose
@@ -527,64 +764,11 @@ object CurationQueries {
     DeclaredQuery("url_canonicalization",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val url = concat(
-          when(pmod(col("doc_id"), lit(2L)) === 0L, lit("https"))
-            .otherwise(lit("HTTPS")),
-          lit("://"),
-          when(pmod(col("doc_id"), lit(3L)) === 0L, lit("WWW."))
-            .otherwise(lit("www.")),
-          col("source"), lit(".com"),
-          when(pmod(col("doc_id"), lit(4L)) === 0L, lit(":443"))
-            .otherwise(lit("")),
-          lit("/p"), expr("doc_id div 80").cast("string"),
-          when(pmod(col("doc_id"), lit(5L)) === 0L, lit("/"))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(2L)) === 1L,
-            lit("?utm_source=feed&ref=1"))
-            .otherwise(lit("?ref=1&utm_campaign=x")),
-          when(pmod(col("doc_id"), lit(7L)) === 0L, lit("#sec2"))
-            .otherwise(lit("")))
         graft.text.UrlCanonical.ledger(
-          docs.withColumn("url", url), "url", "source")
+          docs.withColumn("url", variantUrl), "url", "source")
           .orderBy(col("source"))
       },
-      Some("""WITH u AS (SELECT source,
-               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
-               '://' ||
-               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
-               source || '.com' ||
-               (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
-               '/p' || CAST(doc_id // 80 AS VARCHAR) ||
-               (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-               (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&ref=1'
-                     ELSE '?ref=1&utm_campaign=x' END) ||
-               (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
-             FROM documents),
-        parts AS (SELECT source, url,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-              AS scheme,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-              AS auth,
-            regexp_replace(
-              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-              '#.*$', '') AS nofrag
-          FROM u),
-        norm AS (SELECT source, url, scheme,
-            CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-                 WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-                 ELSE auth END AS auth2,
-            regexp_replace(regexp_extract(nofrag, '^([^?]*)', 1), '/+$', '')
-              AS path,
-            array_to_string(list_sort(list_filter(
-              string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
-              p -> NOT regexp_matches(p,
-                     '(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)')
-                   AND len(p) > 0)), '&') AS q2
-          FROM parts),
-        canon AS (SELECT source, url,
-            scheme || '://' || auth2 || path ||
-              (CASE WHEN len(q2) > 0 THEN '?' || q2 ELSE '' END) AS c
-          FROM norm)
+      Some(s"""WITH $urlVariantCanonCtes
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
           CAST(SUM(CASE WHEN url <> c THEN 1 ELSE 0 END) AS BIGINT)
             AS n_changed,
@@ -592,7 +776,7 @@ object CurationQueries {
           CAST(COUNT(*) - COUNT(DISTINCT c) AS BIGINT) AS n_collapsed,
           CAST((1000 * (COUNT(*) - COUNT(DISTINCT c))) // COUNT(*) AS BIGINT)
             AS collapse_permille
-        FROM canon GROUP BY 1 ORDER BY 1""")),
+        FROM ucanon GROUP BY 1 ORDER BY 1""")),
 
     // ---- O200: quality-ranked canonical pick --------------------------------
     // The canonical-doc decision production dedup actually makes: keep the

@@ -114,6 +114,29 @@ object PipelineQueries {
        |  FROM lens l LEFT JOIN tfp USING (doc_id) CROSS JOIN nstat CROSS JOIN dstat)""".stripMargin
   }
 
+  /** The CLIP-stub scored pair frame (source, id, a = floor(cos·1000)),
+    * LANDED once per session: the alignment filter and the threshold sweep
+    * are two consumers of the identical scoring plan (the O180b pattern —
+    * same materialize key, zero recompute), and the stub's three embedding
+    * arms + document join run once instead of once per consumer.
+    */
+  private def clipScoredLanded(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val img = graft.multimodal.AlignmentFilter
+      .imageEmbeddingStub(emb, "vec_id", "v")
+    graft.relational.Stages.materialize(
+      emb.join(img, col("vec_id") === img("id"))
+        .join(tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select(col("source"), col("vec_id").as("id"),
+          floor(graft.vector.VectorFunctions.cosine(col("v"), col("img_v"))
+            * lit(1000.0)).cast("long").as("a")),
+      "clip_scored")
+  }
+
   private def sqlCos(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (a, b) -> a + b)
        | / (sqrt(list_reduce(list_transform(list_zip($a, $a), x -> x[1] * x[2]), (a, b) -> a + b))
@@ -1610,15 +1633,14 @@ object PipelineQueries {
     // source id + row-local cosine + keyed ledger; no corpus broadcast.
     DeclaredQuery("clip_alignment_filter",
       (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val img = graft.multimodal.AlignmentFilter
-          .imageEmbeddingStub(emb, "vec_id", "v")
-        val pairs = emb.join(img, col("vec_id") === img("id"))
-          .join(tbl(s, dir, "documents").select(col("doc_id"), col("source")),
-            col("vec_id") === col("doc_id"))
-        graft.multimodal.AlignmentFilter.ledger(pairs, "doc_id", "source",
-          col("v"), col("img_v"), minAlignMilli = 900L)
+        clipScoredLanded(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a") >= 900L, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("a") < 900L, 1L).otherwise(0L)).as("n_flagged"),
+            sum(when(col("a") < 900L, col("id")).otherwise(0L))
+              .as("flagged_checksum"),
+            min(col("a")).as("min_align_milli"))
           .orderBy(col("source"))
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1643,6 +1665,60 @@ object PipelineQueries {
             AS flagged_checksum,
           MIN(a) AS min_align_milli
         FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O207: alignment-filter threshold sweep ------------------------------
+    // The LAION/DataComp decision O202 gates at one point: the kept-share
+    // curve over FROZEN thresholds (-100/0/100/900 milli — chosen to carve
+    // the fixture's planted-mismatch band, measured [-293, 250] with
+    // quartiles -80/-12/76, so every step of the curve moves; 900 is the
+    // production cliff) — where the planted mass falls off is how a
+    // threshold is actually chosen. Rides the SAME landed scored pair frame as the filter
+    // (identical materialize key — zero recompute); one broadcast threshold
+    // cross join + one keyed aggregation.
+    DeclaredQuery("clip_alignment_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val th = broadcast(Seq(-100L, 0L, 100L, 900L)
+          .toDF("threshold_milli"))
+        clipScoredLanded(s, dir).crossJoin(th)
+          .groupBy(col("threshold_milli"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("a") >= col("threshold_milli"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("a") < col("threshold_milli"), col("id"))
+              .otherwise(0L)).as("flagged_checksum"))
+          .select(col("threshold_milli"), col("n_pairs"), col("n_kept"),
+            expr("(1000L * n_kept) div n_pairs").as("kept_permille"),
+            (col("n_pairs") - col("n_kept")).as("n_flagged"),
+            col("flagged_checksum"))
+          .orderBy(col("threshold_milli"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        nn AS (SELECT COUNT(*) AS n FROM e),
+        src AS (SELECT vec_id AS id,
+                  CASE WHEN vec_id % 10 = 3 THEN (vec_id + 7) % n
+                       ELSE vec_id END AS s
+                FROM e CROSS JOIN nn),
+        img AS (SELECT src.id, e2.v AS iv
+                FROM src JOIN e e2 ON e2.vec_id = src.s),
+        p AS (SELECT e.vec_id AS id,
+                CAST(floor(${sqlCos("e.v", "img.iv")} * 1000.0) AS BIGINT)
+                  AS a
+              FROM e JOIN img ON img.id = e.vec_id
+              JOIN documents d ON d.doc_id = e.vec_id),
+        th AS (SELECT CAST(unnest([-100, 0, 100, 900]) AS BIGINT)
+                 AS threshold_milli)
+        SELECT threshold_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CASE WHEN a >= threshold_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          CAST((1000 * SUM(CASE WHEN a >= threshold_milli THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS kept_permille,
+          CAST(SUM(CASE WHEN a < threshold_milli THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+          CAST(SUM(CASE WHEN a < threshold_milli THEN id ELSE 0 END)
+            AS BIGINT) AS flagged_checksum
+        FROM p CROSS JOIN th GROUP BY 1 ORDER BY 1""")),
 
     // ---- O183: audio silence-trim ledger -----------------------------------
     // The audio-side curation pass: per-window mean "amplitude" from the
