@@ -92,10 +92,16 @@ object UnigramLm {
     * pieces, then the smallest back pointer — plain integer min.
     */
   def dpAcc(w: Column, m: Column): Column = {
-    val guarded = when(length(w) > MaxWordLen, raise_error(concat(
-      lit(s"unigramLm: token longer than $MaxWordLen chars ('"), w,
-      lit("') overflows the 5-bit lattice fields — pre-split the corpus " +
-        "or raise MaxWordLen")))).otherwise(w)
+    // the empty-token refusal is load-bearing, not pedantry: length 0 makes
+    // sequence(1, 0) count DOWN in Spark (the Bpe.scala sequence() lesson)
+    // and the lattice would silently corrupt; a tokenizer upstream that
+    // emits "" (double spaces) must be fixed, not absorbed
+    val guarded = when(length(w) > MaxWordLen || length(w) === 0,
+      raise_error(concat(
+        lit(s"unigramLm: token length outside [1, $MaxWordLen] ('"), w,
+        lit("') — empty tokens corrupt the lattice and longer ones " +
+          "overflow the 5-bit lattice fields; pre-split the corpus " +
+          "or raise MaxWordLen")))).otherwise(w)
     aggregate(
       sequence(lit(1), length(guarded)),
       array(lit(0L)),

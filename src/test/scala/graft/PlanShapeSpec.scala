@@ -359,6 +359,46 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("the r13 shared stages land ONCE each for their two consumers") {
+    // Same lock as the minhash pair frame, for the round-13 landings:
+    // clip_scored (clip_alignment_filter + clip_alignment_sweep) and
+    // uni_vocab (unigram_lm_train + unigram_bpe_fertility) — one write,
+    // N readers; ≤ 1 because an earlier suite may already have landed them.
+    val events = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        events.add((qe.analyzed.toString, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("clip_alignment_filter", "clip_alignment_sweep",
+        "unigram_lm_train", "unigram_bpe_fertility").foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf0001).count() > 0, s"$q empty")
+      }
+      val marker = "__landing_lock_sentinel_r13"
+      spark.range(1).select(org.apache.spark.sql.functions.lit(marker)).collect()
+      val deadline = System.currentTimeMillis + 30000
+      def snap() = events.synchronized {
+        scala.jdk.CollectionConverters.ListHasAsScala(events).asScala.toList }
+      while (System.currentTimeMillis < deadline &&
+        !snap().exists(_._1.contains(marker))) Thread.sleep(10)
+      Seq("graft_stage_clip_scored", "graft_stage_uni_vocab").foreach { tag =>
+        val writes = snap().count { case (_, exec) =>
+          exec.contains("InsertIntoHadoopFsRelationCommand") &&
+            exec.contains(tag) }
+        assert(writes <= 1,
+          s"$tag landed $writes times — the materialize memo is not " +
+            "deduplicating its consumers")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("every spot-checked query keeps non-zero whole-stage codegen") {
     // NOT the containment gate: that query is deterministically empty, so
     // AQE's empty-relation propagation collapses it to a LocalTableScan

@@ -58,12 +58,19 @@ class UnigramLmSpec extends SparkSpec {
     assert(pc("x") === 1L)
   }
 
-  test("a token past MaxWordLen refuses loudly inside the DP column") {
-    val long = Seq(("a" * (UnigramLm.MaxWordLen + 1), 1L)).toDF("w", "ct")
+  test("tokens past MaxWordLen or empty refuse loudly inside the DP column") {
     val vocab = UnigramLm.seedVocab(wh)
+    val long = Seq(("a" * (UnigramLm.MaxWordLen + 1), 1L)).toDF("w", "ct")
     val e = intercept[Exception] {
       UnigramLm.pieceCounts(long, vocab).collect()
     }
-    assert(e.getMessage.contains("overflows the 5-bit lattice"))
+    assert(e.getMessage.contains("5-bit lattice"))
+    // empty token: sequence(1, 0) counts DOWN in Spark — must refuse, not
+    // silently corrupt the lattice
+    val empty = Seq(("", 1L)).toDF("w", "ct")
+    val e2 = intercept[Exception] {
+      UnigramLm.pieceCounts(empty, vocab).collect()
+    }
+    assert(e2.getMessage.contains("empty tokens corrupt"))
   }
 }
