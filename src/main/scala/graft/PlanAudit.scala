@@ -157,6 +157,16 @@ object PlanAudit {
     // the bucket-frame landing has three aggregation arms over documents:
     // quantile cuts, per-doc token counts, first-occurrence term index
     "vocab_growth_curve" -> 3,
+    // the ingest_merged landing carries incrementalComponents' five
+    // label-sided node-id projections (contract x2, supernodes, relabel,
+    // re-ingest anti-join) plus the batch node scan — all cheap filtered
+    // id projections of documents, the same declared-arm class as
+    // components_incremental_merge's final-plan bound 7 (bare scans are
+    // cheaper than landing a node-id frame, the Stages doctrine). 7 = the
+    // COLD-session charge (a targeted run pays every landing itself; in
+    // the sorted close run earlier consumers absorb one) — the same
+    // measured envelope as components_incremental_merge's final bound 7
+    "incremental_ingest_e2e" -> 7,
     // the clip_scored landing carries the text arm + the image-stub's
     // three arms (dense-id count probe, id projection, embedding lookup) —
     // all bare-scan re-reads of the embeddings table; the stub stays a

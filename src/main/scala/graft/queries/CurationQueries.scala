@@ -459,10 +459,16 @@ object CurationQueries {
         val oldLabels = Components.connectedComponents(
           docs.filter(col("doc_id") < 250).select(col("doc_id")), "doc_id",
           pairs.filter(col("id1") < 250 && col("id2") < 250), "id1", "id2")
-        val merged = Components.incrementalComponents(
-          oldLabels,
-          docs.filter(col("doc_id") >= 250).select(col("doc_id")), "doc_id",
-          pairs.filter(col("id1") >= 250 || col("id2") >= 250), "id1", "id2")
+        // landed: consumed TWICE (the equality arm and the survivor join),
+        // and as separate plan branches its node-scan subtree would
+        // re-derive per consumer — measured documents:10 in the final plan
+        // before landing, documents:2 after
+        val merged = graft.relational.Stages.materialize(
+          Components.incrementalComponents(
+            oldLabels,
+            docs.filter(col("doc_id") >= 250).select(col("doc_id")), "doc_id",
+            pairs.filter(col("id1") >= 250 || col("id2") >= 250), "id1", "id2"),
+          "ingest_merged")
         val full = Components.connectedComponents(
           docs.select(col("doc_id")), "doc_id", pairs, "id1", "id2")
         val mism = broadcast(
