@@ -308,20 +308,26 @@ object PlanAudit {
           // bookkeeping — a started query the listener failed to capture
           // would silently exempt its triggers from the gate.
           val (sStarted, sq) = graft.streaming.StreamCapture.snapshot
+          // StreamingQueryWrapper.streamingQuery (a StreamExecution) and
+          // its lastExecution are private[sql] at the Scala level but
+          // public bytecode — reflection reads them; the result is an
+          // IncrementalExecution (a QueryExecution subclass, itself
+          // public). null when the bounded source was empty and no trigger
+          // ever ran. A reflection MISS (Spark rename/shading) counts
+          // toward sbad: swallowing it would leave strigover=0 AND sbad=0
+          // — the per-trigger gate silently vacuous, the exact blind-spot
+          // class it exists to close.
+          var sReflBad = 0
           val sPlans = sq.flatMap { w =>
-            // StreamingQueryWrapper.streamingQuery (a StreamExecution) and
-            // its lastExecution are private[sql] at the Scala level but
-            // public bytecode — reflection reads them; the result is an
-            // IncrementalExecution (a QueryExecution subclass, itself
-            // public). null when the bounded source was empty and no
-            // trigger ever ran.
             try {
               val se = w.getClass.getMethod("streamingQuery").invoke(w)
               val m = se.getClass.getMethod("lastExecution")
               Option(m.invoke(se))
                 .map(_.asInstanceOf[org.apache.spark.sql.execution.QueryExecution]
                   .executedPlan.toString.split("== Initial Plan ==")(0))
-            } catch { case _: NoSuchMethodException => None }
+            } catch {
+              case _: NoSuchMethodException => sReflBad += 1; None
+            }
           }
           if (sys.env.contains("GRAFT_AUDIT_DEBUG") && sq.nonEmpty) {
             System.err.println(s"[dbg] $name sq=${sq.size} classes=" +
@@ -330,7 +336,7 @@ object PlanAudit {
             sPlans.foreach(p => System.err.println(
               "[dbg-plan] " + p.take(2500)))
           }
-          val sBad = sStarted - sq.size
+          val sBad = (sStarted - sq.size) + sReflBad
           val sScans = sPlans.map(tableScans)
           val sMax = (0 +: sScans.flatMap(_.values)).max
           val sOver = sScans.map(

@@ -117,8 +117,11 @@ object Components {
           if (hit != null) hit
           // a failed probe is memoized too: a same-session re-run of a
           // big graph goes straight to the iterative path instead of
-          // repaying the cap+1 collect every run
-          else if (overflowMemo.containsKey(memoKey)) null
+          // repaying the cap+1 collect every run. Keyed by the CAP as
+          // well: overflow under cap=1000 says nothing about the default
+          // cap, and a plan-only key would permanently route larger-cap
+          // calls (whose probe would succeed) to the iterative path
+          else if (overflowMemo.containsKey((memoKey, driverEdgeCap))) null
           else {
             val cached = symBase.cache()
             probeCached = Some(cached)
@@ -127,7 +130,8 @@ object Components {
               .limit(driverEdgeCap.toInt + 1)
               .collect().map(r => (r.getLong(0), r.getLong(1)))
             if (es.length > driverEdgeCap) {
-              overflowMemo.put(memoKey, java.lang.Boolean.TRUE); null
+              overflowMemo.put((memoKey, driverEdgeCap),
+                java.lang.Boolean.TRUE); null
             }
             else {
               val parent = new java.util.HashMap[Long, Long]()
@@ -321,12 +325,13 @@ object Components {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
     Array[(Long, Long)]]()
 
-  /** Edge plans whose bounded probe OVERFLOWED driverEdgeCap — a re-run
-    * dispatches straight to the iterative path without repaying the cap+1
-    * collect. Keyed and bounded like [[unionFindMemo]].
+  /** (edge plan key, driverEdgeCap) pairs whose bounded probe OVERFLOWED —
+    * a re-run under the SAME cap dispatches straight to the iterative path
+    * without repaying the cap+1 collect; a larger cap probes fresh (its
+    * probe may succeed). Bounded like [[unionFindMemo]].
     */
   private val overflowMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    ((org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Long),
     java.lang.Boolean]()
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into

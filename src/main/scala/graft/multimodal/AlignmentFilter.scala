@@ -63,18 +63,28 @@ object AlignmentFilter {
              textVec: Column, imageVec: Column,
              minAlignMilli: Long): DataFrame = {
     graft.functions.GraftFunctions.register(pairs.sparkSession)
-    pairs
-      .withColumn("__align",
+    ledgerScored(
+      pairs.withColumn("__align",
         floor(graft.vector.VectorFunctions.cosine(textVec, imageVec)
-          * lit(1000.0)).cast("long"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("__align") >= minAlignMilli, 1L).otherwise(0L))
-          .as("n_kept"),
-        sum(when(col("__align") < minAlignMilli, 1L).otherwise(0L))
-          .as("n_flagged"),
-        sum(when(col("__align") < minAlignMilli, col(idCol)).otherwise(0L))
-          .as("flagged_checksum"),
-        min(col("__align")).as("min_align_milli"))
+          * lit(1000.0)).cast("long")),
+      idCol, groupCol, "__align", minAlignMilli)
   }
+
+  /** [[ledger]] over a PRE-SCORED frame (`alignCol` = floor(cos·1000)) —
+    * the single aggregation both the vector entry point above and the
+    * landed-scored-frame consumers (`clip_alignment_filter` reads the
+    * session-landed clip_scored stage) share, so threshold semantics live
+    * in exactly one place.
+    */
+  def ledgerScored(scored: DataFrame, idCol: String, groupCol: String,
+                   alignCol: String, minAlignMilli: Long): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(alignCol) >= minAlignMilli, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col(alignCol) < minAlignMilli, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col(alignCol) < minAlignMilli, col(idCol)).otherwise(0L))
+          .as("flagged_checksum"),
+        min(col(alignCol)).as("min_align_milli"))
 }

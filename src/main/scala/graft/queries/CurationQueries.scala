@@ -371,22 +371,16 @@ object CurationQueries {
             when(occ(p) > 0L, 1L).otherwise(0L))
         }.withColumn("dropped",
           phrases.map(p => col(s"hit_${slug(p)}") === 1L).reduce(_ || _))
+        val aggs = Seq(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("toks")).as("tokens_total"),
+          sum(when(col("dropped"), col("toks")).otherwise(0L))
+            .as("tokens_dropped")) ++
+          phrases.map(p => sum(col(s"hit_${slug(p)}"))
+            .as(s"docs_${slug(p)}"))
         flagged.groupBy(col("source"))
-          .agg((Seq(
-            count(lit(1)).as("n_docs"),
-            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-            sum(col("toks")).as("tokens_total"),
-            sum(when(col("dropped"), col("toks")).otherwise(0L))
-              .as("tokens_dropped")) ++
-            phrases.map(p => sum(col(s"hit_${slug(p)}"))
-              .as(s"docs_${slug(p)}"))).head,
-            (Seq(
-              sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
-              sum(col("toks")).as("tokens_total"),
-              sum(when(col("dropped"), col("toks")).otherwise(0L))
-                .as("tokens_dropped")) ++
-              phrases.map(p => sum(col(s"hit_${slug(p)}"))
-                .as(s"docs_${slug(p)}"))): _*)
+          .agg(aggs.head, aggs.tail: _*)
           .select(col("source"), col("n_docs"), col("n_dropped"),
             expr("(1000L * n_dropped) div n_docs").as("dropped_permille"),
             col("tokens_total"), col("tokens_dropped"),
@@ -479,8 +473,12 @@ object CurationQueries {
         val a1 = batch.agg(count(lit(1)).as("batch_in"))
         val a2 = uk.agg(count(lit(1)).as("after_url"))
         val a3 = ek.agg(count(lit(1)).as("after_exact"))
+        // count(when(...)), not sum(when(...)): on an EMPTY survivor frame
+        // (every batch doc collapsed upstream) sum returns NULL while the
+        // oracle's COUNT(*) returns 0 — count over the conditional is the
+        // exact twin (count and countDistinct both yield 0 on empty)
         val a4 = sv.agg(
-          sum(when(col("comp") < 250L, 1L).otherwise(0L)).as("joined_existing"),
+          count(when(col("comp") < 250L, lit(1))).as("joined_existing"),
           countDistinct(when(col("comp") >= 250L, col("comp")))
             .as("kept_new_docs"))
         a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))

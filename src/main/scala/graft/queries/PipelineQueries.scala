@@ -1633,14 +1633,9 @@ object PipelineQueries {
     // source id + row-local cosine + keyed ledger; no corpus broadcast.
     DeclaredQuery("clip_alignment_filter",
       (s, dir) => {
-        clipScoredLanded(s, dir)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("a") >= 900L, 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("a") < 900L, 1L).otherwise(0L)).as("n_flagged"),
-            sum(when(col("a") < 900L, col("id")).otherwise(0L))
-              .as("flagged_checksum"),
-            min(col("a")).as("min_align_milli"))
+        graft.multimodal.AlignmentFilter.ledgerScored(
+          clipScoredLanded(s, dir), "id", "source", "a",
+          minAlignMilli = 900L)
           .orderBy(col("source"))
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

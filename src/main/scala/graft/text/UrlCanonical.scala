@@ -27,8 +27,11 @@ object UrlCanonical {
 
   // (?i): real crawl data mixes case (UTM_SOURCE=x, Gclid=y); (=|$): a
   // VALUELESS tracking param is still tracking noise. Mirrored verbatim in
-  // the DuckDB oracle (both are RE2/Java-compatible syntax) — change in
-  // lockstep only.
+  // the DuckDB oracle — change in lockstep only. Parity claim is
+  // ASCII-SCOPED: Java's (?i) folds ASCII only while RE2's applies Unicode
+  // simple folding (U+017F 'ſ' folds to 's' in DuckDB but not here) —
+  // tracking params in the wild are ASCII, and a Unicode-folded lookalike
+  // surviving canonicalization is under-collapse, not corruption.
   private val trackingParam = "(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"
 
   /** The canonical form of `url` (expects scheme://authority[/path][?q][#f];

@@ -51,14 +51,17 @@ N_AUDIT=$(wc -l < "${AUDIT}")
 echo "declared=${N_DECLARED} audited=${N_AUDIT}"
 [ "${N_AUDIT}" -eq "${N_DECLARED}" ] || {
   echo "CLOSE FAILED: ${AUDIT} has ${N_AUDIT} rows, expected ${N_DECLARED}"; exit 1; }
-if grep -E "cart=[1-9]" "${AUDIT}"; then
+if grep -E " cart=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: cartesian product in a declared plan"; exit 1; fi
+# NOTE: every field grep is anchored on its LEADING SPACE — "over=" is a
+# substring of "auxover="/"strigover=", so an unanchored grep would fire
+# the wrong gate with the wrong message on an aux/trigger violation.
 # r10 lesson: segmented_trend_fit aggregated the events table twice in one
 # query and no gate saw it — PlanAudit now counts base-table scans per query
 # against PlanAudit.scanBounds (default 2; measured exceptions declared with
 # reasons). over>0 = a table scanned above its declared bound: land the
 # stage or declare the bound, never ship the silent recompute.
-if grep -E "over=[1-9]" "${AUDIT}"; then
+if grep -E " over=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: a query scans a base table above its declared bound"
   exit 1; fi
 # r11 advisory: the final plan cannot see scans inside eagerly-executed
@@ -69,29 +72,29 @@ if grep -E "over=[1-9]" "${AUDIT}"; then
 # re-measure and move the auxScanBounds entry when a rename shifts it.
 echo "NOTE: aux-job charges follow sorted run order (first consumer pays) —"
 echo "      a query rename can move a charge; re-measure auxScanBounds then."
-if grep -E "auxover=[1-9]" "${AUDIT}"; then
+if grep -E " auxover=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: an auxiliary job (landing/probe) scans a base table above its bound"
   exit 1; fi
 # r12 verdict: per-trigger IncrementalExecutions are invisible to the
 # QueryExecutionListener — PlanAudit now captures every started streaming
 # query and gates the last trigger's plan (strigover); sbad>0 means a
 # started query escaped capture and its triggers went ungated.
-if grep -E "strigover=[1-9]" "${AUDIT}"; then
+if grep -E " strigover=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: a streaming trigger scans a base table above its bound"
   exit 1; fi
-if grep -E "sbad=[1-9-]" "${AUDIT}"; then
+if grep -E " sbad=[1-9-]" "${AUDIT}"; then
   echo "CLOSE FAILED: a started streaming query escaped per-trigger capture"
   exit 1; fi
 # locbad>0 = a Location: entry the scan-count regex failed to parse
 # (metadata truncation or plan-format drift) — scan counts untrustworthy
-if grep -E "locbad=[1-9]" "${AUDIT}"; then
+if grep -E " locbad=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: unparsed Location entries — scan counting is untrustworthy"
   exit 1; fi
 if grep -q "FAILED" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
 # r8 lesson: DECIMAL-typed output columns were the only driver-gate hash
 # failures and were invisible to every local signal — refuse them at close.
-if grep -E "dec=[1-9]" "${AUDIT}"; then
+if grep -E " dec=[1-9]" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query emits a DECIMAL-typed output column"
   exit 1; fi
 # belt-and-braces: scan the Verify parquet footers too (catches a dec column
