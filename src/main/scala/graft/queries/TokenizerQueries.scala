@@ -151,14 +151,20 @@ object TokenizerQueries {
     * (the int64 `bits<<10 | n_pieces<<5 | back_pointer` encoding, plain
     * integer min), a recursive back-pointer walk, usage recount, integer-
     * bits rescore, and zero-usage pruning. Ends with CTE `uv{uniRounds}`
-    * (piece, usage, bits) and keeps `uwh`/`udp{r}` visible for fertility
+    * (piece, usage, bits) and keeps `{pfx}wh`/`{pfx}dp{r}` visible for fertility
     * consumers.
     */
-  private def sqlUnigramCtes: String = {
-    // one Viterbi-lattice recursive CTE: DP over uwh under cost map `mref`
+  private def sqlUnigramCtes: String = sqlUnigramCtes("u", uniK)
+
+  /** [[sqlUnigramCtes]] parametrized for the vocab-size sweep: CTE names
+    * prefixed with `pfx`, `k` multi-char seeds. The default instance
+    * (pfx "u", k = SeedMultiK) is what the train/fertility oracles read.
+    */
+  private def sqlUnigramCtes(pfx: String, k: Int): String = {
+    // one Viterbi-lattice recursive CTE: DP over ${pfx}wh under cost map `mref`
     def dpCte(name: String, mref: String): String =
       s"""$name AS (WITH RECURSIVE d(w, ct, i, acc) AS (
-            SELECT w, ct, 0, [CAST(0 AS BIGINT)] FROM uwh
+            SELECT w, ct, 0, [CAST(0 AS BIGINT)] FROM ${pfx}wh
             UNION ALL
             SELECT d.w, d.ct, d.i + 1,
               list_append(d.acc, list_aggregate(
@@ -176,42 +182,42 @@ object TokenizerQueries {
     // CTEs, was fine). Materializing pins the one-row map before the
     // lattice recursion reads it.
     def round(r: Int): String =
-      s"""um$r AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM uv${r - 1}),
-        ${dpCte(s"udp$r", s"um$r")},
-        ubt$r AS (WITH RECURSIVE b(w, ct, pos, ps) AS (
-            SELECT w, ct, length(w), CAST([] AS VARCHAR[]) FROM udp$r
+      s"""${pfx}m$r AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM ${pfx}v${r - 1}),
+        ${dpCte(s"${pfx}dp$r", s"${pfx}m$r")},
+        ${pfx}bt$r AS (WITH RECURSIVE b(w, ct, pos, ps) AS (
+            SELECT w, ct, length(w), CAST([] AS VARCHAR[]) FROM ${pfx}dp$r
             UNION ALL
             SELECT b.w, b.ct, CAST(d.acc[b.pos + 1] & 31 AS INTEGER),
               list_append(b.ps, substring(b.w,
                 CAST((d.acc[b.pos+1] & 31) + 1 AS INTEGER),
                 CAST(b.pos - (d.acc[b.pos+1] & 31) AS INTEGER)))
-            FROM b JOIN udp$r d ON d.w = b.w WHERE b.pos > 0)
+            FROM b JOIN ${pfx}dp$r d ON d.w = b.w WHERE b.pos > 0)
           SELECT w, ct, ps FROM b WHERE pos = 0),
-        uu$r AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS u FROM (
-                  SELECT ct, unnest(ps) AS piece FROM ubt$r) GROUP BY 1),
-        ut$r AS (SELECT CAST(SUM(u) AS BIGINT) AS U FROM uu$r),
-        uv$r AS (SELECT v.piece, coalesce(u.u, CAST(0 AS BIGINT)) AS usage,
+        ${pfx}u$r AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS u FROM (
+                  SELECT ct, unnest(ps) AS piece FROM ${pfx}bt$r) GROUP BY 1),
+        ${pfx}t$r AS (SELECT CAST(SUM(u) AS BIGINT) AS U FROM ${pfx}u$r),
+        ${pfx}v$r AS (SELECT v.piece, coalesce(u.u, CAST(0 AS BIGINT)) AS usage,
                    length(bin(t.U // (coalesce(u.u, CAST(0 AS BIGINT)) + 1))) - 1 AS bits
-                 FROM uv${r - 1} v LEFT JOIN uu$r u USING (piece)
-                 CROSS JOIN ut$r t
+                 FROM ${pfx}v${r - 1} v LEFT JOIN ${pfx}u$r u USING (piece)
+                 CROSS JOIN ${pfx}t$r t
                  WHERE length(v.piece) = 1 OR coalesce(u.u, 0) > 0)"""
-    s"""uwh AS (SELECT t AS w, COUNT(*) AS ct FROM (
+    s"""${pfx}wh AS (SELECT t AS w, COUNT(*) AS ct FROM (
             SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
           GROUP BY 1),
-        usp AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS cnt FROM (
+        ${pfx}sp AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS cnt FROM (
             SELECT ct, unnest(flatten(list_transform(range(1, length(w) + 1),
               i -> list_transform(range(1, least(4, length(w) - i + 1) + 1),
-                k -> substring(w, i, k))))) AS piece FROM uwh) GROUP BY 1),
-        uch AS (SELECT piece, cnt FROM usp WHERE length(piece) = 1),
-        umu AS (SELECT piece, cnt FROM usp WHERE length(piece) > 1
-                ORDER BY cnt DESC, piece LIMIT $uniK),
-        uv0p AS (SELECT * FROM uch UNION ALL SELECT * FROM umu),
-        ut0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM uv0p),
-        uv0 AS (SELECT piece, cnt AS usage, length(bin(t.T // cnt)) - 1 AS bits
-                FROM uv0p CROSS JOIN ut0 t),
+                k -> substring(w, i, k))))) AS piece FROM ${pfx}wh) GROUP BY 1),
+        ${pfx}ch AS (SELECT piece, cnt FROM ${pfx}sp WHERE length(piece) = 1),
+        ${pfx}mu AS (SELECT piece, cnt FROM ${pfx}sp WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT $k),
+        ${pfx}v0p AS (SELECT * FROM ${pfx}ch UNION ALL SELECT * FROM ${pfx}mu),
+        ${pfx}t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS T FROM ${pfx}v0p),
+        ${pfx}v0 AS (SELECT piece, cnt AS usage, length(bin(t.T // cnt)) - 1 AS bits
+                FROM ${pfx}v0p CROSS JOIN ${pfx}t0 t),
         ${(1 to uniRounds).map(round).mkString(",\n        ")},
-        umF AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM uv$uniRounds),
-        ${dpCte("udpF", "umF")}"""
+        ${pfx}mF AS MATERIALIZED (SELECT map(list(piece), list(bits)) AS mm FROM ${pfx}v$uniRounds),
+        ${dpCte(s"${pfx}dpF", s"${pfx}mF")}"""
   }
 
   val queries: Seq[DeclaredQuery] = Seq(
@@ -401,6 +407,54 @@ object TokenizerQueries {
           ON d.t = s.w
         JOIN uns ON d.t = uns.w
         GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ---- O208: unigram vocab-size sweep -------------------------------------
+    // The SentencePiece decision the train row fixes at one point: the
+    // kept-pieces / fertility curve over the multi-char seed budget (a
+    // smaller vocabulary must segment finer — fertility rises as K falls;
+    // vocab size vs sequence length is THE tokenizer trade). Two frozen
+    // budgets train end-to-end (each chain is vocabulary-sized; the word
+    // histogram lands once and feeds both); token totals come from the
+    // histogram identity Σ ct·n_pieces — no second corpus scan.
+    DeclaredQuery("unigram_vocab_sweep",
+      (s, dir) => {
+        val wh = graft.relational.Stages.materialize(
+          wordHist(tbl(s, dir, "documents")), "uni_wh")
+        val rows = Seq(16, 48).map { k =>
+          val vocab = graft.relational.Stages.materialize(
+            graft.text.UnigramLm.trainVocab(wh, k), "uni_vocab")
+          val tok = graft.text.UnigramLm.pieceCounts(wh, vocab)
+            .join(wh, Seq("w"))
+            .agg(sum(col("ct")).as("ws_tokens"),
+              sum(col("ct") * col("n_uni")).as("uni_tokens"))
+          val vc = vocab.agg(count(lit(1)).as("n_pieces"),
+            sum(when(length(col("piece")) > 1, 1L).otherwise(0L))
+              .as("n_multi_pieces"))
+          vc.crossJoin(broadcast(tok))
+            .select(lit(k.toLong).as("seed_multi_k"), col("n_pieces"),
+              col("n_multi_pieces"), col("ws_tokens"), col("uni_tokens"),
+              expr("(1000L * uni_tokens) div ws_tokens")
+                .as("fertility_permille"))
+        }
+        rows.reduce(_ unionByName _).orderBy(col("seed_multi_k"))
+      },
+      Some {
+        def arm(k: Int, pfx: String) =
+          s"""SELECT CAST($k AS BIGINT) AS seed_multi_k,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ${pfx}v$uniRounds)
+              AS n_pieces,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ${pfx}v$uniRounds
+             WHERE length(piece) > 1) AS n_multi_pieces,
+            (SELECT CAST(SUM(ct) AS BIGINT) FROM ${pfx}wh) AS ws_tokens,
+            (SELECT CAST(SUM(ct * ((acc[length(w) + 1] >> 5) & 31))
+               AS BIGINT) FROM ${pfx}dpF) AS uni_tokens"""
+        s"""WITH ${sqlUnigramCtes("ua", 16)},
+          ${sqlUnigramCtes("ub", 48)},
+          ms AS (${arm(16, "ua")} UNION ALL ${arm(48, "ub")})
+        SELECT seed_multi_k, n_pieces, n_multi_pieces, ws_tokens, uni_tokens,
+          (1000 * uni_tokens) // ws_tokens AS fertility_permille
+        FROM ms ORDER BY seed_multi_k"""
       }),
 
     // ---- O54: tokenizer fertility by language -----------------------------

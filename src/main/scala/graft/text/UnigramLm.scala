@@ -63,17 +63,17 @@ object UnigramLm {
           k => col("w").substr(i, k))))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("ct")).as("cnt"))
 
-  /** Seed vocabulary: all single chars + top-[[SeedMultiK]] multi-char
+  /** Seed vocabulary: all single chars + top-`multiK` multi-char
     * candidates, scored in integer bits against the kept total.
     * Output: (piece, usage, bits).
     */
-  def seedVocab(wh: DataFrame): DataFrame = {
+  def seedVocab(wh: DataFrame, multiK: Int = SeedMultiK): DataFrame = {
     val sp = seedPieces(wh)
     val chars = sp.filter(length(col("piece")) === 1)
     // top-K via orderBy+limit = distributed TakeOrdered, never a global
     // window — the candidate space is huge at corpus scale
     val multi = sp.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece")).limit(SeedMultiK)
+      .orderBy(col("cnt").desc, col("piece")).limit(multiK)
     val v0 = chars.unionByName(multi)
     val t0 = v0.agg(sum(col("cnt")).as("T"))
     v0.crossJoin(broadcast(t0))
@@ -160,8 +160,8 @@ object UnigramLm {
   /** Full training: seed → [[EmRounds]] hard-EM rounds.
     * Output: (piece, usage, bits), the final kept vocabulary.
     */
-  def trainVocab(wh: DataFrame): DataFrame =
-    (1 to EmRounds).foldLeft(seedVocab(wh))((v, _) => emRound(wh, v))
+  def trainVocab(wh: DataFrame, multiK: Int = SeedMultiK): DataFrame =
+    (1 to EmRounds).foldLeft(seedVocab(wh, multiK))((v, _) => emRound(wh, v))
 
   /** (w, n_uni): pieces per word type under `vocab` — the broadcast apply
     * table for fertility readings (the BPE `n_sub` twin).

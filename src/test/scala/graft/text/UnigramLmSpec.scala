@@ -58,6 +58,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(pc("x") === 1L)
   }
 
+  test("a smaller seed budget yields fewer pieces and strictly higher fertility") {
+    def fertility(multiK: Int): (Long, Long) = {
+      val vocab = UnigramLm.trainVocab(wh, multiK)
+      val tok = UnigramLm.pieceCounts(wh, vocab).join(wh, Seq("w"))
+        .agg(sum(col("ct") * col("n_uni"))).as[Long].collect().head
+      (vocab.count(), tok)
+    }
+    val (nChars, charTok) = fertility(0)   // chars only — the ceiling
+    val (nFull, fullTok) = fertility(8)
+    assert(nChars < nFull, "zero multi budget keeps only chars")
+    assert(charTok > fullTok,
+      "char-only segmentation must use strictly more pieces")
+    // chars-only fertility equals total characters exactly
+    val chars = wh.select(sum(col("ct") * length(col("w")))).as[Long]
+      .collect().head
+    assert(charTok === chars)
+  }
+
   test("tokens past MaxWordLen or empty refuse loudly inside the DP column") {
     val vocab = UnigramLm.seedVocab(wh)
     val long = Seq(("a" * (UnigramLm.MaxWordLen + 1), 1L)).toDF("w", "ct")
