@@ -344,12 +344,39 @@ object PlanAudit {
           val sDetail = sScans.flatMap(_.toSeq)
             .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
             .toSeq.sortBy(-_._2).map { case (t, n) => s"$t:$n" }.mkString(",")
+          // Gate legibility (r13 verdict): an empty strigscans= is correct
+          // when the trigger reads only the in-memory replay source — but
+          // indistinguishable at a glance from "capture silently failed".
+          // strigsrc names WHAT the captured trigger plans actually read:
+          //   replay  — the DSv2 replay table (trigger plans render it as
+          //             "MicroBatchScan[…] class graft.sources.ReplayTable…")
+          //   memory  — a MemoryStream source
+          //   file    — a parquet base-table scan (counted in strigscans)
+          //   none    — a query started but no trigger ever ran (empty src)
+          //   unknown — a trigger plan with NO recognizable source: capture
+          //             drift; the close script refuses it
+          val sSrc =
+            if (sq.isEmpty) "-"
+            else if (sPlans.isEmpty) "none"
+            else {
+              val kinds = Seq(
+                "replay" -> sPlans.exists(_.contains("graft.sources.ReplayTable")),
+                // "MemoryStream[" is the SOURCE node; a bare "MemoryStream"
+                // substring also matches the memory SINK's
+                // "MemoryStreamingWrite" and would mistag every
+                // memory-sink query (measured on stream_static_enrichment)
+                "memory" -> sPlans.exists(_.contains("MemoryStream[")),
+                "file" -> sScans.exists(_.nonEmpty)
+              ).collect { case (k, true) => k }
+              if (kinds.isEmpty) "unknown" else kinds.mkString("+")
+            }
           val locBad = (plan +: (auxPlans ++ sPlans)).map(locationMismatch).sum
           println(f"[plan] $name%-32s shuf=$exchanges%-3d bhj=$bhj%-2d smj=$smj%-2d " +
             f"bnl=$bnl%-2d cart=$cart%-2d pushedFilters=$pushed%-2d codegenSpans=$wsc%-2d " +
             f"dec=$dec%-2d maxscan=$maxScan%-2d over=$over%-2d locbad=$locBad%-2d " +
             f"auxjobs=${auxQes.size}%-2d auxmax=$auxMax%-2d auxover=$auxOver%-2d " +
             f"sq=${sq.size}%-2d strigmax=$sMax%-2d strigover=$sOver%-2d sbad=$sBad%-2d " +
+            f"strigsrc=$sSrc%-8s " +
             f"scans=$scanDetail auxscans=$auxDetail strigscans=$sDetail")
           if (only.isDefined) println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
@@ -357,6 +384,11 @@ object PlanAudit {
           case e: Throwable => println(s"[plan] $name FAILED: ${e.getMessage}")
         }
       }
+    // aggregate driver-heap ledger over every memo family the suite touched
+    // (r13 verdict "Next" #5); close_round greps these into the audit
+    // artifact and refuses per-family entry counts above
+    // tools/memo_bounds.json
+    graft.MemoLedger.printLedger()
     spark.stop()
   }
 }

@@ -125,10 +125,18 @@ object Components {
           else {
             val cached = symBase.cache()
             probeCached = Some(cached)
-            val es = cached
-              .select(col("src").cast("long"), col("dst").cast("long"))
-              .limit(driverEdgeCap.toInt + 1)
-              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            // exception-safe: a probe that throws (executor OOM, cancelled
+            // job) runs NEITHER the success path nor the iterative fallback,
+            // so nothing downstream would ever unpersist the frame — release
+            // it here and re-raise instead of pinning it for the session
+            val es = try {
+              cached
+                .select(col("src").cast("long"), col("dst").cast("long"))
+                .limit(driverEdgeCap.toInt + 1)
+                .collect().map(r => (r.getLong(0), r.getLong(1)))
+            } catch { case t: Throwable =>
+              cached.unpersist(); probeCached = None; throw t
+            }
             if (es.length > driverEdgeCap) {
               overflowMemo.put((memoKey, driverEdgeCap),
                 java.lang.Boolean.TRUE); null
@@ -333,6 +341,15 @@ object Components {
   private val overflowMemo = new java.util.concurrent.ConcurrentHashMap[
     ((org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Long),
     java.lang.Boolean]()
+
+  graft.MemoLedger.register("components.unionFind") { () =>
+    import scala.jdk.CollectionConverters._
+    (unionFindMemo.size.toLong,
+      unionFindMemo.values.asScala.map(a => 16L + 48L * a.length).sum)
+  }
+  graft.MemoLedger.register("components.overflow") { () =>
+    (overflowMemo.size.toLong, 16L * overflowMemo.size)
+  }
 
   /** Incremental connected components: fold a batch of NEW edges/nodes into
     * an existing labeling without recomputing history. The previous labels

@@ -159,6 +159,10 @@ object GraftFunctions {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  graft.MemoLedger.register("functions.sessions", planKeyed = false) { () =>
+    (registered.size.toLong, 16L * registered.size)
+  }
+
   def register(spark: SparkSession): Unit = if (registered.add(spark)) {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot",

@@ -23,6 +23,11 @@ object Bucketing {
   private val written = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
+  graft.MemoLedger.register("bucketing.written", planKeyed = false) { () =>
+    import scala.jdk.CollectionConverters._
+    (written.size.toLong, written.asScala.map(2L * _.length).sum)
+  }
+
   /** The tag-qualified physical table name: distinct source dirs get
     * DISTINCT tables, so a session that touches two scale factors can
     * never read one dir's data under the other's name (the memo alone

@@ -130,6 +130,15 @@ object GlobalRank {
       s"outCols (${outCols.size}) must match valueCols (${valueCols.size})")
     require(numBuckets > 0)
     val k = valueCols.size
+    // grouping_id arithmetic below is (1L << k) − 1: at k ≥ 63 the shift
+    // wraps and cell lookups would misattribute counts SILENTLY, and the
+    // GROUPING SETS Expand duplicates the input k-fold well before that.
+    // Refuse loudly far under the wrap point (the Linkage F ≤ 6 style) —
+    // no caller legitimately ranks 16+ signals in one model.
+    require(k <= 16,
+      s"globalRank.byValues: ${k} value columns exceeds the supported bound " +
+        "of 16 — grouping_id bit arithmetic wraps at 64 and the Expand cost " +
+        "grows k-fold; split the signals across two calls instead")
     val memoKey = (df.queryExecution.analyzed.canonicalized,
       valueCols, numBuckets)
     // n, per-column (lo, hi), per-column sorted (cell -> count)
@@ -232,6 +241,19 @@ object GlobalRank {
   private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int),
     (Long, Double, Double, Array[(Long, Long)])]()
+
+  graft.MemoLedger.register("globalrank.byValue") { () =>
+    import scala.jdk.CollectionConverters._
+    (modelMemo.size.toLong,
+      modelMemo.values.asScala.map(m => 24L + 32L * m._4.length).sum)
+  }
+  graft.MemoLedger.register("globalrank.byValues") { () =>
+    import scala.jdk.CollectionConverters._
+    (multiMemo.size.toLong,
+      multiMemo.values.asScala.map { m =>
+        8L + 16L * m._2.length + m._3.iterator.map(a => 16L + 32L * a.length).sum
+      }.sum)
+  }
 
   /** DuckDB-convention ntile from an exact 1-based rank: with q = n div k
     * and r = n mod k, the FIRST r tiles hold q+1 rows (verified identical

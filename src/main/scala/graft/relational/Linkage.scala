@@ -151,4 +151,10 @@ object Linkage {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Seq[String], Seq[String]),
     Map[Long, (Long, Long, Long)]]()
+
+  graft.MemoLedger.register("linkage.probe") { () =>
+    import scala.jdk.CollectionConverters._
+    (probeMemo.size.toLong,
+      probeMemo.values.asScala.map(m => 16L + 56L * m.size).sum)
+  }
 }

@@ -168,4 +168,10 @@ object MarkovAttribution {
   private val transMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     Array[org.apache.spark.sql.Row]]()
+
+  graft.MemoLedger.register("markov.transitions") { () =>
+    import scala.jdk.CollectionConverters._
+    (transMemo.size.toLong,
+      transMemo.values.asScala.map(a => 16L + 128L * a.length).sum)
+  }
 }

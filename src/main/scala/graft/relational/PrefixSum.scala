@@ -36,16 +36,38 @@ object PrefixSum {
     */
   def runningSum(df: DataFrame, idCol: String, valueCol: String,
                  outCol: String, numParts: Int = 32): (DataFrame, Long) = {
+    val (out, totals) = runningSums(df, idCol, Seq(valueCol -> outCol), numParts)
+    (out, totals.head)
+  }
+
+  /** Multi-column [[runningSum]]: INCLUSIVE running sums of EVERY
+    * `(valueCol, outCol)` pair in one shared model — ONE bounds aggregate +
+    * ONE per-bucket totals job regardless of k, where k chained
+    * single-column calls would pay 2k sequential driver round-trips (the
+    * r13 `nb_pr_sweep` driver-bench signature: auxjobs=4 from two chained
+    * calls, both driver passes >2× the close reading; the `byValues` fold
+    * pattern). Same id contract as the single-column form. Returns the
+    * augmented frame and the grand total per value column, in input order.
+    */
+  def runningSums(df: DataFrame, idCol: String,
+                  valueOutCols: Seq[(String, String)],
+                  numParts: Int = 32): (DataFrame, Seq[Long]) = {
     require(numParts > 0)
-    // The prefix model — (n, lo, hi, per-bucket totals) — is memoized per
-    // (canonicalized input plan, idCol, valueCol, numParts), the same
-    // bounded-model-collect discipline as GlobalRank.byValue: the two
-    // driver-synchronous model jobs run once per session per distinct
+    require(valueOutCols.nonEmpty &&
+      valueOutCols.map(_._1).distinct == valueOutCols.map(_._1) &&
+      valueOutCols.map(_._2).distinct == valueOutCols.map(_._2),
+      s"value/out columns must be nonempty and distinct, got $valueOutCols")
+    val valueCols = valueOutCols.map(_._1)
+    val k = valueCols.size
+    // The prefix model — (n, lo, hi, per-bucket per-column totals) — is
+    // memoized per (canonicalized input plan, idCol, valueCols, numParts),
+    // the same bounded-model-collect discipline as GlobalRank.byValues: the
+    // two driver-synchronous model jobs run once per session per distinct
     // input (a contended driver pays each job launch once, not per run);
     // the loud non-null contract re-checks from the memoized scalars.
     val memoKey = (df.queryExecution.analyzed.canonicalized,
-      idCol, valueCol, numParts)
-    val model: (Long, Double, Double, Map[Int, Long]) = {
+      idCol, valueCols, numParts)
+    val model: (Long, Double, Double, Map[Int, Seq[Long]]) = {
       val hit = modelMemo.get(memoKey)
       if (hit != null) hit
       else {
@@ -55,7 +77,8 @@ object PrefixSum {
           count(lit(1)).as("n"),
           count(col(idCol).cast("double")).as("nn")).head()
         val m =
-          if (bounds.getLong(2) == 0L) (0L, 0.0, 0.0, Map.empty[Int, Long])
+          if (bounds.getLong(2) == 0L)
+            (0L, 0.0, 0.0, Map.empty[Int, Seq[Long]])
           else {
             // a non-empty frame whose ids cast to null would otherwise ride
             // the empty-input path and silently return outCol = 0 everywhere
@@ -69,8 +92,14 @@ object PrefixSum {
               floor((col(idCol).cast("double") - lit(lo0)) / lit(span0) * numParts))
               .cast("int")
             val t = df.withColumn("__b", bucket0)
-              .groupBy(col("__b")).agg(sum(col(valueCol)).as("t"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+              .groupBy(col("__b"))
+              .agg(valueCols.map(c => sum(col(c)).as(s"__t_$c")).head,
+                valueCols.map(c => sum(col(c)).as(s"__t_$c")).tail: _*)
+              .collect()
+              .map(r => r.getInt(0) ->
+                valueCols.indices.map(i =>
+                  if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+              .toMap
             (bounds.getLong(2), lo0, bounds.getDouble(1), t)
           }
         modelMemo.put(memoKey, m)
@@ -79,8 +108,9 @@ object PrefixSum {
     }
     val (nRows, lo, hi, totals) = model
     if (nRows == 0L) {
-      // empty input: zero rows — just type the output column
-      return (df.withColumn(outCol, lit(0L)), 0L)
+      // empty input: zero rows — just type the output columns
+      return (valueOutCols.foldLeft(df)((d, vo) => d.withColumn(vo._2, lit(0L))),
+        Seq.fill(k)(0L))
     }
     val span = hi - lo + 1.0
     // monotone in id: (id−lo)/span ∈ [0,1), ×P then floor ∈ [0,P−1]; the
@@ -90,20 +120,23 @@ object PrefixSum {
       .cast("int")
     val withB = df.withColumn("__b", bucket)
     val bs = totals.keys.toSeq.sorted
-    val offs = bs.zip(bs.scanLeft(0L)((a, b) => a + totals(b)).dropRight(1)).toMap
-    val offsetOf = bs.foldRight(lit(0L): org.apache.spark.sql.Column) { (b, acc) =>
-      when(col("__b") === b, lit(offs(b))).otherwise(acc)
-    }
     // explicit ROWS frame: the default RANGE frame would hand duplicate ids
     // peer-INCLUSIVE equal sums — under the unique-id contract the frames
     // agree, but the ROWS form never silently folds a contract violation
-    // into plausible-looking output
+    // into plausible-looking output. One window spec shared by every
+    // column: CollapseWindow keeps all k sums in ONE WindowExec.
     val w = Window.partitionBy(col("__b")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = withB
-      .withColumn(outCol, offsetOf + sum(col(valueCol)).over(w))
-      .drop("__b")
-    (out, totals.values.sum)
+    val out = valueOutCols.zipWithIndex.foldLeft(withB) {
+      case (d, ((vc, oc), i)) =>
+        val offs = bs.zip(bs.scanLeft(0L)((a, b) => a + totals(b)(i))
+          .dropRight(1)).toMap
+        val offsetOf = bs.foldRight(lit(0L): org.apache.spark.sql.Column) {
+          (b, acc) => when(col("__b") === b, lit(offs(b))).otherwise(acc)
+        }
+        d.withColumn(oc, offsetOf + sum(col(vc)).over(w))
+    }.drop("__b")
+    (out, valueCols.indices.map(i => bs.map(b => totals(b)(i)).sum))
   }
 
   /** Per-GROUP exact running sums in `idCol` order: the grouped twin of
@@ -179,12 +212,20 @@ object PrefixSum {
       .drop("__b", "__g", "__ob", "__off")
   }
 
-  /** (canonicalized input plan, idCol, valueCol, numParts) -> (n, lo, hi,
-    * per-bucket totals). Bounded: ≤ numParts scalars per distinct summed
-    * input a session sees; same per-session-memo contract as
-    * `Stages.materialize` (source files immutable mid-session).
+  /** (canonicalized input plan, idCol, valueCols, numParts) -> (n, lo, hi,
+    * per-bucket per-column totals). Bounded: ≤ numParts × k scalars per
+    * distinct summed input a session sees; same per-session-memo contract
+    * as `Stages.materialize` (source files immutable mid-session).
     */
   private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
-    (Long, Double, Double, Map[Int, Long])]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Seq[String], Int),
+    (Long, Double, Double, Map[Int, Seq[Long]])]()
+
+  graft.MemoLedger.register("prefixsum.model") { () =>
+    import scala.jdk.CollectionConverters._
+    (modelMemo.size.toLong,
+      modelMemo.values.asScala.map { m =>
+        32L + m._4.valuesIterator.map(v => 24L + 8L * v.size).sum
+      }.sum)
+  }
 }

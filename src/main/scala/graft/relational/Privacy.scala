@@ -217,4 +217,8 @@ object Privacy {
     */
   private val domProbeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Integer]()
+
+  graft.MemoLedger.register("privacy.domainProbe") { () =>
+    (domProbeMemo.size.toLong, 16L * domProbeMemo.size)
+  }
 }

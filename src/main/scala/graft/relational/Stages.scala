@@ -110,4 +110,10 @@ object Stages {
     */
   private val landed = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), String]()
+
+  graft.MemoLedger.register("stages.landed") { () =>
+    import scala.jdk.CollectionConverters._
+    (landed.size.toLong,
+      landed.values.asScala.map(p => 48L + 2L * p.length).sum)
+  }
 }

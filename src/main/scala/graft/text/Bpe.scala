@@ -78,6 +78,12 @@ object Bpe {
     // queries train on the same histogram, and the driver loop is
     // `rounds` sequential argmax collects that a warm re-run should never
     // repay. Same source-immutability contract as Stages.materialize.
+    // check-then-act on the CHM is a benign race (same contract as
+    // Stages.materialize): two concurrent first calls both train, the loop
+    // is deterministic (total argmax order) so both compute IDENTICAL rules,
+    // and last-write-wins costs only duplicate work — never a wrong memo.
+    // computeIfAbsent is deliberately NOT used: it would hold the map's bin
+    // lock across a rounds-long sequence of Spark jobs.
     val memoKey = (words.queryExecution.analyzed.canonicalized, rounds)
     val memoHit = mergeMemo.get(memoKey)
     if (memoHit != null) {
@@ -127,4 +133,11 @@ object Bpe {
   private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     Seq[MergeRule]]()
+
+  graft.MemoLedger.register("bpe.rules") { () =>
+    import scala.jdk.CollectionConverters._
+    (mergeMemo.size.toLong,
+      mergeMemo.values.asScala.map(rs =>
+        rs.map(r => 48L + 2L * (r.lhs.length + r.rhs.length)).sum).sum)
+  }
 }

@@ -62,10 +62,10 @@ object CorpusStats {
       perDocStats.join(newTerms, Seq("bucket"), "left")
         .withColumn("new_terms", coalesce(col("new_terms"), lit(0L))),
       "vocab_buckets")
-    val (c1, _) = graft.relational.PrefixSum.runningSum(
-      merged, "bucket", "new_terms", "cum_vocab")
-    val (c2, _) = graft.relational.PrefixSum.runningSum(
-      c1, "bucket", "n_tokens", "cum_tokens")
+    // one fused model for both cumulative columns (2 driver jobs, not 4 —
+    // the nb_pr_sweep fold, see PrefixSum.runningSums)
+    val (c2, _) = graft.relational.PrefixSum.runningSums(
+      merged, "bucket", Seq("new_terms" -> "cum_vocab", "n_tokens" -> "cum_tokens"))
     c2.select("bucket", "n_docs", "n_tokens", "new_terms", "cum_vocab",
       "cum_tokens")
   }

@@ -129,10 +129,14 @@ object QualityClassifier {
       .agg(count(lit(1)).as("n"),
         sum(when(col("__pos"), 1L).otherwise(0L)).as("np"))
       .withColumn("__negm", -col("margin_bits"))
-    val (c1, _) = graft.relational.PrefixSum.runningSum(
-      perM, "__negm", "n", "pred_pos")
-    val (c2, totalPos) = graft.relational.PrefixSum.runningSum(
-      c1, "__negm", "np", "tp")
+    // ONE fused prefix-sum model for both cumulative counts: two chained
+    // single-column calls paid 4 sequential driver-synchronous model jobs
+    // (bounds + totals, twice) — the r13 driver bench showed that structure
+    // as nb_pr_sweep's both-passes slowdown (1.57/2.32 s vs 0.48 s close);
+    // the fused call pays 2, and both window sums share one WindowExec.
+    val (c2, totalsBoth) = graft.relational.PrefixSum.runningSums(
+      perM, "__negm", Seq("n" -> "pred_pos", "np" -> "tp"))
+    val totalPos = totalsBoth(1)
     val prec = expr("(1000L * tp) div pred_pos") // pred_pos ≥ 1 (own row)
     val rec =
       if (totalPos == 0L) lit(0L) else expr(s"(1000L * tp) div ${totalPos}L")

@@ -451,4 +451,11 @@ object Similarity {
   private val seedsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
     Seq[(Long, Seq[Double])]]()
+
+  graft.MemoLedger.register("similarity.seeds") { () =>
+    import scala.jdk.CollectionConverters._
+    (seedsMemo.size.toLong,
+      seedsMemo.values.asScala.map(rows =>
+        rows.map(r => 40L + 16L * r._2.size).sum).sum)
+  }
 }

@@ -133,6 +133,47 @@ class PrefixSumSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("runningSums: k columns in one model agree with k chained calls") {
+    val rnd = new scala.util.Random(23)
+    val rows = rnd.shuffle((0L until 400L).toVector)
+      .map(id => (id, (rnd.nextInt(30) + 1).toLong, (rnd.nextInt(9)).toLong))
+    val df = spark.sparkContext.parallelize(rows, 5).toDF("id", "a", "b")
+    val (fused, totals) = PrefixSum.runningSums(
+      df, "id", Seq("a" -> "ca", "b" -> "cb"), 16)
+    val got = fused.select("id", "ca", "cb")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    var (aa, ab) = (0L, 0L)
+    val expected = rows.sortBy(_._1).map { case (id, a, b) =>
+      aa += a; ab += b; id -> (aa, ab)
+    }.toMap
+    assert(got === expected)
+    assert(totals === Seq(rows.map(_._2).sum, rows.map(_._3).sum))
+    // exactly ONE WindowExec carries both running sums (CollapseWindow):
+    // a second window would serialize a second per-bucket sort pass
+    val nWindows = fused.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window"))
+    assert(nWindows === 1, "both prefix sums must share one WindowExec")
+  }
+
+  test("runningSums: empty input types every output column") {
+    val empty = spark.emptyDataset[(Long, Long, Long)].toDF("id", "a", "b")
+    val (out, totals) = PrefixSum.runningSums(
+      empty, "id", Seq("a" -> "ca", "b" -> "cb"), 8)
+    assert(out.count() === 0L && totals === Seq(0L, 0L))
+    assert(out.schema("ca").dataType.typeName === "long")
+    assert(out.schema("cb").dataType.typeName === "long")
+  }
+
+  test("runningSums: duplicate value or out columns are refused") {
+    val df = Seq((1L, 2L)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(df, "id", Seq("v" -> "c1", "v" -> "c2"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(df, "id", Seq.empty, 8)
+    }
+  }
+
   test("non-numeric ids fail loudly instead of returning all-zero sums") {
     // ANSI mode already throws on a malformed string cast; the engine's own
     // guard covers the silent case — ids that CAST to null (all-null ids)

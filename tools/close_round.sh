@@ -36,7 +36,7 @@ grep -qE "^[0-9]+ pass / 0 fail" /tmp/close_oracle.log || {
 
 echo "== close_round: PlanAudit over every declared query =="
 SPARK_GRAFT_SF_DIR="${SF_VERIFY}" sbt -batch "runMain graft.PlanAudit" \
-  2>/dev/null | grep '^\[plan\]' > "${AUDIT}"
+  2>/dev/null | grep -E '^\[(plan|memo|memo-total)\]' > "${AUDIT}"
 N_DECLARED=$(python3 - <<'EOF'
 import json
 with open('/tmp/close_verify/oracle_sql.json') as f:
@@ -47,7 +47,7 @@ dirs = [d for d in os.listdir('/tmp/close_verify')
 print(len(dirs))
 EOF
 )
-N_AUDIT=$(wc -l < "${AUDIT}")
+N_AUDIT=$(grep -c '^\[plan\]' "${AUDIT}")
 echo "declared=${N_DECLARED} audited=${N_AUDIT}"
 [ "${N_AUDIT}" -eq "${N_DECLARED}" ] || {
   echo "CLOSE FAILED: ${AUDIT} has ${N_AUDIT} rows, expected ${N_DECLARED}"; exit 1; }
@@ -85,6 +85,14 @@ if grep -E " strigover=[1-9]" "${AUDIT}"; then
 if grep -E " sbad=[1-9-]" "${AUDIT}"; then
   echo "CLOSE FAILED: a started streaming query escaped per-trigger capture"
   exit 1; fi
+# r13 verdict gate-legibility: strigsrc names what each captured trigger
+# plan actually reads (replay/memory/file). An empty strigscans= is benign
+# ONLY when strigsrc says the trigger read the in-memory replay source;
+# strigsrc=unknown means a trigger plan had NO recognizable source — the
+# capture drifted and the per-trigger gate is no longer trustworthy.
+if grep -E " strigsrc=unknown" "${AUDIT}"; then
+  echo "CLOSE FAILED: a captured trigger plan has no recognizable source (capture drift)"
+  exit 1; fi
 # locbad>0 = a Location: entry the scan-count regex failed to parse
 # (metadata truncation or plan-format drift) — scan counts untrustworthy
 if grep -E " locbad=[1-9]" "${AUDIT}"; then
@@ -92,6 +100,38 @@ if grep -E " locbad=[1-9]" "${AUDIT}"; then
   exit 1; fi
 if grep -q "FAILED" "${AUDIT}"; then
   echo "CLOSE FAILED: a declared query failed to plan/execute"; exit 1; fi
+# r13 verdict "Next" #5: the memo families are each bounded, but nothing
+# gated the AGGREGATE driver-heap footprint across a full-suite session.
+# PlanAudit now prints a [memo] line per family; refuse entry counts above
+# the committed per-family bounds (growth = edit tools/memo_bounds.json
+# WITH A REASON, the scanBounds discipline) and the global est-bytes ceiling.
+python3 - "${AUDIT}" <<'EOF' || { echo "CLOSE FAILED: memo ledger out of bounds"; exit 1; }
+import json, re, sys
+with open('tools/memo_bounds.json') as f:
+    spec = json.load(f)
+bounds = spec['families']
+fams = {}
+total_bytes = 0
+for line in open(sys.argv[1]):
+    m = re.match(r'\[memo\] family=(\S+)\s+entries=(\d+)\s+est_bytes=(\d+)', line)
+    if m:
+        fams[m.group(1)] = int(m.group(2))
+        total_bytes += int(m.group(3))
+bad = False
+for fam, n in sorted(fams.items()):
+    if fam not in bounds:
+        print(f'memo ledger: UNKNOWN family {fam} ({n} entries) — add a bound with a reason')
+        bad = True
+    elif n > bounds[fam]:
+        print(f'memo ledger: {fam} has {n} entries > bound {bounds[fam]}')
+        bad = True
+if total_bytes > spec['total_est_bytes_max']:
+    print(f'memo ledger: total est_bytes {total_bytes} > ceiling {spec["total_est_bytes_max"]}')
+    bad = True
+print(f'memo ledger: {len(fams)} families, total est_bytes {total_bytes} '
+      f'(ceiling {spec["total_est_bytes_max"]})')
+sys.exit(1 if bad else 0)
+EOF
 # r8 lesson: DECIMAL-typed output columns were the only driver-gate hash
 # failures and were invisible to every local signal — refuse them at close.
 if grep -E " dec=[1-9]" "${AUDIT}"; then
