@@ -60,6 +60,64 @@ object TokenizerQueries {
         $rounds"""
   }
 
+  private val wpRounds = 8
+
+  /** DuckDB replay of [[graft.text.WordPiece.applyRule]]: Passes nested
+    * literal replaces; the merged symbol sheds the rhs's `##` continuation
+    * marker (BERT merge naming).
+    */
+  private def sqlWpApplyRule(bref: String): String = {
+    val merged =
+      s"$bref.a || (CASE WHEN $bref.b LIKE '##%' THEN substring($bref.b, 3) ELSE $bref.b END)"
+    val padded = "' ' || sym || ' '"
+    val out = (1 to graft.text.WordPiece.Passes).foldLeft(padded) { (acc, _) =>
+      s"replace($acc, ' ' || $bref.a || ' ' || $bref.b || ' ', ' ' || $merged || ' ')"
+    }
+    s"trim($out)"
+  }
+
+  /** One WordPiece training round as CTEs: adjacent-pair counts AND symbol
+    * counts from the previous segmentation, the likelihood-gain argmax on
+    * the truncating fixed-point score (wt·10^18) // (ca·cb) — products in
+    * HUGEINT, the Spark side's DECIMAL(38,0) twin — then the merged
+    * segmentation. Ties break (a, b) ascending in both engines.
+    */
+  private def sqlWpRound(r: Int): String = {
+    val prev = s"wp${r - 1}"
+    s"""wpp$r AS (SELECT pr[1] AS a, pr[2] AS b, SUM(ct) AS wt FROM (
+            SELECT unnest(list_zip(l, l[2:])) AS pr, ct FROM (
+              SELECT string_split(sym, ' ') AS l, ct FROM $prev) t) u
+          WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+        wps$r AS (SELECT s, SUM(ct) AS cnt FROM (
+            SELECT unnest(string_split(sym, ' ')) AS s, ct FROM $prev) t
+          GROUP BY 1),
+        wpb$r AS MATERIALIZED (SELECT a, b, wt,
+              CAST((CAST(wt AS HUGEINT) * 1000000000000000000)
+                // (CAST(sa.cnt AS HUGEINT) * CAST(sb.cnt AS HUGEINT))
+                AS BIGINT) AS score_fp
+            FROM wpp$r JOIN wps$r sa ON wpp$r.a = sa.s
+                       JOIN wps$r sb ON wpp$r.b = sb.s
+            ORDER BY score_fp DESC, a, b LIMIT 1),
+        wp$r AS MATERIALIZED (SELECT w, ct, ${sqlWpApplyRule(s"wpb$r")} AS sym
+                 FROM $prev CROSS JOIN wpb$r)"""
+  }
+
+  /** WordPiece word histogram + BERT `##`-marked char init + all training
+    * rounds (no leading WITH — composes after other CTE families).
+    */
+  private def sqlWpCtes: String = {
+    val rounds = (1 to wpRounds).map(sqlWpRound).mkString(",\n        ")
+    s"""wph AS MATERIALIZED (SELECT t AS w, COUNT(*) AS ct FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+          GROUP BY 1),
+        wp0 AS MATERIALIZED (SELECT w, ct, CASE WHEN length(w) = 1 THEN w
+                ELSE substring(w, 1, 1) || ' ##' ||
+                  array_to_string(string_split(substring(w, 2), ''), ' ##') END
+                AS sym
+              FROM wph),
+        $rounds"""
+  }
+
   /** (w, ct) word-type histogram — the one corpus-scale aggregation of BPE
     * training (map-side combined; result is vocabulary-sized).
     */
@@ -201,8 +259,16 @@ object TokenizerQueries {
                  FROM ${pfx}v${r - 1} v LEFT JOIN ${pfx}u$r u USING (piece)
                  CROSS JOIN ${pfx}t$r t
                  WHERE length(v.piece) = 1 OR coalesce(u.u, 0) > 0)"""
+    // the CASE/error() guard mirrors UnigramLm's Spark-side raise_error
+    // (token length outside [1, MaxWordLen=30]) so BOTH engines refuse an
+    // out-of-contract fixture identically — without it the oracle would
+    // silently compute an overflowed 5-bit lattice while Spark refused
     s"""${pfx}wh AS (SELECT t AS w, COUNT(*) AS ct FROM (
-            SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+            SELECT CASE WHEN length(t0) = 0 OR length(t0) > 30
+                   THEN error('unigram oracle: token length outside [1, 30]')
+                   ELSE t0 END AS t FROM (
+              SELECT unnest(string_split(text, ' ')) AS t0 FROM documents) u0
+            ) u
           GROUP BY 1),
         ${pfx}sp AS (SELECT piece, CAST(SUM(ct) AS BIGINT) AS cnt FROM (
             SELECT ct, unnest(flatten(list_transform(range(1, length(w) + 1),
@@ -365,11 +431,11 @@ object TokenizerQueries {
           CAST(usage AS BIGINT) AS usage, CAST(bits AS BIGINT) AS bits
         FROM uv$uniRounds ORDER BY piece""")),
 
-    // ---- O204: BPE vs unigram fertility by language ------------------------
-    // The tokenizer-selection reading: subwords-per-word of BOTH trained
-    // tokenizers per language, side by side. Both apply tables are
-    // vocabulary-sized broadcast joins; the corpus token stream is scanned
-    // once and never shuffles for the apply.
+    // ---- O204: three-family tokenizer fertility by language ----------------
+    // The tokenizer-selection reading: subwords-per-word of ALL THREE trained
+    // production families (BPE, unigram-LM, WordPiece) per language, side by
+    // side. Every apply table is vocabulary-sized and broadcast; the corpus
+    // token stream is scanned once and never shuffles for the apply.
     DeclaredQuery("unigram_bpe_fertility",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
@@ -378,34 +444,46 @@ object TokenizerQueries {
         val (_, segmented) = Bpe.trainMerges(wordHist(docs), bpeRounds)
         val nsub = segmented.select(col("w").as("__bw"),
           size(split(col("sym"), " ")).cast("long").as("n_sub"))
+        val (_, segWp) = graft.text.WordPiece.trainMerges(wordHist(docs), wpRounds)
+        val nwp = segWp.select(col("w").as("__ww"),
+          size(split(col("sym"), " ")).cast("long").as("n_wp"))
         docs.select(col("lang"),
             explode(graft.text.TextFunctions.tokens(col("text"))).as("t"))
           .join(broadcast(nsub), col("t") === col("__bw"))
           .join(broadcast(uni), col("t") === uni("w"))
+          .join(broadcast(nwp), col("t") === col("__ww"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("ws_tokens"),
             sum(col("n_sub")).as("bpe_tokens"),
-            sum(col("n_uni")).as("uni_tokens"))
+            sum(col("n_uni")).as("uni_tokens"),
+            sum(col("n_wp")).as("wp_tokens"))
           .withColumn("bpe_fertility_permille",
             expr("(1000L * bpe_tokens) div ws_tokens"))
           .withColumn("uni_fertility_permille",
             expr("(1000L * uni_tokens) div ws_tokens"))
+          .withColumn("wp_fertility_permille",
+            expr("(1000L * wp_tokens) div ws_tokens"))
           .orderBy(col("lang"))
       },
       Some {
         s"""$sqlBpeCtes,
+        $sqlWpCtes,
         $sqlUnigramCtes,
         uns AS (SELECT w, ((acc[length(w) + 1] >> 5) & 31) AS n_uni
                 FROM udpF)
         SELECT d.lang, COUNT(*) AS ws_tokens,
           CAST(SUM(s.n_sub) AS BIGINT) AS bpe_tokens,
           CAST(SUM(uns.n_uni) AS BIGINT) AS uni_tokens,
+          CAST(SUM(wps.n_wp) AS BIGINT) AS wp_tokens,
           (1000 * CAST(SUM(s.n_sub) AS BIGINT)) // COUNT(*) AS bpe_fertility_permille,
-          (1000 * CAST(SUM(uns.n_uni) AS BIGINT)) // COUNT(*) AS uni_fertility_permille
+          (1000 * CAST(SUM(uns.n_uni) AS BIGINT)) // COUNT(*) AS uni_fertility_permille,
+          (1000 * CAST(SUM(wps.n_wp) AS BIGINT)) // COUNT(*) AS wp_fertility_permille
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) d
         JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
           ON d.t = s.w
         JOIN uns ON d.t = uns.w
+        JOIN (SELECT w, len(string_split(sym, ' ')) AS n_wp FROM wp$wpRounds) wps
+          ON d.t = wps.w
         GROUP BY 1 ORDER BY 1"""
       }),
 
@@ -483,6 +561,100 @@ object TokenizerQueries {
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) d
         JOIN (SELECT w, len(string_split(sym, ' ')) AS n_sub FROM w$bpeRounds) s
           ON d.t = s.w
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- O209: WordPiece vocabulary induction (the BERT trainer) -----------
+    // The third production tokenizer family (Schuster & Nakajima 2012):
+    // BPE's loop with the likelihood-gain selection — merge the pair
+    // maximizing count(ab)/(count(a)·count(b)), compared as the truncating
+    // fixed-point (wt·10^18) div (ca·cb) carried in DECIMAL(38,0)/HUGEINT
+    // so no float division executes in either engine (graft.text.WordPiece
+    // scaladoc). Deterministic argmax (score desc, pair asc) makes training
+    // oracle-replayable as chained CTEs, exactly like bpe_train_merges.
+    DeclaredQuery("wordpiece_train",
+      (s, dir) => {
+        val (rules, _) = graft.text.WordPiece.trainMerges(
+          wordHist(tbl(s, dir, "documents")), wpRounds)
+        import s.implicits._
+        rules.map(m => (m.rank.toLong, m.lhs, m.rhs, m.merged, m.weight, m.scoreFp))
+          .toDF("merge_rank", "lhs", "rhs", "merged", "weight", "score_fp")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        val unions = (1 to wpRounds).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+              a || (CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END) AS merged,
+              CAST(wt AS BIGINT) AS weight, score_fp FROM wpb$r"""
+        }.mkString("\n        UNION ALL ")
+        s"""WITH $sqlWpCtes
+        $unions
+        ORDER BY merge_rank"""
+      }),
+
+    // ---- O210: tokenizer losslessness audit ---------------------------------
+    // Gate AS A VALUE that every family's segmentation concatenates back to
+    // the original word over the FULL histogram (the verdict-inside-the-row
+    // pattern): a tokenizer that drops or duplicates characters corrupts
+    // every downstream token count silently — n_mismatch is oracle-pinned
+    // at 0 for all three families. BPE/WordPiece reconstruct by stripping
+    // separators (and `##` markers); unigram reconstructs by the Viterbi
+    // back-pointer walk (pieces emitted right-to-left, so the concat
+    // REVERSES them — the walk itself is under audit here, not just the
+    // piece counts the fertility rows read). Everything rides the landed
+    // histogram + memoized models; all three frames are vocabulary-sized.
+    DeclaredQuery("tokenizer_roundtrip_audit",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val (_, segB) = Bpe.trainMerges(wordHist(docs), bpeRounds)
+        val (_, segW) = graft.text.WordPiece.trainMerges(wordHist(docs), wpRounds)
+        val wh = graft.relational.Stages.materialize(wordHist(docs), "uni_wh")
+        val uniRec = wh
+          .crossJoin(broadcast(graft.text.UnigramLm.costMapOf(uniVocabLanded(s, dir))))
+          .withColumn("__acc", graft.text.UnigramLm.dpAcc(col("w"), col("__m")))
+          .withColumn("__rec", concat_ws("",
+            reverse(graft.text.UnigramLm.btPieces(col("w"), col("__acc")))))
+        def famRow(seg: DataFrame, fam: String, rec: org.apache.spark.sql.Column) =
+          seg.agg(count(lit(1)).as("n_word_types"),
+            sum(when(rec =!= col("w"), 1L).otherwise(0L)).as("n_mismatch"))
+            .select(lit(fam).as("family"), col("n_word_types"), col("n_mismatch"))
+        famRow(segB, "bpe", replace(col("sym"), lit(" "), lit("")))
+          .unionByName(famRow(uniRec, "unigram", col("__rec")))
+          .unionByName(famRow(segW, "wordpiece",
+            replace(replace(col("sym"), lit("##"), lit("")), lit(" "), lit(""))))
+          .orderBy(col("family"))
+      },
+      Some {
+        // the unigram walk joins a frame with RECURSIVE lineage inside a
+        // later recursive CTE — pin it with AS MATERIALIZED (the r13
+        // map-CTE misevaluation gotcha, applied to the join case as
+        // insurance)
+        s"""$sqlBpeCtes,
+        $sqlWpCtes,
+        $sqlUnigramCtes,
+        uwm AS MATERIALIZED (SELECT w, acc FROM udpF),
+        urt AS (WITH RECURSIVE r(w, pos, rec) AS (
+            SELECT w, CAST(length(w) AS BIGINT), '' FROM uwm
+            UNION ALL
+            SELECT r.w, u.acc[CAST(r.pos AS INTEGER) + 1] & 31,
+              substring(r.w, CAST((u.acc[CAST(r.pos AS INTEGER) + 1] & 31)
+                  AS INTEGER) + 1,
+                CAST(r.pos AS INTEGER)
+                  - CAST((u.acc[CAST(r.pos AS INTEGER) + 1] & 31) AS INTEGER))
+                || r.rec
+            FROM r JOIN uwm u ON r.w = u.w WHERE r.pos > 0)
+          SELECT w, rec FROM r WHERE pos = 0)
+        SELECT family, n_word_types, n_mismatch FROM (
+          SELECT 'bpe' AS family, CAST(COUNT(*) AS BIGINT) AS n_word_types,
+            CAST(SUM(CASE WHEN replace(sym, ' ', '') <> w THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mismatch FROM w$bpeRounds
+          UNION ALL
+          SELECT 'unigram', CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(CASE WHEN rec <> w THEN 1 ELSE 0 END) AS BIGINT) FROM urt
+          UNION ALL
+          SELECT 'wordpiece', CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(CASE WHEN replace(replace(sym, '##', ''), ' ', '') <> w
+              THEN 1 ELSE 0 END) AS BIGINT) FROM wp$wpRounds
+        ) ORDER BY family"""
+      })
   )
 }

@@ -1,0 +1,165 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed WordPiece vocabulary induction — the THIRD production
+  * tokenizer family beside BPE ([[Bpe]]) and unigram-LM ([[UnigramLm]]):
+  * the BERT trainer (Schuster & Nakajima 2012; Devlin et al. 2019 use it
+  * verbatim; the Hugging Face `WordPieceTrainer` is the reference
+  * implementation of the scoring below).
+  *
+  * WordPiece is BPE with a different SELECTION rule: instead of merging the
+  * most FREQUENT adjacent pair, it merges the pair maximizing the
+  * likelihood gain score = count(ab) / (count(a) · count(b)) — pairs whose
+  * parts rarely occur apart win over merely common pairs. Everything else
+  * (word-type histogram training, space-joined symbol strings, literal
+  * leftmost-non-overlap replace application) reuses the [[Bpe]] machinery,
+  * with BERT's continuation marker: non-initial symbols carry a `##`
+  * prefix, and a merge of (a, ##b) yields `a · b` with `a`'s initial-ness
+  * preserved ("k" + "##e" → "ke", "##e" + "##y" → "##ey").
+  *
+  * Engine-portable scoring (the repo's integer-exact oracle rule): the
+  * score is a RATIONAL, so it is compared as the truncating fixed-point
+  *   score_fp = (count(ab) · 10^18) div (count(a) · count(b))
+  * carried in DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB
+  * oracle — big products never touch BIGINT, the quotient (≤ 10^18) always
+  * fits one, and no float division executes in either engine. Ties break
+  * (a, b) ascending — a total order, so training is deterministic and
+  * replayable as chained oracle CTEs. The 10^18 scale keeps ~4 significant
+  * digits even at 100 TB pair counts (c_a·c_b ≲ 10^28, c_ab ≲ 10^14 ⇒
+  * score_fp ≈ 10^4); quantization can only reorder pairs whose scores
+  * agree to 18 fixed-point digits, and the lexicographic tie-break makes
+  * even that reorder deterministic and engine-identical.
+  *
+  * Scale shape: identical to BPE — the corpus collapses once to the (w, ct)
+  * word-type histogram (map-side combined, MBs at 100 TB); each training
+  * round is two vocabulary-sized aggregations (adjacent-pair counts +
+  * symbol counts) joined at vocabulary scale, ending in a 1-row argmax
+  * collect (the bounded-driver-model pattern, memoized per histogram).
+  * Applying the trained tokenizer is a broadcast (w → segmentation)
+  * equi-join — shuffle-free on the corpus side.
+  */
+object WordPiece {
+
+  /** Literal-replace passes per merge rule — same fixpoint argument as
+    * [[Bpe.Passes]] (the `##` markers ride inside the symbol literals and
+    * change nothing about the space-delimited replace mechanics).
+    */
+  val Passes: Int = Bpe.Passes
+
+  final case class WpRule(rank: Int, lhs: String, rhs: String,
+                          weight: Long, scoreFp: Long) {
+    /** BERT merge naming: the rhs sheds its continuation marker. */
+    def merged: String = lhs + rhs.stripPrefix("##")
+  }
+
+  /** BERT initial segmentation: first char bare, the rest `##`-prefixed
+    * ("key" → "k ##e ##y").
+    */
+  def initSym(word: Column): Column =
+    when(length(word) === 1, word)
+      .otherwise(concat(
+        word.substr(lit(1), lit(1)), lit(" ##"),
+        array_join(slice(split(word, ""), lit(2), length(word) - 1), " ##")))
+
+  /** One WordPiece merge applied to a space-joined symbol string: replace
+    * " lhs rhs " with " merged " (merged per [[WpRule.merged]]), [[Passes]]
+    * times to fixpoint — the [[Bpe.applyRule]] mechanics verbatim.
+    */
+  def applyRule(sym: Column, lhs: String, rhs: String): Column = {
+    val merged = lhs + rhs.stripPrefix("##")
+    val padded = concat(lit(" "), sym, lit(" "))
+    val out = (1 to Passes).foldLeft(padded) { (c, _) =>
+      replace(c, lit(s" $lhs $rhs "), lit(s" $merged "))
+    }
+    trim(out)
+  }
+
+  /** The fixed-point likelihood-gain score as a Spark expression over
+    * columns (wt, ca, cb): (wt · 10^18) div (ca · cb), products carried in
+    * DECIMAL(38,0), quotient a plain BIGINT.
+    */
+  private val scoreFpExpr =
+    "CAST(CAST(wt AS DECIMAL(38,0)) * CAST(1000000000000000000 AS DECIMAL(38,0)) " +
+      "div (CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS BIGINT)"
+
+  /** Train `rounds` WordPiece merge rules over a (w, ct) word histogram.
+    *
+    * Returns the learned rules and the final (w, ct, sym) segmentation
+    * frame with all rules folded in as literal expressions over the
+    * UNCACHED input — one scan when consumed, nothing pinned. Same
+    * bounded-driver-model memo contract as [[Bpe.trainMerges]] (and the
+    * same deliberate check-then-act benign race — training is deterministic,
+    * so concurrent first calls compute identical rules).
+    */
+  def trainMerges(words: DataFrame, rounds: Int): (Seq[WpRule], DataFrame) = {
+    val base = words.select(col("w"), col("ct"), initSym(col("w")).as("sym"))
+    val memoKey = (words.queryExecution.analyzed.canonicalized, rounds)
+    val memoHit = ruleMemo.get(memoKey)
+    if (memoHit != null) {
+      val sym = memoHit.foldLeft(initSym(col("w")))(
+        (c, m) => applyRule(c, m.lhs, m.rhs))
+      return (memoHit, words.select(col("w"), col("ct"), sym.as("sym")))
+    }
+    val hist = base.persist()
+    try {
+      var learned = List.empty[WpRule]
+      for (r <- 1 to rounds) {
+        val symNow = learned.reverse.foldLeft(col("sym")) { (c, m) =>
+          applyRule(c, m.lhs, m.rhs)
+        }
+        // one segmented scan branches into the two model aggregations; the
+        // histogram is persisted for the loop so neither re-derives it.
+        // sequence() guarded by the size filter (Spark's sequence(1, 0)
+        // counts DOWN — the Bpe lesson)
+        val segs = hist.select(col("ct"), split(symNow, " ").as("l"))
+        val pairs = segs
+          .filter(size(col("l")) >= 2)
+          .select(col("ct"), explode(
+            expr("transform(sequence(1, size(l) - 1), i -> struct(l[i-1] AS a, l[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("ct")).as("wt"))
+        val syms = segs
+          .select(col("ct"), explode(col("l")).as("s"))
+          .groupBy(col("s")).agg(sum(col("ct")).as("cnt"))
+        val best = pairs
+          .join(broadcast(syms.select(col("s").as("a"), col("cnt").as("ca"))), Seq("a"))
+          .join(broadcast(syms.select(col("s").as("b"), col("cnt").as("cb"))), Seq("b"))
+          .withColumn("score_fp", expr(scoreFpExpr))
+          .orderBy(col("score_fp").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (best.nonEmpty) {
+          val row = best(0)
+          learned = WpRule(r, row.getAs[String]("a"), row.getAs[String]("b"),
+            row.getAs[Long]("wt"), row.getAs[Long]("score_fp")) :: learned
+        }
+      }
+      val rules = learned.reverse
+      ruleMemo.put(memoKey, rules)
+      val finalSym = rules.foldLeft(col("sym")) { (c, m) =>
+        applyRule(c, m.lhs, m.rhs)
+      }
+      (rules, base.withColumn("sym", finalSym))
+    } finally {
+      hist.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** (canonicalized word-histogram plan, rounds) -> learned rules. Bounded:
+    * `rounds` small rules per distinct histogram a session trains on; same
+    * per-session-memo contract as `Stages.materialize`.
+    */
+  private val ruleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Seq[WpRule]]()
+
+  graft.MemoLedger.register("wordpiece.rules") { () =>
+    import scala.jdk.CollectionConverters._
+    (ruleMemo.size.toLong,
+      ruleMemo.values.asScala.map(rs =>
+        rs.map(r => 56L + 2L * (r.lhs.length + r.rhs.length)).sum).sum)
+  }
+}
