@@ -517,6 +517,67 @@ object CurationQueries {
           CAST(0 AS BIGINT) AS label_mismatches
         FROM im""")),
 
+    // ---- O206s: streaming twin of the ingest composition --------------------
+    // Production ingest is a stream; each micro-batch needs the nightly
+    // pipeline's verdict AT TRIGGER TIME. Documents replay in 4 deterministic
+    // batches; per doc the row-local keys (canonical URL, md5 text
+    // fingerprint, min-shingle-hash near-dup screen) feed the foreachBatch
+    // index pipeline of graft.streaming.StreamingIngest — O(1) persistent
+    // keys per survivor, columnar-index equi-joins, no driver or state-store
+    // heap. The oracle replays the ledger as plain window minima over the
+    // deterministic batch slicing (id-monotone replay order makes "index hit
+    // OR smaller id in batch" = "smaller-id qualifying doc exists").
+    DeclaredQuery("stream_ingest_dedup",
+      (s, dir) => {
+        val stream = streamSession(s).readStream
+          .format(classOf[graft.sources.ReplayStreamSource].getName)
+          .option("path", s"$dir/documents.parquet")
+          .option("numBatches", "4")
+          .load()
+        val toks = split(col("text"), " ")
+        val enriched = stream.select(
+          col("doc_id").cast("long").as("id"),
+          graft.text.UrlCanonical.canonicalUrl(variantUrl).as("url_c"),
+          md5(col("text")).as("fp"),
+          array_min(transform(
+            sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+            i => graft.functions.HashFunctions.md5Bits60(
+              array_join(slice(toks, i, lit(3)), " ")))).as("bk"))
+        graft.streaming.StreamingIngest.ingestLedger(
+          enriched, "id", "url_c", "fp", "bk")
+          .orderBy(col("batch_id"))
+      },
+      Some(s"""WITH $urlVariantCanonCtes,
+        inn AS (SELECT COUNT(*) AS cnt FROM documents),
+        ibase AS (SELECT d.doc_id,
+            (ROW_NUMBER() OVER (ORDER BY d.doc_id) - 1)
+              // ((inn.cnt + 3) // 4) AS batch_id,
+            uc.c AS url_c, md5(d.text) AS fp,
+            list_min(list_transform(
+              range(1, greatest(len(string_split(d.text, ' ')) - 2, 1) + 1),
+              i -> CAST(('0x' || substring(md5(array_to_string(
+                     list_slice(string_split(d.text, ' '), i, i + 2), ' ')),
+                   1, 15)) AS BIGINT))) AS bk
+          FROM documents d JOIN ucanon uc USING (doc_id) CROSS JOIN inn),
+        iu AS (SELECT *, doc_id > MIN(doc_id) OVER (PARTITION BY url_c)
+                 AS url_dup FROM ibase),
+        ie AS (SELECT *, CASE WHEN url_dup THEN FALSE ELSE
+                 doc_id > MIN(CASE WHEN NOT url_dup THEN doc_id END)
+                   OVER (PARTITION BY fp) END AS exact_dup FROM iu),
+        isf AS (SELECT *, (NOT url_dup) AND (NOT exact_dup) AND
+                 doc_id > MIN(CASE WHEN (NOT url_dup) AND (NOT exact_dup)
+                     THEN doc_id END) OVER (PARTITION BY bk) AS suspect
+               FROM ie)
+        SELECT batch_id, COUNT(*) AS batch_in,
+          CAST(SUM(CASE WHEN url_dup THEN 1 ELSE 0 END) AS BIGINT) AS url_dups,
+          CAST(SUM(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+            AS exact_dups,
+          CAST(SUM(CASE WHEN suspect THEN 1 ELSE 0 END) AS BIGINT)
+            AS neardup_suspects,
+          CAST(SUM(CASE WHEN NOT url_dup AND NOT exact_dup AND NOT suspect
+            THEN 1 ELSE 0 END) AS BIGINT) AS new_docs
+        FROM isf GROUP BY 1 ORDER BY 1""")),
+
     // ---- O193: within-document segment dedup ledger --------------------------
     // The Gopher-family cleanup line_dedup_stats does NOT do: a page whose
     // own nav/menu repeats INSIDE it keeps the first copy and drops the
