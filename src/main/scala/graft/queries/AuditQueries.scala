@@ -188,8 +188,10 @@ object AuditQueries {
     DeclaredQuery("ivf_incremental_assign",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
+        val snap = emb.filter(col("vec_id") < 250)
         val seeds = graft.vector.Similarity.lowestIdSeeds(
-          emb.filter(col("vec_id") < 250), "vec_id", "embedding", nlist = 16)
+          snap, "vec_id", "embedding",
+          nlist = graft.vector.Similarity.scaledNlist(snap, "vec_id"))
         val assigned = graft.vector.Similarity.assignCells(
           emb.withColumn("is_old", col("vec_id") < 250), "embedding", seeds)
         val per = assigned.groupBy(col("cell"))
@@ -205,7 +207,7 @@ object AuditQueries {
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         seeds AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id < 250
-                  ORDER BY vec_id LIMIT 16),
+                  ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e WHERE vec_id < 250)),
         ass AS (SELECT vec_id, sid, is_old FROM (
             SELECT e.vec_id, s.sid, e.vec_id < 250 AS is_old,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -658,7 +660,7 @@ object AuditQueries {
             floor(col("value")).cast("long").as("vbin"))
           .withColumn("z",
             graft.relational.Layout.zValue(col("user_id"), col("vbin"),
-              bits = 11))
+              bits = graft.relational.Layout.ZBits))
         val natural = ev.withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))))
           .withColumn("layout", lit("natural"))
@@ -685,7 +687,7 @@ object AuditQueries {
       Some(s"""WITH b AS (SELECT event_id, user_id,
                CAST(floor(value) AS BIGINT) AS vbin FROM events),
         z AS (SELECT event_id, user_id, vbin,
-          ${(0 until 11).map(i =>
+          ${(0 until graft.relational.Layout.ZBits).map(i =>
             s"(((user_id >> $i) & 1) << ${2 * i}) + (((vbin >> $i) & 1) << ${2 * i + 1})")
             .mkString(" + ")} AS z
           FROM b),
@@ -891,7 +893,7 @@ object AuditQueries {
           .select(col("qid").cast("long").as("qid"), col("cid"), col("rank"))
         val approx = graft.vector.Similarity.ivfTopK(
           q, "vec_id", emb, "vec_id", "embedding", k = 10,
-          nlist = 16, nprobe = 4)
+          nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"), nprobe = 4)
           .select(col("qid").cast("long").as("qid"), col("cid"), col("rank"))
         graft.vector.RankEval.ndcg(exact, approx, k = 10)
       },
@@ -905,7 +907,7 @@ object AuditQueries {
         xt AS MATERIALIZED (SELECT qid, cid, rk FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
             FROM xsc) t WHERE rk <= 10),
-        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
         cass AS (
           SELECT vec_id, v, sid FROM (
             SELECT e.vec_id, e.v, s.sid,

@@ -99,9 +99,20 @@ object Dsl {
     graft.relational.Stages.materialize(
       graft.vector.Similarity.ivfTopK(
         emb, "vec_id", emb, "vec_id", "embedding", k = 3,
-        nlist = 16, nprobe = 4),
+        nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"), nprobe = 4),
       "knn_edges")
   }
+
+  /** DuckDB twin of `Similarity.scaledNlist` over a CTE named `e`:
+    * 2^(⌈log₂ n⌉ div 2) cells — √n within √2, integer-exact in both
+    * engines, = the historical literal 16 at the sf0.01 gate (n = 500).
+    * Interpolate as the LIMIT of every IVF `seeds` CTE so the oracle
+    * derives the cell count from the SAME COUNT(*) the Spark side counts,
+    * instead of pinning a literal that is only right at one scale factor
+    * (the r14 sf1.0 stress finding: fixed nlist makes IVF quadratic).
+    */
+  val sqlScaledNlist: String =
+    "(SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)"
 
   /** Symmetrized-distinct view of [[knnEdges]] (a < b canonical order) —
     * the undirected graph the triangle/k-core/LPA kernels run on. Also
@@ -116,14 +127,14 @@ object Dsl {
         greatest(col("qid"), col("cid")).as("b")).distinct(),
       "knn_und")
 
-  /** DuckDB CTE chain replaying [[knnUndirected]] (IVF nlist=16 nprobe=4
+  /** DuckDB CTE chain replaying [[knnUndirected]] (IVF nlist=scaledNlist(n) nprobe=4
     * k=3, cosine, symmetrized-distinct) — the shared oracle prefix for
     * graph-metric queries over the kNN graph. Interpolate as
     * `s"WITH ${Dsl.knnUndCte}, ..."`; it ends with the `und(a, b)` CTE.
     */
   val knnUndCte: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
         cass AS (
           SELECT vec_id, v, sid FROM (
             SELECT e.vec_id, e.v, s.sid,

@@ -1577,23 +1577,25 @@ object EventQueries {
     // range-partitioning the write clusters BOTH filter dimensions at once —
     // file-level min/max pruning then works for either predicate. The query
     // checks the interleave bit math end to end; LayoutSpec measures the
-    // 2-D locality win over a 1-D sort. Bit width is sized for the LARGEST
-    // bench SF (sf0.1: user_id ≤ 1499, vbin ≤ 560 — both < 2^11); the
-    // zValue range guard raises rather than silently aliasing if data ever
-    // outgrows it (same sizing rule as the Bloom join filter).
+    // 2-D locality win over a 1-D sort. Bit width is Layout.ZBits = 31, the
+    // maximum: widening is value-preserving for in-range inputs, and the r14
+    // sf1.0 stress replay showed a fixture-sized width (11) refusing on a
+    // mere 10x id growth; the range guard still raises past 2^31 rather
+    // than silently aliasing.
     DeclaredQuery("zorder_events_layout",
       (s, dir) => {
         val ev = events(s, dir)
           .select(col("event_id"), col("user_id"),
             floor(col("value")).cast("long").as("vbin"))
-          .withColumn("z", graft.relational.Layout.zValue(col("user_id"), col("vbin"), bits = 11))
+          .withColumn("z", graft.relational.Layout.zValue(
+            col("user_id"), col("vbin"), bits = graft.relational.Layout.ZBits))
         ev.orderBy(col("z"), col("event_id")).limit(500)
           .select(col("event_id"), col("user_id"), col("vbin"), col("z"))
       },
       Some(s"""WITH b AS (
           SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbin FROM events),
         z AS (SELECT event_id, user_id, vbin,
-          ${(0 until 11).map(i =>
+          ${(0 until graft.relational.Layout.ZBits).map(i =>
             s"(((user_id >> $i) & 1) << ${2 * i}) + (((vbin >> $i) & 1) << ${2 * i + 1})")
             .mkString(" + ")} AS z
           FROM b)

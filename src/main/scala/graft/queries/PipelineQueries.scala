@@ -186,9 +186,9 @@ object PipelineQueries {
     * within-cell pairs, recursive-CTE component closure, and the same
     * keep-the-centroid-outlier rule (csim ASC, id tie-break).
     */
-  private def semdedupOracleSql(nlist: Int, threshold: Double): String =
+  private def semdedupOracleSql(nlistSql: String, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (SELECT id AS sid, v AS sv FROM e ORDER BY id LIMIT $nlist),
+       |seeds AS (SELECT id AS sid, v AS sv FROM e ORDER BY id LIMIT $nlistSql),
        |cass AS (SELECT id, v, sid AS cell, csim FROM (
        |    SELECT e.id, e.v, s.sid, ${sqlCos("e.v", "s.sv")} AS csim,
        |      ROW_NUMBER() OVER (PARTITION BY e.id
@@ -267,7 +267,7 @@ object PipelineQueries {
     * probe `nprobe` cells per query, ADC-score only in-cell pairs. Every
     * stage reuses the already-proven ivf/pq oracle fragments.
     */
-  private def ivfPqOracleSql(nlist: Int, nprobe: Int, m: Int, ncode: Int,
+  private def ivfPqOracleSql(nlistSql: String, nprobe: Int, m: Int, ncode: Int,
                              dim: Int, k: Int, maxQid: Int): String = {
     val ds = dim / m
     def sl(v: String, j: Int) = s"list_slice($v, ${j * ds + 1}, ${(j + 1) * ds})"
@@ -284,7 +284,7 @@ object PipelineQueries {
     val cbJoins = (0 until m).map(j => s"JOIN cb cb$j ON cb$j.c = x.code_$j").mkString(" ")
     val scoreExpr = (0 until m).map(j => dotE(sl("q.qv", j), sl(s"cb$j.cv", j))).mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT $nlist),
+       |seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT $nlistSql),
        |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
        |       FROM e ORDER BY vec_id LIMIT $ncode),
        |cass AS (SELECT vec_id, sid AS cell FROM (
@@ -535,7 +535,7 @@ object PipelineQueries {
     }.mkString(",\n        ")
     val union = nprobes.map(np => s"SELECT * FROM row$np").mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
       cass AS (
         SELECT vec_id, v, sid FROM (
           SELECT e.vec_id, e.v, s.sid,
@@ -591,7 +591,7 @@ object PipelineQueries {
           SELECT qid, CAST($r AS BIGINT), cid, score FROM pk$r)"""
     }.mkString(",\n        ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
       cass AS (
         SELECT vec_id, v, sid FROM (
           SELECT e.vec_id, e.v, s.sid,
@@ -671,13 +671,30 @@ object PipelineQueries {
        |FROM est ORDER BY id1, id2""".stripMargin
   }
 
-  private def lshPairsOracleSql(numPlanes: Int, dim: Int, threshold: Double): String =
+  /** Dynamic-prefix LSH pairs oracle (the Similarity.scaledPlanes twin):
+    * hyperplaneValues(P) is a PREFIX of hyperplaneValues(maxPlanes) for any
+    * P <= maxPlanes (sequential seeded draws), so the SQL interpolates
+    * maxPlanes literal planes and ACTIVATES only the first np of them,
+    * np = least(maxPlanes, ceil_log2(COUNT(*)) div 2) — the same count the
+    * Spark side derives its plane count from. Bucket bits above np stay 0
+    * and the multi-probe flips exactly np bits, matching the Spark plan at
+    * EVERY scale factor, not just the gate's.
+    */
+  private def lshPairsOracleSql(maxPlanes: Int, dim: Int, threshold: Double): String = {
+    val bucketExpr = graft.vector.Similarity.hyperplaneValues(maxPlanes, dim)
+      .zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN $i < np.p AND ${sqlDot("v", pl)} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, ${sqlBucket(numPlanes, dim)} AS bucket FROM e),
-       |l AS (SELECT vec_id AS id1, v AS v1, unnest([${sqlProbes(numPlanes)}]) AS bucket FROM b),
-       |p AS (SELECT DISTINCT l.id1, c.vec_id AS id2, ${sqlCos("l.v1", "c.v")} AS score
+       |np AS (SELECT least($maxPlanes, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) AS p FROM e),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e CROSS JOIN np),
+       |l AS (SELECT vec_id AS id1, v AS v1,
+       |        unnest(list_concat([bucket], list_transform(range(0, (SELECT p FROM np)),
+       |          i -> xor(bucket, 1 << CAST(i AS INTEGER))))) AS bucket FROM b),
+       |p2 AS (SELECT DISTINCT l.id1, c.vec_id AS id2, ${sqlCos("l.v1", "c.v")} AS score
        |      FROM l JOIN b c USING (bucket) WHERE l.id1 < c.vec_id)
-       |SELECT id1, id2, score FROM p WHERE score >= $threshold ORDER BY id1, id2""".stripMargin
+       |SELECT id1, id2, score FROM p2 WHERE score >= $threshold ORDER BY id1, id2""".stripMargin
+  }
 
   /** Shared oracle for both centroid formulations: same quantization, same
     * exact integer sums, same single division (unnest + generate_subscripts
@@ -1352,7 +1369,7 @@ object PipelineQueries {
         ranks.orderBy(col("id"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
         cass AS (
           SELECT vec_id, v, sid FROM (
             SELECT e.vec_id, e.v, s.sid,
@@ -2846,13 +2863,15 @@ object PipelineQueries {
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
-          "embedding", k = 3, nlist = 16, nprobe = 4, m = 8, ncode = 16, dim = 64)
+          "embedding", k = 3,
+          nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"),
+          nprobe = 4, m = 8, ncode = 16, dim = 64)
           .withColumn("rk", col("rank").cast("long")).drop("rank")
           .select(col("qid"), col("rk"), col("cid"), col("score"))
           .orderBy(col("qid"), col("rk"))
       },
-      Some(ivfPqOracleSql(nlist = 16, nprobe = 4, m = 8, ncode = 16,
-        dim = 64, k = 3, maxQid = 10))),
+      Some(ivfPqOracleSql(nlistSql = Dsl.sqlScaledNlist, nprobe = 4, m = 8,
+        ncode = 16, dim = 64, k = 3, maxQid = 10))),
 
     // Sparse-cosine similarity join: inverted postings index, integer dot /
     // norm sums, one IEEE sqrt-divide at the end — the exact bag-of-words
@@ -3100,9 +3119,10 @@ object PipelineQueries {
     DeclaredQuery("semdedup_keep",
       (s, dir) => graft.dedup.SemDedup.semanticDedup(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          nlist = 16, threshold = 0.4)
+          nlist = graft.vector.Similarity.scaledNlist(
+            tbl(s, dir, "embeddings"), "vec_id"), threshold = 0.4)
         .orderBy(col("id")),
-      Some(semdedupOracleSql(nlist = 16, threshold = 0.4))),
+      Some(semdedupOracleSql(nlistSql = Dsl.sqlScaledNlist, threshold = 0.4))),
 
     // The TRAINED pipeline composition a production SemDeDup actually runs:
     // deterministic k-means centroids (one Lloyd iteration, integer-exact
@@ -3148,13 +3168,14 @@ object PipelineQueries {
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity.ivfTopK(emb.filter(col("vec_id") < 10), "vec_id", emb, "vec_id",
-          "embedding", k = 3, nlist = 16, nprobe = 4)
+          "embedding", k = 3,
+          nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"), nprobe = 4)
           .withColumn("rk", col("rank").cast("long")).drop("rank")
           .select(col("qid"), col("rk"), col("cid"), col("score"))
           .orderBy(col("qid"), col("rk"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
         cass AS (
           SELECT vec_id, v, sid FROM (
             SELECT e.vec_id, e.v, s.sid,
@@ -3207,7 +3228,9 @@ object PipelineQueries {
             "embedding", k = 3).select(col("qid"), col("cid")), "sweep_exact")
         Seq(1, 2, 4, 8).map { np =>
           val approx = Similarity.ivfTopK(q, "vec_id", emb, "vec_id",
-            "embedding", k = 3, nlist = 16, nprobe = np)
+            "embedding", k = 3,
+            nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"),
+            nprobe = np)
             .select(col("qid"), col("cid"), lit(1L).as("__hit"))
           exact.join(approx, Seq("qid", "cid"), "left")
             .agg(count(lit(1)).as("__n"),
@@ -3223,7 +3246,9 @@ object PipelineQueries {
         val emb = tbl(s, dir, "embeddings")
         val pool = graft.relational.Stages.materialize(
           Similarity.ivfTopK(emb.filter(col("vec_id") < 10), "vec_id", emb,
-            "vec_id", "embedding", k = 8, nlist = 16, nprobe = 4)
+            "vec_id", "embedding", k = 8,
+            nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"),
+            nprobe = 4)
             .select(col("qid"), col("cid"), col("score")), "mmr_pool")
         graft.vector.Mmr.rerank(pool, emb, "vec_id", "embedding", select = 4)
       },
@@ -3231,7 +3256,7 @@ object PipelineQueries {
 
     // ---- O74: IVF recall audit ---------------------------------------------
     // The serving-quality number an ANN index ships with: exact recall@3 of
-    // ivf_topk (nlist=16, nprobe=4) against the brute-force top-3, per
+    // ivf_topk (nlist=scaledNlist(n), nprobe=4) against the brute-force top-3, per
     // query, in exact permille. The gated twins prove each pipeline is
     // CORRECTLY COMPUTED; this row measures what the approximation COSTS —
     // the number that decides nprobe at rollout. Both sides are the
@@ -3244,7 +3269,8 @@ object PipelineQueries {
         val exact = Similarity.bruteForceTopK(q, "vec_id", emb, "vec_id",
           "embedding", k = 3).select(col("qid"), col("cid"))
         val approx = Similarity.ivfTopK(q, "vec_id", emb, "vec_id",
-          "embedding", k = 3, nlist = 16, nprobe = 4)
+          "embedding", k = 3,
+          nlist = graft.vector.Similarity.scaledNlist(emb, "vec_id"), nprobe = 4)
           .select(col("qid"), col("cid"), lit(1L).as("__hit"))
         exact.join(approx, Seq("qid", "cid"), "left")
           .groupBy(col("qid"))
@@ -3263,7 +3289,7 @@ object PipelineQueries {
         xt AS (SELECT qid, cid FROM (
             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
             FROM xsc) t WHERE rk <= 3),
-        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+        seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
         cass AS (
           SELECT vec_id, v, sid FROM (
             SELECT e.vec_id, e.v, s.sid,
@@ -3364,10 +3390,14 @@ object PipelineQueries {
       }),
 
     DeclaredQuery("embedding_neardup_pairs",
-      (s, dir) => Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.45, numPlanes = 4, dim = 64)
-        .orderBy(col("id1"), col("id2")),
-      Some(lshPairsOracleSql(numPlanes = 4, dim = 64, threshold = 0.45))),
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.cosineNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.45,
+          numPlanes = Similarity.scaledPlanes(emb, "vec_id"), dim = 64)
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some(lshPairsOracleSql(maxPlanes = 16, dim = 64, threshold = 0.45))),
 
     // Centroids under the oracle: inputs are quantized to INTEGER-VALUED
     // doubles (floor(x·10⁶) — exact in float and double, |x|·10⁶ ≪ 2⁵³), so

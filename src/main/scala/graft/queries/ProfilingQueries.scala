@@ -62,12 +62,12 @@ object ProfilingQueries {
              FROM documents d JOIN qs USING (doc_id) JOIN en USING (doc_id))"""
 
   /** Shared oracle prefix: the IVF-built k=3 kNN graph over embeddings —
-    * identical cells to `Similarity.ivfTopK(nlist=16, nprobe=4)` (the same
+    * identical cells to `Similarity.ivfTopK(nlist=scaledNlist(n), nprobe=4)` (the same
     * CTE chain the O26/O48 oracles replay).
     */
   private val ivfKnnCtes =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
       cass AS (
         SELECT vec_id, v, sid FROM (
           SELECT e.vec_id, e.v, s.sid,

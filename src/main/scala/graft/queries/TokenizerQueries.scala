@@ -22,17 +22,22 @@ object TokenizerQueries {
 
   private val bpeRounds = 8
 
-  /** DuckDB replay of [[Bpe.applyRule]]: Passes nested literal replaces on
-    * the padded symbol string, search/replacement built from the best-pair
-    * CTE's columns.
+  /** DuckDB replay of [[Bpe.replaceFold]]: Passes nested literal replaces
+    * of " a b " by " mergedExpr " on the padded symbol string — the ONE
+    * SQL home of the fixpoint mechanics, shared by the BPE and WordPiece
+    * round builders (mergedExpr is the only difference).
     */
-  private def sqlApplyRule(bref: String): String = {
+  private def sqlReplaceFold(bref: String, mergedExpr: String): String = {
     val padded = "' ' || sym || ' '"
     val out = (1 to Bpe.Passes).foldLeft(padded) { (acc, _) =>
-      s"replace($acc, ' ' || $bref.a || ' ' || $bref.b || ' ', ' ' || $bref.a || $bref.b || ' ')"
+      s"replace($acc, ' ' || $bref.a || ' ' || $bref.b || ' ', ' ' || $mergedExpr || ' ')"
     }
     s"trim($out)"
   }
+
+  /** DuckDB replay of [[Bpe.applyRule]]. */
+  private def sqlApplyRule(bref: String): String =
+    sqlReplaceFold(bref, s"$bref.a || $bref.b")
 
   /** One BPE training round as CTEs: pair counts from the previous
     * segmentation, deterministic argmax, merged segmentation. Pair
@@ -62,19 +67,13 @@ object TokenizerQueries {
 
   private val wpRounds = 8
 
-  /** DuckDB replay of [[graft.text.WordPiece.applyRule]]: Passes nested
-    * literal replaces; the merged symbol sheds the rhs's `##` continuation
-    * marker (BERT merge naming).
+  /** DuckDB replay of [[graft.text.WordPiece.applyRule]]: the shared
+    * replace-fold with the merged symbol shedding the rhs's `##`
+    * continuation marker (BERT merge naming).
     */
-  private def sqlWpApplyRule(bref: String): String = {
-    val merged =
-      s"$bref.a || (CASE WHEN $bref.b LIKE '##%' THEN substring($bref.b, 3) ELSE $bref.b END)"
-    val padded = "' ' || sym || ' '"
-    val out = (1 to graft.text.WordPiece.Passes).foldLeft(padded) { (acc, _) =>
-      s"replace($acc, ' ' || $bref.a || ' ' || $bref.b || ' ', ' ' || $merged || ' ')"
-    }
-    s"trim($out)"
-  }
+  private def sqlWpApplyRule(bref: String): String =
+    sqlReplaceFold(bref,
+      s"$bref.a || (CASE WHEN $bref.b LIKE '##%' THEN substring($bref.b, 3) ELSE $bref.b END)")
 
   /** One WordPiece training round as CTEs: adjacent-pair counts AND symbol
     * counts from the previous segmentation, the likelihood-gain argmax on

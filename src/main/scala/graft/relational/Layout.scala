@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Default interleave width: the maximum. Widening is VALUE-PRESERVING
+    * for in-range inputs (zero high bits contribute zero to the key), so
+    * there is no reason to size this to a fixture: the r14 sf1.0 stress
+    * replay found the old fixture-sized 11 refusing on 10× ids (user_id
+    * 14999 > 2^11) — right to refuse rather than alias, wrong to be sized
+    * so a mere 10× outgrew it. At 31 the key fills 62 bits and only ids
+    * beyond 2^31 refuse (bucket or scale those first).
+    */
+  val ZBits = 31
+
   /** Morton (Z-order) key: bit i of `a` lands at position 2i, bit i of `b`
     * at 2i+1. Inputs must be non-negative and fit in `bits` bits (bucket or
     * scale first); the result fits 2·bits bits.

@@ -57,6 +57,15 @@ object PrefixSum {
       valueOutCols.map(_._1).distinct == valueOutCols.map(_._1) &&
       valueOutCols.map(_._2).distinct == valueOutCols.map(_._2),
       s"value/out columns must be nonempty and distinct, got $valueOutCols")
+    // cross-collisions corrupt SILENTLY, not loudly: the output columns are
+    // folded in sequentially, so an out column shadowing a LATER pair's
+    // value column (or the id/bucket column) would window over the
+    // already-replaced values while the offsets came from the originals
+    require(valueOutCols.map(_._2)
+      .forall(o => !valueOutCols.exists(_._1 == o) && o != idCol && o != "__b"),
+      s"out columns must not collide with value columns, '$idCol', or " +
+        s"'__b' — a shadowed input makes later running sums silently wrong; " +
+        s"got $valueOutCols")
     val valueCols = valueOutCols.map(_._1)
     val k = valueCols.size
     // The prefix model — (n, lo, hi, per-bucket per-column totals) — is

@@ -63,8 +63,19 @@ object StreamingIngest {
         // check and report dups as new (the StreamingNearDup lesson)
         val idxHadoop = new org.apache.hadoop.fs.Path(idxPath)
         val fs = idxHadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // ONE index read + ONE (kind, key) distinct per trigger, persisted:
+        // the three stage lookups are consumed by BOTH trigger actions
+        // (ledger aggregate + index append), so an unpersisted index would
+        // be re-read and re-deduplicated six times per trigger. distinct()
+        // itself is load-bearing, not hygiene: the lookups below are LEFT
+        // joins with a marker column (so the flags stay row-aligned), and a
+        // duplicated index key would MULTIPLY matching arrival rows —
+        // batch_in itself would over-count. The append path also never
+        // re-appends a present key (see below), so this is belt-and-braces.
         val seen: Option[DataFrame] =
-          if (fs.exists(idxHadoop)) Some(spark.read.parquet(idxPath)) else None
+          if (fs.exists(idxHadoop))
+            Some(spark.read.parquet(idxPath).distinct().persist())
+          else None
         def seenKeys(kind: String, as: String) = seen
           .map(_.filter(col("kind") === kind).select(col("key").as(as)))
           .getOrElse(spark.createDataFrame(
@@ -110,21 +121,27 @@ object StreamingIngest {
               col("url_dups"), col("exact_dups"), col("neardup_suspects"),
               col("new_docs"))
             .write.mode(SaveMode.Append).parquet(ledgerPath)
-          // ONE index append per trigger: every stage's newly-claimed keys,
-          // kind-tagged (url keys of URL winners, fp/bk keys of survivors
-          // INCLUDING suspects). distinct() keeps re-claimed in-batch keys
-          // single; keys already in the index may repeat — the lookups are
-          // semi-joins, so duplicates cost storage, never correctness.
+          // ONE index append per trigger: only NEWLY-claimed keys, so the
+          // index never holds a key twice (the left-join lookups above would
+          // otherwise multiply later arrivals). url keys come from URL
+          // winners (a url hit makes every later same-url doc url_dup —
+          // never re-appended); fp keys from survivors (an fp hit makes the
+          // doc exact_dup — excluded); bk keys from NON-SUSPECT survivors
+          // only — a suspect's bk is by definition already indexed, and
+          // re-appending it would double-count every later arrival of that
+          // bucket through the left-join lookup (r14 review finding).
+          // distinct() covers in-batch re-claims.
           s.filter(!col("url_dup"))
             .select(lit("url").as("kind"), col("url_c").as("key"))
             .unionByName(s.filter(surv)
               .select(lit("fp").as("kind"), col("fp").as("key")))
-            .unionByName(s.filter(surv)
+            .unionByName(s.filter(surv && !col("suspect"))
               .select(lit("bk").as("kind"), col("bk").cast("string").as("key")))
             .distinct()
             .write.mode(SaveMode.Append).parquet(idxPath)
         } finally {
           s.unpersist()
+          seen.foreach(_.unpersist())
           ()
         }
       }
@@ -132,7 +149,20 @@ object StreamingIngest {
       .option("checkpointLocation", ckpt)
       .start()
     StreamingRouter.awaitBounded(q)
-    java.nio.file.Files.walk(root).forEach(p => p.toFile.deleteOnExit())
-    stream.sparkSession.read.parquet(ledgerPath)
+    // the ledger is answer-sized BY CONSTRUCTION (one row per trigger), so
+    // localize it (the drainMemoryToLocal precedent) and delete the whole
+    // temp tree EAGERLY — deleteOnExit would hold a full index + checkpoint
+    // copy per invocation (Verify + two bench passes + PlanAudit = 4 copies)
+    // for the JVM lifetime (r14 review finding)
+    val spark = stream.sparkSession
+    val t = spark.read.parquet(ledgerPath)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } finally walk.close()
+    local
   }
 }

@@ -48,14 +48,23 @@ object Bpe {
   /** Character-level initial segmentation of a word ("key" → "k e y"). */
   def initSym(word: Column): Column = concat_ws(" ", split(word, ""))
 
-  /** One BPE merge rule applied to a space-joined symbol string. */
-  def applyRule(sym: Column, lhs: String, rhs: String): Column = {
+  /** [[Passes]]-fold leftmost-non-overlap literal replace of " lhs rhs "
+    * by " merged " on a space-padded symbol string — the ONE home of the
+    * fixpoint mechanics, shared by BPE and [[WordPiece]] (which differ only
+    * in the merged symbol's name and the argmax metric). A future fix to
+    * the padded-replace behavior lands here once, for both families.
+    */
+  def replaceFold(sym: Column, lhs: String, rhs: String, merged: String): Column = {
     val padded = concat(lit(" "), sym, lit(" "))
     val out = (1 to Passes).foldLeft(padded) { (c, _) =>
-      replace(c, lit(s" $lhs $rhs "), lit(s" $lhs$rhs "))
+      replace(c, lit(s" $lhs $rhs "), lit(s" $merged "))
     }
     trim(out)
   }
+
+  /** One BPE merge rule applied to a space-joined symbol string. */
+  def applyRule(sym: Column, lhs: String, rhs: String): Column =
+    replaceFold(sym, lhs, rhs, lhs + rhs)
 
   /** Train `rounds` merge rules over a (w, ct) word histogram.
     *
@@ -111,10 +120,15 @@ object Bpe {
           .orderBy(col("wt").desc, col("a"), col("b"))
           .limit(1)
           .collect()
-        if (best.nonEmpty) {
-          val row = best(0)
-          learned = MergeRule(r, row.getString(0), row.getString(1), row.getLong(2)) :: learned
-        }
+        // dry rounds refuse loudly (the WordPiece symmetry, r14): the
+        // oracle's w$r CROSS JOINs an empty argmax CTE and would annihilate
+        // the segmentation table while a tolerant Spark side kept it — a
+        // silent hash divergence; ask for fewer rounds instead
+        require(best.nonEmpty,
+          s"bpe: round $r found no adjacent pair to merge — the corpus is " +
+            s"fully merged; lower `rounds` below $r")
+        val row = best(0)
+        learned = MergeRule(r, row.getString(0), row.getString(1), row.getLong(2)) :: learned
       }
       val rules = learned.reverse
       mergeMemo.put(memoKey, rules)

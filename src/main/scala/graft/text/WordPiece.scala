@@ -64,17 +64,11 @@ object WordPiece {
         array_join(slice(split(word, ""), lit(2), length(word) - 1), " ##")))
 
   /** One WordPiece merge applied to a space-joined symbol string: replace
-    * " lhs rhs " with " merged " (merged per [[WpRule.merged]]), [[Passes]]
-    * times to fixpoint — the [[Bpe.applyRule]] mechanics verbatim.
+    * " lhs rhs " with " merged " (merged per [[WpRule.merged]]) via the
+    * shared [[Bpe.replaceFold]] fixpoint mechanics.
     */
-  def applyRule(sym: Column, lhs: String, rhs: String): Column = {
-    val merged = lhs + rhs.stripPrefix("##")
-    val padded = concat(lit(" "), sym, lit(" "))
-    val out = (1 to Passes).foldLeft(padded) { (c, _) =>
-      replace(c, lit(s" $lhs $rhs "), lit(s" $merged "))
-    }
-    trim(out)
-  }
+  def applyRule(sym: Column, lhs: String, rhs: String): Column =
+    Bpe.replaceFold(sym, lhs, rhs, lhs + rhs.stripPrefix("##"))
 
   /** The fixed-point likelihood-gain score as a Spark expression over
     * columns (wt, ca, cb): (wt · 10^18) div (ca · cb), products carried in
@@ -130,11 +124,17 @@ object WordPiece {
           .orderBy(col("score_fp").desc, col("a"), col("b"))
           .limit(1)
           .collect()
-        if (best.nonEmpty) {
-          val row = best(0)
-          learned = WpRule(r, row.getAs[String]("a"), row.getAs[String]("b"),
-            row.getAs[Long]("wt"), row.getAs[Long]("score_fp")) :: learned
-        }
+        // a DRY round refuses loudly instead of silently under-training:
+        // the oracle's round CTE CROSS JOINs an empty argmax and would
+        // annihilate the whole segmentation table — a silent Spark-side
+        // tolerance here would hash-diverge with no error anywhere (r14
+        // review finding); ask for fewer rounds than the corpus can merge
+        require(best.nonEmpty,
+          s"wordpiece: round $r found no adjacent pair to merge — the " +
+            s"corpus is fully merged; lower `rounds` below $r")
+        val row = best(0)
+        learned = WpRule(r, row.getAs[String]("a"), row.getAs[String]("b"),
+          row.getAs[Long]("wt"), row.getAs[Long]("score_fp")) :: learned
       }
       val rules = learned.reverse
       ruleMemo.put(memoKey, rules)

@@ -115,6 +115,68 @@ object Similarity {
     * work drops to ~nprobe/nlist of brute force. Seeds are data rows, so no
     * RNG and the index is reproducible.
     */
+  /** Data-proportional IVF cell count: nlist = 2^(⌈log₂ n⌉ div 2) — the
+    * power-of-two floor of √n within a factor of √2.
+    *
+    * WHY (the r14 sf1.0 stress measurement): a FIXED nlist makes IVF search
+    * cost n²·nprobe/nlist — quadratic in the corpus. The 10× sf1.0 replay
+    * measured the fixed-16 knn edge build at 213 s (285× its sf0.1 time);
+    * √n cells restore the ~n^1.5 IVF contract (assignment n·nlist cosines,
+    * search n·(n/nlist)·nprobe). The bit-length form is INTEGER-EXACT and
+    * engine-portable — the DuckDB twin is
+    *   1 << least(16, length(bin(CAST(n AS BIGINT) - 1)) // 2)
+    * (verified identical for n = 1, 2, 250, 500, 2000, 20000; the 16-clamp
+    * — 65536 cells, binding only past n = 2³² — mirrors [[scaledPlanes]]),
+    * so oracles
+    * compute the same cell count from the same COUNT(*) instead of pinning
+    * a literal that is only right at one scale factor. At the sf0.01 gate
+    * (500 or 250 candidates) the formula yields exactly the historical 16,
+    * so every gated value is unchanged.
+    *
+    * The count is one driver-synchronous job, memoized per canonicalized
+    * candidate plan (the bounded-model discipline; ledger family
+    * `similarity.nlist`).
+    */
+  def scaledNlist(candidates: DataFrame, cidCol: String): Int =
+    1 << scaledPlanes(candidates, cidCol)
+
+  /** The LSH twin of [[scaledNlist]]: hyperplane count = ⌈log₂ n⌉ div 2,
+    * i.e. 2^planes ≈ √n buckets — the same n^1.5 contract for the
+    * PAIR-finding self-join ([[cosineNearDupPairs]]), whose fixed-plane
+    * bucket sizes grow linearly in the corpus and the in-bucket pair count
+    * quadratically (the r14 sf1.0 stress measured the fixed-4-plane pair
+    * row at 29× its sf0.1 time). = 4 at the sf0.01 gate (n = 500), the
+    * historical literal. Clamped at 16 (4 G buckets — beyond that a single
+    * LSH table stops being the right structure; add tables instead). More
+    * planes trade recall per table (P[collision] ≈ pᵖˡᵃⁿᵉˢ); the 1-bit
+    * multi-probe keeps the planted-pair recall at fixture thresholds.
+    * DuckDB twin of the count: least(16, length(bin(n - 1)) // 2) over the
+    * same COUNT(*).
+    */
+  def scaledPlanes(candidates: DataFrame, cidCol: String): Int = {
+    val key = (candidates.queryExecution.analyzed.canonicalized, cidCol)
+    val hit = nlistMemo.get(key)
+    val n: Long =
+      if (hit != null) hit.longValue
+      else {
+        val c = candidates.select(col(cidCol)).count()
+        nlistMemo.put(key, java.lang.Long.valueOf(c))
+        c
+      }
+    require(n >= 1, "scaledPlanes: empty candidate frame has no buckets")
+    // ceil(log2 n) via bit length of n-1 (n = 1 → 0 bits handled as 1)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(16, bits / 2)
+  }
+
+  private val nlistMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    java.lang.Long]()
+
+  graft.MemoLedger.register("similarity.nlist") { () =>
+    (nlistMemo.size.toLong, 8L * nlistMemo.size)
+  }
+
   /** The nlist lowest-id vectors as literal IVF seeds — the deterministic
     * untrained coarse quantizer [[ivfTopK]] defaults to, exposed so index
     * MAINTENANCE jobs can freeze yesterday's cells and re-use them.

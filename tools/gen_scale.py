@@ -145,6 +145,12 @@ STRIDES = [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31]
 
 def emb_select(r):
     p = STRIDES[r % len(STRIDES)]
+    # the permutation is bijective ONLY when gcd(stride, DIM) == 1; DIM is
+    # read from the data, so assert instead of assuming 64 — a shared factor
+    # would silently duplicate coordinates and break the norm-preservation
+    # invariant this transform exists for
+    import math
+    assert math.gcd(p, DIM) == 1, f"stride {p} not coprime to DIM {DIM}"
     if p == 1:
         perm = "embedding"
     else:
