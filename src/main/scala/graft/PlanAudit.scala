@@ -352,6 +352,12 @@ object PlanAudit {
           //             "MicroBatchScan[…] class graft.sources.ReplayTable…")
           //   memory  — a MemoryStream source
           //   file    — a parquet base-table scan (counted in strigscans)
+          //   flush   — the terminal watermark-flush batch of a stateful
+          //             query: AvailableNow runs one last no-input trigger
+          //             to evict state, whose sources render as
+          //             "LocalTableScan <empty>" (observed on the
+          //             stream-stream join — the r14 close caught it as
+          //             unknown, correctly loud, benignly explained)
           //   none    — a query started but no trigger ever ran (empty src)
           //   unknown — a trigger plan with NO recognizable source: capture
           //             drift; the close script refuses it
@@ -366,7 +372,8 @@ object PlanAudit {
                 // "MemoryStreamingWrite" and would mistag every
                 // memory-sink query (measured on stream_static_enrichment)
                 "memory" -> sPlans.exists(_.contains("MemoryStream[")),
-                "file" -> sScans.exists(_.nonEmpty)
+                "file" -> sScans.exists(_.nonEmpty),
+                "flush" -> sPlans.exists(_.contains("LocalTableScan <empty>"))
               ).collect { case (k, true) => k }
               if (kinds.isEmpty) "unknown" else kinds.mkString("+")
             }

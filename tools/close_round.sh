@@ -86,8 +86,9 @@ if grep -E " sbad=[1-9-]" "${AUDIT}"; then
   echo "CLOSE FAILED: a started streaming query escaped per-trigger capture"
   exit 1; fi
 # r13 verdict gate-legibility: strigsrc names what each captured trigger
-# plan actually reads (replay/memory/file). An empty strigscans= is benign
-# ONLY when strigsrc says the trigger read the in-memory replay source;
+# plan actually reads (replay/memory/file/flush — flush = the terminal
+# no-input watermark-eviction batch of a stateful query). An empty
+# strigscans= is benign ONLY when strigsrc names an in-memory source;
 # strigsrc=unknown means a trigger plan had NO recognizable source — the
 # capture drifted and the per-trigger gate is no longer trustworthy.
 if grep -E " strigsrc=unknown" "${AUDIT}"; then
