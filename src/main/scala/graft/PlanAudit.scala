@@ -357,7 +357,13 @@ object PlanAudit {
           //             to evict state, whose sources render as
           //             "LocalTableScan <empty>" (observed on the
           //             stream-stream join — the r14 close caught it as
-          //             unknown, correctly loud, benignly explained)
+          //             unknown, correctly loud, benignly explained).
+          //             Requires BOTH the empty local source AND a
+          //             stateful-operator "state info" marker in the same
+          //             plan — a bare empty-local match would let a
+          //             renamed/unrecognized SOURCE node reclassify real
+          //             capture drift as benign and silence the close's
+          //             unknown refusal (r14 review finding)
           //   none    — a query started but no trigger ever ran (empty src)
           //   unknown — a trigger plan with NO recognizable source: capture
           //             drift; the close script refuses it
@@ -373,7 +379,9 @@ object PlanAudit {
                 // memory-sink query (measured on stream_static_enrichment)
                 "memory" -> sPlans.exists(_.contains("MemoryStream[")),
                 "file" -> sScans.exists(_.nonEmpty),
-                "flush" -> sPlans.exists(_.contains("LocalTableScan <empty>"))
+                "flush" -> sPlans.exists(p =>
+                  p.contains("LocalTableScan <empty>") &&
+                    p.contains("state info ["))
               ).collect { case (k, true) => k }
               if (kinds.isEmpty) "unknown" else kinds.mkString("+")
             }

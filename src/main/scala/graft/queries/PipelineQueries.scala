@@ -535,7 +535,7 @@ object PipelineQueries {
     }.mkString(",\n        ")
     val union = nprobes.map(np => s"SELECT * FROM row$np").mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT ${Dsl.sqlScaledNlist}),
       cass AS (
         SELECT vec_id, v, sid FROM (
           SELECT e.vec_id, e.v, s.sid,
@@ -591,7 +591,7 @@ object PipelineQueries {
           SELECT qid, CAST($r AS BIGINT), cid, score FROM pk$r)"""
     }.mkString(",\n        ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT (SELECT 1 << least(16, length(bin(CAST(COUNT(*) AS BIGINT) - 1)) // 2) FROM e)),
+      seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT ${Dsl.sqlScaledNlist}),
       cass AS (
         SELECT vec_id, v, sid FROM (
           SELECT e.vec_id, e.v, s.sid,

@@ -42,11 +42,12 @@ import org.apache.spark.sql.functions._
   */
 object WordPiece {
 
-  /** Literal-replace passes per merge rule — same fixpoint argument as
-    * [[Bpe.Passes]] (the `##` markers ride inside the symbol literals and
-    * change nothing about the space-delimited replace mechanics).
-    */
-  val Passes: Int = Bpe.Passes
+  // No WordPiece-local pass count: both engines' fold depth is
+  // [[Bpe.Passes]], the ONE home of the fixpoint mechanics (the `##`
+  // markers ride inside the symbol literals and change nothing about the
+  // space-delimited replace mechanics). A local alias existed briefly and
+  // was a silent no-op trap — editing it changed neither engine (r14
+  // review finding).
 
   final case class WpRule(rank: Int, lhs: String, rhs: String,
                           weight: Long, scoreFp: Long) {

@@ -126,7 +126,8 @@ object Similarity {
     * engine-portable — the DuckDB twin is
     *   1 << least(16, length(bin(CAST(n AS BIGINT) - 1)) // 2)
     * (verified identical for n = 1, 2, 250, 500, 2000, 20000; the 16-clamp
-    * — 65536 cells, binding only past n = 2³² — mirrors [[scaledPlanes]]),
+    * — 65536 cells, binding only past n = 2³³ (⌈log₂ n⌉ ≥ 34) — mirrors
+    * [[scaledPlanes]]),
     * so oracles
     * compute the same cell count from the same COUNT(*) instead of pinning
     * a literal that is only right at one scale factor. At the sf0.01 gate
@@ -146,7 +147,8 @@ object Similarity {
     * bucket sizes grow linearly in the corpus and the in-bucket pair count
     * quadratically (the r14 sf1.0 stress measured the fixed-4-plane pair
     * row at 29× its sf0.1 time). = 4 at the sf0.01 gate (n = 500), the
-    * historical literal. Clamped at 16 (4 G buckets — beyond that a single
+    * historical literal. Clamped at 16 planes (2¹⁶ = 65536 buckets,
+    * binding only past n = 2³³ — beyond that a single
     * LSH table stops being the right structure; add tables instead). More
     * planes trade recall per table (P[collision] ≈ pᵖˡᵃⁿᵉˢ); the 1-bit
     * multi-probe keeps the planted-pair recall at fixture thresholds.

@@ -144,10 +144,17 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.scaledNlist(spark.range(0).toDF("id"), "id")
     }
-    // memoized: second call on the same plan is count-free (same value)
-    val df = spark.range(777).toDF("id")
-    assert(Similarity.scaledNlist(df, "id") ===
+    // memoized for real, not just deterministic: a second call on an
+    // identical (canonicalized) plan must NOT add a ledger entry — the
+    // entry count is what tools/memo_bounds.json gates
+    def nlistEntries: Long = graft.MemoLedger.snapshot()
+      .find(_._1 == "similarity.nlist").map(_._2).getOrElse(0L)
+    Similarity.scaledNlist(spark.range(777).toDF("id"), "id")
+    val after1 = nlistEntries
+    assert(Similarity.scaledNlist(spark.range(777).toDF("id"), "id") ===
       Similarity.scaledNlist(spark.range(777).toDF("id"), "id"))
+    assert(nlistEntries === after1,
+      "re-counting an identical plan must hit the memo, not grow it")
   }
 
   test("hyperplaneValues(P) is a prefix of hyperplaneValues(maxP)") {
