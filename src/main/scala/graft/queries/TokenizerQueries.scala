@@ -590,6 +590,96 @@ object TokenizerQueries {
         ORDER BY merge_rank"""
       }),
 
+    // ---- O211: greedy WordPiece inference vs training segmentation ---------
+    // Training segments by merge replay; the SHIPPED tokenizer segments by
+    // greedy longest-match-first over the vocabulary (BERT's
+    // WordPieceTokenizer, with the any-miss [UNK] rule) — two different
+    // algorithms that agree only when the trained vocabulary is
+    // "greedy-consistent". This row measures that deployment gap exactly:
+    // per-word-type exact-segmentation agreement, UNK count, and both
+    // token totals, all oracle-pinned. The greedy walk is a row-local fold
+    // over the landed histogram under a one-row broadcast vocabulary map
+    // (alphabet is corpus-derived — built in-plan, never on the driver);
+    // the oracle replays the identical walk as a recursive CTE.
+    DeclaredQuery("wordpiece_greedy_agreement",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val (rules, segmented) = graft.text.WordPiece.trainMerges(
+          wordHist(docs), wpRounds)
+        val wh = graft.relational.Stages.materialize(wordHist(docs), "uni_wh")
+        val vm = graft.text.WordPiece.vocabMapOf(
+          graft.text.WordPiece.vocab(wh, rules))
+        val g = wh.crossJoin(broadcast(vm))
+          .withColumn("__g",
+            graft.text.WordPiece.greedySegment(col("w"), col("__vm")))
+        val ms = segmented.select(col("w"), col("sym"))
+        g.join(ms, Seq("w"))
+          .agg(
+            count(lit(1)).as("n_word_types"),
+            sum(when(col("__g.unk"), 1L).otherwise(0L)).as("n_unk_types"),
+            sum(when(col("__g.pieces") === col("sym"), 1L).otherwise(0L))
+              .as("agree_types"),
+            sum(col("ct") * size(split(col("sym"), " "))).as("wp_tokens"),
+            sum(col("ct") * col("__g.n_pieces")).as("greedy_tokens"))
+          .withColumn("agree_permille",
+            expr("(1000L * agree_types) div n_word_types"))
+          .select(col("n_word_types"), col("n_unk_types"), col("agree_types"),
+            col("agree_permille"), col("wp_tokens"), col("greedy_tokens"))
+      },
+      Some {
+        val mergedSel = (1 to wpRounds).map { r =>
+          s"""SELECT a || (CASE WHEN b LIKE '##%' THEN substring(b, 3)
+              ELSE b END) AS piece FROM wpb$r"""
+        }.mkString("\n          UNION ")
+        s"""WITH $sqlWpCtes,
+        wpv AS MATERIALIZED (SELECT DISTINCT piece FROM (
+            SELECT unnest(string_split(sym, ' ')) AS piece FROM wp0
+            UNION
+            $mergedSel)),
+        wvm AS MATERIALIZED (SELECT map(
+            list(CASE WHEN length(piece) > 16
+                 THEN error('wordpiece oracle: vocab piece longer than 16')
+                 ELSE piece END), list(1)) AS vm FROM wpv),
+        wg AS (WITH RECURSIVE r(w, pos, cnt, acc, unk) AS (
+            SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', false
+            FROM wph
+            UNION ALL
+            SELECT w, CASE WHEN ml IS NULL THEN CAST(length(w) AS BIGINT)
+                     ELSE pos + ml END,
+              CASE WHEN ml IS NULL THEN CAST(0 AS BIGINT) ELSE cnt + 1 END,
+              CASE WHEN ml IS NULL THEN ''
+                   WHEN cnt = 0 THEN pc ELSE acc || ' ' || pc END,
+              ml IS NULL
+            FROM (
+              SELECT w, pos, cnt, acc, unk, ml,
+                CASE WHEN pos = 0 THEN substring(w, 1, CAST(ml AS INTEGER))
+                     ELSE '##' || substring(w, CAST(pos AS INTEGER) + 1,
+                       CAST(ml AS INTEGER)) END AS pc
+              FROM (
+                SELECT r.w, r.pos, r.cnt, r.acc, r.unk,
+                  list_max(list_filter(
+                    range(1, least(16, length(r.w) - CAST(r.pos AS INTEGER)) + 1),
+                    k -> len(vm.vm[CASE WHEN r.pos = 0
+                        THEN substring(r.w, 1, CAST(k AS INTEGER))
+                        ELSE '##' || substring(r.w, CAST(r.pos AS INTEGER) + 1,
+                          CAST(k AS INTEGER)) END]) > 0)) AS ml
+                FROM r CROSS JOIN wvm vm
+                WHERE r.pos < length(r.w) AND NOT r.unk) t0) t1)
+          SELECT w, cnt, acc, unk FROM r
+          WHERE pos >= length(w) OR unk)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+          CAST(SUM(CASE WHEN g.unk THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unk_types,
+          CAST(SUM(CASE WHEN g.acc = s.sym THEN 1 ELSE 0 END) AS BIGINT)
+            AS agree_types,
+          (1000 * CAST(SUM(CASE WHEN g.acc = s.sym THEN 1 ELSE 0 END)
+            AS BIGINT)) // COUNT(*) AS agree_permille,
+          CAST(SUM(s.ct * len(string_split(s.sym, ' '))) AS BIGINT)
+            AS wp_tokens,
+          CAST(SUM(s.ct * g.cnt) AS BIGINT) AS greedy_tokens
+        FROM wg g JOIN wp$wpRounds s USING (w)"""
+      }),
+
     // ---- O210: tokenizer losslessness audit ---------------------------------
     // Gate AS A VALUE that every family's segmentation concatenates back to
     // the original word over the FULL histogram (the verdict-inside-the-row

@@ -149,6 +149,89 @@ object WordPiece {
     }
   }
 
+  /** Longest piece the greedy matcher will try. Trained pieces can double
+    * per round in principle; the loud refusal inside [[vocabMapOf]] keeps
+    * the walk's fixed arm count honest instead of silently truncating a
+    * longer piece into a shorter match.
+    */
+  val MaxGreedyPieceLen = 16
+
+  /** The trained WordPiece VOCABULARY as a frame: the corpus alphabet in
+    * BERT form (first chars bare + `##`-marked continuations — the distinct
+    * symbols of the initial segmentation) plus every learned merge. This is
+    * what a WordPiece tokenizer ships; [[greedySegment]] runs on it.
+    */
+  def vocab(wh: DataFrame, rules: Seq[WpRule]): DataFrame = {
+    val spark = wh.sparkSession
+    import spark.implicits._
+    wh.select(explode(split(initSym(col("w")), " ")).as("piece"))
+      .distinct()
+      .unionByName(rules.map(_.merged).toDF("piece"))
+      .distinct()
+  }
+
+  /** One-row (piece → 1) membership map, built IN-PLAN (the UnigramLm
+    * costMapOf pattern — no driver collect; the alphabet is corpus-derived
+    * and must never ride the driver). The guard refuses pieces longer than
+    * [[MaxGreedyPieceLen]] INSIDE the consumed column — a longer piece
+    * would be silently unmatchable by the fixed-arm walk.
+    */
+  def vocabMapOf(vocabDf: DataFrame): DataFrame = {
+    val guarded = when(length(col("piece")) > MaxGreedyPieceLen,
+      raise_error(concat(
+        lit(s"wordpiece: vocab piece longer than $MaxGreedyPieceLen ('"),
+        col("piece"),
+        lit("') — the greedy matcher's fixed arms would silently " +
+          "truncate it; raise MaxGreedyPieceLen")))).otherwise(col("piece"))
+    vocabDf.agg(map_from_entries(
+      collect_list(struct(guarded, lit(1)))).as("__vm"))
+  }
+
+  /** Greedy longest-match-first segmentation of `w` under membership map
+    * `m` — the BERT RUNTIME algorithm (WordPieceTokenizer), as opposed to
+    * the merge-replay segmentation training produces: at each position take
+    * the LONGEST vocab piece (continuations `##`-marked); a position with
+    * no match makes the whole word UNK (BERT's [UNK] rule).
+    *
+    * Returns struct(pieces: string — space-joined, '' when UNK;
+    * n_pieces: long — 0 when UNK; unk: boolean). Row-local: one fold over
+    * the word's positions, [[MaxGreedyPieceLen]] map probes per step.
+    */
+  def greedySegment(w: Column, m: Column): Column = {
+    val len = length(w).cast("long")
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(0L).as("pos"), lit(0L).as("cnt"),
+        lit("").as("acc"), lit(false).as("unk")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val key = (k: Int) =>
+          when(pos === 0L, w.substr(lit(1), lit(k)))
+            .otherwise(concat(lit("##"), w.substr((pos + 1L).cast("int"), lit(k))))
+        // longest match first: the first non-null arm wins
+        val ml = coalesce(
+          (MaxGreedyPieceLen to 1 by -1).map { k =>
+            when(pos + k <= len &&
+              element_at(m, key(k)).isNotNull, lit(k.toLong))
+          }: _*)
+        val piece = when(pos === 0L, w.substr(lit(1), ml.cast("int")))
+          .otherwise(concat(lit("##"),
+            w.substr((pos + 1L).cast("int"), ml.cast("int"))))
+        when(st.getField("unk") || pos >= len, st)
+          .when(ml.isNull,
+            struct(len.as("pos"), lit(0L).as("cnt"),
+              lit("").as("acc"), lit(true).as("unk")))
+          .otherwise(struct(
+            (pos + ml).as("pos"),
+            (st.getField("cnt") + 1L).as("cnt"),
+            when(st.getField("cnt") === 0L, piece)
+              .otherwise(concat(st.getField("acc"), lit(" "), piece)).as("acc"),
+            lit(false).as("unk")))
+      },
+      st => struct(st.getField("acc").as("pieces"),
+        st.getField("cnt").as("n_pieces"), st.getField("unk").as("unk")))
+  }
+
   /** (canonicalized word-histogram plan, rounds) -> learned rules. Bounded:
     * `rounds` small rules per distinct histogram a session trains on; same
     * per-session-memo contract as `Stages.materialize`.

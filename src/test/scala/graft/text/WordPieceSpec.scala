@@ -119,6 +119,55 @@ class WordPieceSpec extends SparkSpec {
       }
   }
 
+  test("greedySegment: longest-match-first, UNK on any miss, local-reference equality") {
+    import spark.implicits._
+    // handmade vocab exercising the paths the corpus fixture never hits
+    // (it agrees 31/31 with merge replay): longest-match preference and
+    // the BERT any-miss [UNK] rule
+    val vocabDf = Seq("a", "##b", "##c", "##bc", "x").toDF("piece")
+    val vm = WordPiece.vocabMapOf(vocabDf)
+    val words = Seq("abc", "ab", "a", "axc", "zb", "abcbc").toDF("w")
+    val got = words.crossJoin(broadcast(vm))
+      .withColumn("g", WordPiece.greedySegment(col("w"), col("__vm")))
+      .select(col("w"), col("g.pieces"), col("g.n_pieces"), col("g.unk"))
+      .as[(String, String, Long, Boolean)].collect()
+      .map { case (w, p, n, u) => w -> ((p, n, u)) }.toMap
+    assert(got("abc") === (("a ##bc", 2L, false)),
+      "greedy must take ##bc over ##b then ##c")
+    assert(got("ab") === (("a ##b", 2L, false)))
+    assert(got("a") === (("a", 1L, false)))
+    // 'x' exists only UNMARKED: at a non-initial position '##x' misses → UNK
+    assert(got("axc") === (("", 0L, true)))
+    // initial 'z' not in vocab → UNK immediately
+    assert(got("zb") === (("", 0L, true)))
+    assert(got("abcbc") === (("a ##bc ##bc", 3L, false)))
+    // driver-side reference on the same vocab agrees everywhere
+    val vset = Set("a", "##b", "##c", "##bc", "x")
+    def ref(w: String): (String, Long, Boolean) = {
+      var pos = 0; val out = scala.collection.mutable.ListBuffer[String]()
+      while (pos < w.length) {
+        val pref = if (pos == 0) "" else "##"
+        val k = (math.min(WordPiece.MaxGreedyPieceLen, w.length - pos) to 1 by -1)
+          .find(k => vset.contains(pref + w.substring(pos, pos + k)))
+        k match {
+          case Some(kk) => out += pref + w.substring(pos, pos + kk); pos += kk
+          case None => return ("", 0L, true)
+        }
+      }
+      (out.mkString(" "), out.size.toLong, false)
+    }
+    got.keys.foreach(w => assert(got(w) === ref(w), s"word '$w'"))
+  }
+
+  test("vocabMapOf refuses pieces longer than MaxGreedyPieceLen loudly") {
+    import spark.implicits._
+    val bad = Seq("a", "##" + "b" * (WordPiece.MaxGreedyPieceLen + 1)).toDF("piece")
+    val e = intercept[Exception] {
+      WordPiece.vocabMapOf(bad).collect()
+    }
+    assert(e.getMessage.contains("longer than"))
+  }
+
   test("initSym handles 1-char and 2-char words") {
     import spark.implicits._
     val df = Seq("a", "ab", "abc").toDF("w")
