@@ -637,7 +637,8 @@ object TokenizerQueries {
             UNION
             $mergedSel)),
         wvm AS MATERIALIZED (SELECT map(
-            list(CASE WHEN length(piece) > 16
+            list(CASE WHEN length(piece)
+                   - (CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) > 16
                  THEN error('wordpiece oracle: vocab piece longer than 16')
                  ELSE piece END), list(1)) AS vm FROM wpv),
         wg AS (WITH RECURSIVE r(w, pos, cnt, acc, unk) AS (

@@ -66,6 +66,13 @@ object PrefixSum {
       s"out columns must not collide with value columns, '$idCol', or " +
         s"'__b' — a shadowed input makes later running sums silently wrong; " +
         s"got $valueOutCols")
+    // the INPUT side of the same silent-shadowing class: withColumn("__b")
+    // in the totals and apply jobs would REPLACE a value or id column named
+    // '__b' with the bucket before it is summed (r14 advice)
+    require(!valueOutCols.exists(_._1 == "__b") && idCol != "__b",
+      s"'__b' is reserved for the internal bucket column — a value or id " +
+        s"column named '__b' would be silently replaced by the bucket; " +
+        s"got idCol='$idCol', $valueOutCols")
     val valueCols = valueOutCols.map(_._1)
     val k = valueCols.size
     // The prefix model — (n, lo, hi, per-bucket per-column totals) — is

@@ -40,7 +40,9 @@ object StreamingIngest {
 
   /** Run the bounded ingest stream and return its per-trigger ledger:
     * (batch_id, batch_in, url_dups, exact_dups, neardup_suspects,
-    * new_docs) — one row per non-empty micro-batch.
+    * new_docs) — one row per micro-batch (an empty trigger's global
+    * aggregate still emits a batch_in=0 row; a replay source with NO
+    * triggers at all yields an empty ledger).
     *
     * @param stream streaming frame carrying `idCol` (long, id-monotone in
     *               replay order), `urlCol` (canonical URL), `fpCol` (exact
@@ -55,9 +57,17 @@ object StreamingIngest {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // bk is cast to string HERE, not at the index append: the index
+        // stores all three kinds in one string key column, and joining a
+        // long batch column against the stored string key would rest on
+        // implicit cross-type coercion — exact under ANSI, but DOUBLE under
+        // ANSI-off coercion, where 60-bit hash keys lose precision past
+        // 2^53 and distinct buckets could silently compare equal (r14
+        // advice). An explicit string=string equi-join has no coercion.
         val b = batch.select(
           col(idCol).cast("long").as("id"),
-          col(urlCol).as("url_c"), col(fpCol).as("fp"), col(bkCol).as("bk"))
+          col(urlCol).as("url_c"), col(fpCol).as("fp"),
+          col(bkCol).cast("string").as("bk"))
         // "no index yet" (first batch) vs a genuine read failure must stay
         // distinguishable — swallowing the latter would skip every vs-index
         // check and report dups as new (the StreamingNearDup lesson)
@@ -136,7 +146,7 @@ object StreamingIngest {
             .unionByName(s.filter(surv)
               .select(lit("fp").as("kind"), col("fp").as("key")))
             .unionByName(s.filter(surv && !col("suspect"))
-              .select(lit("bk").as("kind"), col("bk").cast("string").as("key")))
+              .select(lit("bk").as("kind"), col("bk").as("key")))
             .distinct()
             .write.mode(SaveMode.Append).parquet(idxPath)
         } finally {
@@ -155,9 +165,25 @@ object StreamingIngest {
     // copy per invocation (Verify + two bench passes + PlanAudit = 4 copies)
     // for the JVM lifetime (r14 review finding)
     val spark = stream.sparkSession
-    val t = spark.read.parquet(ledgerPath)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    // zero-trigger streams never write the ledger parquet — return an
+    // empty typed frame instead of a path-not-found error (r14 advice)
+    val ledgerSchema = org.apache.spark.sql.types.StructType(
+      Seq("batch_id", "batch_in", "url_dups", "exact_dups",
+        "neardup_suspects", "new_docs").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+    val ledgerHadoop = new org.apache.hadoop.fs.Path(ledgerPath)
+    val ledgerFs = ledgerHadoop.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val local =
+      if (!ledgerFs.exists(ledgerHadoop))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), ledgerSchema)
+      else {
+        val t = spark.read.parquet(ledgerPath)
+        spark.createDataFrame(
+          java.util.Arrays.asList(t.collect(): _*), t.schema)
+      }
     val walk = java.nio.file.Files.walk(root)
     try {
       walk.sorted(java.util.Comparator.reverseOrder())

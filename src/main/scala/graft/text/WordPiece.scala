@@ -177,7 +177,14 @@ object WordPiece {
     * would be silently unmatchable by the fixed-arm walk.
     */
   def vocabMapOf(vocabDf: DataFrame): DataFrame = {
-    val guarded = when(length(col("piece")) > MaxGreedyPieceLen,
+    // guard on the MARKER-STRIPPED length: the walk's fixed arms probe up
+    // to MaxGreedyPieceLen RAW characters, so a continuation piece's map
+    // key is 2 chars longer than the raw span it matches — guarding the
+    // string length would refuse a perfectly-matchable raw-15/16
+    // continuation two characters early (r14 advice)
+    val rawLen = length(col("piece")) -
+      when(col("piece").startsWith("##"), 2).otherwise(0)
+    val guarded = when(rawLen > MaxGreedyPieceLen,
       raise_error(concat(
         lit(s"wordpiece: vocab piece longer than $MaxGreedyPieceLen ('"),
         col("piece"),

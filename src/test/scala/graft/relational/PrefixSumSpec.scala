@@ -174,6 +174,20 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("runningSums: '__b'-named inputs are refused, not silently shadowed") {
+    // withColumn("__b", bucket) would REPLACE an input column of that name
+    // before it is summed — the same silent-shadowing class the out-column
+    // guard catches, on the input side (r14 advice)
+    val df = Seq((1L, 2L)).toDF("__b", "v")
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(df, "id2", Seq("__b" -> "c1"), 8)
+    }
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSums(df.withColumnRenamed("__b", "id"),
+        "__b", Seq("v" -> "c1"), 8)
+    }
+  }
+
   test("non-numeric ids fail loudly instead of returning all-zero sums") {
     // ANSI mode already throws on a malformed string cast; the engine's own
     // guard covers the silent case — ids that CAST to null (all-null ids)

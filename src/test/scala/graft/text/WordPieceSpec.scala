@@ -168,6 +168,25 @@ class WordPieceSpec extends SparkSpec {
     assert(e.getMessage.contains("longer than"))
   }
 
+  test("vocabMapOf guard is marker-stripped: a raw-16 continuation is " +
+    "accepted AND matchable by the walk") {
+    import spark.implicits._
+    // string length 18, raw length 16 == MaxGreedyPieceLen: the fixed arms
+    // probe raw lengths, so this piece is perfectly matchable — a guard on
+    // the STRING length would refuse it two characters early (r14 advice)
+    val longCont = "##" + "b" * WordPiece.MaxGreedyPieceLen
+    val vm = WordPiece.vocabMapOf(Seq("a", longCont).toDF("piece"))
+    val got = Seq("a" + "b" * WordPiece.MaxGreedyPieceLen).toDF("w")
+      .crossJoin(broadcast(vm))
+      .withColumn("g", WordPiece.greedySegment(col("w"), col("__vm")))
+      .select(col("g.pieces"), col("g.n_pieces"), col("g.unk"))
+      .as[(String, Long, Boolean)].head()
+    assert(got === (("a " + longCont, 2L, false)))
+    // one char longer still refuses
+    val bad = Seq("##" + "b" * (WordPiece.MaxGreedyPieceLen + 1)).toDF("piece")
+    intercept[Exception] { WordPiece.vocabMapOf(bad).collect() }
+  }
+
   test("initSym handles 1-char and 2-char words") {
     import spark.implicits._
     val df = Seq("a", "ab", "abc").toDF("w")
