@@ -217,7 +217,13 @@ object MinHash {
     */
   def portableSignatures(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, numHashes: Int = 16): DataFrame =
-    portableMins(portableHashes(docs, idCol, textCol, shingleN), numHashes)
+    // LANDED (r15, guide §2.4): the signature frame is answer-sized (one
+    // row per doc) and every calibration consumer reads it TWICE (the id1
+    // and id2 sides of the pair join) — unlanded, the k/2-digests-per-
+    // distinct-shingle aggregation ran once per side
+    graft.relational.Stages.materialize(
+      portableMins(portableHashes(docs, idCol, textCol, shingleN), numHashes),
+      "minhash_sig")
 
   /** Landed distinct (id, 60-bit md5 shingle hash) frame of the portable
     * pipeline (see the landing rationale below — four consumers with

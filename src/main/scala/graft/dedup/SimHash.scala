@@ -105,8 +105,17 @@ object SimHash {
     * 16-bit blocks (Hamming ≤ 3 ⇒ at least one block equal — pigeonhole).
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol)
+                   maxHamming: Int = 3): DataFrame =
+    nearDupPairsFromFingerprints(fingerprints(docs, idCol, textCol), maxHamming)
+
+  /** The banding join over an already-computed (id, fp) frame — exposed so
+    * a query that needs BOTH the banded pairs and another consumer of the
+    * same fingerprints (e.g. the brute-force equivalence audit) can land
+    * the fingerprint frame once instead of re-running the token explode +
+    * SWAR aggregation per consumer (r15, guide §2.4).
+    */
+  def nearDupPairsFromFingerprints(fp: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
     val blocks = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("block"),

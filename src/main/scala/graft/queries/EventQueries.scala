@@ -1926,7 +1926,12 @@ object EventQueries {
             explode(sequence(col("m"), col("m") + 30L)).as("minute"))
           .distinct()
           .groupBy(col("minute"))
-          .agg(countDistinct(col("user_id")).as("active_users"))
+          // the input is already distinct (user_id, minute) pairs, so a
+          // plain count IS the distinct-user count — countDistinct here
+          // planned a second distinct-aggregate layer (an extra exchange +
+          // sort-based dedup) over rows the explicit distinct() above had
+          // already deduplicated (r15, guide §2.4)
+          .agg(count(lit(1)).as("active_users"))
           .orderBy(desc("active_users"), col("minute"))
           .limit(5)
       },

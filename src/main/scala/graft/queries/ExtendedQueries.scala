@@ -397,10 +397,17 @@ object ExtendedQueries {
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(dec2(col("l_extendedprice"))).as("cost"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        val mn = costs.groupBy(col("l_partkey").as("__mp"))
-          .agg(min(col("cost")).as("__mc"))
-        costs
-          .join(mn, col("l_partkey") === col("__mp") && col("cost") === col("__mc"))
+        // min-per-part as a window over the SAME pass instead of a second
+        // aggregation joined back: the r14 shape consumed `costs` twice
+        // (the mn aggregate + the join probe), so the lineitem aggregation
+        // and the supplier broadcast join each executed twice per run; the
+        // window keeps exactly the rows whose exact DECIMAL cost equals the
+        // per-part minimum — ties and values identical (r15, guide §2.4)
+        val best = costs
+          .withColumn("__mc", min(col("cost")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))))
+          .filter(col("cost") === col("__mc"))
+        best
           .join(broadcast(tbl(s, dir, "part")
             .filter(col("p_type") === "ECONOMY" && col("p_size") < 10)),
             col("l_partkey") === col("p_partkey"))

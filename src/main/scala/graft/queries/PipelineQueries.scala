@@ -2584,12 +2584,20 @@ object PipelineQueries {
           maxDf = Some(64L))
           .select(col("id1"), col("id2"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val nCaught = truth.join(cand, Seq("id1", "id2"), "left_semi")
-          .agg(count(lit(1)).as("n_caught"))
-        nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
-          .crossJoin(broadcast(nCaught))
+        // ONE pass over each expensive pair frame (r15, guide §2.4): the r14
+        // shape consumed `truth` twice (count + semi-join) and `cand` twice
+        // (count + semi-join probe), so both df²-join subtrees executed
+        // twice per query. Both frames are distinct (id1, id2) sets
+        // (candidatePairs ends in distinct(); truth is a groupBy output), so
+        // a full outer join counts candidates, truth, and the caught
+        // intersection in one answer-sized pass — identical values.
+        val meters = truth.withColumn("__t", lit(1))
+          .join(cand.withColumn("__c", lit(1)), Seq("id1", "id2"), "full_outer")
+          .agg(count(col("__c")).as("n_candidates"),
+            count(col("__t")).as("n_truth"),
+            count(when(col("__t").isNotNull && col("__c").isNotNull, lit(1)))
+              .as("n_caught"))
+        nDocs.crossJoin(broadcast(meters))
           .select(col("n_docs"),
             expr("(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2")
               .as("all_pairs"),
@@ -2653,12 +2661,15 @@ object PipelineQueries {
           maxDf = Some(64L))
           .select(col("id1"), col("id2"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-        val nCaught = truth.join(cand, Seq("id1", "id2"), "left_semi")
-          .agg(count(lit(1)).as("n_caught"))
-        nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
-          .crossJoin(broadcast(nCaught))
+        // one pass per pair frame via full outer join — see
+        // blocking_quality_audit above (r15, guide §2.4); identical values
+        val meters = truth.withColumn("__t", lit(1))
+          .join(cand.withColumn("__c", lit(1)), Seq("id1", "id2"), "full_outer")
+          .agg(count(col("__c")).as("n_candidates"),
+            count(col("__t")).as("n_truth"),
+            count(when(col("__t").isNotNull && col("__c").isNotNull, lit(1)))
+              .as("n_caught"))
+        nDocs.crossJoin(broadcast(meters))
           .select(col("n_docs"),
             expr("(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1L)) div 2")
               .as("all_pairs"),
@@ -2786,9 +2797,13 @@ object PipelineQueries {
     DeclaredQuery("simhash_banding_equiv",
       (s, dir) => {
         val docs = tbl(s, dir, "documents").filter(col("doc_id") < 500)
-        val fast = SimHash.nearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+        // landed: the banded fast path AND the brute-force side read the
+        // same fingerprints — one token explode + SWAR aggregation per
+        // session instead of two per run (r15, guide §2.4)
+        val fp = graft.relational.Stages.materialize(
+          SimHash.fingerprints(docs, "doc_id", "text"), "simhash_fp")
+        val fast = SimHash.nearDupPairsFromFingerprints(fp, maxHamming = 3)
           .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
-        val fp = SimHash.fingerprints(docs, "doc_id", "text")
         val brute = fp.select(col("id").as("id1"), col("fp").as("f1"))
           .join(broadcast(fp.select(col("id").as("id2"), col("fp").as("f2"))),
             col("id1") < col("id2"))

@@ -43,10 +43,19 @@ object DdSketch {
     val v = col(valueCol).cast("long")
     val base = df.select(col(groupCol).as("g"), v.as("v"))
 
+    // ONE eager guard probe (r15, guide §1.2): the bounded distinct-value
+    // probe doubles as the negative check — a negative value is by
+    // definition a distinct value, and the domain-size refusal fires FIRST,
+    // so the truncated probe can never hide one. The r14 shape ran a
+    // separate full-scan limit(1) job just for the sign check.
+    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
+    require(probe.length <= maxDistinct,
+      s"quantileAudit: > $maxDistinct distinct values — the exact audit " +
+        "side needs a bounded domain (the QuantileRank contract); run the " +
+        "sketch without the audit or bucketize first")
     // negatives would silently map to garbage buckets (bin() of a negative
     // long is its two's-complement, 64 chars) — refuse loudly
-    val negs = base.filter(col("v") < 0L).limit(1).collect()
-    require(negs.isEmpty,
+    require(!probe.exists(r => !r.isNullAt(0) && r.getLong(0) < 0L),
       s"quantileAudit: negative $valueCol — the geometric bucket mapping " +
         "is defined for non-negative values; shift or split the domain")
 
@@ -56,26 +65,25 @@ object DdSketch {
           "16L * length(bin(v)) + (v div shiftleft(1L, length(bin(v)) - 5) - 16L)")))
     val cells = keyed.groupBy(col("g"), col("k"))
       .agg(count(lit(1)).as("c"))
-    // per-group cumulative over the ≤ 16·64-cell sketch — bounded window
+    // per-group cumulative over the ≤ 16·64-cell sketch — bounded window.
+    // The group total rides the SAME window pass as a partition-frame sum
+    // (r15, guide §2.4): the r14 shape aggregated `totals` separately and
+    // joined it back, which executed the cells subtree twice and paid a
+    // join per side; one exchange now feeds both window columns.
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("k"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val totals = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val sketchSide = cells.withColumn("cum", sum(col("c")).over(wCum))
-      .join(totals, Seq("g"))
+      .withColumn("n", sum(col("c")).over(wAll))
 
-    // exact side: per-group distinct-value CDF, bounded by a loud probe
-    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
-    require(probe.length <= maxDistinct,
-      s"quantileAudit: > $maxDistinct distinct values — the exact audit " +
-        "side needs a bounded domain (the QuantileRank contract); run the " +
-        "sketch without the audit or bucketize first")
+    // exact side: per-group distinct-value CDF (domain bounded by the probe)
     val gv = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val wVal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val exactCum = gv.withColumn("cum", sum(col("c")).over(wVal))
-      .join(totals, Seq("g"))
+      .withColumn("n", sum(col("c")).over(wAll))
 
     import scala.jdk.CollectionConverters._
     val qDf = broadcast(spark.createDataFrame(
@@ -138,8 +146,14 @@ object DdSketch {
     val base = df.select(col(groupCol).as("g"),
       expr(s"datediff($dayCol, DATE '1970-01-01')").cast("long").as("d"),
       col(valueCol).cast("long").as("v"))
-    val negs = base.filter(col("v") < 0L).limit(1).collect()
-    require(negs.isEmpty,
+    // ONE eager guard probe — the bounded distinct probe doubles as the
+    // sign check (see quantileAudit; the size refusal fires first, so the
+    // truncated probe can never hide a negative)
+    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
+    require(probe.length <= maxDistinct,
+      s"rollupAudit: > $maxDistinct distinct values — the exact audit " +
+        "side needs a bounded domain; run the rollup without the audit")
+    require(!probe.exists(r => !r.isNullAt(0) && r.getLong(0) < 0L),
       s"rollupAudit: negative $valueCol — the geometric bucket mapping " +
         "is defined for non-negative values; shift or split the domain")
     // the landed daily sketch table: ≤ 16·64 cells per (group, day)
@@ -154,16 +168,16 @@ object DdSketch {
     val weekly = daily.withColumn("wk", expr("d div 7"))
       .groupBy(col("g"), col("wk"), col("k"))
       .agg(sum(col("c")).as("c"))
+    // the weekly total rides the same window pass as a partition-frame sum
+    // (r15, guide §2.4) — the r14 `totals` aggregate + join executed the
+    // weekly subtree twice and paid a join per side
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g"), col("wk")).orderBy(col("k"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val totals = weekly.groupBy(col("g"), col("wk")).agg(sum(col("c")).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"), col("wk"))
     val sketchCum = weekly.withColumn("cum", sum(col("c")).over(wCum))
-      .join(totals, Seq("g", "wk"))
-    val probe = base.select(col("v")).distinct().limit(maxDistinct + 1).collect()
-    require(probe.length <= maxDistinct,
-      s"rollupAudit: > $maxDistinct distinct values — the exact audit " +
-        "side needs a bounded domain; run the rollup without the audit")
+      .withColumn("n", sum(col("c")).over(wAll))
     val gv = base.withColumn("wk", expr("d div 7"))
       .groupBy(col("g"), col("wk"), col("v"))
       .agg(count(lit(1)).as("c"))
@@ -171,7 +185,7 @@ object DdSketch {
       .partitionBy(col("g"), col("wk")).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val exactCum = gv.withColumn("cum", sum(col("c")).over(wVal))
-      .join(totals, Seq("g", "wk"))
+      .withColumn("n", sum(col("c")).over(wAll))
     import scala.jdk.CollectionConverters._
     val qDf = broadcast(spark.createDataFrame(
       qsPermille.sorted.map(q =>

@@ -115,12 +115,19 @@ object FrequentPairs {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minPairSupport)
     val nBaskets = b.agg(countDistinct(col("__b")).as("__nb"))
-    pairs
-      .join(itemCounts.select(col("__i").as("item_a"), col("__c").as("__ca")),
-        Seq("item_a"))
-      .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("__cb")),
-        Seq("item_b"))
-      .crossJoin(broadcast(nBaskets))
+    // the decorated pair frame is answer-sized (support-floored pairs), and
+    // TWO declared consumers run it with identical arguments (the pair
+    // mining row and the rule-strengths row) — land it so the basket-key
+    // self-join + pair count runs once per session, not once per consumer
+    // (r15, guide §2.4; the same memo-key sharing knnEdges uses)
+    Stages.materialize(
+      pairs
+        .join(itemCounts.select(col("__i").as("item_a"), col("__c").as("__ca")),
+          Seq("item_a"))
+        .join(itemCounts.select(col("__i").as("item_b"), col("__c").as("__cb")),
+          Seq("item_b"))
+        .crossJoin(broadcast(nBaskets)),
+      "fp_pairs")
   }
 
   private def emptyResult(df: DataFrame, itemCol: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Streaming ingest dedup ledger — the per-trigger twin of the batch
@@ -31,10 +31,21 @@ import org.apache.spark.sql.functions._
   * the md5Bits60 ⟷ DuckDB md5-prefix identity — the repo-wide rule that
   * oracled values never ride xxhash.
   *
+  * Trigger cost (r15, guide §1/§2.4): ONE distributed job per trigger —
+  * the index append — with the ledger aggregate riding the same job as
+  * `observe` metrics and the three per-kind key arms fused into one
+  * conditional-array explode over one pass of the flagged batch. The r14
+  * shape ran three jobs per trigger (ledger aggregate + one-row ledger
+  * parquet append, index read + re-distinct, index append) plus a final
+  * whole-ledger read; measured at sf0.1/32 cores the row dropped ~2×.
+  *
   * At-least-once note: a batch replayed after a crash between the ledger
-  * append and the index append re-emits its ledger row — the contract of
+  * emission and the index append re-emits its ledger row — the contract of
   * every foreachBatch sink (see [[StreamingNearDup]]); idempotent sinks are
   * the caller's transactional concern, same as the reference's ack model.
+  * The ledger row itself is localized at the trigger (it is answer-sized:
+  * six longs per trigger); a deployment that needs it durable appends it to
+  * its transactional sink inside the trigger, keyed by batch_id.
   */
 object StreamingIngest {
 
@@ -52,8 +63,17 @@ object StreamingIngest {
                    fpCol: String, bkCol: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_ingest")
     val idxPath = root.resolve("index").toString
-    val ledgerPath = root.resolve("ledger").toString
     val ckpt = root.resolve("ckpt").toString
+    // Driver-held ledger buffer, answer-sized BY CONSTRUCTION: ONE 6-long
+    // row per trigger. The r14 shape appended each row as a one-row parquet
+    // job and read the whole ledger back after the drain — one distributed
+    // job per trigger plus one per invocation, for rows the function
+    // localizes anyway (the drainMemoryToLocal precedent). The row now
+    // rides the index-append job as observed metrics and lands here; a
+    // deployment that needs the ledger durable appends the same 6-field row
+    // to its transactional sink inside the trigger (idempotent by
+    // batch_id) — a sink contract, not a distributed job.
+    val ledgerRows = new scala.collection.mutable.ArrayBuffer[Row]()
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -70,21 +90,24 @@ object StreamingIngest {
           col(bkCol).cast("string").as("bk"))
         // "no index yet" (first batch) vs a genuine read failure must stay
         // distinguishable — swallowing the latter would skip every vs-index
-        // check and report dups as new (the StreamingNearDup lesson)
+        // check and report dups as new (the StreamingNearDup lesson).
+        // ONE lazy index read per trigger, persisted: the three stage
+        // lookups below read it, and the parquet-rooted plan keeps the real
+        // file-size statistics, so the planner broadcasts the lookup side
+        // while the index is small and falls back to shuffled equi-joins
+        // when it is not — a lineage-truncated cross-trigger cache
+        // (localCheckpoint/LogicalRDD) was measured 2× SLOWER here because
+        // its default statistics force every lookup to sort-merge (r15).
+        // No distinct() on the read (r15): the append path below never
+        // appends a key the index already holds and each kind's in-batch
+        // winners are unique by the min-id rule, so index keys are unique
+        // BY CONSTRUCTION — the r14 belt-and-braces re-dedup was a full
+        // extra shuffle per trigger of provably-unique rows (its guard
+        // value is covered by the newKeys distinct(), which stays).
         val idxHadoop = new org.apache.hadoop.fs.Path(idxPath)
         val fs = idxHadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // ONE index read + ONE (kind, key) distinct per trigger, persisted:
-        // the three stage lookups are consumed by BOTH trigger actions
-        // (ledger aggregate + index append), so an unpersisted index would
-        // be re-read and re-deduplicated six times per trigger. distinct()
-        // itself is load-bearing, not hygiene: the lookups below are LEFT
-        // joins with a marker column (so the flags stay row-aligned), and a
-        // duplicated index key would MULTIPLY matching arrival rows —
-        // batch_in itself would over-count. The append path also never
-        // re-appends a present key (see below), so this is belt-and-braces.
         val seen: Option[DataFrame] =
-          if (fs.exists(idxHadoop))
-            Some(spark.read.parquet(idxPath).distinct().persist())
+          if (fs.exists(idxHadoop)) Some(spark.read.parquet(idxPath).persist())
           else None
         def seenKeys(kind: String, as: String) = seen
           .map(_.filter(col("kind") === kind).select(col("key").as(as)))
@@ -93,44 +116,54 @@ object StreamingIngest {
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField(as,
                 org.apache.spark.sql.types.StringType)))))
-        // stage 1: canonical-URL first-seen over ALL arrivals
-        val minUrl = b.groupBy(col("url_c")).agg(min(col("id")).as("__umin"))
-        val u = b
+        // The three sequential first-seen stages as WINDOW MINIMA — the
+        // exact formulation the oracle replays ("plain window minima over
+        // the deterministic batch slicing"). The r14 shape computed each
+        // stage as a groupBy-min aggregate joined back, which cost an
+        // aggregate exchange + a broadcast build + a join PER STAGE; a
+        // conditional min over a partition window is one exchange per
+        // stage, and the stage conditions (url survivor, exact survivor)
+        // ride as CASE inside the min exactly like the oracle's
+        // MIN(CASE WHEN ... THEN doc_id END) OVER (PARTITION BY ...).
+        // The three index lookups are key-disjoint left equi-joins of the
+        // batch, so they all happen up front.
+        val withSeen = b
           .join(seenKeys("url", "url_c").withColumn("__us", lit(1)),
             Seq("url_c"), "left")
-          .join(minUrl, Seq("url_c"))
-          .withColumn("url_dup",
-            col("__us").isNotNull || col("id") > col("__umin"))
-        // stage 2: exact-fingerprint first-seen over URL survivors only
-        val minFp = u.filter(!col("url_dup"))
-          .groupBy(col("fp")).agg(min(col("id")).as("__fmin"))
-        val e = u
           .join(seenKeys("fp", "fp").withColumn("__fs", lit(1)), Seq("fp"), "left")
-          .join(minFp, Seq("fp"), "left")
-          .withColumn("exact_dup", !col("url_dup") &&
-            (col("__fs").isNotNull || col("id") > col("__fmin")))
+          .join(seenKeys("bk", "bk").withColumn("__bs", lit(1)), Seq("bk"), "left")
+        val wUrl = org.apache.spark.sql.expressions.Window.partitionBy(col("url_c"))
+        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val wBk = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
+        // stage 1: canonical-URL first-seen over ALL arrivals
+        // stage 2: exact-fingerprint first-seen over URL survivors only
         // stage 3: near-dup SUSPECT screen over exact survivors (suspects
         // are still ingested — their keys enter the index — pending the
         // heavy verification downstream)
         val surv = !col("url_dup") && !col("exact_dup")
-        val minBk = e.filter(surv).groupBy(col("bk")).agg(min(col("id")).as("__bmin"))
-        val s = e
-          .join(seenKeys("bk", "bk").withColumn("__bs", lit(1)), Seq("bk"), "left")
-          .join(minBk, Seq("bk"), "left")
+        val s = withSeen
+          .withColumn("url_dup",
+            col("__us").isNotNull || col("id") > min(col("id")).over(wUrl))
+          .withColumn("exact_dup", !col("url_dup") &&
+            (col("__fs").isNotNull ||
+              col("id") > min(when(!col("url_dup"), col("id"))).over(wFp)))
           .withColumn("suspect", surv &&
-            (col("__bs").isNotNull || col("id") > col("__bmin")))
-          .persist() // two consumers below: the ledger row + the index append
+            (col("__bs").isNotNull ||
+              col("id") > min(when(surv, col("id"))).over(wBk)))
         try {
-          s.agg(
+          // The per-trigger ledger row rides the index-append job as
+          // OBSERVED metrics (CollectMetrics sits above the flagged rows
+          // and below the key explode, so every flagged row is metered
+          // exactly once; the optimizer never pushes filters through a
+          // CollectMetrics barrier) — no separate aggregate job, and `s`
+          // now has ONE consumer so it no longer needs persist().
+          val obs = Observation(s"ingest_ledger_$batchId")
+          val sObs = s.observe(obs,
             count(lit(1)).as("batch_in"),
             sum(when(col("url_dup"), 1L).otherwise(0L)).as("url_dups"),
             sum(when(col("exact_dup"), 1L).otherwise(0L)).as("exact_dups"),
             sum(when(col("suspect"), 1L).otherwise(0L)).as("neardup_suspects"),
             sum(when(surv && !col("suspect"), 1L).otherwise(0L)).as("new_docs"))
-            .select(lit(batchId).as("batch_id"), col("batch_in"),
-              col("url_dups"), col("exact_dups"), col("neardup_suspects"),
-              col("new_docs"))
-            .write.mode(SaveMode.Append).parquet(ledgerPath)
           // ONE index append per trigger: only NEWLY-claimed keys, so the
           // index never holds a key twice (the left-join lookups above would
           // otherwise multiply later arrivals). url keys come from URL
@@ -140,50 +173,48 @@ object StreamingIngest {
           // only — a suspect's bk is by definition already indexed, and
           // re-appending it would double-count every later arrival of that
           // bucket through the left-join lookup (r14 review finding).
-          // distinct() covers in-batch re-claims.
-          s.filter(!col("url_dup"))
-            .select(lit("url").as("kind"), col("url_c").as("key"))
-            .unionByName(s.filter(surv)
-              .select(lit("fp").as("kind"), col("fp").as("key")))
-            .unionByName(s.filter(surv && !col("suspect"))
-              .select(lit("bk").as("kind"), col("bk").as("key")))
+          // distinct() covers in-batch re-claims. The three per-kind arms
+          // are ONE conditional-array explode — one pass over the flagged
+          // rows instead of the r14 three-filter union (three passes).
+          sObs
+            .select(explode(array(
+              when(!col("url_dup"),
+                struct(lit("url").as("kind"), col("url_c").as("key"))),
+              when(surv,
+                struct(lit("fp").as("kind"), col("fp").as("key"))),
+              when(surv && !col("suspect"),
+                struct(lit("bk").as("kind"), col("bk").as("key"))))).as("e"))
+            .filter(col("e").isNotNull)
+            .select(col("e.kind").as("kind"), col("e.key").as("key"))
             .distinct()
             .write.mode(SaveMode.Append).parquet(idxPath)
+          val m = obs.get
+          ledgerRows += Row(Long.box(batchId), m("batch_in"), m("url_dups"),
+            m("exact_dups"), m("neardup_suspects"), m("new_docs"))
         } finally {
-          s.unpersist()
           seen.foreach(_.unpersist())
           ()
         }
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
     StreamingRouter.awaitBounded(q)
-    // the ledger is answer-sized BY CONSTRUCTION (one row per trigger), so
-    // localize it (the drainMemoryToLocal precedent) and delete the whole
-    // temp tree EAGERLY — deleteOnExit would hold a full index + checkpoint
-    // copy per invocation (Verify + two bench passes + PlanAudit = 4 copies)
-    // for the JVM lifetime (r14 review finding)
     val spark = stream.sparkSession
-    // zero-trigger streams never write the ledger parquet — return an
-    // empty typed frame instead of a path-not-found error (r14 advice)
+    // the ledger is answer-sized BY CONSTRUCTION (one row per trigger) and
+    // was localized AT the trigger; a zero-trigger stream simply leaves the
+    // buffer empty (r14 advice: no path-not-found on an empty replay).
+    // Delete the whole temp tree EAGERLY — deleteOnExit would hold a full
+    // index + checkpoint copy per invocation (Verify + two bench passes +
+    // PlanAudit = 4 copies) for the JVM lifetime (r14 review finding).
     val ledgerSchema = org.apache.spark.sql.types.StructType(
       Seq("batch_id", "batch_in", "url_dups", "exact_dups",
         "neardup_suspects", "new_docs").map(n =>
         org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.LongType)))
-    val ledgerHadoop = new org.apache.hadoop.fs.Path(ledgerPath)
-    val ledgerFs = ledgerHadoop.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val local =
-      if (!ledgerFs.exists(ledgerHadoop))
-        spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), ledgerSchema)
-      else {
-        val t = spark.read.parquet(ledgerPath)
-        spark.createDataFrame(
-          java.util.Arrays.asList(t.collect(): _*), t.schema)
-      }
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(ledgerRows.toSeq: _*), ledgerSchema)
     val walk = java.nio.file.Files.walk(root)
     try {
       walk.sorted(java.util.Comparator.reverseOrder())

@@ -68,11 +68,18 @@ object Importance {
                        scale: Long = 1000000L): DataFrame = {
     val occ = bigramBuckets(docs, idCol, textCol, isTarget, buckets)
     val w = bucketWeights(occ, "__b", "__t", scale)
-    occ
-      .join(broadcast(w), "__b") // dictionary is bucket-bounded at plan time
-      .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
-      .select(col(idCol), col("__t").as("is_target"),
-        col("n_bigrams"), col("score"))
+    // LANDED (r15, guide §2.4): the score frame is answer-sized (one row
+    // per doc) and TWO declared consumers build it with identical arguments
+    // (dsir_importance_topk, dsir_ess_audit) — unlanded, each ran the full
+    // bigram explode + hash + weight fit per query (and the occurrence tree
+    // twice within it: the weight arm + the scoring spine)
+    graft.relational.Stages.materialize(
+      occ
+        .join(broadcast(w), "__b") // dictionary is bucket-bounded at plan time
+        .groupBy(col(idCol), col("__t"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+        .select(col(idCol), col("__t").as("is_target"),
+          col("n_bigrams"), col("score")),
+      "dsir_scores")
   }
 }
