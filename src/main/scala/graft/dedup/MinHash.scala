@@ -274,7 +274,14 @@ object MinHash {
     // slowest batch row at sf0.1, shuf=12). Landing the compact (id, h)
     // output once is exactly the tokenize-job → similarity-job boundary a
     // production pipeline has.
-    val mins = portableMins(hs, numHashes)
+    // LANDED with the SAME memo key as [[portableSignatures]] (identical
+    // plan over the landed hs read): every banding consumer — the portable
+    // pair rows, the calibration rows, the band-stats row, and the
+    // blocking audits' candidate side — reads ONE landed signature frame
+    // instead of re-running the k/2-digests-per-distinct-shingle
+    // aggregation per query (r15, guide §2.4)
+    val mins = graft.relational.Stages.materialize(
+      portableMins(hs, numHashes), "minhash_sig")
     val banded = mins.select(col("id"), explode(array((0 until numBands).map { j =>
         struct(lit(j).as("band"),
           fp60(concat_ws(":",
