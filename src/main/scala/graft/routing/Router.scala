@@ -64,31 +64,80 @@ object Router {
       badMessages: DataFrame,
       skipped: DataFrame)
 
-  /** Compute the routing tag for each row (single pass, no shuffle). */
+  /** Compute the routing tag for each row (single pass, no shuffle).
+    *
+    * Evaluation shape (r16, guide §1.2 "per-task work" / §4 expression
+    * choice): the condition chain — including the full payload-validator
+    * expression tree, the expensive half of every draft-04 routing row —
+    * is evaluated ONCE per row into the reason, and the tag is a cheap
+    * verdict map over the reason (the reason strings are in 1:1
+    * correspondence with the when-branches, so the mapping loses nothing).
+    * The r15 shape evaluated the identical chain twice (verdict + reason).
+    * Repeated JSON-derivation subexpressions inside the chain (raw-object
+    * key listings, variant parses — conditional contexts, which whole-stage
+    * codegen's subexpression elimination does not dedupe) are hoisted into
+    * per-row columns first, so each distinct parse of the raw payload runs
+    * at most once per row. Still one projection pipeline: no shuffle, one
+    * source scan regardless of registry size (spec-pinned).
+    */
   def tag(df: DataFrame, config: Config): DataFrame = {
     val ev = col(config.eventCol)
     val dataSchema = ev.getField("data").getField("schema")
     val registeredIds = config.registry.keys.toSeq
 
-    val verdict =
-      when(ev.isNull, lit(BadMessage))
-        .when(ev.getField("schema").isNull, lit(BadMessage))
-        .when(ev.getField("schema") =!= config.eventSchemaId, lit(BadMessage))
-        .when(!config.envelope.valid(ev), lit(BadMessage))
-        .when(dataSchema.isNull || !dataSchema.isin(registeredIds: _*), lit(Skipped))
-        .when(!payloadValid(ev, config), lit(BadMessage))
-        .otherwise(concat(lit("branch:"), dataSchema))
+    // The short-circuit ladder, in the reference's order. Branch 5 (skip)
+    // maps to Skipped; every other firing branch is a bad message.
+    val pre: Seq[(Column, String)] = Seq(
+      ev.isNull -> "undecodable",
+      ev.getField("schema").isNull -> "missing schema",
+      (ev.getField("schema") =!= config.eventSchemaId) -> "wrong event schema",
+      (!config.envelope.valid(ev)) -> "invalid envelope",
+      (dataSchema.isNull || !dataSchema.isin(registeredIds: _*)) -> "unregistered schema")
+    val skipIdx = 5 // 1-based position of the skip branch in the ladder
 
-    val reason =
-      when(ev.isNull, lit("undecodable"))
-        .when(ev.getField("schema").isNull, lit("missing schema"))
-        .when(ev.getField("schema") =!= config.eventSchemaId, lit("wrong event schema"))
-        .when(!config.envelope.valid(ev), lit("invalid envelope"))
-        .when(dataSchema.isNull || !dataSchema.isin(registeredIds: _*), lit("unregistered schema"))
-        .when(!payloadValid(ev, config), lit("invalid payload"))
-        .otherwise(lit(null).cast("string"))
+    // Payload parses run only on rows no earlier branch claimed — the same
+    // rows whose CASE branch would have evaluated them, so the hoisted
+    // columns cost nothing on undecodable/unregistered rows. A CASE
+    // condition fires only when TRUE (null falls through), hence the
+    // null-safe negation. The envelope-validity term is deliberately
+    // omitted from the gate: the gate may only OVER-approximate the rows
+    // whose payload branch evaluates (an under-approximation would feed a
+    // NULL parse into a live branch condition), and re-running a heavy
+    // envelope validator inside the gate would double-pay it. Cost: rows
+    // with an invalid envelope parse their payload for nothing — rare by
+    // the quarantine contract.
+    val reachesPayload = pre.collect {
+      case (c, r) if r != "invalid envelope" => !c.eqNullSafe(lit(true))
+    }.foldLeft(lit(true))(_ && _)
 
-    df.withColumn(TagCol, verdict).withColumn(ReasonCol, reason)
+    // Hoisting is restricted to the payload condition: envelope-constraint
+    // parses (if any) must stay inline, because the gate cannot know
+    // whether the envelope branch itself needs them.
+    val (prepped, payloadBadCse, cseCols) =
+      JsonCse.hoist(df, !payloadValid(ev, config), reachesPayload)
+
+    // ONE evaluation of the whole ladder into a small branch index; tag and
+    // reason are integer CASE maps over it.
+    val idxCse = pre.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, ((c, _), i)) =>
+        Some(acc.fold(when(c, lit(i + 1)))(_.when(c, lit(i + 1))))
+      }.get
+      .when(payloadBadCse, lit(pre.size + 1))
+      .otherwise(lit(0))
+    val tmp = "__graft_route_branch"
+    val reasons = pre.map(_._2) :+ "invalid payload"
+    prepped.withColumn(tmp, idxCse)
+      .withColumn(TagCol,
+        when(col(tmp) === 0, concat(lit("branch:"), dataSchema))
+          .when(col(tmp) === skipIdx, lit(Skipped))
+          .otherwise(lit(BadMessage)))
+      .withColumn(ReasonCol,
+        reasons.zipWithIndex.foldLeft(Option.empty[Column]) {
+          case (acc, (r, i)) =>
+            Some(acc.fold(when(col(tmp) === (i + 1), lit(r)))(
+              _.when(col(tmp) === (i + 1), lit(r))))
+        }.get.otherwise(lit(null).cast("string")))
+      .drop((tmp +: cseCols): _*)
   }
 
   private def payloadValid(ev: Column, config: Config): Column = {

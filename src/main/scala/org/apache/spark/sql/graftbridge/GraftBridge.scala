@@ -16,6 +16,20 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Column → catalyst Expression (pre-analysis tree; `private[sql]` in
+    * Spark 4's column-node API, hence bridged here). Converts EAGERLY via
+    * the classic converter — `ExpressionUtils.expression` would wrap the
+    * column-node tree in one opaque lazy leaf, invisible to tree traversal.
+    */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** catalyst Expression → Column (inverse of [[expression]]). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental

@@ -124,6 +124,75 @@ class RouterSpec extends SparkSpec {
     cases.foreach { case (name, _, want) => assert(got(name) === want, s"case: $name") }
   }
 
+  test("r16 parse-once: repeated raw-JSON derivations hoist to one per row") {
+    // The tag kernel must evaluate each distinct JSON derivation of the raw
+    // payload at most once per row: PropsCount and NoAdditionalProps both
+    // call json_object_keys(raw), and before the r16 hoist the optimized
+    // plan carried one copy per occurrence (conditional contexts, which
+    // codegen subexpression elimination does not dedupe).
+    val schema = StructType(Seq(
+      StructField("schema", StringType),
+      StructField("data", StructType(Seq(
+        StructField("schema", StringType),
+        StructField("raw", StringType))))))
+    val reg = Map("t/1" -> Router.Registration(
+      RegisteredSchema("t/1", Seq(
+        PropsCount("raw", Some(1), Some(3)),
+        NoAdditionalProps("raw", Seq("k", "v")))),
+      identity[org.apache.spark.sql.DataFrame]))
+    val cfg = Router.Config("env/1", RegisteredSchema("env/1", Nil), reg)
+    val df = Seq(
+      ("ok", """{"schema":"env/1","data":{"schema":"t/1","raw":"{\"k\":1}"}}"""),
+      ("extra key", """{"schema":"env/1","data":{"schema":"t/1","raw":"{\"k\":1,\"z\":2}"}}"""),
+      ("too many", """{"schema":"env/1","data":{"schema":"t/1","raw":"{\"k\":1,\"v\":2,\"w\":3,\"x\":4}"}}"""))
+      .toDF("name", "json")
+      .withColumn("event", from_json(col("json"), schema))
+    val tagged = Router.tag(df, cfg)
+    val got = tagged.select("name", Router.TagCol)
+      .as[(String, String)].collect().toMap
+    assert(got("ok") === "branch:t/1")
+    assert(got("extra key") === Router.BadMessage)
+    assert(got("too many") === Router.BadMessage)
+    val plan = tagged.queryExecution.executedPlan.toString
+    val keyListings = "jsonObjectKeys".r.findAllIn(plan).size
+    assert(keyListings <= 1,
+      s"raw key listing must be hoisted to one evaluation per row, found $keyListings:\n$plan")
+  }
+
+  test("r16 gate safety: envelope raw constraints stay live on invalid-envelope rows") {
+    // The hoisted payload parses are gated on "no earlier branch claimed
+    // the row". The gate must not swallow ENVELOPE-level raw constraints:
+    // a row whose envelope fails its own raw-JSON check must still verdict
+    // 'invalid envelope', even though the same derivation family appears
+    // in the payload constraints.
+    val schema = StructType(Seq(
+      StructField("schema", StringType),
+      StructField("eraw", StringType),
+      StructField("data", StructType(Seq(
+        StructField("schema", StringType),
+        StructField("raw", StringType))))))
+    val reg = Map("t/1" -> Router.Registration(
+      RegisteredSchema("t/1", Seq(
+        PropsCount("raw", Some(1), Some(2)),
+        NoAdditionalProps("raw", Seq("k")))),
+      identity[org.apache.spark.sql.DataFrame]))
+    val cfg = Router.Config("env/1",
+      RegisteredSchema("env/1", Seq(NoAdditionalProps("eraw", Seq("a")))), reg)
+    val df = Seq(
+      ("envelope bad", """{"schema":"env/1","eraw":"{\"a\":1,\"evil\":2}","data":{"schema":"t/1","raw":"{\"k\":1}"}}"""),
+      ("payload bad", """{"schema":"env/1","eraw":"{\"a\":1}","data":{"schema":"t/1","raw":"{\"k\":1,\"z\":9}"}}"""),
+      ("both fine", """{"schema":"env/1","eraw":"{\"a\":1}","data":{"schema":"t/1","raw":"{\"k\":1}"}}"""))
+      .toDF("name", "json")
+      .withColumn("event", from_json(col("json"), schema))
+    val got = Router.tag(df, cfg)
+      .select(col("name"), col(Router.TagCol), col(Router.ReasonCol))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("envelope bad") === (Router.BadMessage, "invalid envelope"))
+    assert(got("payload bad") === (Router.BadMessage, "invalid payload"))
+    assert(got("both fine") === ("branch:t/1", null))
+  }
+
   test("SchemaId renders and parses vendor/name/version") {
     assert(SchemaId("com.nordstrom", "retail-stream", "1-0-0").render ===
       "com.nordstrom/retail-stream/1-0-0")
