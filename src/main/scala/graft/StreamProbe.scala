@@ -22,6 +22,29 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (filter == "micro") { micro(spark, sfDir); spark.stop(); return }
+    // "jobs <query> [reps]": count Spark jobs per full query invocation —
+    // the artifact for jobs-per-trigger claims (r15 verdict: dump the
+    // 3-jobs→1-job measurement as a file, not a source-reading argument).
+    if (filter == "jobs") {
+      val name = args(1)
+      val jreps = args.lift(2).map(_.toInt).getOrElse(2)
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      })
+      for (r <- 1 to jreps) {
+        counter.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Thread.sleep(1000) // listener bus is async; let it drain
+        println(f"[jobs] r$r $name%-34s totalJobs=${counter.get}%-4d " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      }
+      spark.stop(); return
+    }
     val names = SparkEntry.queries.keys.filter(_.contains(filter)).toSeq.sorted
     for (r <- 1 to reps; n <- names) {
       val t0 = System.nanoTime()

@@ -1914,27 +1914,20 @@ object EventQueries {
 
     // ---- O151: peak concurrency --------------------------------------------------
     // Capacity planning's other number: the busiest minutes by concurrent
-    // active users (30-min activity halo). Row-local explode of each event
-    // into its 31 member minutes, distinct (user, minute), one keyed
-    // distinct count, TakeOrdered(5) — trailing-window concurrency as
-    // plain aggregation, the stickiness discipline at minute grain.
+    // active users (30-min activity halo). r16 (guide §2.3): computed as a
+    // boundary SWEEP — per-user merged activity intervals emit (start,+1)/
+    // (end+1,−1), a prefix sum over boundary minutes gives each constant-
+    // concurrency run, and only each run's first 5 minutes expand (a later
+    // minute of a run can never out-rank an earlier one under count DESC,
+    // minute ASC). Same answer as the former 31×-halo explode + distinct +
+    // count — each user adds +1 to each covered minute exactly once — at
+    // O(2 boundaries) per merged interval instead of O(31) rows per event
+    // through the shuffle. Oracle replays the halo-explode formulation.
     DeclaredQuery("peak_concurrency_minutes",
-      (s, dir) => {
-        val m0 = events(s, dir).select(col("user_id"),
-          expr("CAST(ts AS BIGINT) div 60").as("m"))
-        m0.select(col("user_id"),
-            explode(sequence(col("m"), col("m") + 30L)).as("minute"))
-          .distinct()
-          .groupBy(col("minute"))
-          // the input is already distinct (user_id, minute) pairs, so a
-          // plain count IS the distinct-user count — countDistinct here
-          // planned a second distinct-aggregate layer (an extra exchange +
-          // sort-based dedup) over rows the explicit distinct() above had
-          // already deduplicated (r15, guide §2.4)
-          .agg(count(lit(1)).as("active_users"))
-          .orderBy(desc("active_users"), col("minute"))
-          .limit(5)
-      },
+      (s, dir) => graft.relational.IntervalUnion.peakConcurrency(
+        events(s, dir).select(col("user_id"),
+          expr("CAST(ts AS BIGINT) div 60").as("m")),
+        "user_id", "m", halo = 30L, k = 5, countCol = "active_users"),
       Some("""WITH e AS (SELECT user_id,
                CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m
              FROM events),

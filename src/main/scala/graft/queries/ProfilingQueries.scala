@@ -36,6 +36,21 @@ object ProfilingQueries {
         .select(col("doc_id"), col("millibits_per_token")), Seq("doc_id"))
   }
 
+  /** The assembled vote frame, landed once per session (r16, guide §2.4):
+    * three declared consumers (weak_label_votes, weak_label_agreement,
+    * fleiss_kappa) each rebuilt the entropy join + quality scoring from
+    * documents; the landed projection (one answer-sized row per doc, text
+    * dropped) is built by whichever runs first and read by the rest — the
+    * cross-query `Stages.materialize` memo the dsir/minhash stages use.
+    */
+  private def lfVoted(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.relational.Stages.materialize(
+      graft.text.WeakLabels.majorityVote(lfInput(s, dir), lfVoteCols)
+        .select(col("doc_id"), col("lf_lang"), col("lf_quality"),
+          col("lf_entropy"), col("votes_pos"), col("votes_neg"),
+          col("n_abstain"), col("label")),
+      "lf_votes")
+
   /** Shared oracle CTEs computing the three LF votes per doc. */
   private val lfVoteCtes =
     """WITH tf AS (SELECT doc_id, t, COUNT(*) AS c FROM (
@@ -340,12 +355,7 @@ object ProfilingQueries {
     // label (tie → abstain). Vote assembly is row-local over the doc⋈entropy
     // frame — the library's lone-gatekeeper signals become voters.
     DeclaredQuery("weak_label_votes",
-      (s, dir) => graft.text.WeakLabels
-        .majorityVote(lfInput(s, dir), lfVoteCols)
-        .select(col("doc_id"), col("lf_lang"), col("lf_quality"),
-          col("lf_entropy"), col("votes_pos"), col("votes_neg"),
-          col("n_abstain"), col("label"))
-        .orderBy(col("doc_id")),
+      (s, dir) => lfVoted(s, dir).orderBy(col("doc_id")),
       Some(s"""$lfVoteCtes,
         v AS (SELECT doc_id,
                 CAST(lf_lang AS BIGINT) AS lf_lang,
@@ -370,12 +380,9 @@ object ProfilingQueries {
     // agreement / conflict counts with permille agreement over co-votes —
     // k²/2 answer-sized conditional aggregations over the vote frame.
     DeclaredQuery("weak_label_agreement",
-      (s, dir) => {
-        val voted = graft.text.WeakLabels.majorityVote(lfInput(s, dir), lfVoteCols)
-        graft.text.WeakLabels
-          .agreementMatrix(voted, lfVoteCols.map(_._1))
-          .orderBy(col("lf_a"), col("lf_b"))
-      },
+      (s, dir) => graft.text.WeakLabels
+        .agreementMatrix(lfVoted(s, dir), lfVoteCols.map(_._1))
+        .orderBy(col("lf_a"), col("lf_b")),
       Some {
         // pairs in the Spark side's declaration order; the shared final
         // ORDER BY (lf_a, lf_b) makes row order engine-independent
@@ -406,8 +413,7 @@ object ProfilingQueries {
     // exact rational arithmetic in DECIMAL(38,0), truncating-division
     // permille (the classifier_kappa discipline; negative kappas included).
     DeclaredQuery("fleiss_kappa",
-      (s, dir) => graft.text.WeakLabels.fleissKappa(
-        graft.text.WeakLabels.majorityVote(lfInput(s, dir), lfVoteCols), k = 3),
+      (s, dir) => graft.text.WeakLabels.fleissKappa(lfVoted(s, dir), k = 3),
       Some(s"""$lfVoteCtes,
         v AS (SELECT doc_id,
                 CAST((CASE WHEN lf_lang = 1 THEN 1 ELSE 0 END +

@@ -592,25 +592,34 @@ object Experiment {
       sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_sb"),
       sum(when(col("arm") === 0L, col("y")).otherwise(lit(0L))).as("sy_sa"),
       sum(when(col("arm") === 1L, col("y")).otherwise(lit(0L))).as("sy_sb"))
-    val tot = byStratum.agg(
-      sum(col("n_s")).as("n"),
-      count(lit(1)).as("n_strata"),
-      sum(col("n_sa")).as("n_a"), sum(col("n_sb")).as("n_b"),
-      sum(col("sy_sa")).as("sy_a"), sum(col("sy_sb")).as("sy_b"),
-      min(least(col("n_sa"), col("n_sb"))).as("__min_arm"))
-    // per-stratum milli terms need N, a 1-row broadcast back onto the
-    // answer-sized stratum frame; the empty-arm guard rides every output
-    val terms = byStratum
-      .crossJoin(broadcast(tot.select(col("n").as("__N"))))
-      .agg(sum(expr(
-        """CASE WHEN n_sa = 0 OR n_sb = 0 THEN NULL ELSE
-           (1000 * CAST(n_s AS DECIMAL(38,0)) *
-             (CAST(sy_sb AS DECIMAL(38,0)) * n_sa -
-              CAST(sy_sa AS DECIMAL(38,0)) * n_sb)) div
-           (CAST(__N AS DECIMAL(38,0)) * n_sa * n_sb) END"""))
-        .as("__ps"))
+    // r16 (guide §2.4, the ddsketch-totals precedent): N rides the stratum
+    // frame as a full-frame window sum (one single-partition pass over the
+    // answer-sized strata — bounded by the stratum count, the operator's
+    // documented model), so the per-stratum milli terms and every grand
+    // total come from ONE execution of the stratum subtree and ONE final
+    // aggregation. The r15 shape executed the stratum aggregation three
+    // times (totals, terms×broadcast-N, final assembly).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val tot = byStratum
+      .withColumn("__N", sum(col("n_s")).over(wAll))
+      .agg(
+        sum(col("n_s")).as("n"),
+        count(lit(1)).as("n_strata"),
+        sum(col("n_sa")).as("n_a"), sum(col("n_sb")).as("n_b"),
+        sum(col("sy_sa")).as("sy_a"), sum(col("sy_sb")).as("sy_b"),
+        min(least(col("n_sa"), col("n_sb"))).as("__min_arm"),
+        sum(expr(
+          """CASE WHEN n_sa = 0 OR n_sb = 0 THEN NULL ELSE
+             (1000 * CAST(n_s AS DECIMAL(38,0)) *
+               (CAST(sy_sb AS DECIMAL(38,0)) * n_sa -
+                CAST(sy_sa AS DECIMAL(38,0)) * n_sb)) div
+             (CAST(__N AS DECIMAL(38,0)) * n_sa * n_sb) END"""))
+          .as("__ps"))
     val emptyArm = "__min_arm = 0"
-    tot.crossJoin(broadcast(terms)).select(
+    tot.select(
       expr(s"CASE WHEN $emptyArm THEN raise_error('postStratifiedLift: a " +
         "stratum has an empty arm — collapse strata before estimating') " +
         "ELSE CAST(n AS BIGINT) END").as("n_units"),

@@ -96,6 +96,13 @@ object Profile {
     * answer-sized rollup per candidate — candidates are audited
     * independently, so Spark runs them as parallel jobs of one scan each.
     */
+  // r16 examined, fold REJECTED by measurement: merging same-determinant
+  // candidates into one groupBy with one count_distinct per dependent
+  // plans a multi-distinct Expand (row count × distinct-agg count through
+  // the exchange, 3 aggregation phases) — warm probe 0.27 s → 1.28 s, a
+  // 4.7× REGRESSION vs the per-candidate passes below. Per-candidate
+  // single-distinct aggregations plan as cheap 2-phase partial aggs; the
+  // orders scan they each repay is bench-cached and column-pruned.
   def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "fdAudit: no FD candidates")
     candidates.map { case (det, dep) =>

@@ -60,23 +60,35 @@ object TwoSample {
     require(nv <= maxDistinctValues,
       s"mannWhitneyKs: more than $maxDistinctValues distinct values — " +
         "pre-bucket the domain (equi-depth histogram) before testing")
-    val w = org.apache.spark.sql.expressions.Window
+    // ONE ordered pass over the histogram: the running cumulatives and the
+    // grand totals ride the SAME window exchange (full-frame sums — the
+    // ddsketch-totals precedent, r16 guide §2.4), and U2 / KS max / KS
+    // argmax / totals collapse into ONE final aggregation. The r15 shape
+    // re-executed the window subtree once per consumer (totals, stats,
+    // argmax join, final assembly — 4 executions + 2 joins + 5 broadcast
+    // nested loops).
+    val wRun = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val cum = landed
-      .withColumn("cuma", sum(col("ca")).over(w))
-      .withColumn("cumb", sum(col("cb")).over(w))
-    val tot = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
-    val diff = cum.crossJoin(broadcast(tot))
+      .withColumn("cuma", sum(col("ca")).over(wRun))
+      .withColumn("cumb", sum(col("cb")).over(wRun))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
       .withColumn("d", expr(
         "abs(CAST(cuma AS DECIMAL(38,0)) * nb - CAST(cumb AS DECIMAL(38,0)) * na)"))
-    val stats = diff.agg(
+    // KS location = smallest v attaining max d: min of (−d, v) pairs is the
+    // lexicographic argmax with the deterministic smallest-v tiebreak (no
+    // max_by, whose tie behavior is undefined)
+    cum.agg(
+      max(col("na")).as("na"), max(col("nb")).as("nb"),
       sum(expr("CAST(ca AS DECIMAL(38,0)) * (2 * (cumb - cb) + cb)")).as("u2"),
-      max(col("d")).as("ksx"))
-    val at = diff.join(broadcast(stats.select(col("ksx").as("__k"))),
-        col("d") === col("__k"))
-      .agg(min(col("v")).as("ks_at_value"))
-    tot.crossJoin(broadcast(stats)).crossJoin(broadcast(at))
+      max(col("d")).as("ksx"),
+      min(struct(negate(col("d")).as("nd"), col("v").as("v"))).as("__mn"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         expr("(500 * u2) div (CAST(na AS DECIMAL(38,0)) * nb)")
           .as("auc_permille"),
@@ -84,6 +96,6 @@ object TwoSample {
           "(CAST(na AS DECIMAL(38,0)) * nb)").as("rank_biserial_permille"),
         expr("(1000 * ksx) div (CAST(na AS DECIMAL(38,0)) * nb)")
           .as("ks_permille"),
-        col("ks_at_value"))
+        col("__mn").getField("v").as("ks_at_value"))
   }
 }

@@ -103,7 +103,14 @@ object StreamingIngest {
         // winners are unique by the min-id rule, so index keys are unique
         // BY CONSTRUCTION — the r14 belt-and-braces re-dedup was a full
         // extra shuffle per trigger of provably-unique rows (its guard
-        // value is covered by the newKeys distinct(), which stays).
+        // value is covered by the newKeys distinct(), which stays; the
+        // invariant itself is pinned by StreamingIngestSpec's cross-batch
+        // collision replay). The uniqueness additionally ASSUMES each
+        // append commits atomically (true of Spark's parquet commit
+        // protocol on a real filesystem, as here); a durable-index
+        // deployment on a direct-commit/cloud committer where a crashed
+        // append can leave partial files must restore the read-side
+        // distinct() or vacuum before restart (r15 advice).
         val idxHadoop = new org.apache.hadoop.fs.Path(idxPath)
         val fs = idxHadoop.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val seen: Option[DataFrame] =
@@ -157,6 +164,15 @@ object StreamingIngest {
           // exactly once; the optimizer never pushes filters through a
           // CollectMetrics barrier) — no separate aggregate job, and `s`
           // now has ONE consumer so it no longer needs persist().
+          // Retry caveat (r15 advice): the CollectMetrics node sits below
+          // the append's distinct() exchange, i.e. in a shuffle-map stage,
+          // where accumulator updates lack the result-stage exactly-once
+          // guarantee — a stage RETRY (executor loss) or a speculative
+          // duplicate task can double-count the observed sums. Local
+          // AvailableNow triggers never retry; a production deployment that
+          // needs the ledger exact under failure recomputes the row from
+          // the appended index delta (a second, deterministic job — the r14
+          // shape) or disables speculation for the ingest job group.
           val obs = Observation(s"ingest_ledger_$batchId")
           val sObs = s.observe(obs,
             count(lit(1)).as("batch_in"),
@@ -189,8 +205,13 @@ object StreamingIngest {
             .distinct()
             .write.mode(SaveMode.Append).parquet(idxPath)
           val m = obs.get
-          ledgerRows += Row(Long.box(batchId), m("batch_in"), m("url_dups"),
-            m("exact_dups"), m("neardup_suspects"), m("new_docs"))
+          // observed sum(...) over an EMPTY trigger is null (only count is
+          // 0) — coalesce so an empty micro-batch yields an all-zero ledger
+          // row rather than nulls (r15 advice; AvailableNow over the replay
+          // source never fires one, but the contract shouldn't rely on it)
+          def z(v: Any): Any = if (v == null) Long.box(0L) else v
+          ledgerRows += Row(Long.box(batchId), m("batch_in"), z(m("url_dups")),
+            z(m("exact_dups")), z(m("neardup_suspects")), z(m("new_docs")))
         } finally {
           seen.foreach(_.unpersist())
           ()

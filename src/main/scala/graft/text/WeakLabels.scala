@@ -146,23 +146,31 @@ object WeakLabels {
     val pairs = for {
       i <- lfNames.indices; j <- lfNames.indices if i < j
     } yield (lfNames(i), lfNames(j))
-    pairs.map { case (a, b) =>
+    // r16 (guide §2.4): ONE conditional-aggregation pass computes all
+    // k²/2 × 5 pair counts; the matrix rows explode out of the single-row
+    // result. The r15 shape ran one full pass over the vote frame per pair
+    // (3 scans + 3 aggregation exchanges for k = 3).
+    val aggCols = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val bothVoted = col(a) =!= 0L && col(b) =!= 0L
-      voted.agg(
-        sum(when(col(a) =!= 0L, 1L).otherwise(0L)).as("cov_a"),
-        sum(when(col(b) =!= 0L, 1L).otherwise(0L)).as("cov_b"),
-        sum(when(bothVoted, 1L).otherwise(0L)).as("n_both"),
-        sum(when(bothVoted && col(a) === col(b), 1L).otherwise(0L)).as("n_agree"),
-        sum(when(bothVoted && col(a) =!= col(b), 1L).otherwise(0L)).as("n_conflict"))
-        .select(lit(a).as("lf_a"), lit(b).as("lf_b"),
-          coalesce(col("cov_a"), lit(0L)).as("cov_a"),
-          coalesce(col("cov_b"), lit(0L)).as("cov_b"),
-          coalesce(col("n_both"), lit(0L)).as("n_both"),
-          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
-          coalesce(col("n_conflict"), lit(0L)).as("n_conflict"))
-        .withColumn("agree_permille",
-          when(col("n_both") === 0, lit(0L))
-            .otherwise(expr("(1000L * n_agree) div n_both")))
-    }.reduce(_.union(_))
+      Seq(
+        sum(when(col(a) =!= 0L, 1L).otherwise(0L)).as(s"__cova$i"),
+        sum(when(col(b) =!= 0L, 1L).otherwise(0L)).as(s"__covb$i"),
+        sum(when(bothVoted, 1L).otherwise(0L)).as(s"__both$i"),
+        sum(when(bothVoted && col(a) === col(b), 1L).otherwise(0L)).as(s"__agree$i"),
+        sum(when(bothVoted && col(a) =!= col(b), 1L).otherwise(0L)).as(s"__conf$i"))
+    }
+    voted.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("lf_a"), lit(b).as("lf_b"),
+          coalesce(col(s"__cova$i"), lit(0L)).as("cov_a"),
+          coalesce(col(s"__covb$i"), lit(0L)).as("cov_b"),
+          coalesce(col(s"__both$i"), lit(0L)).as("n_both"),
+          coalesce(col(s"__agree$i"), lit(0L)).as("n_agree"),
+          coalesce(col(s"__conf$i"), lit(0L)).as("n_conflict"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("agree_permille",
+        when(col("n_both") === 0, lit(0L))
+          .otherwise(expr("(1000L * n_agree) div n_both")))
   }
 }

@@ -45,4 +45,53 @@ class IntervalUnionSpec extends SparkSpec {
       IntervalUnion.coverage(at(Seq((1L, 0L))), "k", "ts", 0L)
     }
   }
+
+  /** The halo-explode formulation peakConcurrency replaces (r16): each row
+    * covers minutes [m, m+halo], distinct (key, minute), count per minute,
+    * top-k by (count DESC, minute ASC).
+    */
+  private def naivePeak(df: org.apache.spark.sql.DataFrame, halo: Long, k: Int) =
+    df.select(col("k"), explode(sequence(col("m"), col("m") + halo)).as("minute"))
+      .distinct()
+      .groupBy(col("minute"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("minute"))
+      .limit(k)
+      .as[(Long, Long)].collect().toSeq
+
+  private def sweepPeak(df: org.apache.spark.sql.DataFrame, halo: Long, k: Int) =
+    IntervalUnion.peakConcurrency(df, "k", "m", halo, k, "c")
+      .as[(Long, Long)].collect().toSeq
+
+  test("peakConcurrency equals the halo-explode formulation, ties and overlaps included") {
+    // Deterministic pseudo-random instants: several keys, overlapping and
+    // duplicate minutes, clusters that merge and gaps that do not — plus a
+    // key whose halos overlap (the double-count trap the per-key merge
+    // exists for).
+    val rows = for {
+      key <- 0L until 7L
+      i <- 0 until 40
+    } yield (key, ((i * 2654435761L + key * 40503L) % 300L).abs)
+    val df = rows.toDF("k", "m")
+    for (halo <- Seq(0L, 3L, 30L); k <- Seq(1, 5, 17)) {
+      assert(sweepPeak(df, halo, k) === naivePeak(df, halo, k),
+        s"halo=$halo k=$k")
+    }
+  }
+
+  test("peakConcurrency: runs longer than k expand only their first k minutes, exactly") {
+    // One key active [0, 100]: every minute has count 1; top-3 must be
+    // minutes 0,1,2 — interior minutes of the run may never outrank them.
+    val df = Seq((1L, 0L), (1L, 50L)).toDF("k", "m")
+    assert(sweepPeak(df, 60L, 3) === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("peakConcurrency: null minutes drop, null keys count as one key") {
+    val df = Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(10L)),
+      (None, Some(10L)), (None, Some(10L)), // one distinct null key
+      (Some(3L), None) // null minute contributes nothing
+    ).toDF("k", "m")
+    assert(sweepPeak(df, 0L, 1) === Seq((10L, 3L)))
+  }
 }
