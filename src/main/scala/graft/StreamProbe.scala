@@ -12,7 +12,8 @@ object StreamProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val filter = args.headOption.getOrElse("stream_")
-    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    // lazy: in "jobs" mode args(1) is a query name, not a rep count
+    def reps = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,6 +23,38 @@ object StreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (filter == "micro") { micro(spark, sfDir); spark.stop(); return }
+    // "phases <query> [reps]": per-trigger durationMs + state-operator
+    // decomposition via the StreamCapture progress hook (r16, VERDICT #4 —
+    // measure join-state commits vs sink epochs vs trigger count before
+    // touching a streaming row).
+    if (filter == "phases") {
+      val name = args(1)
+      val preps = args.lift(2).map(_.toInt).getOrElse(2)
+      graft.streaming.StreamCapture.enable()
+      for (r <- 1 to preps) {
+        graft.streaming.StreamCapture.reset()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        val ps = graft.streaming.StreamCapture.progressSnapshot
+        println(f"[phases] r$r $name%-30s wall=$wall%6.2f s triggers=${ps.size}")
+        ps.foreach { p =>
+          val d = p.durationMs
+          def ms(k: String): Long =
+            Option(d.get(k)).map(_.longValue()).getOrElse(-1L)
+          val st = p.stateOperators
+          println(f"[phases]   batch=${p.batchId}%-3d rows=${p.numInputRows}%-7d " +
+            f"trigger=${ms("triggerExecution")}%-6d addBatch=${ms("addBatch")}%-6d " +
+            f"getBatch=${ms("getBatch")}%-5d plan=${ms("queryPlanning")}%-5d " +
+            f"wal=${ms("walCommit")}%-4d commitOff=${ms("commitOffsets")}%-4d " +
+            f"stateRows=${st.map(_.numRowsTotal).sum}%-7d " +
+            f"stateCommitMs=${st.map(_.commitTimeMs).sum}%-5d " +
+            f"stateUpdMs=${st.map(_.allUpdatesTimeMs).sum}")
+        }
+      }
+      spark.stop(); return
+    }
     // "jobs <query> [reps]": count Spark jobs per full query invocation —
     // the artifact for jobs-per-trigger claims (r15 verdict: dump the
     // 3-jobs→1-job measurement as a file, not a source-reading argument).

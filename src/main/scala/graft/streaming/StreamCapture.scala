@@ -25,12 +25,20 @@ object StreamCapture {
   private val startCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val queries = java.util.Collections.synchronizedList(
     new java.util.ArrayList[StreamingQuery]())
+  // per-trigger progress events (r16): the phase decomposition StreamProbe's
+  // "phases" mode prints — durationMs + state-operator metrics per trigger
+  private val progresses = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[org.apache.spark.sql.streaming.StreamingQueryProgress]())
 
   def enabled: Boolean = on
   def enable(): Unit = { on = true }
 
   /** Clear the per-declared-query window. */
-  def reset(): Unit = { startCount.set(0); queries.clear() }
+  def reset(): Unit = { startCount.set(0); queries.clear(); progresses.clear() }
+
+  def progressSnapshot: List[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    progresses.synchronized {
+      scala.jdk.CollectionConverters.ListHasAsScala(progresses).asScala.toList }
 
   /** (queries started since reset, queries captured since reset) — a
     * mismatch means a started query escaped capture and its triggers went
@@ -57,7 +65,8 @@ object StreamCapture {
         val q = ss.streams.get(e.id)
         if (q != null) queries.add(q)
       }
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (on) { progresses.add(e.progress); () }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
   }
