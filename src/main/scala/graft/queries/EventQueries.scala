@@ -473,10 +473,14 @@ object EventQueries {
         val hourly = graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
           .select(col("window.start").cast("timestamp_ntz").as("hour"),
             col("event_type"), col("n"))
-        val tot = hourly.groupBy(col("hour")).agg(sum(col("n")).as("__ht"))
+        // r16 (guide §2.4): the hour total rides a full-partition window
+        // instead of a groupBy + join back — one pass over the drained
+        // answer-sized frame
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type")).orderBy(col("hour"))
-        hourly.join(tot, Seq("hour"))
+        hourly
+          .withColumn("__ht", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("hour"))))
           .withColumn("share_permille", expr("(1000L * n) div __ht"))
           .withColumn("delta_permille",
             coalesce(abs(col("share_permille") -

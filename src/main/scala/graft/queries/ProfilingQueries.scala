@@ -696,11 +696,21 @@ object ProfilingQueries {
         val hourly = graft.streaming.StreamingRouter.drainMemoryToLocal(q, name)
           .select(col("window.start").cast("timestamp_ntz").as("hour"),
             col("user_id"), col("n"))
-        val tot = hourly.groupBy(col("hour"))
-          .agg(sum(col("n")).as("__t"), count(lit(1)).as("__nk"))
-        graft.relational.TopK.perGroup(hourly, Seq("hour"),
-          Seq(("n", false), ("user_id", true)), 3)
-          .join(tot, Seq("hour"))
+        // r16 (guide §2.4): rank, hour totals, and key counts all ride ONE
+        // hour-partitioned window pass over the drained (hours × keys)
+        // frame — the r15 shape ran a typed top-k aggregation + a totals
+        // groupBy + a join back (three hour-keyed passes). row_number over
+        // (n DESC, user_id ASC) is the same deterministic total order the
+        // heap used; full-partition sum/count equal the joined totals.
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hour")).orderBy(desc("n"), col("user_id"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hour"))
+        hourly
+          .withColumn("__rk", row_number().over(wOrd))
+          .withColumn("__t", sum(col("n")).over(wAll))
+          .withColumn("__nk", count(lit(1)).over(wAll))
+          .filter(col("__rk") <= 3)
           .select(col("hour"), col("user_id"), col("n"),
             expr("(1000L * n) div __t").as("share_permille"),
             expr("(1000L * n * __nk) div __t").as("uniform_x_permille"))
